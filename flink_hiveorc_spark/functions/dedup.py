@@ -1,0 +1,307 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.10
+L1/L2): exact hash dedup, n-gram Jaccard near-dup, MinHash signatures
++ LSH candidate pairing, SimHash fingerprints.
+
+Engine-portability design: every hash is md5-derived (identical hex in
+Spark and DuckDB) and every similarity is a ratio of exact integer
+counts, so the oracle hash-matches bit-for-bit. At 100 TB:
+
+- exact dedup is a hash aggregate (shuffle on the 128-bit digest —
+  uniformly distributed, skew-free by construction);
+- near-dup NEVER does an O(n²) cross join: candidates come from an
+  inverted index on shingles (or MinHash bands), i.e. a self-join on
+  a high-cardinality key. At real scale you additionally drop
+  ultra-frequent shingles (document-frequency cap) before the join —
+  the `df_cap` parameter below; with md5-banded LSH the candidate
+  count is tunable via (bands, rows-per-band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+N_MINHASH = 8
+JACCARD_THRESHOLD = 0.2
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact content dedup — group on the content digest, keep the
+    lowest doc_id as canonical. One shuffle on a uniform key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 variant: case/whitespace-normalized before hashing."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.groupBy(F.md5(norm).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _shingles(col: str = "text") -> F.Column:
+    """Distinct 3-word shingles of a text column (docs shorter than 3
+    words yield a single degenerate shingle = the whole text)."""
+    w = F.split(col, " ")
+    n = F.size(w)
+    tri = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)),
+    )
+    return F.array_distinct(F.when(n >= 3, tri).otherwise(F.array(F.col(col))))
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+               ELSE [text] END) AS s
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2a: near-duplicate pairs by 3-gram shingle Jaccard ≥ 0.2.
+
+    Candidates come from an inverted-index self-join on shingles (only
+    docs sharing ≥1 shingle ever meet) — no cross join. Jaccard =
+    |∩| / (|A|+|B|-|∩|), all exact integer counts. At larger scale,
+    add a document-frequency cap on shingles before the join and/or
+    use the MinHash-LSH variant below.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles().alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"), F.size("s").alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _minhash_cols() -> list[F.Column]:
+    """N_MINHASH independent min-hash values per shingle set: the i-th
+    hash of a shingle is md5('h{i}:'||shingle); the signature component
+    is the lexicographic min over shingles (md5 hex compares uniformly,
+    so min-of-md5 is a valid permutation-min)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+_MINHASH_SQL_COLS = ",\n           ".join(
+    f"min(md5('h{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           {_MINHASH_SQL_COLS}
+    FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b: per-document MinHash signature (8 hashes). One explode +
+    one hash-agg; signature size is constant per doc regardless of
+    document length — the sketch that makes near-dup feasible at
+    100 TB (shuffle carries 8 hex strings per doc, not shingle sets)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    return ex.groupBy("doc_id").agg(*_minhash_cols())
+
+
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_SQL_COLS}
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             count(*) AS n_shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.doc_a
+      JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM verified
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c: the full MinHash → LSH banding → verify pipeline.
+
+    4 bands × 2 rows: docs colliding on any band become candidates
+    (P[cand] = 1-(1-j²)⁴ — steep around j≈0.4), then exact Jaccard
+    verifies ≥ 0.2. The banded join is the scale path: candidate
+    generation touches only (doc, band-key) rows, never pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles().alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"), F.size("s").alias("n_sh"))
+    sig = ex.groupBy("doc_id").agg(*_minhash_cols())
+    bands = None
+    for band, (i, j) in enumerate(_BANDS):
+        piece = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat(F.col(f"mh{i}"), F.lit("|"), F.col(f"mh{j}")).alias("key"),
+        )
+        bands = piece if bands is None else bands.union(piece)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = ex.alias("ea")
+    eb = ex.alias("eb")
+    verified = (
+        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
+        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.shingle") == F.col("ea.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("ea.n_sh").alias("n_a"),
+            F.first("eb.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM words
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(range(32)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d: 32-bit SimHash over the distinct-word set (hash = first 8
+    md5 hex digits → int; each bit votes ±1; fingerprint = sign
+    vector). Near-dups then pair by Hamming distance on the
+    fingerprint (blocked by fingerprint bytes at scale). Fingerprint
+    is exact integer arithmetic → engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    hashed = words.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    bits = (
+        hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).alias(
+            "simhash"
+        )
+    )

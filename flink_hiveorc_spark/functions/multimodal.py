@@ -1,0 +1,104 @@
+"""Multimodal column handling (SURVEY.md §2.10 L5): opaque binary
+payloads + typed metadata structs, processed with Arrow-batched
+`mapInPandas`.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked stub (`decode_image` raises NotImplementedError unless
+given the deterministic fake codec); everything Spark-side — schema,
+binary columns, metadata structs, batch iteration, output schema —
+is real and oracle-checked. Swap `_fake_features` for a real decoder
+(PIL/torchaudio) on a cluster that has one; the plumbing is unchanged.
+
+100 TB posture: binary payloads ride in their own column so column
+pruning drops them unless the UDF needs them; `mapInPandas` streams
+Arrow batches (bounded memory regardless of per-file blob sizes);
+partition count should target ~128 MB of blobs per task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes, codec: str = "real"):
+    """Decode an image payload → (height, width, channels) array.
+
+    STUB: real decoding needs an image library this container lacks.
+    ``codec='fake'`` returns a deterministic stand-in used by tests.
+    """
+    if codec == "fake":
+        h = int.from_bytes(hashlib.md5(payload).digest()[:2], "big") % 64 + 1
+        return (h, 64, 3)
+    raise NotImplementedError(
+        "image decoding requires an image codec (PIL/cv2) not present in this container"
+    )
+
+
+def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic feature extraction over binary payloads: byte
+    length, first-4-bytes hex, md5 digest. Stands in for a real
+    embed/resize/frame-sample step; identical batch shape."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "head_hex": payloads.map(lambda b: b[:4].hex().upper()),
+                "content_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal shape: opaque binary payload + typed
+    metadata struct (the L5 column model: binary + sidecar struct)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("language"),
+            F.lit("text/plain").alias("mime"),
+            F.length("text").alias("declared_len"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(hex(substr(text, 1, 4))) AS head_hex,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: binary-column pipeline — build payload+meta columns, run
+    Arrow-batched mapInPandas feature extraction. The extraction is a
+    deterministic fake (hash/length) so the oracle can verify the
+    whole binary plumbing end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    return mm.select("doc_id", "payload").mapInPandas(_fake_features, FEATURE_SCHEMA)

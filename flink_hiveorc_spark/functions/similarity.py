@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 L3):
+brute-force cosine top-k as the exact baseline, sign-LSH bucketed
+variant as the scale path, threshold near-dup pairing.
+
+Dot products are computed as a sequential left fold over the array
+(`F.aggregate`) in float64 — the same order-of-operations the DuckDB
+oracle uses (`list_dot_product` over DOUBLE[]), so values match
+bit-for-bit (verified empirically in tests).
+
+100 TB posture: brute-force top-k is O(queries × corpus) — fine for
+a bounded query set against a broadcast corpus, wrong for all-pairs.
+The LSH variant buckets vectors by projection signs so candidate
+generation is a self-join on the bucket key; recall/cost is tuned by
+the number of sign bits. For all-pairs near-dup at scale, block on
+coarse buckets (here: the sign-LSH key) and verify within blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+NEARDUP_COSINE = 0.35
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential float64 dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@query(
+    "sim_topk_cosine_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id,
+             b.vec_id AS neighbor_id,
+             {_COS_SQL} AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COS_SQL} DESC, b.vec_id
+             ) AS rnk
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 exact baseline: top-5 cosine neighbors for each query vector
+    (vec_id < 10). The query set is broadcast against the corpus scan;
+    rank+filter plans a WindowGroupLimit so only k rows per query
+    survive the map side."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        q.join(e, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query(
+    "sim_neardup_pairs_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a,
+           b.vec_id AS vec_b,
+           {_COS_SQL} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= {NEARDUP_COSINE}
+    """,
+)
+def sim_neardup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e/L3: embedding near-dup pairs — blocked by `label` (the
+    coarse IVF-style partition: at scale, a k-means assignment or LSH
+    bucket takes this role), verified by cosine ≥ 0.35 within blocks.
+    The block join keeps candidate pairs ~n²/|blocks| instead of n²."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
+
+
+@query("sim_topk_cosine_lsh")  # no oracle: approximate by construction
+def sim_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: sign-LSH bucketed ANN. Bucket key = sign bits of
+    4 coordinates (stand-in for random-hyperplane projections, which
+    for the isotropic test vectors coordinates already are); top-k is
+    computed within each bucket only. Approximate → rows-only check.
+
+    At 100 TB: bucket on 8-16 projection bits → self-contained
+    partitions, each small enough for an in-partition top-k; multi-
+    probe (flip one bit) recovers recall.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.concat_ws(
+        "",
+        *[(F.element_at("v", i + 1) > 0).cast("int").cast("string") for i in range(4)],
+    )
+    eb = e.select("vec_id", "v", bucket.alias("bucket"))
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cos = cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        q.join(eb, on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -1,0 +1,212 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A5; all [ext]).
+
+Determinism: monetary sums run through DECIMAL casts (exact, order-
+independent); averages/stddev are reconstructed from exact decimal
+sums with the final arithmetic in IEEE double so Spark and the DuckDB
+oracle produce bit-identical values. Spark executes these as
+partial (map-side) + final hash aggregates automatically — at 100 TB
+the partial agg collapses each of the billions of input rows into a
+handful of groups per task before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+_DEC = "decimal(25,6)"
+_DEC2 = "decimal(30,6)"
+
+
+def _dsum(col):
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5 flagship: TPC-H Q1-style pricing summary. The shipdate
+    filter pushes down to the parquet scan (min/max row-group skip)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price.cast(_DEC)).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast(_DEC)).cast("double").alias("sum_charge"),
+        (_dsum("l_quantity") / n).alias("avg_qty"),
+        (_dsum("l_extendedprice") / n).alias("avg_price"),
+        (_dsum("l_discount") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (exact): per-type distinct users. Exact distinct expands to
+    a two-phase agg; the approx variant below avoids that expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+@query("agg_approx_count_distinct")  # no oracle: HLL++ is engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (approx): HyperLogLog++ distinct — the 100 TB default (no
+    per-group value expansion, fixed-size sketch per group). Driver
+    records a rows-only check; values are engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3a: hierarchical subtotals (flag → flag×status → grand total)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3b: all grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total_price")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 - CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   * CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+                / (count(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: order statistics + moments. Median is exact interpolated
+    percentile (quantities are .0/.5-exact so interpolation order is
+    benign); stddev is reconstructed from exact decimal sums so both
+    engines do the identical final double arithmetic — see registry
+    docstring. At 100 TB swap `percentile` for `approx_percentile`
+    (t-digest sketch, no per-group sort) and drop the oracle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    sum_q = F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+    sum_q2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(_DEC2)).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))).alias("stddev_qty"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: keyless global aggregate (single final reduce)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _dsum("l_extendedprice").alias("total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: collect_list made deterministic by sorting before joining
+    to a string (raw collect order is nondeterministic by design)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )

@@ -1,0 +1,232 @@
+"""Join operators (SURVEY.md §2.3 J1-J6; all [ext] — the reference has
+no joins, see SURVEY.md §0/§2.3).
+
+Scale notes (100 TB):
+- fact⋈fact equi-joins shuffle on the join key; AQE handles skew
+  splitting. Both sides here are keyed on the natural key so the
+  shuffle is unavoidable but minimal (pre-projected columns only).
+- dimension joins are explicitly ``broadcast()`` — nation/region/
+  supplier/customer remain small even at SF100k, so no shuffle of
+  the fact side at all.
+- the as-of join uses a conditional join + per-left-row top-1; at
+  scale, range-partition both sides on (key, time-bucket) so the
+  range join stays partition-local (Spark range-join hints apply on
+  Databricks; stock Spark gets the window formulation below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+_DEC = "decimal(25,6)"
+
+
+@query(
+    "join_inner_revenue",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: two-level inner equi-join, fact side pre-filtered so the
+    filter is pushed below the join (verify with .explain: the orders
+    scan carries PushedFilters for o_orderstatus)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_region_revenue",
+    oracle="""
+    SELECT r.r_name,
+           n.n_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: star join with explicitly broadcast dimensions — the fact
+    table is never shuffled for the join (only for the final agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0).cast(_DEC))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a: left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b: left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_late_shipments",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_late_items
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_theta_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: equi-join with a non-equi (range) residual predicate —
+    planned as a hash join with the range condition as post-filter,
+    so it scales like a plain equi-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return l.join(o, cond).groupBy("o_orderpriority").agg(F.count("*").alias("n_late_items"))
+
+
+@query(
+    "join_asof_purchase_prior_signup",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           s.event_id AS signup_id,
+           CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: as-of join — for each purchase, the latest signup by the
+    same user at-or-before the purchase time.
+
+    Spark formulation: union both sides tagged, one window pass per
+    user ordered by time carrying the `last signup seen so far`
+    (running last_value with ignoreNulls). This is O(n log n) in the
+    shuffle with NO pairwise range join — the formulation that
+    survives 100 TB (a conditional join + top-1 would explode on hot
+    keys; the window version shuffles each row exactly once).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig_id = F.when(F.col("event_type") == "signup", F.col("event_id"))
+    sig_ts = F.when(F.col("event_type") == "signup", F.col("ts_ns"))
+    enriched = tagged.select(
+        "*",
+        F.last(sig_id, ignorenulls=True).over(w).alias("signup_id"),
+        F.last(sig_ts, ignorenulls=True).over(w).alias("signup_ts_ns"),
+    )
+    return (
+        enriched.filter((F.col("event_type") == "purchase") & F.col("signup_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "signup_id",
+            (F.expr("ts_ns div 1000") - F.expr("signup_ts_ns div 1000")).alias("lag_us"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Set operations, distinct, and the ORC table-roundtrip operators
+(SURVEY.md §2.7 + §2.1 S3-S6).
+
+The roundtrip queries exercise the reference's actual core surface —
+write Hive-layout partitioned ORC, read it back with partition
+pruning — as oracle-checked queries (the oracle computes the same
+answer straight from the source parquet, so a bug anywhere in the
+write→read cycle shows up as a hash mismatch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.flagship import city_shaped_events
+from flink_hiveorc_spark.registry import query
+from flink_hiveorc_spark.sinks.hive_orc import read_table, write_partitioned
+
+
+@query(
+    "set_union_nations_served",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup): nations with a customer or a supplier."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except_inactive_customers",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT user_id FROM events
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customer keys with no event activity."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
+    return c.distinct().subtract(e.distinct())
+
+
+@query(
+    "distinct_flag_status",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT → hash aggregate on the pair (partial+final)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def _roundtrip_warehouse(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "fhs_warehouse", f"city_{tag}")
+
+
+def _city_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once-per-sf_dir city ORC table (S3/S4), then read back (S5)."""
+    wh = _roundtrip_warehouse(sf_dir)
+    if not os.path.exists(os.path.join(wh, "_SUCCESS")):
+        write_partitioned(city_shaped_events(spark, sf_dir), wh, "c_date", fmt="orc")
+    return read_table(spark, wh, fmt="orc")
+
+
+@query(
+    "orc_roundtrip_counts",
+    oracle="""
+    SELECT strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_cities
+    FROM events
+    GROUP BY 1
+    """,
+)
+def orc_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4+S5 parity: events → partitioned ORC (c_date=... layout,
+    byte-identical to RowTimeBucketer.scala:18's) → read back →
+    aggregate. Oracle computes the same straight from parquet."""
+    city = _city_table(spark, sf_dir)
+    return city.groupBy("c_date").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("city_id").alias("n_cities"),
+    )
+
+
+@query(
+    "orc_partition_pruning",
+    oracle="""
+    SELECT lower(event_type) AS city_name,
+           count(*) AS n
+    FROM events
+    WHERE strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d') = '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def orc_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read: the c_date filter prunes to ONE
+    `c_date=2024-01-15` directory (check .explain → PartitionFilters;
+    at 100 TB this is the difference between scanning one day and
+    scanning the table)."""
+    city = _city_table(spark, sf_dir)
+    return (
+        city.filter(F.col("c_date") == "2024-01-15")
+        .groupBy("city_name")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,253 @@
+"""Scalar transforms (SURVEY.md §2.2 P1-P11): string / datetime / math
+/ conditional / array / JSON expression surface, plus the reference's
+CDC date-derivation as a batch query.
+
+All pure built-in expressions → whole-stage codegen, fully
+pushdown-transparent. No UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+from flink_hiveorc_spark.sources.cdc import epoch_ms_to_local_date
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 8) AS name_head,
+           len(string_split(p_name, ' ')) AS n_words,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           trim(concat(' ', p_brand, ' ')) AS brand_trim
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: string function surface (upper/length/substr/split/regexp/
+    concat/replace/trim)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit(" "), "p_brand", F.lit(" "))).alias("brand_trim"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           datediff('day', o_orderdate::DATE, DATE '2000-01-01') AS days_to_y2k,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           dayofweek(o_orderdate) AS dow
+    FROM orders
+    """,
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: datetime surface. DuckDB dayofweek is 0=Sunday..6; Spark
+    dayofweek is 1=Sunday..7 — normalized to DuckDB's here."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        (F.dayofweek(d) - 1).alias("dow"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_diff,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q,
+           sqrt(l_extendedprice) AS sqrt_price,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: math surface. sqrt/abs/ceil/floor/mod are IEEE-exact and
+    engine-identical (log/pow are deliberately excluded from the
+    oracle-checked set: their last bits are libm-specific)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor_q"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+           CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: CASE WHEN / coalesce / nullif / LIKE predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_label"),
+        F.when(
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"), 1
+        )
+        .otherwise(0)
+        .alias("is_urgent"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    SELECT lang, word, count(*) AS cnt
+    FROM (
+      SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY lang, word
+    HAVING count(*) >= 20
+    """,
+)
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: split → explode (generator) → re-aggregate: word counts per
+    language. At scale the explode multiplies rows ~100×; the partial
+    agg right after collapses them before any shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+    )
+
+
+@query(
+    "scalar_array_higher_order",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long_words,
+           CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def scalar_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: higher-order array functions (filter/transform/aggregate)
+    — per-row array work with NO explode, no row multiplication."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: JSON field extraction from a string column (the reference's
+    envelope-decode shape, App.txt:60-67) + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (F.sum(k.cast("decimal(25,6)")).cast("double") / n).alias("avg_k"),
+    )
+
+
+@query(
+    "cdc_city_pipeline",
+    oracle="""
+    SELECT strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date,
+           lower(event_type) AS city_name,
+           count(*) AS n,
+           min(event_id) AS first_ref,
+           max(event_id) AS last_ref
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def cdc_city_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4 parity query: the reference's transform chain
+    (lowercase → field extraction → epoch→UTC+8 date, App.txt:58-70)
+    as a batch query over events."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_ms = F.expr("ts_ns div 1000000")
+    return (
+        ev.select(
+            epoch_ms_to_local_date(epoch_ms).alias("c_date"),
+            F.lower("event_type").alias("city_name"),
+            "event_id",
+        )
+        .groupBy("c_date", "city_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_ref"),
+            F.max("event_id").alias("last_ref"),
+        )
+    )

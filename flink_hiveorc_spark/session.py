@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine hand-manages memory and file sizes
+(HiveOrcSink.java:39,215-218 rolls files at ~5 MB of estimated heap);
+on Spark all of that is delegated to Tungsten + AQE, so the session
+factory is the single place we encode the 100 TB posture:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion),
+- explicit shuffle partition count sized to the local harness but
+  overridable via env for a real cluster,
+- UTC session timezone so results are reproducible against any
+  oracle regardless of host timezone (the reference hardcodes UTC+8
+  at App.txt:67 — we pin the session to UTC and apply UTC+8 only in
+  the CDC date-derivation, see sources/cdc.py),
+- Arrow enabled for the few pandas-UDF operators,
+- parquet TIMESTAMP(NANOS) surfaced as bigint (Spark has no native
+  nanosecond timestamp; the events table carries one).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "flink-hiveorc-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and the
+    local[] fallback here is ignored; shuffle partitions should then
+    be ~2-3x total executor cores (or left to AQE's coalescing with a
+    high initial count).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.orc.impl", "native")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    # Only force a local master when nothing else configured one
+    # (spark-submit / cluster deployments set spark.master themselves).
+    if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

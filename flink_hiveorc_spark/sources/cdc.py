@@ -1,0 +1,83 @@
+"""CDC-envelope decoding (the reference's only transform path).
+
+The reference job (``/root/reference/.../sample/App.txt:58-70``)
+consumes Kafka JSON strings shaped like
+
+    {"value": "{\\"after\\": {\\"ref\\": 1001, \\"city_id\\": 42,
+                \\"city_name\\": \\"Shanghai\\", \\"c_time\\": 1755043200000}}"}
+
+lowercases the raw event (App.txt:59), pulls ``value.after.*``
+(App.txt:60-67) and converts the epoch-millisecond ``c_time`` to a
+``yyyy-MM-dd`` string at fixed UTC+8 (App.txt:66-68). We re-express
+that declaratively: ``from_json`` with explicit schemas (no reflective
+ObjectInspector — see HiveOrcSink.java:309-312 for what we are NOT
+doing) so the whole decode stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schema replacing the reference's reflective POJO schema
+# (City.java:9-12).
+CITY_SCHEMA = T.StructType(
+    [
+        T.StructField("ref", T.LongType()),
+        T.StructField("city_id", T.LongType()),
+        T.StructField("city_name", T.StringType()),
+        T.StructField("c_date", T.StringType()),
+    ]
+)
+
+# The double-encoded envelope: outer {"value": "<json string>"},
+# inner {"after": {...}} (App.txt:60-61).
+OUTER_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+AFTER_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "after",
+            T.StructType(
+                [
+                    T.StructField("ref", T.LongType()),
+                    T.StructField("city_id", T.LongType()),
+                    T.StructField("city_name", T.StringType()),
+                    T.StructField("c_time", T.LongType()),  # epoch millis
+                ]
+            ),
+        )
+    ]
+)
+
+
+def epoch_ms_to_local_date(col: Column, utc_offset_hours: int = 8) -> Column:
+    """epoch-ms → 'yyyy-MM-dd' string at a fixed UTC offset.
+
+    Mirrors App.txt:66-68 (``Instant.ofEpochMilli`` at
+    ``ZoneOffset.ofHours(8)`` → ``LocalDate.toString``). Uses
+    ``timestamp_millis`` + a literal offset shift so the result is
+    independent of the session timezone.
+    """
+    return F.date_format(
+        F.timestamp_millis(col) + F.expr(f"INTERVAL {utc_offset_hours} HOURS"),
+        "yyyy-MM-dd",
+    )
+
+
+def decode_city_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode the reference's CDC envelope into City rows.
+
+    ``raw`` carries one JSON string per row in ``value_col``. Returns
+    columns (ref, city_id, city_name, c_date) — the City POJO shape
+    with the partition date derived exactly as App.txt:63-68 does.
+    """
+    lowered = F.lower(F.col(value_col))  # App.txt:59
+    inner = F.from_json(lowered, OUTER_SCHEMA)["value"]
+    after = F.from_json(inner, AFTER_SCHEMA)["after"]
+    return raw.select(
+        after["ref"].alias("ref"),
+        after["city_id"].alias("city_id"),
+        after["city_name"].alias("city_name"),
+        epoch_ms_to_local_date(after["c_time"]).alias("c_date"),
+    )
