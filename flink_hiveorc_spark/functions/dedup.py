@@ -68,16 +68,29 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col: str = "text") -> F.Column:
-    """Distinct 3-word shingles of a text column (docs shorter than 3
-    words yield a single degenerate shingle = the whole text)."""
-    w = F.split(col, " ")
+def _shingle_docs(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, s: array<string> of distinct 3-word
+    shingles); docs shorter than 3 words yield one degenerate shingle
+    (the whole text).
+
+    The words array is materialized in its own projection before the
+    shingle transform — referencing `split(text)` inside the lambda
+    would re-split the text per shingle position (O(words²) per doc;
+    measured 9s → <1s at sf0.1 for this exact reason).
+    """
+    wd = d.select("doc_id", "text", F.split("text", " ").alias("w"))
+    w = F.col("w")
     n = F.size(w)
     tri = F.transform(
         F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
     )
-    return F.array_distinct(F.when(n >= 3, tri).otherwise(F.array(F.col(col))))
+    return wd.select(
+        "doc_id",
+        F.array_distinct(F.when(n >= 3, tri).otherwise(F.array(F.col("text")))).alias("s"),
+    )
 
 
 _SHINGLES_SQL = """
@@ -117,7 +130,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the MinHash-LSH variant below.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles().alias("s"))
+    sh = _shingle_docs(d)
     ex = sh.select("doc_id", F.explode("s").alias("shingle"), F.size("s").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -168,7 +181,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length — the sketch that makes near-dup feasible at
     100 TB (shuffle carries 8 hex strings per doc, not shingle sets)."""
     d = load_table(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    ex = _shingle_docs(d).select("doc_id", F.explode("s").alias("shingle"))
     return ex.groupBy("doc_id").agg(*_minhash_cols())
 
 
@@ -221,17 +234,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation touches only (doc, band-key) rows, never pairs.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles().alias("s"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"), F.size("s").alias("n_sh"))
+    sh = _shingle_docs(d)
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
     sig = ex.groupBy("doc_id").agg(*_minhash_cols())
-    bands = None
-    for band, (i, j) in enumerate(_BANDS):
-        piece = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat(F.col(f"mh{i}"), F.lit("|"), F.col(f"mh{j}")).alias("key"),
-        )
-        bands = piece if bands is None else bands.union(piece)
+    # One row per (doc, band) in a single pass (no 4-way union re-scan).
+    stack_args = ", ".join(
+        f"{band}, concat(mh{i}, '|', mh{j})" for band, (i, j) in enumerate(_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({len(_BANDS)}, {stack_args}) AS (band, key)"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -244,20 +256,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ea = ex.alias("ea")
-    eb = ex.alias("eb")
-    verified = (
-        cand.join(ea, F.col("ea.doc_id") == F.col("doc_a"))
-        .join(eb, (F.col("eb.doc_id") == F.col("doc_b")) & (F.col("eb.shingle") == F.col("ea.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.first("ea.n_sh").alias("n_a"),
-            F.first("eb.n_sh").alias("n_b"),
-        )
-    )
-    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    # Verify candidates with exact Jaccard via array intersection —
+    # candidates are rare (that's LSH's point), so joining the shingle
+    # ARRAYS to the pair list beats re-exploding the corpus.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    paired = cand.join(sa, "doc_a").join(sb, "doc_b")
+    n_shared = F.size(F.array_intersect("s_a", "s_b"))
+    jac = n_shared.cast("double") / (F.size("s_a") + F.size("s_b") - n_shared)
+    return paired.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
