@@ -1,0 +1,111 @@
+"""Streaming ingestion: the reference job as Structured Streaming.
+
+The reference (App.txt:26-73 + HiveOrcSink.java:34-465) is a Flink
+job: Kafka JSON CDC events → parse → derive UTC+8 date → exactly-once
+partitioned ORC sink. Its 465 lines of sink code (size/time file
+rolling, tmp→pending→final rename, checkpointed row buffers) collapse
+onto Structured Streaming built-ins:
+
+- exactly-once (HiveOrcSink.java:438-455 two-phase commit)
+  → file sink `_spark_metadata` manifest + `checkpointLocation`:
+  a restarted query re-plans from the last committed offset range and
+  never double-publishes a file. Recovery replays SOURCE offsets, not
+  heap-buffered rows (HiveOrcSink.java:329-335) — same guarantee,
+  strictly smaller state.
+- processing-time timers / inactivity roll (HiveOrcSink.java:419-422,
+  137-145) → trigger cadence; each micro-batch closes its files.
+- size roll (HiveOrcSink.java:215-218) → `maxRecordsPerFile` +
+  periodic compaction (sinks/hive_orc.py:compact_partitions).
+
+Kafka vs file source: the decode path is source-agnostic — both yield
+a `value: string` column, so `decode_city_envelope` is shared. Tests
+use the file source (no broker in the harness); `kafka_raw_stream`
+carries the production wiring.
+
+100 TB posture: ingestion parallelism = Kafka partitions (or file
+count); the partitioned sink fans out via `partitionBy` with
+`maxRecordsPerFile` bounding file size. State is O(offsets), not
+O(buffered rows), so checkpoint size is independent of throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_hiveorc_spark.sources.cdc import decode_city_envelope
+
+
+def kafka_raw_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka topic(s) → one `value: string` column per event.
+
+    Mirrors the reference's consumer config (App.txt:27-37: topic
+    list, group id, setStartFromEarliest). Requires the
+    spark-sql-kafka package on the cluster classpath.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+
+
+def file_raw_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Text-lines directory → `value: string` stream (test stand-in
+    for the Kafka source). Deliberately a TEXT source, not a JSON one:
+    Kafka hands the sink the raw event string and the decode path owns
+    all parsing (App.txt:59-67), so the stand-in must too."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.text(path)
+
+
+def start_city_ingest(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+    max_records_per_file: int = 1_000_000,
+) -> StreamingQuery:
+    """Decode the CDC envelope and stream into c_date-partitioned ORC.
+
+    The whole reference job (App.txt:58-70 map + HiveOrcSink) in one
+    declarative pipeline. Exactly-once: `checkpointLocation` commits
+    the offset range and the `_spark_metadata` manifest atomically per
+    micro-batch; a crash between the two replays the batch into the
+    same file names (idempotent).
+    """
+    city = decode_city_envelope(raw)
+    writer = (
+        city.writeStream.format("orc")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy("c_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_committed(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read back ONLY committed files (the `_spark_metadata` manifest
+    filters uncommitted/orphaned files automatically when the dir is
+    read as a streaming-sink output)."""
+    return spark.read.format("orc").load(out_path)

@@ -1,0 +1,44 @@
+"""CDC envelope decode parity (sources/cdc.py vs App.txt:58-70)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from flink_hiveorc_spark.sources.cdc import decode_city_envelope, epoch_ms_to_local_date
+
+
+def _envelope(ref, city_id, name, c_time_ms) -> str:
+    inner = json.dumps({"after": {"ref": ref, "city_id": city_id, "city_name": name, "c_time": c_time_ms}})
+    return json.dumps({"value": inner})
+
+
+def test_decode_city_envelope(spark):
+    # 2025-08-12 23:00 UTC = 2025-08-13 07:00 UTC+8 → partition date
+    # rolls to the NEXT day under the reference's fixed-offset rule
+    # (App.txt:66-68).
+    ts = 1755039600000
+    raw = spark.createDataFrame([Row(value=_envelope(1001, 42, "Shanghai", ts))])
+    out = decode_city_envelope(raw).collect()[0]
+    assert out.ref == 1001
+    assert out.city_id == 42
+    # App.txt:59 lowercases the whole raw event before parsing.
+    assert out.city_name == "shanghai"
+    assert out.c_date == "2025-08-13"
+
+
+def test_decode_malformed_envelope_yields_nulls(spark):
+    raw = spark.createDataFrame([Row(value="not json at all")])
+    out = decode_city_envelope(raw).collect()[0]
+    assert out.ref is None and out.c_date is None
+
+
+def test_epoch_ms_boundary_utc_offset(spark):
+    # 15:59:59.999 UTC is still the same day at UTC+8; 16:00:00.000 is
+    # the next day — the exact boundary of ZoneOffset.ofHours(8).
+    df = spark.createDataFrame(
+        [Row(ms=1754927999999), Row(ms=1754928000000)]
+    ).select(epoch_ms_to_local_date("ms").alias("d"))
+    days = [r.d for r in df.collect()]
+    assert days == ["2025-08-11", "2025-08-12"]

@@ -1,0 +1,128 @@
+"""Structured Streaming parity tests (SURVEY.md §5.3): the reference
+pipeline via a file-source stream, kill-and-restart exactly-once, and
+the T7/T8 event-time operators."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.streaming.ingest import (
+    file_raw_stream,
+    read_committed,
+    start_city_ingest,
+)
+from flink_hiveorc_spark.streaming import windows as sw
+
+
+def _write_events(path, lo, hi):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"batch_{lo}_{hi}.txt", "w") as f:
+        for i in range(lo, hi):
+            inner = json.dumps(
+                {"after": {"ref": i, "city_id": i % 7, "city_name": f"City{i}", "c_time": 1755000000000 + i * 3_600_000}}
+            )
+            # Each line is the full Kafka event: the double-encoded
+            # outer envelope {"value": "<inner json>"} (App.txt:60-61).
+            f.write(json.dumps({"value": inner}) + "\n")
+
+
+def test_streaming_ingest_exactly_once_across_restart(spark, tmp_path):
+    """T4/T5 parity: stop the query, add more input, restart with the
+    same checkpoint — no duplicates, no losses."""
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_events(src, 0, 100)
+
+    q = start_city_ingest(file_raw_stream(spark, str(src)), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert read_committed(spark, out).count() == 100
+
+    _write_events(src, 100, 150)  # new data while "down"
+    q2 = start_city_ingest(file_raw_stream(spark, str(src)), out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    back = read_committed(spark, out)
+    assert back.count() == 150  # old files not re-ingested, new ones exactly once
+    assert back.select("ref").distinct().count() == 150
+    # Partition layout on disk is field=value (reference parity).
+    assert back.select("c_date").distinct().count() > 1
+
+
+def _static_events(spark, rows):
+    return spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tumbling_counts_batch_semantics(spark):
+    rows = [
+        Row(ts="2025-08-12 10:05:00", event_type="view", user_id=1, value=1.0),
+        Row(ts="2025-08-12 10:55:00", event_type="view", user_id=2, value=1.0),
+        Row(ts="2025-08-12 11:05:00", event_type="view", user_id=1, value=1.0),
+    ]
+    out = sw.tumbling_counts(_static_events(spark, rows)).collect()
+    by_start = {str(r.window_start): (r.n, r.n_users) for r in out}
+    assert by_start["2025-08-12 10:00:00"] == (2, 2)
+    assert by_start["2025-08-12 11:00:00"] == (1, 1)
+
+
+def test_session_windows_gap_semantics(spark):
+    rows = [
+        Row(ts="2025-08-12 10:00:00", event_type="view", user_id=1, value=1.0),
+        Row(ts="2025-08-12 10:10:00", event_type="view", user_id=1, value=1.0),
+        # 40 min gap > 30 min session gap → new session
+        Row(ts="2025-08-12 10:50:00", event_type="view", user_id=1, value=1.0),
+    ]
+    out = sw.session_windows(_static_events(spark, rows)).collect()
+    sessions = sorted((str(r.session_start), r.n_events) for r in out)
+    assert [n for _, n in sessions] == [2, 1]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark needs a real stream; memory sink."""
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ref in [1, 1, 2, 2, 2, 3]:
+            f.write(json.dumps({"value": str(ref)}) + "\n")
+    stream = (
+        spark.readStream.schema("value string")
+        .json(str(src))
+        .select(
+            F.col("value").alias("k"),
+            F.lit("2025-08-12 10:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    deduped = sw.streaming_dedup(stream, ["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dedup_sink").count() == 3
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    """T8: applyInPandasWithState accumulates across micro-batches."""
+    src = tmp_path / "state_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for uid, val in [(1, 10.0), (1, 5.0), (2, 7.0)]:
+            f.write(json.dumps({"user_id": uid, "value": val}) + "\n")
+    stream = spark.readStream.schema("user_id long, value double").json(str(src))
+    q = (
+        sw.running_totals_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value) for r in spark.table("state_sink").collect()}
+    assert got == {1: (2, 15.0), 2: (1, 7.0)}
