@@ -1,0 +1,98 @@
+"""Physical-plan audit: make the scale posture assertable.
+
+The reference hand-manages its physical concerns (file sizes, open
+writers, renames — HiveOrcSink.java:39,97,215). On Spark the physical
+plan is Catalyst's, so "designed for 100 TB" is a property of the
+PLAN, not the code: filters pushed into the scan, columns pruned,
+small dims broadcast, no accidental cartesian products, hot paths in
+whole-stage codegen. This module turns each of those into a checkable
+predicate over `df.explain()` output, so tests can pin the plan shape
+— not just the answer — for every headline query.
+
+These parse the formatted explain text rather than walking the JVM
+plan tree via py4j: the text format is the stable, documented surface
+(`df.explain("formatted")`) and keeps this module version-tolerant.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The `explain("formatted")` text (physical plan + node details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All data-source pushed filters (ORC/parquet `PushedFilters:`)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def scan_read_schemas(df: DataFrame) -> list[list[str]]:
+    """Column names actually read by each file scan (`ReadSchema:`) —
+    the column-pruning ground truth."""
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def count_nodes(df: DataFrame, pattern: str) -> int:
+    """Occurrences of a physical-operator name in the plan tree."""
+    return len(re.findall(pattern, formatted_plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange (shuffle) nodes — the scale-out cost driver.
+
+    AQE may later coalesce partitions within an exchange, but each
+    Exchange is still a full network redistribution of its input.
+    """
+    return count_nodes(df, r"\bExchange\b")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return count_nodes(df, r"BroadcastHashJoin|BroadcastNestedLoopJoin") > 0
+
+
+def has_cartesian(df: DataFrame) -> bool:
+    """True if the plan contains an unconstrained cross product — at
+    100 TB this is always a bug unless one side is tiny and bounded."""
+    return count_nodes(df, r"CartesianProduct") > 0
+
+
+def codegen_span_count(df: DataFrame) -> int:
+    """Number of distinct WholeStageCodegen spans (formatted explain
+    annotates fused nodes with `[codegen id : N]`). Fewer, wider spans
+    = more of the plan fused into generated JVM code."""
+    ids = re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))
+    return len(set(ids))
+
+
+def has_python_eval(df: DataFrame) -> bool:
+    """True if any row-at-a-time Python UDF evaluation is in the plan
+    (BatchEvalPython). ArrowEvalPython (pandas UDFs) is the sanctioned
+    slow path and is NOT flagged."""
+    return count_nodes(df, r"BatchEvalPython") > 0
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call plan summary for logging / BENCH notes."""
+    return {
+        "shuffles": shuffle_count(df),
+        "broadcast_join": has_broadcast_join(df),
+        "cartesian": has_cartesian(df),
+        "codegen_spans": codegen_span_count(df),
+        "python_row_udf": has_python_eval(df),
+        "pushed_filters": pushed_filters(df),
+        "scan_schemas": scan_read_schemas(df),
+    }

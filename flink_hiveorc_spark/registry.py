@@ -52,6 +52,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         similarity,
+        skew,
         text,
     )
 

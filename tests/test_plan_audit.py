@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: the 100 TB posture, pinned.
+
+A query that returns the right rows through the wrong plan (no
+pushdown, accidental cartesian, Python row-UDFs in the hot path) is a
+latent outage at scale — these tests fail on plan regressions even
+when answers stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_hiveorc_spark.plans import audit as A
+from flink_hiveorc_spark.registry import QUERIES
+
+# Every registered query must satisfy the global invariants.
+GLOBAL_QUERIES = sorted(QUERIES)
+
+# Queries whose plan must contain a broadcast join (dim side small).
+BROADCAST_EXPECTED = [
+    "join_broadcast_region_revenue",
+    "join_inner_revenue",
+]
+
+# ngram_jaccard self-joins on exploded shingles — it is quadratic by
+# DESIGN (the scalable variant is dedup_minhash_lsh_pairs); documents
+# brute-force sim likewise. Neither may use CartesianProduct though.
+PUSHDOWN_EXPECTED = {
+    "agg_pricing_summary": "l_shipdate",
+    "join_semi_customers_with_open_orders": "o_orderstatus",
+}
+
+
+@pytest.mark.parametrize("name", GLOBAL_QUERIES)
+def test_no_cartesian_product(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert not A.has_cartesian(df), f"{name}: CartesianProduct in plan"
+
+
+@pytest.mark.parametrize("name", GLOBAL_QUERIES)
+def test_no_row_python_udf(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert not A.has_python_eval(df), f"{name}: row-at-a-time Python UDF in plan"
+
+
+@pytest.mark.parametrize("name", BROADCAST_EXPECTED)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert A.has_broadcast_join(df), f"{name}: expected broadcast join"
+
+
+@pytest.mark.parametrize("name,col", sorted(PUSHDOWN_EXPECTED.items()))
+def test_filter_pushdown_reaches_scan(spark, sf_dir, name, col):
+    df = QUERIES[name](spark, sf_dir)
+    pushed = " ".join(A.pushed_filters(df))
+    assert col in pushed, f"{name}: filter on {col} not pushed to scan ({pushed!r})"
+
+
+def test_column_pruning_on_wide_table(spark, sf_dir):
+    """lineitem has 16 columns; the pricing summary needs 7 — the scan
+    must not read more than it projects + filters."""
+    df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+    schemas = A.scan_read_schemas(df)
+    assert schemas and all(len(s) <= 8 for s in schemas), schemas
