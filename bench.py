@@ -39,9 +39,14 @@ def main() -> None:
     from flink_hiveorc_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm the JVM/codegen paths once with a trivial action so the
-    # first timed query doesn't pay session startup.
+    # Warm the JVM/codegen AND parquet-scan paths once so the first
+    # timed query doesn't pay session startup or reader class-loading.
+    # Warm-up reads sf0.001 — different files than the benched sf, so
+    # no data caching, only code paths.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{warm}/lineitem.parquet").count()
+    spark.read.parquet(f"{warm}/documents.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
