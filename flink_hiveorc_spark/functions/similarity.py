@@ -155,3 +155,94 @@ def sim_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---- IVF (inverted-file) ANN: the second scale path ----------------------
+
+N_CENTROIDS = 8
+IVF_SEED_LO, IVF_SEED_HI = 100, 107  # vec_id range used as centroid seeds
+N_PROBE = 2
+
+_IVF_COS_AC = "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+_IVF_COS_QN = "list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))"
+
+
+@query(
+    "sim_topk_cosine_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id BETWEEN {IVF_SEED_LO} AND {IVF_SEED_HI}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS_AC} DESC, c.cid) AS r
+        FROM e, c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS_AC} DESC, c.cid) AS r
+        FROM e, c WHERE e.vec_id < {N_QUERIES}
+      ) WHERE r <= {N_PROBE}
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_IVF_COS_QN} AS cosine,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {_IVF_COS_QN} DESC, a.vec_id) AS rnk
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.vec_id
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2: IVF (inverted-file) ANN, oracle-checked.
+
+    Centroids are seeded deterministically (vec_id 100-107 — at scale
+    a k-means(sample) fit takes this role); every corpus vector is
+    assigned to its nearest centroid ("cell"), queries probe their
+    N_PROBE nearest cells, and exact cosine top-k runs only within
+    probed cells. Deterministic seeding makes this ANN exactly
+    reproducible in ANSI SQL — so unlike most ANN implementations the
+    whole index+search path is value-checked against the oracle.
+
+    100 TB posture: assignment is one broadcast join (corpus ×
+    C centroids) + map-side argmin — no shuffle of the corpus; the
+    search joins the tiny probe list to a cell-partitioned corpus, so
+    cost is |corpus|/C × n_probe per query instead of |corpus|.
+    Recall tunes with C and N_PROBE; repartition the assigned corpus
+    by cell and persist it to amortize the index over query batches.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = F.broadcast(
+        e.filter(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    cos_vc = cosine(F.col("v"), F.col("cv"))
+    wv = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    scored = e.crossJoin(c).select("vec_id", "v", "cid", cos_vc.alias("_cos"))
+    ranked = scored.select("*", F.row_number().over(wv).alias("_r"))
+    assign = ranked.filter(F.col("_r") == 1).select("vec_id", "v", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("_r") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    cos_qn = cosine(F.col("qv"), F.col("v"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assign, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_qn.alias("cosine"))
+        .select("*", F.row_number().over(wq).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -251,3 +251,31 @@ def cdc_city_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("last_ref"),
         )
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           cardinality(MAP(['brand','type'],[p_brand,p_type])) AS n_keys,
+           array_to_string(list_sort(map_keys(MAP(['brand','type'],[p_brand,p_type]))), ',') AS keys,
+           array_to_string(map_values(MAP(['brand','type'],[p_brand,p_type])), ',') AS vals,
+           MAP(['brand','type'],[p_brand,p_type])['brand'][1] AS brand_val
+    FROM part
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9b: map construction + key/value extraction (create_map,
+    map_keys, map_values, element_at). Maps stay inside codegen; the
+    final projection is flat columns so the oracle can compare."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.array_join(F.map_values(m), ",").alias("vals"),
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
         skew,
         text,
     )
+    from flink_hiveorc_spark.streaming import batch_checks  # noqa: F401
 
 
 _load_all()
