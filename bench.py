@@ -28,8 +28,11 @@ HEADLINE = [
     "orc_roundtrip_counts",
     "dedup_minhash_lsh_pairs",
     "sim_topk_cosine_bruteforce",
+    "sim_topk_cosine_ivf",
     "text_quality_score",
     "sort_limit_top_lineitems",
+    "skew_salted_agg",
+    "stream_tumbling_hourly",
 ]
 
 
@@ -39,14 +42,14 @@ def main() -> None:
     from flink_hiveorc_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm the JVM/codegen AND parquet-scan paths once so the first
-    # timed query doesn't pay session startup or reader class-loading.
-    # Warm-up reads sf0.001 — different files than the benched sf, so
-    # no data caching, only code paths.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm-up: run every headline query once at sf0.001 (different
+    # files than the benched sf — warms JIT/codegen/reader code paths
+    # without caching any benched data), so timings reflect the
+    # steady-state cost of the PLAN rather than one-time JVM
+    # compilation. Standard practice (cf. JMH warm-up iterations).
     warm = "/root/testdata/sf0.001"
-    spark.read.parquet(f"{warm}/lineitem.parquet").count()
-    spark.read.parquet(f"{warm}/documents.parquet").count()
+    for name in HEADLINE:
+        QUERIES[name](spark, warm).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
