@@ -154,13 +154,20 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list[F.Column]:
+def _minhash_sig_cols(s: F.Column | str = "s") -> list[F.Column]:
     """N_MINHASH independent min-hash values per shingle set: the i-th
     hash of a shingle is md5('h{i}:'||shingle); the signature component
     is the lexicographic min over shingles (md5 hex compares uniformly,
-    so min-of-md5 is a valid permutation-min)."""
+    so min-of-md5 is a valid permutation-min).
+
+    Computed as array_min(transform(s, ...)) — a pure per-row
+    projection over the shingle ARRAY. No explode, no 52×-row blowup,
+    no groupBy shuffle: at 100 TB the signature stage is map-only."""
+    s = F.col(s) if isinstance(s, str) else s
     return [
-        F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.array_min(F.transform(s, lambda x: F.md5(F.concat(F.lit(f"h{i}:"), x)))).alias(
+            f"mh{i}"
+        )
         for i in range(N_MINHASH)
     ]
 
@@ -181,14 +188,13 @@ _MINHASH_SQL_COLS = ",\n           ".join(
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2b: per-document MinHash signature (8 hashes). One explode +
-    one hash-agg; signature size is constant per doc regardless of
-    document length — the sketch that makes near-dup feasible at
-    100 TB (shuffle carries 8 hex strings per doc, not shingle sets)."""
+    """L2b: per-document MinHash signature (8 hashes), map-only —
+    signature size is constant per doc regardless of document length:
+    the sketch that makes near-dup feasible at 100 TB (downstream
+    stages carry 8 hex strings per doc, not shingle sets, and the
+    signature stage itself shuffles nothing)."""
     d = load_table(spark, sf_dir, "documents")
-    # explode_outer: see dedup_ngram_jaccard_pairs for why.
-    ex = _shingle_docs(d).select("doc_id", F.explode_outer("s").alias("shingle"))
-    return ex.groupBy("doc_id").agg(*_minhash_cols())
+    return _shingle_docs(d).select("doc_id", *_minhash_sig_cols())
 
 
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
@@ -240,9 +246,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation touches only (doc, band-key) rows, never pairs.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_docs(d)
-    ex = sh.select("doc_id", F.explode_outer("s").alias("shingle"))
-    sig = ex.groupBy("doc_id").agg(*_minhash_cols())
+    # One explicit repartition on doc_id: the plan references the
+    # shingle frame THREE times (signature path + both verify sides),
+    # and without a shuffle boundary each reference recomputes the
+    # shingle transform from the scan. The exchange makes it compute-
+    # once/read-thrice (ReuseExchange), and the verify joins on
+    # doc_a/doc_b then reuse its partitioning (3.5s → 1.4s at sf0.1).
+    sh = _shingle_docs(d).repartition(F.col("doc_id"))
+    # Map-only signatures straight off the shingle arrays (see
+    # _minhash_sig_cols).
+    sig = sh.select("doc_id", *_minhash_sig_cols())
     # One row per (doc, band) in a single pass (no 4-way union re-scan).
     stack_args = ", ".join(
         f"{band}, concat(mh{i}, '|', mh{j})" for band, (i, j) in enumerate(_BANDS)
