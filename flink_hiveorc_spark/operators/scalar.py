@@ -279,3 +279,27 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_values(m), ",").alias("vals"),
         F.element_at(m, F.lit("brand")).alias("brand_val"),
     )
+
+
+@query(
+    "cdc_upsert_latest_state",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, event_id) AS event_id,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(CAST(value AS DOUBLE), event_id) AS value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def cdc_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert compaction: treat events as a change stream keyed by
+    user_id with event_id as the LSN; materialize latest-per-key via
+    max_by (one agg shuffle, no window sort — see sources/cdc.py
+    latest_state)."""
+    from flink_hiveorc_spark.sources.cdc import latest_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    return latest_state(ev, ["user_id"], "event_id")

@@ -46,9 +46,18 @@ def scan_read_schemas(df: DataFrame) -> list[list[str]]:
     return schemas
 
 
+def _plan_tree(df: DataFrame) -> str:
+    """Just the operator tree of the formatted plan (the details
+    section repeats every node as `(N) OpName`, which would double-
+    count node occurrences)."""
+    text = formatted_plan(df)
+    tree, _, _ = text.partition("\n\n")
+    return tree
+
+
 def count_nodes(df: DataFrame, pattern: str) -> int:
     """Occurrences of a physical-operator name in the plan tree."""
-    return len(re.findall(pattern, formatted_plan(df)))
+    return len(re.findall(pattern, _plan_tree(df)))
 
 
 def shuffle_count(df: DataFrame) -> int:

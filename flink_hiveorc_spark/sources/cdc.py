@@ -81,3 +81,24 @@ def decode_city_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
         after["city_name"].alias("city_name"),
         epoch_ms_to_local_date(after["c_time"]).alias("c_date"),
     )
+
+
+def latest_state(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
+    """Materialize current state from a CDC change stream: the latest
+    record per key wins (Debezium-style upsert compaction — the step
+    the reference never does; it appends every change to ORC and
+    leaves compaction to the reader, SURVEY.md §1.3).
+
+    ``seq_col`` must be a total order per key (LSN / offset / event
+    id); ties broken by nothing — supply a unique sequence. Expressed
+    as max_by over every column, which Spark executes as a partial +
+    final hash aggregate: one shuffle of (key, latest-row) pairs, no
+    window sort — at 100 TB this beats row_number() OVER (which must
+    sort every partition's full history).
+    """
+    from pyspark.sql import functions as F
+
+    others = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(
+        *[F.max_by(c, F.col(seq_col)).alias(c) for c in others]
+    )

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from flink_hiveorc_spark.session import get_spark
@@ -12,7 +14,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", cpus=8, shuffle_partitions=8)
+    # Warehouse in a tmp dir so saveAsTable tests never write into the
+    # repo checkout.
+    wh = tempfile.mkdtemp(prefix="spark_graft_wh_")
+    s = get_spark("pytest", cpus=8, shuffle_partitions=8, warehouse_dir=wh)
     yield s
     s.stop()
 
