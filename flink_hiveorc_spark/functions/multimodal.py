@@ -102,3 +102,63 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mm = with_binary_payload(docs)
     return mm.select("doc_id", "payload").mapInPandas(_fake_features, FEATURE_SCHEMA)
+
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("z_len", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-language z-score of document length.
+
+    Moments come from EXACT integer sums (Python ints, no fp
+    accumulation order) and the final arithmetic is the same IEEE
+    double expression tree the oracle SQL spells out — pandas
+    .mean()/.std() would drift in the last bit vs DuckDB's Welford
+    accumulator (observed 4e-16), which the exact-compare gate
+    rejects. Arrow hands the whole group as one pandas frame."""
+    x = pdf["n_chars"]
+    n = len(x)
+    s1 = int(x.sum())
+    s2 = int((x * x).sum())
+    mu = s1 / n
+    sd = ((s2 - (s1 * s1) / n) / (n - 1)) ** 0.5
+    xf = x.astype("float64")
+    return pd.DataFrame(
+        {"lang": pdf["lang"], "doc_id": pdf["doc_id"], "z_len": (xf - mu) / sd}
+    )
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT lang, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang) AS s1,
+             sum(n_chars * n_chars) OVER (PARTITION BY lang) AS s2,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           doc_id,
+           (CAST(n_chars AS DOUBLE) - s1 / n)
+             / sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS z_len
+    FROM m
+    """,
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 UDAF/grouped-map shape: applyInPandas over groupBy — the
+    sanctioned custom-aggregation escape hatch (Arrow batches, whole
+    group per call). Oracle-checked against window-function SQL.
+
+    100 TB caveat: each GROUP materializes in one worker's memory —
+    fine for bounded groups (languages, dates), wrong for unbounded
+    keys; that case belongs to built-in window/agg functions.
+    """
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return d.groupBy("lang").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
