@@ -93,3 +93,33 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "stream_sliding_10m_5m",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b5, *
+      FROM events
+    ),
+    w AS (
+      SELECT unnest([b5, b5 - INTERVAL '5 minutes']) AS window_start, event_id
+      FROM b
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n
+    FROM w
+    GROUP BY 1
+    """,
+)
+def stream_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b: 10-minute windows sliding every 5 — each event lands in
+    exactly two windows (starts at floor5(ts) and floor5(ts)-5m, the
+    identity the oracle replays with unnest)."""
+    out = sw.sliding_rate(
+        _events_with_ts(spark, sf_dir), window_dur="10 minutes", slide="5 minutes"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
