@@ -1,0 +1,96 @@
+"""Scale-stress probe: do the plans survive an 8× corpus?
+
+Materializes a multiplied copy of the sf0.1 corpus in /tmp (facts
+replicated N×, dimensions kept 1× — preserving the star-schema shape)
+and times a subset of headline queries at 1× and N×. A query whose
+runtime grows much faster than N has a plan that will not survive
+100 TB; the probe prints the ratio per query so regressions are
+visible before they matter.
+
+Row keys are NOT remapped, so duplicate-sensitive queries (dedup
+pair-finders) are excluded — this is a throughput probe for the
+scan/shuffle/join/window paths.
+
+Usage: python tools/stress_scale.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIMS = ("region", "nation", "customer", "supplier", "part")
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+
+PROBE = [
+    "agg_pricing_summary",
+    "join_inner_revenue",
+    "join_broadcast_region_revenue",
+    "join_asof_purchase_prior_signup",
+    "window_topk_orders_per_priority",
+    "window_running_spend",
+    "dedup_minhash_signatures",
+    "text_quality_score",
+    "cdc_upsert_latest_state",
+    "stream_tumbling_hourly",
+    "skew_salted_agg",
+    "sort_limit_top_lineitems",
+]
+
+
+def build_multiplied(spark, src: str, dst: str, n: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
+    for t in FACTS:
+        p = os.path.join(src, f"{t}.parquet")
+        # Reading the same file n times replicates rows n-fold.
+        df = spark.read.parquet(*([p] * n))
+        df.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+
+
+def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
+    from flink_hiveorc_spark.registry import QUERIES
+
+    out = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = f"/tmp/stress_sf_x{n}"
+
+    from flink_hiveorc_spark.session import get_spark
+
+    spark = get_spark("stress-scale")
+    if not os.path.isdir(dst):
+        build_multiplied(spark, src, dst, n)
+
+    base = time_queries(spark, src, PROBE)   # also warms code paths
+    big = time_queries(spark, dst, PROBE)
+
+    report = {}
+    worst = 0.0
+    for name in PROBE:
+        ratio = round(big[name] / max(base[name], 1e-9), 2)
+        report[name] = {"t1x": base[name], f"t{n}x": big[name], "ratio": ratio}
+        worst = max(worst, ratio)
+    print(json.dumps({"n": n, "worst_ratio": worst, "queries": report}, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
