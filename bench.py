@@ -33,6 +33,7 @@ HEADLINE = [
     "sort_limit_top_lineitems",
     "skew_salted_agg",
     "stream_tumbling_hourly",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Composite training-data pipeline (the L1-L4 operators chained):
+quality-gate → language-gate → exact near-dedup → corpus stats.
+
+This is the shape a real 100 TB pretraining-corpus job takes — each
+stage is one of the already-oracle-checked operators, composed into a
+single declarative plan so Catalyst fuses the scans/filters (one pass
+over `documents` up to the dedup shuffle, which carries only
+(norm-hash, doc_id) pairs — never text — thanks to the min-per-hash
+keep rule).
+
+Stages (thresholds match the standalone operator queries):
+1. quality: n_words >= 20, stopword_ratio >= 0.01, punct_ratio < 0.2
+   (functions/text.py:text_quality_score)
+2. language: English-stopword-density heuristic keeps 'en'
+   (functions/text.py:text_langid_heuristic)
+3. dedup: case/whitespace-normalized md5, keep min doc_id per hash
+   (functions/dedup.py:dedup_exact_normalized)
+4. stats per source: surviving docs, BPE-ish tokens, avg chars
+   (functions/text.py:text_token_count's tokenizer)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.functions.text import STOPWORDS
+from flink_hiveorc_spark.registry import query
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(text, '\\s+')) AS n_words,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> list_contains(['the','a','of','and','to','in','is','it'], w))) AS n_stop,
+             length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20
+        AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+        AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+        AND n_stop * 10 >= n_words
+    ),
+    deduped AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             min(doc_id) AS doc_id
+      FROM gated
+      GROUP BY 1
+    )
+    SELECT g.source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(g.text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+           CAST(sum(g.n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM deduped d JOIN gated g ON g.doc_id = d.doc_id
+    GROUP BY g.source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+L4 composite: the full corpus-cleaning pass, one plan."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", r"[a-z0-9\s]", ""))
+    n_chars = F.length("text")
+
+    gated = d.select(
+        "doc_id", "source", "text", n_words.alias("n_words"),
+        n_stop.alias("n_stop"), n_punct.alias("n_punct"), n_chars.alias("n_chars"),
+    ).filter(
+        (F.col("n_words") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_words") >= 0.01)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.2)
+        & (F.col("n_stop") * 10 >= F.col("n_words"))  # lang gate: 'en'
+    )
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    keep = (
+        gated.select(norm_hash.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = keep.join(gated, on="doc_id")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])")))
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )

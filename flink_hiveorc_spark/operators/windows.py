@@ -174,3 +174,38 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@query(
+    "window_range_trailing_revenue",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_4d_revenue
+    FROM orders
+    """,
+)
+def window_range_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 RANGE frame: per priority, revenue over the trailing 4-day
+    VALUE window (rangeBetween — peers defined by order-date distance,
+    not row position; rows sharing a date share a frame, which a
+    rowsBetween formulation cannot express)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-3, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double").alias(
+            "trailing_4d_revenue"
+        ),
+    )

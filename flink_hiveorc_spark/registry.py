@@ -51,6 +51,7 @@ def _load_all() -> None:
     from flink_hiveorc_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         similarity,
         skew,
         text,
