@@ -234,3 +234,38 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_orderpriority",
     ).agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total_price"))
+
+
+@query(
+    "agg_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS revenue_F
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: pivot — long→wide reshaping. The value list is EXPLICIT
+    (['F','O','P']): without it Spark must first scan the data to
+    discover distinct values (an extra job) and the output schema
+    becomes data-dependent — both wrong at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside pivot
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").alias("status_F"),
+        F.col("O_n").alias("status_O"),
+        F.col("P_n").alias("status_P"),
+        F.col("F_rev").cast("double").alias("revenue_F"),
+    )

@@ -134,3 +134,31 @@ def orc_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("city_name")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sampled_revenue
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 5
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample by key hash — the sampling pattern
+    that matters at 100 TB: reproducible across runs/engines (md5 of
+    the key, not a seeded RNG), stable under repartitioning, and
+    consistent for a key across tables (sampling orders and lineitem
+    by the same orderkey hash yields JOINABLE samples). Spark's
+    df.sample() guarantees none of those."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return o.filter(bucket < 5).agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("sampled_revenue"),
+    )
