@@ -78,6 +78,10 @@ def register_partitions(spark: SparkSession, table: str, path: str) -> None:
     """
     try:
         spark.sql(f"MSCK REPAIR TABLE {table}")
+        # MSCK only discovers NEW partition dirs; files appended to
+        # already-registered partitions stay hidden behind the cached
+        # listing until an explicit refresh.
+        spark.sql(f"REFRESH TABLE {table}")
     except Exception:
         # In-memory catalog (tests): path-based tables pick up new
         # partitions on refresh.

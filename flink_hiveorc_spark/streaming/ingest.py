@@ -109,3 +109,61 @@ def read_committed(spark: SparkSession, out_path: str) -> DataFrame:
     filters uncommitted/orphaned files automatically when the dir is
     read as a streaming-sink output)."""
     return spark.read.format("orc").load(out_path)
+
+
+def start_city_ingest_managed(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    table: str | None = None,
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> StreamingQuery:
+    """Managed variant of the ingest: foreachBatch gives each
+    micro-batch a BATCH writer, which buys what the plain file-sink
+    cannot do (SURVEY.md M2): catalog partition registration after
+    every batch (S6 — the reference never registers partitions,
+    SURVEY.md §1.3) and per-batch repartition-by-partition-key so each
+    `c_date` dir gets few, large files (the reference's size-roll
+    concern, HiveOrcSink.java:215-218, solved at the planner level).
+
+    Delivery contract — weaker than `start_city_ingest`, stated
+    plainly: foreachBatch is AT-LEAST-ONCE (a crash between the batch
+    write and the offset commit replays the batch, appending
+    duplicates; partition-overwrite per batch would instead DELETE
+    earlier batches sharing the partition date — worse). Use this
+    variant when downstream consumes through a compaction that makes
+    duplicates harmless (e.g. sources/cdc.py:latest_state upsert
+    semantics keyed by a unique sequence); use the plain file-sink
+    variant when raw exactly-once file semantics are required.
+
+    Visibility: partition registration is catalog-global, but Spark
+    caches per-session file listings — a reader session that has
+    already scanned the table sees appended files only after its own
+    `REFRESH TABLE` (normal external-write semantics).
+    """
+    from flink_hiveorc_spark.sinks.hive_orc import register_partitions
+
+    city = decode_city_envelope(raw)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.repartition(F.col("c_date"))
+            .write.format("orc")
+            .mode("append")
+            .partitionBy("c_date")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .save(out_path)
+        )
+        if table is not None:
+            register_partitions(batch_df.sparkSession, table, out_path)
+
+    writer = city.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

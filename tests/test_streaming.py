@@ -126,3 +126,43 @@ def test_running_totals_stateful(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.user_id: (r.n_events, r.total_value) for r in spark.table("state_sink").collect()}
     assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+
+def test_managed_ingest_registers_partitions(spark, tmp_path):
+    """foreachBatch variant: batches append, catalog table sees new
+    partitions after each run (S6), per-date file counts stay low."""
+    from flink_hiveorc_spark.streaming.ingest import start_city_ingest_managed
+
+    src, out, ckpt = tmp_path / "msrc", str(tmp_path / "mout"), str(tmp_path / "mckpt")
+    _write_events(src, 0, 60)
+    spark.sql(
+        f"""CREATE TABLE city_managed (ref BIGINT, city_id BIGINT, city_name STRING)
+            USING ORC PARTITIONED BY (c_date STRING) LOCATION '{out}'"""
+    )
+    try:
+        q = start_city_ingest_managed(
+            file_raw_stream(spark, str(src)), out, ckpt,
+            table="city_managed", available_now=True,
+        )
+        q.awaitTermination(120)
+        assert spark.table("city_managed").count() == 60
+
+        _write_events(src, 60, 90)
+        q2 = start_city_ingest_managed(
+            file_raw_stream(spark, str(src)), out, ckpt,
+            table="city_managed", available_now=True,
+        )
+        q2.awaitTermination(120)
+        # foreachBatch runs in a cloned session: its MSCK registers
+        # partitions globally (catalog-level), but THIS session's
+        # file-listing cache for already-known partitions is stale —
+        # a reader refreshes to see files appended by another session
+        # (standard Spark external-write semantics).
+        spark.sql("REFRESH TABLE city_managed")
+        got = spark.table("city_managed")
+        assert got.count() == 90
+        assert got.select("ref").distinct().count() == 90
+        n_parts = spark.sql("SHOW PARTITIONS city_managed").count()
+        assert n_parts == got.select("c_date").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS city_managed")
