@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): engine expressions vs
+independent Python models on randomized inputs.
+
+Each example ships a BATCH of values through one Spark job (a
+per-value roundtrip would cost ~100 ms/example), so max_examples
+stays low while value coverage stays high.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.sources.cdc import epoch_ms_to_local_date
+
+# 1990..2100, away from the int64-ns edges the testdata never nears.
+EPOCH_MS = st.integers(min_value=631_152_000_000, max_value=4_102_444_800_000)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EPOCH_MS, min_size=1, max_size=64))
+def test_epoch_ms_to_local_date_matches_python(spark, ms_list):
+    """The UTC+8 date derivation (App.txt:66-68 parity) agrees with an
+    independent Python datetime model for arbitrary epochs."""
+    df = spark.createDataFrame([Row(ms=m) for m in ms_list]).select(
+        "ms", epoch_ms_to_local_date("ms").alias("d")
+    )
+    got = {r.ms: r.d for r in df.collect()}
+    for m in ms_list:
+        expect = (
+            datetime.fromtimestamp(m / 1000, tz=timezone.utc) + timedelta(hours=8)
+        ).date().isoformat()
+        assert got[m] == expect, f"epoch {m}: {got[m]} != {expect}"
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c\t\n", min_size=0, max_size=40), min_size=1, max_size=64
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_normalization_idempotent_and_copy_invariant(spark, texts):
+    """The dedup normalization (lower + collapse whitespace + trim) is
+    idempotent, and duplicate inputs always collapse to one hash."""
+    rows = [Row(i=i, text=t) for i, t in enumerate(texts + texts)]  # every text twice
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    df = spark.createDataFrame(rows).select(
+        "text", norm.alias("n1")
+    ).select("text", "n1", F.trim(F.regexp_replace(F.lower("n1"), r"\s+", " ")).alias("n2"))
+    for r in df.collect():
+        assert r.n1 == r.n2, f"not idempotent: {r.text!r} -> {r.n1!r} -> {r.n2!r}"
+    n_distinct_norm = df.select("n1").distinct().count()
+    assert n_distinct_norm <= len(set(texts))
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)), min_size=1, max_size=200
+    )
+)
+def test_salted_agg_equals_plain_agg(spark, pairs):
+    """Salting is semantics-preserving for decomposable aggregates on
+    ARBITRARY key/value distributions (including all-one-key skew)."""
+    from flink_hiveorc_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in pairs])
+    plain = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.s, r.n, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "s": (F.sum("v"), lambda c: F.sum(c)),
+                "n": (F.count(F.lit(1)), lambda c: F.sum(c)),
+                "mn": (F.min("v"), lambda c: F.min(c)),
+                "mx": (F.max("v"), lambda c: F.max(c)),
+            },
+            salt_buckets=4,
+        ).collect()
+    }
+    assert plain == salted
