@@ -246,3 +246,80 @@ def sim_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.row_number().over(wq).alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Persist the IVF index: corpus assigned to nearest centroid,
+    written as parquet PARTITIONED BY cell id. Amortizes the
+    assignment over every future query batch, and — because the cell
+    is a partition directory — probing reads ONLY the probed cells'
+    files (partition pruning turns n_probe/C of the corpus into the
+    scan's upper bound, no index structure needed beyond the layout).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = F.broadcast(
+        e.filter(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wv = W.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    assign = (
+        e.crossJoin(c)
+        .select("vec_id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("_cos"))
+        .select("*", F.row_number().over(wv).alias("_r"))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    (
+        assign.repartition(F.col("cid"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(index_path)
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession, index_path: str, query_vecs: DataFrame, n_probe: int = N_PROBE, k: int = TOP_K
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.
+
+    ``query_vecs``: (query_id, qv array<double>). Probe cells are
+    computed against the index's centroid rows (the seed vectors live
+    in the index itself), then candidates come from a partition-pruned
+    read: `.filter(cid IN probes)` prunes to the probed `cid=` dirs.
+    """
+    idx = spark.read.parquet(index_path)
+    cents = F.broadcast(
+        idx.filter(F.col("vec_id").between(IVF_SEED_LO, IVF_SEED_HI)).select(
+            F.col("vec_id").alias("cid2"), F.col("v").alias("cv")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("cid2"))
+    probes = (
+        query_vecs.crossJoin(cents)
+        .select("query_id", "qv", "cid2", cosine(F.col("qv"), F.col("cv")).alias("_cos"))
+        .select("*", F.row_number().over(wq).alias("_r"))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", F.col("cid2").alias("cid"))
+    )
+    probe_cells = [r.cid for r in probes.select("cid").distinct().collect()]
+    cand = idx.filter(F.col("cid").isin(probe_cells))  # partition-pruned scan
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(cand, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .select("*", F.row_number().over(wk).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -247,3 +247,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("ts_ns div 1000") - F.expr("signup_ts_ns div 1000")).alias("lag_us"),
         )
     )
+
+
+@query(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                                      / count(*) AS DOUBLE) FROM orders)
+    """,
+)
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: orders above the global average price.
+    The single-row aggregate is broadcast against the scan (no
+    shuffle of the fact side; Catalyst plans the scalar subquery as
+    a broadcast nested-loop with a 1-row build — effectively a
+    predicate). Average is decomposed into exact decimal sum / count
+    for oracle bit-parity."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(
+        (F.sum(F.col("o_totalprice").cast(_DEC)).cast("double") / F.count("*")).alias("a")
+    )
+    return (
+        o.join(F.broadcast(avg_price), F.col("o_totalprice") > F.col("a"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
