@@ -140,3 +140,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_sort(F.array_distinct(F.split(F.lower("text"), r"\s+")))
     return d.select("doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint"))
+
+
+@query(
+    "text_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS part_a,
+           b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def text_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-adjacent fuzzy matching: edit-distance pairs BLOCKED on
+    (brand, size) — the blocked-join shape every fuzzy dedup takes at
+    scale (levenshtein is O(len²) per pair, so never all-pairs: block
+    first on cheap equality keys, verify distance inside blocks only).
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )

@@ -209,3 +209,29 @@ def window_range_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             "trailing_4d_revenue"
         ),
     )
+
+
+@query(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pr,
+           cume_dist() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 relative-position analytics: percent_rank / cume_dist with
+    a totally-ordered frame (unique-key tiebreak keeps both engines'
+    rank denominators identical)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
