@@ -82,7 +82,11 @@ def has_cartesian(df: DataFrame) -> bool:
 def codegen_span_count(df: DataFrame) -> int:
     """Number of distinct WholeStageCodegen spans (formatted explain
     annotates fused nodes with `[codegen id : N]`). Fewer, wider spans
-    = more of the plan fused into generated JVM code."""
+    = more of the plan fused into generated JVM code.
+
+    Caveat: with AQE enabled the PRE-execution plan carries no codegen
+    annotations (AdaptiveSparkPlan isFinalPlan=false) — this reads 0
+    until the query has run; use on executed plans or with AQE off."""
     ids = re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))
     return len(set(ids))
 
