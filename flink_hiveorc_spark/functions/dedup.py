@@ -136,7 +136,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-inlining the whole O(words²) expression into the Filter (4.8s
     # → 1.3s at sf0.1). `s` is non-empty by construction, so outer is
     # semantically identical here.
-    ex = sh.select("doc_id", F.explode_outer("s").alias("shingle"), F.size("s").alias("n_sh"))
+    #
+    # The explicit repartition on the self-join key makes the exploded
+    # frame compute-once/read-twice (both join sides consume the same
+    # exchange, already partitioned for the join): 4.3s → 1.7s at
+    # sf0.1.
+    ex = sh.select(
+        "doc_id", F.explode_outer("s").alias("shingle"), F.size("s").alias("n_sh")
+    ).repartition(F.col("shingle"))
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
