@@ -66,3 +66,42 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     n_after_files = len(glob.glob(f"{out}/c_date=*/*.orc"))
     assert n_after_files < n_before_files
     assert read_table(spark, out).count() == n_rows
+
+
+def test_compaction_with_predicate_touches_only_selected(spark, sf_dir, tmp_path):
+    """Predicate-scoped compaction must rewrite ONLY the matching
+    partitions: other partition dirs keep their exact file sets."""
+    out = str(tmp_path / "city_pred")
+    city = city_shaped_events(spark, sf_dir).repartition(8)
+    write_partitioned(city, out, "c_date", fmt="orc", repartition_first=False)
+
+    dates = sorted(d.split("=")[1] for d in os.listdir(out) if d.startswith("c_date="))
+    target, others = dates[0], dates[1:]
+    before = {d: sorted(os.listdir(f"{out}/c_date={d}")) for d in others}
+    n_rows = read_table(spark, out).count()
+
+    compact_partitions(spark, out, "c_date", fmt="orc", predicate=f"c_date = '{target}'")
+
+    after = {d: sorted(os.listdir(f"{out}/c_date={d}")) for d in others}
+    assert after == before, "untouched partitions were rewritten"
+    assert len(glob.glob(f"{out}/c_date={target}/*.orc")) < 8
+    assert read_table(spark, out).count() == n_rows
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Readers survive a widened schema (column added later): ORC
+    mergeSchema read surfaces the union schema with nulls for old
+    files — the evolution path the reference's reflective-POJO sink
+    (HiveOrcSink.java:309-312) cannot express at all."""
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(ref=1, c_date="d1")]).write.format("orc").save(f"{out}/p1")
+    spark.createDataFrame(
+        [Row(ref=2, c_date="d2", city_name="x")]
+    ).write.format("orc").save(f"{out}/p2")
+
+    merged = spark.read.option("mergeSchema", "true").orc([f"{out}/p1", f"{out}/p2"])
+    assert set(merged.columns) == {"ref", "c_date", "city_name"}
+    rows = {r.ref: r.city_name for r in merged.collect()}
+    assert rows == {1: None, 2: "x"}
