@@ -14,6 +14,13 @@ counts, so the oracle hash-matches bit-for-bit. At 100 TB:
   ultra-frequent shingles (document-frequency cap) before the join —
   the `df_cap` parameter below; with md5-banded LSH the candidate
   count is tunable via (bands, rows-per-band).
+
+Algorithms are the published classics: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997),
+banded LSH candidate generation (Leskovec/Rajaraman/Ullman, "Mining
+of Massive Datasets" ch. 3), SimHash similarity fingerprints
+(Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002) — re-expressed as declarative Spark plans.
 """
 
 from __future__ import annotations

@@ -13,6 +13,12 @@ The LSH variant buckets vectors by projection signs so candidate
 generation is a self-join on the bucket key; recall/cost is tuned by
 the number of sign bits. For all-pairs near-dup at scale, block on
 coarse buckets (here: the sign-LSH key) and verify within blocks.
+
+Published bases: random-hyperplane sign-LSH (Charikar, STOC 2002);
+inverted-file (IVF) coarse quantization for ANN (Jégou/Douze/Schmid,
+"Product quantization for nearest neighbor search", TPAMI 2011 — we
+use the IVF cell structure without the PQ residual codes, since
+exact verification inside probed cells keeps the oracle checkable).
 """
 
 from __future__ import annotations
