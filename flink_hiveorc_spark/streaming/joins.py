@@ -1,0 +1,57 @@
+"""Stream-stream joins (SURVEY.md §2.8 [ext]; absent in the
+reference, which has no joins at all — SURVEY.md §2.3).
+
+A stream⋈stream equi-join must buffer both sides in state until the
+watermark proves no more matches can arrive; the time-bound predicate
+is what makes that state FINITE. Without it Spark would keep every
+row forever (unbounded state — the streaming analog of a cross join).
+
+100 TB posture: state size ≈ input rate × join window per key-side;
+keep the event-time bound as tight as the semantics allow, and size
+`spark.sql.shuffle.partitions` for the keyed state store (one RocksDB
+/ HDFS store per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purchases_after_signup(
+    signups: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Inner stream⋈stream join: purchases matched to the same user's
+    signup within `max_lag` AFTER it.
+
+    Both sides carry watermarks (required: the engine needs both to
+    bound buffering) and the join predicate carries the event-time
+    range — signup_ts <= purchase_ts <= signup_ts + max_lag — which
+    lets the state manager evict signups older than the watermark plus
+    the lag, and purchases older than the watermark.
+    """
+    s = signups.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return s.join(p, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        "signup_ts",
+        "purchase_ts",
+    )

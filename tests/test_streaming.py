@@ -166,3 +166,35 @@ def test_managed_ingest_registers_partitions(spark, tmp_path):
         assert n_parts == got.select("c_date").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS city_managed")
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Stream⋈stream with watermarks on both sides: purchases join
+    their user's signup only within the 1-hour lag bound."""
+    from flink_hiveorc_spark.streaming.joins import purchases_after_signup
+
+    sdir, pdir = tmp_path / "signups", tmp_path / "purchases"
+    sdir.mkdir(), pdir.mkdir()
+    with open(sdir / "s.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 7, "ts": "2025-08-12 10:00:00"}) + "\n")
+        f.write(json.dumps({"event_id": 2, "user_id": 8, "ts": "2025-08-12 10:00:00"}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        # in-window (30 min after signup), out-of-window (2h after), other-user
+        f.write(json.dumps({"event_id": 10, "user_id": 7, "ts": "2025-08-12 10:30:00"}) + "\n")
+        f.write(json.dumps({"event_id": 11, "user_id": 7, "ts": "2025-08-12 12:00:00"}) + "\n")
+        f.write(json.dumps({"event_id": 12, "user_id": 9, "ts": "2025-08-12 10:15:00"}) + "\n")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    signups = spark.readStream.schema(schema).json(str(sdir))
+    purchases = spark.readStream.schema(schema).json(str(pdir))
+    q = (
+        purchases_after_signup(signups, purchases)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.user_id, r.signup_id, r.purchase_id) for r in spark.table("ssj_sink").collect()]
+    assert got == [(7, 1, 10)]
