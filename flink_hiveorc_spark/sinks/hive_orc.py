@@ -135,3 +135,47 @@ def _rm_tree(path: str) -> None:
 
     if os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
+
+
+def vacuum_streaming_sink(
+    spark: SparkSession, path: str, dry_run: bool = False
+) -> list[str]:
+    """Delete data files a streaming file-sink dir does NOT list in
+    its `_spark_metadata` commit manifest.
+
+    Reference parity: HiveOrcSink deletes stale tmp/pending files on
+    writer init (HiveOrcSink.java:291-307) so crashed attempts never
+    leak into the table. Spark's file sink already EXCLUDES orphans
+    from reads (the manifest is the table), but the bytes linger on
+    disk after crashes — this reclaims them. Returns the removed
+    (or, with dry_run, removable) paths.
+
+    Only call while no query is actively writing to `path` (a file
+    written by an in-flight, not-yet-committed batch looks identical
+    to an orphan).
+    """
+    import glob as _glob
+    import json as _json
+
+    meta_dir = os.path.join(path, "_spark_metadata")
+    committed: set[str] = set()
+    for mf in sorted(_glob.glob(os.path.join(meta_dir, "*"))):
+        name = os.path.basename(mf)
+        if not name.isdigit() and not name.endswith(".compact"):
+            continue
+        with open(mf) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                entry = _json.loads(line)
+                committed.add(os.path.basename(entry["path"]))
+    removed = []
+    for f in _glob.glob(os.path.join(path, "**", "*.orc"), recursive=True) + _glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ):
+        if os.path.basename(f) not in committed:
+            removed.append(f)
+            if not dry_run:
+                os.remove(f)
+    return removed

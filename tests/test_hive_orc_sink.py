@@ -105,3 +105,38 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"ref", "c_date", "city_name"}
     rows = {r.ref: r.city_name for r in merged.collect()}
     assert rows == {1: None, 2: "x"}
+
+
+def test_vacuum_streaming_sink_removes_only_orphans(spark, tmp_path):
+    """Orphan files (crashed attempts) are reclaimed; committed files
+    and the readable row set are untouched."""
+    import json as _json
+
+    from flink_hiveorc_spark.sinks.hive_orc import vacuum_streaming_sink
+    from flink_hiveorc_spark.streaming.ingest import (
+        file_raw_stream,
+        read_committed,
+        start_city_ingest,
+    )
+
+    src, out, ckpt = tmp_path / "vsrc", str(tmp_path / "vout"), str(tmp_path / "vckpt")
+    src.mkdir()
+    with open(src / "a.txt", "w") as f:
+        for i in range(50):
+            inner = _json.dumps({"after": {"ref": i, "city_id": i, "city_name": "c", "c_time": 1755000000000 + i * 3_600_000}})
+            f.write(_json.dumps({"value": inner}) + "\n")
+    q = start_city_ingest(file_raw_stream(spark, str(src)), out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n = read_committed(spark, out).count()
+    assert n == 50
+
+    # Inject an orphan "crashed attempt" file into a partition dir.
+    part_dir = next(d for d in os.listdir(out) if d.startswith("c_date="))
+    orphan = os.path.join(out, part_dir, "part-99999-deadbeef.c000.zstd.orc")
+    with open(orphan, "wb") as f:
+        f.write(b"not really orc")
+
+    removed = vacuum_streaming_sink(spark, out)
+    assert removed == [orphan] and not os.path.exists(orphan)
+    spark.catalog.refreshByPath(out)
+    assert read_committed(spark, out).count() == n
