@@ -132,11 +132,27 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from an inverted-index self-join on shingles (only
     docs sharing ≥1 shingle ever meet) — no cross join. Jaccard =
-    |∩| / (|A|+|B|-|∩|), all exact integer counts. At larger scale,
-    add a document-frequency cap on shingles before the join and/or
-    use the MinHash-LSH variant below.
+    |∩| / (|A|+|B|-|∩|), all exact integer counts. Uncapped here for
+    oracle parity; at scale pass ``df_cap`` (see ngram_jaccard_pairs)
+    or use the MinHash-LSH variant below.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=None)
+
+
+def ngram_jaccard_pairs(d: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by 3-gram shingle Jaccard (the reusable
+    operator behind the registered query).
+
+    ``df_cap``: drop shingles appearing in more than `df_cap`
+    documents BEFORE the self-join. A shingle in k docs contributes
+    k² candidate rows — one viral boilerplate line in 10⁶ docs is a
+    10¹²-row join all by itself, so at scale an explicit cap on
+    shingle document-frequency is mandatory (the dropped shingles are
+    exactly the ones with no discriminative power). Note the cap
+    slightly UNDERCOUNTS n_shared for pairs that shared a dropped
+    shingle — acceptable for near-dup mining, which is why the
+    oracle-checked query runs uncapped.
+    """
     sh = _shingle_docs(d)
     # explode_outer, NOT explode: plain explode pushes an implicit
     # `size(s)>0 AND isnotnull(s)` filter below the shingle projection,
@@ -151,6 +167,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select(
         "doc_id", F.explode_outer("s").alias("shingle"), F.size("s").alias("n_sh")
     ).repartition(F.col("shingle"))
+    if df_cap is not None:
+        # Window count over the shingle partitioning already in place
+        # (no extra shuffle: the frame is partitioned on shingle).
+        from pyspark.sql.window import Window as _W
+
+        df_count = F.count("*").over(_W.partitionBy("shingle"))
+        ex = ex.select("*", df_count.alias("_df")).filter(F.col("_df") <= df_cap).drop("_df")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
