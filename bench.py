@@ -34,6 +34,8 @@ HEADLINE = [
     "skew_salted_agg",
     "stream_tumbling_hourly",
     "pipeline_clean_corpus",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 
