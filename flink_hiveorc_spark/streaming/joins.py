@@ -55,3 +55,43 @@ def purchases_after_signup(
         "signup_ts",
         "purchase_ts",
     )
+
+
+def signups_with_first_hour_purchase(
+    signups: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream⋈stream: every signup, with its first-hour
+    purchase or NULLs if none arrived.
+
+    The outer (unmatched) row for a signup can only emit once the
+    watermark proves no matching purchase can still arrive — i.e.
+    after watermark passes signup_ts + max_lag. Until then the signup
+    sits in state; results therefore trail the input by up to
+    lag + watermark delay. That latency is inherent to outer
+    stream-stream semantics, not an implementation choice.
+    """
+    s = signups.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return s.join(p, cond, "leftOuter").select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        "signup_ts",
+        "purchase_ts",
+    )

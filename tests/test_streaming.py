@@ -198,3 +198,63 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r.user_id, r.signup_id, r.purchase_id) for r in spark.table("ssj_sink").collect()]
     assert got == [(7, 1, 10)]
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Outer stream⋈stream: the unmatched signup emits with NULLs only
+    once the watermark passes signup_ts + lag — driven by later
+    batches advancing event time (maxFilesPerTrigger=1 forces
+    file-per-batch order)."""
+    import time as _time
+
+    from flink_hiveorc_spark.streaming.joins import signups_with_first_hour_purchase
+
+    sdir, pdir = tmp_path / "osignups", tmp_path / "opurchases"
+    sdir.mkdir(), pdir.mkdir()
+    with open(sdir / "a_early.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 7, "ts": "2025-08-12 10:00:00"}) + "\n")
+        f.write(json.dumps({"event_id": 2, "user_id": 8, "ts": "2025-08-12 10:00:00"}) + "\n")
+    _time.sleep(1.1)
+    # Later signup files push the event-time watermark far past
+    # 10:00 + 1h lag + 10m delay across successive micro-batches.
+    with open(sdir / "b_later.json", "w") as f:
+        f.write(json.dumps({"event_id": 3, "user_id": 9, "ts": "2025-08-12 14:00:00"}) + "\n")
+    _time.sleep(1.1)
+    with open(sdir / "c_latest.json", "w") as f:
+        f.write(json.dumps({"event_id": 4, "user_id": 10, "ts": "2025-08-12 18:00:00"}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        f.write(json.dumps({"event_id": 10, "user_id": 7, "ts": "2025-08-12 10:30:00"}) + "\n")
+        # The GLOBAL watermark is the MIN over all inputs — without a
+        # late purchase the purchases-side watermark pins it at 10:20
+        # and no outer row ever emits. A real pipeline has the same
+        # property: a stalled input stalls outer emission.
+        f.write(json.dumps({"event_id": 11, "user_id": 99, "ts": "2025-08-12 18:00:00"}) + "\n")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    signups = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(sdir))
+    purchases = spark.readStream.schema(schema).json(str(pdir))
+    # NOT availableNow: it terminates after the data batches, before
+    # the no-data micro-batch that advances the watermark and emits
+    # outer results. A running trigger gets those no-data batches
+    # (spark.sql.streaming.noDataMicroBatches.enabled default).
+    q = (
+        signups_with_first_hour_purchase(signups, purchases)
+        .writeStream.format("memory")
+        .queryName("ossj_sink")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        got = {}
+        while _time.time() < deadline:
+            got = {r.signup_id: r.purchase_id for r in spark.table("ossj_sink").collect()}
+            if 2 in got:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    # u7 matched; u8 emitted unmatched (watermark passed its bound).
+    assert got.get(1) == 10
+    assert 2 in got and got[2] is None
