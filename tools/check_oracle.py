@@ -65,7 +65,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from flink_hiveorc_spark.session import get_spark
 
-    spark = get_spark("oracle-check", cpus=16, shuffle_partitions=16)
+    import os as _os
+    _cpus = int(_os.environ.get("SPARK_ORACLE_CPUS", "16"))
+    spark = get_spark("oracle-check", cpus=_cpus, shuffle_partitions=_cpus)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
