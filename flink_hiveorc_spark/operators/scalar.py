@@ -303,3 +303,33 @@ def cdc_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", F.col("value").cast("double").alias("value")
     )
     return latest_state(ev, ["user_id"], "event_id")
+
+
+@query(
+    "scalar_json_typed_decode",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL
+                THEN 1 ELSE 0 END AS is_malformed
+    FROM events
+    """,
+)
+def scalar_json_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 typed path: from_json with an explicit StructType — unlike
+    get_json_object (string-returning, re-parses per extraction) the
+    document parses ONCE into a typed struct and every field access is
+    a struct getter; malformed rows become NULL structs (PERMISSIVE),
+    surfaced here as a flag."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    j = F.from_json("props", schema)
+    return ev.select(
+        "event_id",
+        j["k"].alias("k"),
+        (j["k"] % 10).alias("k_mod"),
+        F.when(j["k"].isNull(), 1).otherwise(0).alias("is_malformed"),
+    )
