@@ -89,7 +89,10 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           upper(hex(substr(text, 1, 4))) AS head_hex,
+           -- first 4 BYTES of the utf-8 payload (hex-then-substr), not
+           -- the first 4 CHARACTERS: multi-byte text would diverge from
+           -- the byte-oriented Spark side otherwise.
+           substr(upper(hex(encode(text))), 1, 8) AS head_hex,
            md5(text) AS content_md5
     FROM documents
     """,
@@ -124,10 +127,22 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     rejects. Arrow hands the whole group as one pandas frame."""
     x = pdf["n_chars"]
     n = len(x)
+    if n < 2:
+        # stddev_samp of one row is NULL in SQL; a naive n-1 division
+        # here would raise ZeroDivisionError and kill the task. Emit
+        # real NULLs (nullable Float64 -> Arrow null) to match.
+        z = pd.array([pd.NA] * n, dtype="Float64")
+        return pd.DataFrame({"lang": pdf["lang"], "doc_id": pdf["doc_id"], "z_len": z})
     s1 = int(x.sum())
     s2 = int((x * x).sum())
     mu = s1 / n
-    sd = ((s2 - (s1 * s1) / n) / (n - 1)) ** 0.5
+    var = (s2 - (s1 * s1) / n) / (n - 1)
+    if var <= 0:
+        # Zero variance: SQL yields NULL (x/0); mirror it rather than
+        # emitting +-inf.
+        z = pd.array([pd.NA] * n, dtype="Float64")
+        return pd.DataFrame({"lang": pdf["lang"], "doc_id": pdf["doc_id"], "z_len": z})
+    sd = var**0.5
     xf = x.astype("float64")
     return pd.DataFrame(
         {"lang": pdf["lang"], "doc_id": pdf["doc_id"], "z_len": (xf - mu) / sd}

@@ -161,11 +161,16 @@ def sim_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "",
         *[(F.element_at("v", i + 1) > 0).cast("int").cast("string") for i in range(4)],
     )
-    eb = e.select("vec_id", "v", bucket.alias("bucket"))
+    # Norms hoisted per row, not per candidate pair (same pattern as
+    # the other cosine queries).
+    eb = e.select("vec_id", "v", norm(F.col("v")).alias("nv"), bucket.alias("bucket"))
     q = eb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        "bucket",
     )
-    cos = cosine(F.col("qv"), F.col("v"))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         q.join(eb, on="bucket")

@@ -221,6 +221,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle with NO pairwise range join — the formulation that
     survives 100 TB (a conditional join + top-1 would explode on hot
     keys; the window version shuffles each row exactly once).
+
+    Precision note: ordering is at full nanosecond precision (ts_ns)
+    with event_id tiebreak; the DuckDB oracle only sees µs (its read
+    of TIMESTAMP(NANOS) truncates), so a signup and purchase within
+    the SAME microsecond could in principle order differently across
+    the two engines. No such pair exists in the corpus; at engine
+    level the ns ordering is the more correct behavior, so it is kept.
     """
     ev = load_table(spark, sf_dir, "events")
     tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(

@@ -85,10 +85,25 @@ def _roundtrip_warehouse(sf_dir: str) -> str:
 
 
 def _city_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-once-per-sf_dir city ORC table (S3/S4), then read back (S5)."""
+    """Write-once-per-sf_dir city ORC table (S3/S4), then read back (S5).
+
+    The populate is write-to-unique-dir + atomic rename so two queries
+    racing on a cold cache can't overwrite each other's in-flight
+    output (loser's attempt is discarded). Cache key is the sf_dir
+    path — regenerating DIFFERENT data at the SAME path requires
+    clearing /tmp/fhs_warehouse (test corpus is immutable, so this is
+    a documented non-case rather than a mtime check).
+    """
     wh = _roundtrip_warehouse(sf_dir)
     if not os.path.exists(os.path.join(wh, "_SUCCESS")):
-        write_partitioned(city_shaped_events(spark, sf_dir), wh, "c_date", fmt="orc")
+        attempt = f"{wh}__attempt_{os.getpid()}_{id(spark)}"
+        write_partitioned(city_shaped_events(spark, sf_dir), attempt, "c_date", fmt="orc")
+        try:
+            os.rename(attempt, wh)  # atomic publish; fails if winner exists
+        except OSError:
+            import shutil
+
+            shutil.rmtree(attempt, ignore_errors=True)
     return read_table(spark, wh, fmt="orc")
 
 

@@ -117,7 +117,11 @@ def compact_partitions(
         .option("maxRecordsPerFile", str(target_file_mb * 4096))
         .save(tmp)
     )
-    # Atomic-ish swap of the rewritten partition dirs.
+    # Atomic-ish swap of the rewritten partition dirs. The final write
+    # must carry the file-size cap too — repartition(key) funnels each
+    # partition value into one task, and without maxRecordsPerFile a
+    # hot partition becomes a single unbounded file (the exact problem
+    # compaction exists to fix).
     compacted = spark.read.format(fmt).load(tmp)
     (
         compacted.repartition(*[F.col(k) for k in keys])
@@ -125,6 +129,7 @@ def compact_partitions(
         .mode("overwrite")
         .partitionBy(*keys)
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(target_file_mb * 4096))
         .save(path)
     )
     _rm_tree(tmp)
@@ -158,8 +163,18 @@ def vacuum_streaming_sink(
     import json as _json
 
     meta_dir = os.path.join(path, "_spark_metadata")
+    manifest_files = sorted(_glob.glob(os.path.join(meta_dir, "*")))
+    if not manifest_files:
+        # Without a manifest EVERY file would look uncommitted and the
+        # "vacuum" would delete the whole table — refuse instead (the
+        # caller probably pointed at a batch-written dir or a typo'd
+        # path).
+        raise ValueError(
+            f"{path} has no _spark_metadata manifest — not a streaming-sink "
+            "directory; refusing to vacuum (would delete every data file)"
+        )
     committed: set[str] = set()
-    for mf in sorted(_glob.glob(os.path.join(meta_dir, "*"))):
+    for mf in manifest_files:
         name = os.path.basename(mf)
         if not name.isdigit() and not name.endswith(".compact"):
             continue

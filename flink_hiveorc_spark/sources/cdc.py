@@ -55,14 +55,18 @@ def epoch_ms_to_local_date(col: Column, utc_offset_hours: int = 8) -> Column:
     """epoch-ms → 'yyyy-MM-dd' string at a fixed UTC offset.
 
     Mirrors App.txt:66-68 (``Instant.ofEpochMilli`` at
-    ``ZoneOffset.ofHours(8)`` → ``LocalDate.toString``). Uses
-    ``timestamp_millis`` + a literal offset shift so the result is
-    independent of the session timezone.
+    ``ZoneOffset.ofHours(8)`` → ``LocalDate.toString``). Computed with
+    pure integer day arithmetic — floor((ms + offset) / 86_400_000)
+    days since epoch — because any timestamp-rendering route
+    (``date_format``/``cast to string``) formats in the SESSION
+    timezone and would shift the date again on non-UTC sessions,
+    breaking the fixed-offset contract this function exists to keep.
     """
-    return F.date_format(
-        F.timestamp_millis(col) + F.expr(f"INTERVAL {utc_offset_hours} HOURS"),
-        "yyyy-MM-dd",
-    )
+    col = F.col(col) if isinstance(col, str) else col
+    days = F.floor(
+        (col + F.lit(utc_offset_hours * 3_600_000)) / F.lit(86_400_000)
+    ).cast("int")
+    return F.date_add(F.lit("1970-01-01").cast("date"), days).cast("string")
 
 
 def decode_city_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:

@@ -23,8 +23,8 @@ from flink_hiveorc_spark.streaming import windows as sw
 
 
 def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    # load_table already derives the µs-precision ts for events.
+    return load_table(spark, sf_dir, "events")
 
 
 @query(

@@ -36,16 +36,28 @@ def tumbling_counts(
     window_dur: str = "1 hour",
     watermark: str = "10 minutes",
     key: str = "event_type",
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling-window counts per key (T7).
 
     Late rows beyond the watermark are dropped; in append mode a
     window emits once, when the watermark passes its end.
+
+    ``approx_distinct=True`` is REQUIRED on a streaming DataFrame:
+    Spark rejects exact distinct aggregation on streams
+    (UnsupportedOperationChecker), so the streaming path counts users
+    with HyperLogLog++. The exact default serves the batch twin,
+    which the oracle value-checks.
     """
+    n_users = (
+        F.approx_count_distinct("user_id")
+        if approx_distinct
+        else F.countDistinct("user_id")
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_dur).alias("w"), F.col(key))
-        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count("*").alias("n"), n_users.alias("n_users"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -42,3 +42,19 @@ def test_epoch_ms_boundary_utc_offset(spark):
     ).select(epoch_ms_to_local_date("ms").alias("d"))
     days = [r.d for r in df.collect()]
     assert days == ["2025-08-11", "2025-08-12"]
+
+
+def test_epoch_ms_date_is_session_timezone_independent(spark):
+    """The fixed-UTC+8 date must not shift with the session timezone
+    (date_format-based formulations render in session tz and would)."""
+    ms = 1755039600000  # 2025-08-12 23:00 UTC -> 2025-08-13 at UTC+8
+    df = spark.createDataFrame([Row(ms=ms)])
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            results[tz] = df.select(epoch_ms_to_local_date("ms").alias("d")).first().d
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert set(results.values()) == {"2025-08-13"}, results

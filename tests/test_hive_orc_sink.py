@@ -140,3 +140,20 @@ def test_vacuum_streaming_sink_removes_only_orphans(spark, tmp_path):
     assert removed == [orphan] and not os.path.exists(orphan)
     spark.catalog.refreshByPath(out)
     assert read_committed(spark, out).count() == n
+
+
+def test_vacuum_refuses_non_streaming_dir(spark, sf_dir, tmp_path):
+    """A dir with no _spark_metadata manifest must raise, not delete:
+    treating 'no manifest' as 'nothing committed' would wipe any
+    batch-written table passed by mistake."""
+    import pytest as _pytest
+
+    from flink_hiveorc_spark.sinks.hive_orc import vacuum_streaming_sink
+
+    out = str(tmp_path / "batch_table")
+    city = city_shaped_events(spark, sf_dir)
+    write_partitioned(city, out, "c_date", fmt="orc")
+    n_files = len(glob.glob(f"{out}/c_date=*/*.orc"))
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        vacuum_streaming_sink(spark, out)
+    assert len(glob.glob(f"{out}/c_date=*/*.orc")) == n_files

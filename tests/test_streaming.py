@@ -258,3 +258,26 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     # u7 matched; u8 emitted unmatched (watermark passed its bound).
     assert got.get(1) == 10
     assert 2 in got and got[2] is None
+
+
+def test_tumbling_counts_runs_on_real_stream(spark, tmp_path):
+    """The streaming path must actually start: exact countDistinct is
+    rejected on streams, so approx_distinct=True is the streaming
+    form (HLL). Guards the operator's stated purpose."""
+    src = tmp_path / "tumbling_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"ts": "2025-08-12 10:05:00", "event_type": "view", "user_id": i % 5, "value": 1.0}) + "\n")
+    stream = spark.readStream.schema("ts timestamp, event_type string, user_id long, value double").json(str(src))
+    q = (
+        sw.tumbling_counts(stream, approx_distinct=True)
+        .writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("tumbling_sink").collect()
+    assert rows and rows[0].n == 20 and rows[0].n_users >= 4  # HLL approx of 5
