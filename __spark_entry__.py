@@ -15,14 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's session conf to a driver-provided session.
 
-    The driver may hand us a bare SparkSession; the legacy nanos flag
-    and UTC timezone are required for reading the events table and for
-    oracle parity, and are safe to set at runtime.
+    The driver may hand us a bare SparkSession; the full ENGINE_CONF
+    (UTC timezone, nanos-as-long, AQE, broadcast threshold, …) lives
+    in flink_hiveorc_spark.session as the single source of truth so
+    driver runs execute the same plans the bench and PLANS.md audit
+    ran.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    return spark
+    from flink_hiveorc_spark.session import apply_runtime_conf
+
+    return apply_runtime_conf(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -45,14 +45,18 @@ def main() -> None:
     from flink_hiveorc_spark.session import get_spark
 
     spark = get_spark("bench")
-    # Warm-up: run every headline query once at sf0.001 (different
-    # files than the benched sf — warms JIT/codegen/reader code paths
-    # without caching any benched data), so timings reflect the
-    # steady-state cost of the PLAN rather than one-time JVM
-    # compilation. Standard practice (cf. JMH warm-up iterations).
-    warm = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        QUERIES[name](spark, warm).write.format("noop").mode("overwrite").save()
+    # Warm-up: run every headline query once at a SMALLER sf (warms
+    # JIT/codegen/reader code paths without caching benched data), so
+    # timings reflect the steady-state cost of the PLAN rather than
+    # one-time JVM compilation (cf. JMH warm-up iterations). Skipped
+    # when the warm dir is missing or IS the benched dir.
+    # Note: orc_roundtrip_counts' partitioned write is cached per
+    # sf_dir (/tmp/fhs_warehouse), so its timing covers the read-back
+    # + aggregate path.
+    warm = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm) and os.path.realpath(warm) != os.path.realpath(sf_dir):
+        for name in HEADLINE:
+            QUERIES[name](spark, warm).write.format("noop").mode("overwrite").save()
 
     # min-of-2: each query runs twice and the best run is recorded —
     # filters out one-off GC pauses and AQE first-run adaptation, so
@@ -62,13 +66,17 @@ def main() -> None:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
+            t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf: float | str = float(sf_str)
+    except ValueError:
+        sf = sf_str
     print(
         json.dumps(
             {
@@ -76,7 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
             }
         )
     )

@@ -26,6 +26,37 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# The engine's semantic + scale conf, single source of truth: applied
+# at build time by get_spark and at runtime (runtime-settable subset)
+# by __spark_entry__._configure to driver-provided bare sessions, so
+# driver runs execute the same plans the bench/audit ran.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.orc.impl": "native",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply every runtime-settable ENGINE_CONF key to an existing
+    session (static keys like legacy.parquet.nanosAsLong are attempted
+    too — Spark accepts them via conf.set when unchanged-from-static
+    or runtime-settable; genuinely static rejections are ignored)."""
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session; build-time only
+    return spark
+
 
 def get_spark(
     app_name: str = "flink-hiveorc-spark",
@@ -47,20 +78,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.orc.impl", "native")
-        .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
     # Only force a local master when nothing else configured one
     # (spark-submit / cluster deployments set spark.master themselves).
     if "SPARK_MASTER" not in os.environ and not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):

@@ -14,10 +14,12 @@ import sys
 import time
 import traceback
 
+import os
+
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -74,6 +76,10 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = n_noracle = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:

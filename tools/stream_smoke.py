@@ -50,13 +50,13 @@ def main() -> None:
     try:
         write_events(src, 0, 1000)
         q = start_city_ingest(file_raw_stream(spark, src), out, ckpt, available_now=True)
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "first ingest still running after 180s"
         n1 = read_committed(spark, out).count()
         assert n1 == 1000, f"first run: {n1} != 1000"
 
         write_events(src, 1000, 1500)
         q2 = start_city_ingest(file_raw_stream(spark, src), out, ckpt, available_now=True)
-        q2.awaitTermination(180)
+        assert q2.awaitTermination(180), "restarted ingest still running after 180s"
         back = read_committed(spark, out)
         n2, nd = back.count(), back.select("ref").distinct().count()
         assert n2 == 1500 and nd == 1500, f"restart: rows={n2} distinct={nd} (want 1500/1500)"

@@ -61,9 +61,9 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
     for name in names:
         best = float("inf")
         for _ in range(2):
-            t0 = time.time()
+            t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            best = min(best, time.monotonic() - t0)
         out[name] = round(best, 3)
     return out
 
@@ -71,13 +71,23 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = f"/tmp/stress_sf_x{n}"
+    # Cache keyed by BOTH N and the source dir (a key of N alone would
+    # silently reuse an 8x-of-another-sf corpus), and populated via
+    # build-to-tmp + atomic rename so a crashed build never passes the
+    # exists check.
+    src_tag = src.rstrip("/").replace("/", "_").lstrip("_")
+    dst = f"/tmp/stress_{src_tag}_x{n}"
 
     from flink_hiveorc_spark.session import get_spark
 
     spark = get_spark("stress-scale")
     if not os.path.isdir(dst):
-        build_multiplied(spark, src, dst, n)
+        attempt = f"{dst}__building_{os.getpid()}"
+        build_multiplied(spark, src, attempt, n)
+        try:
+            os.rename(attempt, dst)
+        except OSError:
+            shutil.rmtree(attempt, ignore_errors=True)
 
     base = time_queries(spark, src, PROBE)   # also warms code paths
     big = time_queries(spark, dst, PROBE)
