@@ -157,3 +157,25 @@ def test_vacuum_refuses_non_streaming_dir(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="_spark_metadata"):
         vacuum_streaming_sink(spark, out)
     assert len(glob.glob(f"{out}/c_date=*/*.orc")) == n_files
+
+
+def test_cluster_by_sorts_within_files(spark, sf_dir, tmp_path):
+    """cluster_by must produce within-file sortedness on the cluster
+    column (what makes ORC stripe min/max skipping effective)."""
+    out = str(tmp_path / "city_clustered")
+    city = city_shaped_events(spark, sf_dir)
+    write_partitioned(city, out, "c_date", fmt="orc", cluster_by=["city_id"])
+
+    from pyspark.sql.window import Window
+
+    back = read_table(spark, out).withColumn("_file", F.input_file_name())
+    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+    # Within every physical file, city_id must be non-decreasing in
+    # row order (files are read in order within a split).
+    violations = (
+        back.select("_file", "city_id", F.lag("city_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("city_id") < F.col("prev")))
+        .count()
+    )
+    assert violations == 0
+    assert read_table(spark, out).count() == city.count()
