@@ -529,3 +529,39 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"))
     )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))
+                 ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim
+    join — one global result from two interleaved decimal sums; the
+    date window pushes to the lineitem scan and part broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(_DEC))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
