@@ -559,8 +559,11 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .agg(
+            # ×100 in the DECIMAL domain (exact), matching the
+            # oracle's 100.00 * sum(decimal); doing it in double
+            # diverges in the last bit.
             (
-                F.lit(100.0) * F.sum(promo).cast("double")
+                (F.sum(promo) * F.lit(100)).cast("double")
                 / F.sum(disc).cast("double")
             ).alias("promo_revenue_pct")
         )
