@@ -177,3 +177,38 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_customers"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("sampled_revenue"),
     )
+
+
+@query(
+    "set_union_byname_evolving",
+    oracle="""
+    SELECT event_id, user_id, value, source_batch
+    FROM (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+             'with_value' AS source_batch
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value,
+             'legacy' AS source_batch
+      FROM events WHERE event_id % 3 = 1
+    )
+    """,
+)
+def set_union_byname_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 + schema evolution: unionByName(allowMissingColumns=True)
+    merges frames whose schemas diverged (a column added later) —
+    position-based union would mis-align or reject; missing columns
+    fill with NULL. The batch-side twin of the mergeSchema read path
+    (tests/test_hive_orc_sink.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_value = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "user_id", F.col("value").cast("double").alias("value"))
+        .withColumn("source_batch", F.lit("with_value"))
+    )
+    legacy = (
+        ev.filter(F.col("event_id") % 3 == 1)
+        .select("event_id", "user_id")  # no `value` column: older schema
+        .withColumn("source_batch", F.lit("legacy"))
+    )
+    return with_value.unionByName(legacy, allowMissingColumns=True)
