@@ -222,20 +222,23 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 100 TB (a conditional join + top-1 would explode on hot
     keys; the window version shuffles each row exactly once).
 
-    Precision note: ordering is at full nanosecond precision (ts_ns)
-    with event_id tiebreak; the DuckDB oracle only sees µs (its read
-    of TIMESTAMP(NANOS) truncates), so a signup and purchase within
-    the SAME microsecond could in principle order differently across
-    the two engines. No such pair exists in the corpus; at engine
-    level the ns ordering is the more correct behavior, so it is kept.
+    Tie semantics: ASOF matches `p.ts >= s.ts`, so a signup at the
+    EXACT same timestamp as a purchase must be visible to it. The
+    window order is therefore (ts_ns, side, event_id) with signups
+    ordered BEFORE purchases at equal timestamps — the running
+    last-signup is structurally consistent with ASOF semantics rather
+    than depending on event_id assignment (ADVICE r1). Among equal-ts
+    signups the highest event_id wins (deterministic, matches the
+    running `last`).
     """
     ev = load_table(spark, sf_dir, "events")
     tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
         "event_id", "user_id", "event_type", "ts_ns"
     )
+    side = F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_ns", "event_id")
+        .orderBy("ts_ns", side, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sig_id = F.when(F.col("event_type") == "signup", F.col("event_id"))

@@ -18,7 +18,9 @@ to a built-in:
 What the reference leaves open and we DO implement:
 - metastore partition registration (the reference never registers
   partitions, SURVEY.md §1.3) → ``register_partitions``,
-- small-file compaction for streaming output → ``compact_partitions``.
+- small-file compaction for batch/foreachBatch-written table dirs →
+  ``compact_partitions`` (manifest-based streaming-sink dirs are
+  refused — see its docstring).
 
 100 TB posture: a partitioned write's parallelism = upstream
 partitions × distinct partition values per task. ``write_partitioned``
@@ -86,16 +88,26 @@ def register_partitions(spark: SparkSession, table: str, path: str) -> None:
     ``field=value`` dirs but never calls the metastore — SURVEY.md
     §1.3). Requires a Hive-backed catalog; on the in-memory catalog
     used in tests we fall back to refreshing the path-based table.
+
+    Only catalog-capability errors (AnalysisException: MSCK
+    unsupported / table not found in the in-memory catalog) trigger
+    the fallback. Genuine metastore failures — connectivity,
+    permissions — propagate, so partitions can never silently stay
+    unregistered while the caller believes they are visible
+    (ADVICE r1).
     """
+    from pyspark.errors import AnalysisException
+
     try:
         spark.sql(f"MSCK REPAIR TABLE {table}")
         # MSCK only discovers NEW partition dirs; files appended to
         # already-registered partitions stay hidden behind the cached
         # listing until an explicit refresh.
         spark.sql(f"REFRESH TABLE {table}")
-    except Exception:
+    except AnalysisException:
         # In-memory catalog (tests): path-based tables pick up new
-        # partitions on refresh.
+        # partitions on refresh. Any non-analysis error (RPC failure,
+        # auth) has already propagated above.
         spark.catalog.refreshByPath(path)
 
 
@@ -109,12 +121,22 @@ def compact_partitions(
 ) -> None:
     """Rewrite (a slice of) a partitioned table into ~target-size files.
 
-    The streaming sink emits one file per (task, micro-batch,
-    partition); this is the compaction job the reference's time-based
-    roll (HiveOrcSink.java:137-145) approximates. Runs as a normal
-    batch job: read (partition-pruned by ``predicate``), coalesce via
-    AQE, overwrite only the touched partitions (dynamic overwrite).
+    Applies to BATCH-written (or foreachBatch-written) table dirs
+    only. A streaming file-sink dir is defined by its
+    `_spark_metadata` manifest: rewriting data files underneath it
+    would leave the manifest pointing at deleted files (manifest-based
+    reads break) and mark the new files as orphans (a later vacuum
+    would delete them). We refuse such dirs outright — compact a
+    streaming sink by switching ingestion to the foreachBatch
+    committer (streaming/ingest.py) whose output is a plain table dir
+    (ADVICE r1).
     """
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a streaming file-sink directory (_spark_metadata "
+            "present); compacting would desync the manifest. Use the "
+            "foreachBatch ingestion variant for compactable output."
+        )
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     df = spark.read.format(fmt).load(path)
     if predicate:
@@ -195,7 +217,16 @@ def vacuum_streaming_sink(
                 if not line or line.startswith("v"):
                     continue
                 entry = _json.loads(line)
-                committed.add(os.path.basename(entry["path"]))
+                # Compacted manifests carry an action field; a
+                # 'delete' entry names a file that is NOT part of the
+                # committed table anymore — keeping it in the
+                # committed set would leak those bytes forever
+                # (ADVICE r1). Absent action field == 'add'.
+                base = os.path.basename(entry["path"])
+                if entry.get("action", "add") == "delete":
+                    committed.discard(base)
+                else:
+                    committed.add(base)
     removed = []
     for f in _glob.glob(os.path.join(path, "**", "*.orc"), recursive=True) + _glob.glob(
         os.path.join(path, "**", "*.parquet"), recursive=True

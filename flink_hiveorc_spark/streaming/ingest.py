@@ -14,8 +14,10 @@ onto Structured Streaming built-ins:
   strictly smaller state.
 - processing-time timers / inactivity roll (HiveOrcSink.java:419-422,
   137-145) → trigger cadence; each micro-batch closes its files.
-- size roll (HiveOrcSink.java:215-218) → `maxRecordsPerFile` +
-  periodic compaction (sinks/hive_orc.py:compact_partitions).
+- size roll (HiveOrcSink.java:215-218) → `maxRecordsPerFile`;
+  periodic compaction (sinks/hive_orc.py:compact_partitions) applies
+  to the foreachBatch-committed variant only — the manifest-based
+  file sink must not be rewritten underneath its `_spark_metadata`.
 
 Kafka vs file source: the decode path is source-agnostic — both yield
 a `value: string` column, so `decode_city_envelope` is shared. Tests

@@ -179,3 +179,43 @@ def test_cluster_by_sorts_within_files(spark, sf_dir, tmp_path):
     )
     assert violations == 0
     assert read_table(spark, out).count() == city.count()
+
+
+def test_compaction_refuses_streaming_sink_dir(spark, tmp_path):
+    """compact_partitions must refuse a _spark_metadata dir: rewriting
+    files underneath the manifest breaks manifest-based reads and
+    marks the compacted files as vacuum-able orphans."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "stream_like")
+    os.makedirs(os.path.join(out, "_spark_metadata"))
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partitions(spark, out, "c_date", fmt="orc")
+
+
+def test_vacuum_honors_manifest_delete_actions(spark, tmp_path):
+    """A compacted manifest's 'delete' entries name files that are no
+    longer part of the table — vacuum must treat them as orphans and
+    reclaim the bytes, not keep them committed forever."""
+    import json as _json
+
+    from flink_hiveorc_spark.sinks.hive_orc import vacuum_streaming_sink
+
+    out = tmp_path / "vdel"
+    meta = out / "_spark_metadata"
+    meta.mkdir(parents=True)
+    live = out / "part-live.orc"
+    dead = out / "part-dead.orc"
+    live.write_bytes(b"x")
+    dead.write_bytes(b"x")
+    with open(meta / "0", "w") as f:
+        f.write("v1\n")
+        f.write(_json.dumps({"path": str(live), "action": "add"}) + "\n")
+        f.write(_json.dumps({"path": str(dead), "action": "add"}) + "\n")
+    with open(meta / "1.compact", "w") as f:
+        f.write("v1\n")
+        f.write(_json.dumps({"path": str(live), "action": "add"}) + "\n")
+        f.write(_json.dumps({"path": str(dead), "action": "delete"}) + "\n")
+    removed = vacuum_streaming_sink(spark, str(out))
+    assert removed == [str(dead)]
+    assert live.exists() and not dead.exists()
