@@ -36,6 +36,8 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q17_small_quantity_revenue",
 ]
 
 

@@ -46,6 +46,7 @@ def _load_all() -> None:
         joins,
         relational,
         scalar,
+        tpch_extra,
         windows,
     )
     from flink_hiveorc_spark.functions import (  # noqa: F401
