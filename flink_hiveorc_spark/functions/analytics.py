@@ -1,0 +1,201 @@
+"""Corpus / event analytics operators (SURVEY.md §2.10 L4 extensions):
+TF-IDF term weighting, corpus n-gram statistics, and event
+sessionization. All built-in expressions — no Python in the hot path.
+
+Scale notes (100 TB):
+- TF-IDF is two aggregations over the exploded token stream (tf by
+  (doc, term), df by term) re-joined on term; the df side is tiny
+  (vocabulary-sized) and broadcast. The token explode is the dominant
+  cost and is unavoidable — it streams, never materializes per-doc
+  state.
+- bigram counting never builds the bigram list per document: the
+  pairs are generated positionally from the token array and go
+  straight into a partial aggregate (map-side combine shrinks the
+  shuffle to distinct-bigram cardinality per task).
+- sessionization is ONE window pass per user (lag → gap flag →
+  running sum) then a per-session aggregate: two shuffles on
+  user_id total, no self-join, no state larger than a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+TOP_TERMS_PER_DOC = 5
+TOP_BIGRAMS = 20
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df), 8) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= {TOP_TERMS_PER_DOC}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4e: TF-IDF top-5 terms per document.
+
+    tf = term count in doc; idf = ln(N / df). The df aggregate is
+    vocabulary-sized → broadcast back onto the tf rows; the per-doc
+    top-k is a window over (doc_id) ordered (tfidf DESC, term) —
+    a total order, so ties are deterministic. The score is rounded
+    to 8 decimals in BOTH engines: tf/df/N are integer-exact, the
+    single ln+multiply is IEEE-deterministic, and the round absorbs
+    any last-ulp libm divergence between JVM and DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit("([a-z]+)"))).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scan of a count-star; cheap and cached by parquet footer
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_TERMS_PER_DOC)
+        .drop("rn")
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+    )
+    SELECT ws[i] || ' ' || ws[i+1] AS bigram, count(*) AS n
+    FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {TOP_BIGRAMS}
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4f: corpus-level top-20 bigrams.
+
+    Bigrams are formed positionally from the token array (transform
+    over 1..len-1 — no self-join on position, no per-doc bigram list
+    retained) and counted with map-side partial aggregation; the
+    global top-20 is a TakeOrderedAndProject, not a full sort.
+    DuckDB's 1-based list indexing is mirrored with getItem(i-1)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", r"\s+")
+    # Guard single-token docs: sequence(1, 0) would generate a
+    # DESCENDING [1, 0] in Spark (and element_at(ws, 0) errors),
+    # while DuckDB's range(1, 1) is empty.
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(TOP_BIGRAMS)
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, t_us,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, t_us,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(t_us) AS start_us,
+           CAST((max(t_us) - min(t_us)) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4g/T-adjacent: batch sessionization — split each user's event
+    stream into sessions at >30-minute gaps, one row per session.
+
+    Classic gaps-and-islands: lag → gap flag → running sum = session
+    index, then a per-session aggregate. Exactly one shuffle on
+    user_id (the window and the groupBy share partitioning).
+    Timestamps are compared at µs precision on both engines (events
+    carry ns; DuckDB truncates to µs on read — ordering ties broken
+    by event_id identically)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.select(
+        "*",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.select(
+        "*",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            (F.max("t_us") - F.min("t_us")).cast("bigint").alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -50,6 +50,8 @@ def _load_all() -> None:
         windows,
     )
     from flink_hiveorc_spark.functions import (  # noqa: F401
+        analytics,
+        cluster,
         dedup,
         multimodal,
         pipeline,
