@@ -191,36 +191,75 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int | None = None) -> DataFrame:
     )
 
 
-def _minhash_sig_cols(s: F.Column | str = "s") -> list[F.Column]:
-    """N_MINHASH independent min-hash values per shingle set: the i-th
-    hash of a shingle is md5('h{i}:'||shingle); the signature component
-    is the lexicographic min over shingles (md5 hex compares uniformly,
-    so min-of-md5 is a valid permutation-min).
+def _hash_pairs_col(s: F.Column | str = "s") -> F.Column:
+    """Per-shingle 2×32-bit hash pair from ONE md5: h1 = digest hex
+    [1..8], h2 = hex [9..16]. The N_MINHASH families are derived as
+    g_i = h1 + i·h2 (Kirsch–Mitzenmacher double hashing — standard
+    substitute for independent hash families in Bloom/MinHash
+    constructions). One md5 per shingle instead of N_MINHASH of them:
+    the digest stage was the measured hot spot (0.9s of 1.9s at
+    sf0.1), and at 100 TB hashing IS the dedup job's compute bill.
 
-    Computed as array_min(transform(s, ...)) — a pure per-row
-    projection over the shingle ARRAY. No explode, no 52×-row blowup,
-    no groupBy shuffle: at 100 TB the signature stage is map-only."""
+    Max value h1 + 7·h2 < 2³⁵ — no BIGINT overflow in either engine
+    (DuckDB raises on overflow rather than wrapping, so staying far
+    below 2⁶³ is correctness, not just hygiene)."""
     s = F.col(s) if isinstance(s, str) else s
+    return F.transform(
+        s,
+        lambda x: F.struct(
+            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(F.md5(x), 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+
+
+def _minhash_from_pairs(hs: F.Column | str = "hs") -> list[F.Column]:
+    """Signature component i = min over shingles of h1 + i·h2, via
+    array_min(transform(...)) — a pure per-row projection over the
+    hash-pair ARRAY. No explode, no 52×-row blowup, no groupBy
+    shuffle: at 100 TB the signature stage is map-only. Must be
+    applied to a SEPARATE projection of _hash_pairs_col (two selects)
+    so CollapseProject cannot inline the md5 transform into each of
+    the N_MINHASH mins."""
+    hs = F.col(hs) if isinstance(hs, str) else hs
     return [
-        F.array_min(F.transform(s, lambda x: F.md5(F.concat(F.lit(f"h{i}:"), x)))).alias(
-            f"mh{i}"
-        )
+        F.array_min(
+            F.transform(hs, lambda p: p.getField("h1") + F.lit(i) * p.getField("h2"))
+        ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
 
 
+def _minhash_sig_cols(s: F.Column | str = "s") -> list[F.Column]:
+    """Back-compat single-select form (used where the input frame is
+    already a shuffle boundary, so the md5 transform runs once)."""
+    return _minhash_from_pairs(_hash_pairs_col(s))
+
+
 _MINHASH_SQL_COLS = ",\n           ".join(
-    f"min(md5('h{i}:' || shingle)) AS mh{i}" for i in range(N_MINHASH)
+    f"min(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH)
 )
+
+# Per-shingle hash pair for oracles: one md5, split into two 32-bit
+# halves (hex → BIGINT via the 0x-prefix cast).
+_HASH_PAIR_SQL = """
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+"""
 
 
 @query(
     "dedup_minhash_signatures",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL})
+    WITH sh AS ({_SHINGLES_SQL}),
+    hp AS (
+      {_HASH_PAIR_SQL}
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    )
     SELECT doc_id,
            {_MINHASH_SQL_COLS}
-    FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    FROM hp
     GROUP BY doc_id
     """,
 )
@@ -228,23 +267,33 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2b: per-document MinHash signature (8 hashes), map-only —
     signature size is constant per doc regardless of document length:
     the sketch that makes near-dup feasible at 100 TB (downstream
-    stages carry 8 hex strings per doc, not shingle sets, and the
-    signature stage itself shuffles nothing)."""
+    stages carry 8 longs per doc, not shingle sets, and the
+    signature stage itself shuffles nothing). Two-step projection:
+    md5 hash pairs once, then the 8 derived mins (see
+    _hash_pairs_col)."""
     d = load_table(spark, sf_dir, "documents")
-    return _shingle_docs(d).select("doc_id", *_minhash_sig_cols())
+    return (
+        _shingle_docs(d)
+        .select("doc_id", _hash_pairs_col("s").alias("hs"))
+        .select("doc_id", *_minhash_from_pairs("hs"))
+    )
 
 
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+# The full pairs oracle is also reused (as a CTE) by the
+# connected-components oracle below.
+_LSH_PAIRS_ORACLE = f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    hp AS (
+      {_HASH_PAIR_SQL}
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    ),
     sig AS (
       SELECT doc_id,
              {_MINHASH_SQL_COLS}
-      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+      FROM hp
       GROUP BY doc_id
     ),
     bands AS (
@@ -272,8 +321,10 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
            CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
     FROM verified
     WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2c: the full MinHash → LSH banding → verify pipeline.
 
@@ -290,9 +341,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once/read-thrice (ReuseExchange), and the verify joins on
     # doc_a/doc_b then reuse its partitioning (3.5s → 1.4s at sf0.1).
     sh = _shingle_docs(d).repartition(F.col("doc_id"))
-    # Map-only signatures straight off the shingle arrays (see
-    # _minhash_sig_cols).
-    sig = sh.select("doc_id", *_minhash_sig_cols())
+    # Map-only signatures straight off the shingle arrays: hash pairs
+    # projected once, mins derived (see _hash_pairs_col).
+    sig = sh.select("doc_id", _hash_pairs_col("s").alias("hs")).select(
+        "doc_id", *_minhash_from_pairs("hs")
+    )
     # One row per (doc, band) in a single pass (no 4-way union re-scan).
     stack_args = ", ".join(
         f"{band}, concat(mh{i}, '|', mh{j})" for band, (i, j) in enumerate(_BANDS)
@@ -368,3 +421,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simhash"
         )
     )
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: turns pairwise
+# LSH matches into dedup GROUPS (the form a 100 TB dedup job actually
+# needs — keep one doc per component, not one per pair). Iterative
+# min-label propagation, the simple member of the large-star/small-star
+# family (Kiveris et al., "CC in MapReduce and Beyond"): one join +
+# one aggregate per iteration; iterations = graph diameter (near-dup
+# graphs are shallow — dup clusters are cliques-ish, diameter <= ~3).
+# Lineage is cut per iteration with localCheckpoint; convergence is a
+# count of changed labels (driver-coordinated loop by design, like
+# every iterative Spark algorithm).
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS doc_id, min(dst) AS component
+    FROM reach
+    GROUP BY src
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f: near-duplicate GROUPS — connected components over the
+    MinHash-LSH pair graph; component id = min doc_id reachable.
+    Docs with no near-dup partner are not emitted (singletons are
+    the complement — at scale you anti-join them out anyway).
+
+    Spark side: iterative min-label propagation (see module
+    docstring). DuckDB side: transitive closure via recursive CTE —
+    O(n·component) rows, fine at oracle scale, and an exact oracle
+    for an algorithm SQL can't express iteratively."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)  # pair generation (LSH) runs ONCE, not per iteration
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("doc_id"), F.col("u").alias("component")
+    )
+    for _ in range(20):  # diameter bound; near-dup graphs converge in ~3
+        nbr_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels

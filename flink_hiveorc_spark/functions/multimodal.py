@@ -177,3 +177,68 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
     return d.groupBy("lang").applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("chunk_len", T.LongType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+_CHUNK = 256  # bytes per frame/chunk
+
+
+def _frame_manifest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One→many frame sampling over binary payloads: split each blob
+    into fixed 256-byte chunks and emit one manifest row per chunk —
+    the batch shape of video frame-extraction / audio windowing
+    (N input blobs → sum(ceil(len/256)) output rows, streamed per
+    Arrow batch). The per-chunk digest is md5 over the UPPERCASE HEX
+    of the chunk: content-equivalent to hashing the bytes, and
+    expressible in the oracle engine (DuckDB has no BLOB md5)."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "frame_idx", "byte_offset", "chunk_len", "chunk_md5")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            # ceil(len/CHUNK) chunks; an empty payload yields zero
+            # rows (mirrors the oracle's range(0, ceil(0)) = empty).
+            for i in range(-(-len(payload) // _CHUNK)):
+                chunk = payload[i * _CHUNK : (i + 1) * _CHUNK]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["byte_offset"].append(i * _CHUNK)
+                out["chunk_len"].append(len(chunk))
+                out["chunk_md5"].append(hashlib.md5(chunk.hex().upper().encode()).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_manifest",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           i AS frame_idx,
+           i * {_CHUNK} AS byte_offset,
+           least({_CHUNK}, n - i * {_CHUNK}) AS chunk_len,
+           md5(substr(hx, i * {_CHUNK} * 2 + 1, {_CHUNK} * 2)) AS chunk_md5
+    FROM p, UNNEST(range(0, CAST(ceil(n / {_CHUNK}.0) AS BIGINT))) AS t(i)
+    """,
+)
+def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: frame/chunk manifest — the one→many mapInPandas shape of
+    video frame sampling or audio windowing, with deterministic chunk
+    digests so the WHOLE fan-out (row multiplication, offsets,
+    lengths, per-chunk content identity) is oracle-verified. Swap the
+    chunker for a real frame extractor on a cluster with codecs; the
+    Spark-side plumbing (binary column in, per-chunk rows out,
+    Arrow-batched) is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = with_binary_payload(docs)
+    return mm.select("doc_id", "payload").mapInPandas(_frame_manifest, _MANIFEST_SCHEMA)
