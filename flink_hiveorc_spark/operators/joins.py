@@ -571,3 +571,74 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+_HOUR_US = 3_600_000_000
+_WIN_US = 6 * _HOUR_US  # 6-hour windows
+
+
+@query(
+    "join_interval_bucketed",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id AS window_id, epoch_us(ts) AS w_start
+      FROM events
+      WHERE event_type = 'signup' AND user_id % 100 = 0
+    ),
+    p AS (
+      SELECT epoch_us(ts) AS t_us, value
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT w.window_id,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(p.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM w JOIN p
+      ON p.t_us >= w.w_start AND p.t_us < w.w_start + {_WIN_US}
+    GROUP BY w.window_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: point-in-interval join WITHOUT an equi key — purchases
+    falling inside any 6-hour signup window — executed as an
+    EQUI-join on time buckets plus a residual range filter.
+
+    The naive plan for `ON t BETWEEN start AND end` is a broadcast
+    nested loop: every point × every window. Bucketing rewrites it:
+    each window explodes to the ~7 hour-buckets it covers, each point
+    has exactly ONE bucket, and the join becomes a hash join on the
+    bucket key (a point meets a window only in the point's own
+    bucket, so no pair dedup is needed). At 100 TB this is the
+    difference between |points|×|windows| comparisons and
+    |points| + 7·|windows| shuffled rows, and the bucket key
+    distributes uniformly in time (salt only if windows cluster
+    pathologically). Bucket width should approximate the window
+    span: too fine multiplies the window fan-out, too coarse
+    multiplies residual-filter misses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.filter((F.col("event_type") == "signup") & (F.col("user_id") % 100 == 0)).select(
+        F.col("event_id").alias("window_id"),
+        F.expr("ts_ns div 1000").alias("w_start"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("ts_ns div 1000").alias("t_us"), "value"
+    )
+    wb = w.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {_HOUR_US}"),
+                F.expr(f"(w_start + {_WIN_US} - 1) div {_HOUR_US}"),
+            )
+        ),
+    )
+    pb = p.withColumn("bucket", F.expr(f"t_us div {_HOUR_US}"))
+    return (
+        pb.join(F.broadcast(wb), "bucket")
+        .filter((F.col("t_us") >= F.col("w_start")) & (F.col("t_us") < F.col("w_start") + _WIN_US))
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+    )

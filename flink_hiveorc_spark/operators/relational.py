@@ -212,3 +212,36 @@ def set_union_byname_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source_batch", F.lit("legacy"))
     )
     return with_value.unionByName(legacy, allowMissingColumns=True)
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of agg_pivot_status_by_priority):
+    four measure columns unpivoted to (key, measure, value) rows via
+    DataFrame.unpivot — planned as a single Expand node (one scan,
+    rows×4 generated in-place), NOT the 4-scan UNION ALL the oracle
+    spells out. At 100 TB that's 4 fewer fact-table scans; the
+    orderkey filter is pushed below the Expand to the scan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
