@@ -242,3 +242,47 @@ def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mm = with_binary_payload(docs)
     return mm.select("doc_id", "payload").mapInPandas(_frame_manifest, _MANIFEST_SCHEMA)
+
+
+def _normalize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized text normalization: lower → strip non-alphanumerics
+    → collapse whitespace → trim. Pure pandas string kernels over
+    Arrow batches — the Series→Series fast path (no per-row Python
+    function calls; ~10-100× over a row UDF)."""
+    return (
+        texts.str.lower()
+        .str.replace(r"[^a-z0-9 ]", " ", regex=True)
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+
+
+@query(
+    "udf_pandas_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      '\\s+', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def udf_pandas_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar pandas UDF (Series→Series): the third Arrow shape
+    next to mapInPandas (multimodal_binary_features) and
+    applyInPandas (udf_grouped_zscore). Normalization is the
+    canonical pre-dedup step; the oracle runs the equivalent regex
+    chain in SQL, verifying the vectorized kernel byte-for-byte."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def norm(texts: pd.Series) -> pd.Series:
+        return _normalize_series(texts)
+
+    d = load_table(spark, sf_dir, "documents")
+    # Two-step select: the UDF runs once; the length derives from its
+    # output column instead of a second UDF evaluation.
+    return d.select("doc_id", norm("text").alias("norm_text")).select(
+        "doc_id", "norm_text", F.length("norm_text").alias("n_chars_norm")
+    )

@@ -245,3 +245,47 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "json_source_roundtrip",
+    oracle="""
+    SELECT strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS ref_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-batch parity: the city table written as JSON LINES and read
+    back with an EXPLICIT StructType (never schema inference — on a
+    100 TB lake, inference is a full extra scan and a schema-drift
+    hazard; the reference's reflective schema, HiveOrcSink.java:309,
+    is the same trap). Integer fields round-trip exactly through
+    JSON; the aggregate proves row and value fidelity against the
+    source-of-truth parquet."""
+    from pyspark.sql import types as T
+
+    wh = _roundtrip_warehouse(sf_dir) + "_json"
+    if not os.path.exists(os.path.join(wh, "_SUCCESS")):
+        attempt = f"{wh}__attempt_{os.getpid()}_{id(spark)}"
+        city_shaped_events(spark, sf_dir).write.mode("overwrite").json(attempt)
+        try:
+            os.rename(attempt, wh)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(attempt, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("ref", T.LongType()),
+            T.StructField("city_id", T.LongType()),
+            T.StructField("city_name", T.StringType()),
+            T.StructField("c_date", T.StringType()),
+        ]
+    )
+    city = spark.read.schema(schema).json(wh)
+    return city.groupBy("c_date").agg(
+        F.count("*").alias("n_rows"), F.sum("ref").alias("ref_sum")
+    )
