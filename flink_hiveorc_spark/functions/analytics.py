@@ -199,3 +199,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+SHARD_TOKEN_BUDGET = 2000
+
+
+@query(
+    "pipeline_pack_shards",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, source,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST((cum_tokens - n_tokens) / {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_idx
+    FROM packed
+    """,
+)
+def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4h: training-shard packing — assign documents to ~2000-token
+    shards within each (lang, source) stream, the step that turns a
+    cleaned corpus into fixed-budget training files.
+
+    Greedy sequential packing: a doc goes to the shard where its
+    START offset (running sum minus own length) falls — every engine
+    that agrees on the order agrees on the assignment (no bin-packing
+    heuristics, no data-dependent tie-breaks). Scale: the window is
+    PARTITIONED by (lang, source) — packing parallelism = number of
+    streams, state = one running sum; never a global single-partition
+    sort. Integer token counts make the cumsum exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET
+        )
+        .cast("bigint")
+        .alias("shard_idx"),
+    )

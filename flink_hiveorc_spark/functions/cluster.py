@@ -54,3 +54,124 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_val")
         )
     )
+
+
+_Q_CENT = 1073741824  # 2^30 — centroid-mean quantization
+_Q_DIST = 1099511627776  # 2^40 — squared-distance-term quantization
+_KMEANS_K = 4
+
+# Shared CTE text: quantized squared distance between a vector and a
+# centroid ARRAY, as an exact BIGINT (each term floor-quantized, so
+# the sum is order-independent — double sums would drift between
+# engines/partitionings).
+_KMEANS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster_id, embedding AS cent FROM embeddings
+      WHERE vec_id < {_KMEANS_K}
+    ),
+    d1 AS (
+      SELECT e.vec_id, c0.cluster_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+               CAST(floor((CAST(e.embedding[i] AS DOUBLE) - CAST(c0.cent[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c0.cent[i] AS DOUBLE))
+                          * {_Q_DIST}) AS BIGINT))) AS dist_q
+      FROM e CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cluster_id) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cluster_id, i AS dim,
+             CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * {_Q_CENT}) AS BIGINT)) AS DOUBLE)
+               / count(*) / {_Q_CENT} AS m
+      FROM a1 JOIN e USING (vec_id), UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+      GROUP BY a1.cluster_id, i
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cluster_id,
+             sum(CAST(floor((CAST(e.embedding[c1.dim] AS DOUBLE) - c1.m)
+                            * (CAST(e.embedding[c1.dim] AS DOUBLE) - c1.m)
+                            * {_Q_DIST}) AS BIGINT)) AS dist_q
+      FROM e CROSS JOIN c1
+      GROUP BY e.vec_id, c1.cluster_id
+    )
+    SELECT vec_id, cluster_id, CAST(dist_q AS BIGINT) AS dist_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cluster_id) AS rn
+      FROM d2
+    ) WHERE rn = 1
+"""
+
+
+def _emb_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dist_q(emb, cent):
+    """Σᵢ floor((eᵢ-cᵢ)² · 2⁴⁰) as a long — exact, order-free."""
+    return F.aggregate(
+        F.zip_with(emb, cent, lambda x, y: F.floor((x - y) * (x - y) * F.lit(float(_Q_DIST))).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("ml_kmeans_two_rounds", oracle=_KMEANS_ORACLE)
+def ml_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3e: two unrolled Lloyd iterations of k-means (k=4, init =
+    vectors 0..3) — the iterative-ML pattern as declarative Spark,
+    VALUE-checked against a recursive-free SQL oracle.
+
+    Determinism engineering (what makes an FP-iterative algorithm
+    hash-comparable across engines): every accumulation is integer —
+    squared-distance terms floor-quantized at 2⁻⁴⁰ before summing,
+    centroid means from 2⁻³⁰-quantized element sums — so no result
+    depends on float summation order; argmin breaks ties on
+    (dist_q, cluster_id).
+
+    Scale: assignment is embeddings ⋈ broadcast(centroids) (k·dims
+    doubles — trivially broadcastable for any practical k), one
+    shuffle per recompute on (cluster, dim). Each Lloyd round is one
+    broadcast join + one aggregate; rounds are driver-sequenced like
+    dedup_cluster_components' loop."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    c0 = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cent")
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        d = vectors.join(F.broadcast(cents)).select(
+            "vec_id", "cluster_id", "emb", _dist_q(F.col("emb"), F.col("cent")).alias("dist_q")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist_q", "cluster_id")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+    a1 = assign(e, c0)
+    c1 = (
+        a1.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cluster_id", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * _Q_CENT).cast("long")).cast("double")
+                / F.count("*")
+                / F.lit(_Q_CENT)
+            ).alias("m")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.getField("m")
+            ).alias("cent")
+        )
+    )
+    a2 = assign(e, c1)
+    return a2.select("vec_id", "cluster_id", "dist_q")
