@@ -257,3 +257,51 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard_idx"),
     )
+
+
+@query(
+    "cdc_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS t_us, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, state, t_us, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           t_us AS valid_from_us,
+           lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to_us
+    FROM changes
+    """,
+)
+def cdc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC→SCD2: compress each user's event stream into slowly-
+    changing-dimension type-2 validity intervals — consecutive
+    same-state rows collapse, each surviving row gets
+    [valid_from, valid_to) from its own time and the next change's
+    (NULL = current). Two window passes over ONE user_id
+    partitioning (change detection, then lead); the dimension a
+    downstream as-of join consumes. µs timestamps + event_id ties as
+    everywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.expr("ts_ns div 1000").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    changes = ev.withColumn("prev_state", F.lag("state").over(w)).filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("t_us").alias("valid_from_us"),
+        F.lead("t_us").over(w2).alias("valid_to_us"),
+    )

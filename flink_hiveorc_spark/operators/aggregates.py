@@ -269,3 +269,33 @@ def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_n").alias("status_P"),
         F.col("F_rev").cast("double").alias("revenue_F"),
     )
+
+
+@query(
+    "agg_histogram_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: fixed-width histogram — bucket = floor(price/width), one
+    hash aggregate over the scan (the profile/EDA primitive; at
+    100 TB the bucket count stays tiny so the shuffle is bytes).
+    floor of a single double division is deterministic; min/max of
+    stored doubles are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -642,3 +642,35 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "rel_division_every_year",
+    oracle="""
+    SELECT o_custkey AS c_custkey, count(*) AS n_years
+    FROM (
+      SELECT DISTINCT o_custkey, year(o_orderdate) AS y
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+    )
+    GROUP BY o_custkey
+    HAVING count(*) = 3
+    """,
+)
+def rel_division_every_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: relational division ("for all") — customers with at least
+    one order in EVERY year 1996-1998, via the count-distinct
+    reduction (|distinct years per customer| = |required set|): one
+    dedup + one aggregate, no iterated anti-joins. The year filter
+    prunes at the scan; the distinct and the aggregate share the
+    o_custkey shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    return (
+        o.filter(y.between(1996, 1998))
+        .select(F.col("o_custkey").alias("c_custkey"), y.alias("y"))
+        .distinct()
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_years"))
+        .filter(F.col("n_years") == 3)
+    )

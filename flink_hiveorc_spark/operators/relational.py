@@ -289,3 +289,52 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return city.groupBy("c_date").agg(
         F.count("*").alias("n_rows"), F.sum("ref").alias("ref_sum")
     )
+
+
+@query(
+    "dq_referential_check",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders) AS n_orders,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      ) AS n_orphan_orders,
+      (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL) AS n_null_priority,
+      (SELECT count(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+      )) AS n_dup_orderkeys
+    """,
+)
+def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one-row contract summary a pipeline asserts
+    on before publishing — row count, referential orphans
+    (orders→customer anti join), null-constraint violations, and
+    primary-key duplicates. Each check is a count aggregate; the
+    orphan check broadcasts the customer KEY COLUMN only. One JOB
+    instead of four: each branch scans orders pruned to the single
+    column it needs (1-col scans in the plan audit) and the 1-row
+    results cross-join for free — at 100 TB the bill is three narrow
+    column reads, not four full validation jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "n_null_priority"
+        ),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphan_orders"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("n_dup_orderkeys"))
+    )
+    return (
+        base.crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(dups))
+        .select("n_orders", "n_orphan_orders", "n_null_priority", "n_dup_orderkeys")
+    )

@@ -235,3 +235,41 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "window_mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
+             / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series shape: month-over-month revenue growth — lag over
+    the AGGREGATED month series, not the raw facts. The unpartitioned
+    window is safe exactly because it runs post-aggregation (~tens of
+    rows at any scale factor: the aggregate shrinks first, then the
+    single-partition window costs nothing). Growth = (rev-prev)/prev
+    on doubles derived from exact decimal sums; first month is NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
+    )
+    w = Window.orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.lag("rev").over(w).cast("double")
+    return m.select(
+        "month",
+        rev_d.alias("revenue"),
+        ((rev_d - prev_d) / prev_d).alias("mom_growth"),
+    ).orderBy("month")
