@@ -40,6 +40,16 @@ PROBE = [
     "stream_tumbling_hourly",
     "skew_salted_agg",
     "sort_limit_top_lineitems",
+    # round 2: the heavy new shapes (dup-insensitive ones only — key
+    # replication breaks pair-finders and per-key SCD compression)
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "join_interval_bucketed",
+    "text_tfidf_top_terms",
+    "pipeline_pack_shards",
+    "ml_kmeans_two_rounds",
+    "agg_histogram_prices",
 ]
 
 
