@@ -333,3 +333,39 @@ def scalar_json_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (j["k"] % 10).alias("k_mod"),
         F.when(j["k"].isNull(), 1).otherwise(0).alias("is_malformed"),
     )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             nullif(json_extract_string(props, '$.k'), '29') AS k_val
+      FROM events
+    )
+    SELECT event_id,
+           k_val,
+           k_val IS NOT DISTINCT FROM '42' AS nullsafe_eq_42,
+           coalesce(k_val, '<missing>') AS k_or_default,
+           CASE WHEN k_val IS NULL THEN 0 ELSE 1 END AS has_k,
+           nullif(event_type, 'error') AS type_or_null
+    FROM base
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery: null-safe equality (<=> ≙ IS NOT
+    DISTINCT FROM), coalesce defaulting, IS NULL branching, and
+    NULLIF — the constructs whose three-valued-logic corners differ
+    across engines if anything is off. NULLs are produced from real
+    data (nullif on a JSON field value), so every downstream op sees
+    a genuine NULL/non-NULL mix."""
+    ev = load_table(spark, sf_dir, "events")
+    k_val = F.nullif(F.get_json_object("props", "$.k"), F.lit("29"))
+    return ev.select(
+        "event_id",
+        k_val.alias("k_val"),
+        k_val.eqNullSafe(F.lit("42")).alias("nullsafe_eq_42"),
+        F.coalesce(k_val, F.lit("<missing>")).alias("k_or_default"),
+        F.when(k_val.isNull(), 0).otherwise(1).alias("has_k"),
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+    )

@@ -273,3 +273,37 @@ def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_d.alias("revenue"),
         ((rev_d - prev_d) / prev_d).alias("mom_growth"),
     ).orderBy("month")
+
+
+@query(
+    "window_percent_rank_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(total AS DOUBLE) AS total_spend,
+           percent_rank() OVER (ORDER BY total, o_custkey) AS pct_rank,
+           cume_dist() OVER (ORDER BY total, o_custkey) AS cume
+    FROM spend
+    """,
+)
+def window_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank + cume_dist over customer
+    spend. Both are (rank-1)/(n-1)- and rows≤current/n-style ratios of
+    integer ranks — engine-exact. The window orders by (total,
+    custkey): the DECIMAL total makes ties exact, the key makes the
+    order total. Runs over the AGGREGATED per-customer frame (like
+    the MoM query: shrink first, then the global window is cheap)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total")
+    )
+    w = Window.orderBy("total", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        F.col("total").cast("double").alias("total_spend"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

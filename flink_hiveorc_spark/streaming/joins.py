@@ -95,3 +95,43 @@ def signups_with_first_hour_purchase(
         "signup_ts",
         "purchase_ts",
     )
+
+
+def signup_purchase_full_outer(
+    signups: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """FULL OUTER stream⋈stream: matched pairs, signups that never
+    converted, AND purchases with no in-window signup (the audit /
+    reconciliation shape — neither side may silently drop).
+
+    Unmatched rows from EITHER side emit only once the watermark
+    proves no counterpart can arrive; state eviction follows the same
+    time bound as the inner join. Spark requires the time constraint
+    on both outer sides for exactly this reason — without it neither
+    side's state could ever be released.
+    """
+    s = signups.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return s.join(p, cond, "fullOuter").select(
+        F.coalesce(F.col("s_user"), F.col("p_user")).alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        "signup_ts",
+        "purchase_ts",
+    )

@@ -281,3 +281,57 @@ def test_tumbling_counts_runs_on_real_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("tumbling_sink").collect()
     assert rows and rows[0].n == 20 and rows[0].n_users >= 4  # HLL approx of 5
+
+
+def test_stream_stream_full_outer_emits_both_sides(spark, tmp_path):
+    """Full outer stream⋈stream: matched pair, unmatched signup, AND
+    unmatched purchase must all emit (the two outer classes only
+    after the watermark passes their bound)."""
+    import time as _time
+
+    from flink_hiveorc_spark.streaming.joins import signup_purchase_full_outer
+
+    sdir, pdir = tmp_path / "fsignups", tmp_path / "fpurchases"
+    sdir.mkdir(), pdir.mkdir()
+    with open(sdir / "a_early.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 7, "ts": "2025-08-12 10:00:00"}) + "\n")
+        f.write(json.dumps({"event_id": 2, "user_id": 8, "ts": "2025-08-12 10:00:00"}) + "\n")
+    _time.sleep(1.1)
+    with open(sdir / "b_later.json", "w") as f:
+        f.write(json.dumps({"event_id": 3, "user_id": 9, "ts": "2025-08-12 14:00:00"}) + "\n")
+    _time.sleep(1.1)
+    with open(sdir / "c_latest.json", "w") as f:
+        f.write(json.dumps({"event_id": 4, "user_id": 10, "ts": "2025-08-12 18:00:00"}) + "\n")
+    with open(pdir / "p.json", "w") as f:
+        # matched (u7), orphan purchase (u55 — no signup at all), and a
+        # late row to push the purchases-side watermark forward.
+        f.write(json.dumps({"event_id": 10, "user_id": 7, "ts": "2025-08-12 10:30:00"}) + "\n")
+        f.write(json.dumps({"event_id": 12, "user_id": 55, "ts": "2025-08-12 10:15:00"}) + "\n")
+        f.write(json.dumps({"event_id": 11, "user_id": 99, "ts": "2025-08-12 18:00:00"}) + "\n")
+
+    schema = "event_id long, user_id long, ts timestamp"
+    signups = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(sdir))
+    purchases = spark.readStream.schema(schema).json(str(pdir))
+    q = (
+        signup_purchase_full_outer(signups, purchases)
+        .writeStream.format("memory")
+        .queryName("fossj_sink")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        sign_to_purch, purch_to_sign = {}, {}
+        while _time.time() < deadline:
+            rows = spark.table("fossj_sink").collect()
+            sign_to_purch = {r.signup_id: r.purchase_id for r in rows if r.signup_id is not None}
+            purch_to_sign = {r.purchase_id: r.signup_id for r in rows if r.purchase_id is not None}
+            if 2 in sign_to_purch and 12 in purch_to_sign:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert sign_to_purch.get(1) == 10  # matched pair
+    assert 2 in sign_to_purch and sign_to_purch[2] is None  # signup never converted
+    assert 12 in purch_to_sign and purch_to_sign[12] is None  # orphan purchase
