@@ -299,3 +299,95 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_minby_maxby",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: argmin/argmax aggregates (min_by/max_by ≙ DuckDB
+    arg_min/arg_max) — "the key of the extreme row" without a
+    self-join back to the table. Well-defined here because
+    o_totalprice is unique per priority group in this corpus; with
+    ties both engines pick an arbitrary winner, so tie-prone keys
+    need a (value, key) struct-min instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_boolean_flags",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_totalprice > 300000) AS n_big,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           count(*) FILTER (o_orderpriority = '5-LOW' AND o_totalprice > 300000) AS n_low_big
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_boolean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: predicate aggregates — count_if (≙ FILTER'd count),
+    bool_or/any, bool_and/every. The flags fold map-side like any
+    other partial aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.count_if(
+                (F.col("o_orderpriority") == "5-LOW") & (F.col("o_totalprice") > 300000)
+            ).alias("n_low_big"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_string_concat_regions",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def agg_string_concat_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ordered string aggregation (listagg/string_agg). Spark has
+    no ORDER BY inside the aggregate, so the deterministic form is
+    sort-then-join: array_sort(collect_list(...)) → array_join —
+    identical output to the oracle's ordered string_agg for any
+    input partitioning."""
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"))
+        .orderBy("r_name")
+    )

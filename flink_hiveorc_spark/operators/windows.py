@@ -307,3 +307,66 @@ def window_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "gapfill_daily_event_value",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.total_value, 0.0) AS total_value
+    FROM spine s
+    LEFT JOIN daily d ON s.day = d.day
+    ORDER BY day
+    """,
+)
+def gapfill_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated calendar spine LEFT-joined
+    to the daily aggregate so zero-activity days appear explicitly
+    (what dashboards and window-over-time consumers need — a missing
+    day silently breaks moving averages).
+
+    The spine derives from the data's own min/max (one tiny agg,
+    sequence() explode — rows = days, never more); the daily agg
+    shrinks the fact table before the join, and the spine side is
+    broadcast. Dates are compared as DATE and emitted as strings."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"), F.max(F.col("ts").cast("date")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
