@@ -581,3 +581,245 @@ def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))
+               - CAST((0.4 * p.p_retailprice) * l.l_quantity AS DECIMAL(25,6)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: product-type profit by nation and year. Substitution:
+    no partsupp, so supply cost is 0.4·p_retailprice per unit (the
+    join graph — part/supplier/lineitem/orders/nation with a LIKE
+    filter on part name — is unchanged; the partsupp hop collapses
+    into the broadcast part side). The LIKE '%red%' filter prunes the
+    broadcast BEFORE it ships; profit amounts are decimal-exact."""
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ).select("p_partkey", "p_retailprice")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier")).select("s_suppkey", "s_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC) - (
+        (F.lit(0.4) * F.col("p_retailprice")) * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_class,
+           count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: priority mix per shipping class. Substitution: no
+    l_shipmode / commit/receipt dates, so the class is the ship-delay
+    bucket (late = shipped >60 days after ordering) — same
+    group-on-derived-class + dual conditional-count shape. The date
+    filter reaches the lineitem scan; the conditional counts fold
+    map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ship_class = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), "late"
+    ).otherwise("ontime")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(ship_class.alias("ship_class"))
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who SOLELY delayed multi-supplier orders —
+    the double-correlated EXISTS / NOT EXISTS query. Substitution:
+    lateness is ship-vs-order delay (no commit/receipt dates).
+
+    Decorrelation: both correlated subqueries reduce to per-order
+    aggregates over ONE auxiliary frame —
+      EXISTS(other supplier)       ⟺ distinct suppliers in order ≥ 2,
+      NOT EXISTS(other late supp)  ⟺ distinct LATE suppliers = 1
+    (l1 is itself late, so 'exactly one late supplier' pins it to
+    l1's). Two broadcast-joined aggregates replace two correlated
+    probes per row — the 100 TB form, since each aggregate shuffles
+    the fact table once on the join key instead of probing per row."""
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi_supp = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supps"))
+        .filter(F.col("n_supps") >= 2)
+        .select(F.col("l_orderkey").alias("ms_orderkey"))
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late_supps"))
+        .filter(F.col("n_late_supps") == 1)
+        .select(F.col("l_orderkey").alias("sl_orderkey"))
+    )
+    return (
+        late.join(multi_supp, late.l_orderkey == F.col("ms_orderkey"))
+        .join(sole_late, late.l_orderkey == F.col("sl_orderkey"))
+        .join(s, late.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q20_heavy_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    thresh AS (
+      SELECT l_partkey, 1.5 * (CAST(sum(qty) AS DOUBLE) / count(*)) AS qty_thresh
+      FROM sp GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp
+        JOIN thresh t ON t.l_partkey = sp.l_partkey
+        WHERE sp.qty > t.qty_thresh
+      )
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers who moved disproportionate volume of a
+    part class — the nested-IN-subqueries query. Substitution: no
+    partsupp/availqty, so "heavy" means shipping >1.5× the per-part
+    average supplier quantity of 'red' parts in 1996.
+
+    Decorrelated as: per-(part,supplier) quantities aggregated ONCE,
+    the per-part threshold derived FROM that aggregate (sum-of-sums,
+    no second scan), the qualifying-supplier set distinct'd, then a
+    semi join into the supplier dim. Quantities are integral doubles
+    (exact), the threshold is one deterministic divide+multiply."""
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    sp = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(1.5) * (F.sum("qty").cast("double") / F.count("*"))).alias("qty_thresh")
+    )
+    heavy = (
+        sp.join(F.broadcast(thresh), sp.l_partkey == F.col("t_partkey"))
+        .filter(F.col("qty") > F.col("qty_thresh"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+        )
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
