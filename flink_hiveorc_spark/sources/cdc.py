@@ -69,22 +69,29 @@ def epoch_ms_to_local_date(col: Column, utc_offset_hours: int = 8) -> Column:
     return F.date_add(F.lit("1970-01-01").cast("date"), days).cast("string")
 
 
-def decode_city_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def decode_city_envelope(
+    raw: DataFrame, value_col: str = "value", with_seq: bool = False
+) -> DataFrame:
     """Decode the reference's CDC envelope into City rows.
 
     ``raw`` carries one JSON string per row in ``value_col``. Returns
     columns (ref, city_id, city_name, c_date) — the City POJO shape
     with the partition date derived exactly as App.txt:63-68 does.
-    """
+    ``with_seq`` additionally keeps the raw epoch-ms as ``seq_ms``
+    (the per-key ordering an upsert consumer needs; the reference
+    discards it after deriving the date)."""
     lowered = F.lower(F.col(value_col))  # App.txt:59
     inner = F.from_json(lowered, OUTER_SCHEMA)["value"]
     after = F.from_json(inner, AFTER_SCHEMA)["after"]
-    return raw.select(
+    cols = [
         after["ref"].alias("ref"),
         after["city_id"].alias("city_id"),
         after["city_name"].alias("city_name"),
         epoch_ms_to_local_date(after["c_time"]).alias("c_date"),
-    )
+    ]
+    if with_seq:
+        cols.append(after["c_time"].alias("seq_ms"))
+    return raw.select(*cols)
 
 
 def latest_state(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:

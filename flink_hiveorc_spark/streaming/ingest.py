@@ -169,3 +169,91 @@ def start_city_ingest_managed(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+_SNAPSHOT_PTR = "_LATEST"
+
+
+def read_city_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read the current upsert snapshot (see start_city_upsert)."""
+    import os
+
+    with open(os.path.join(out_path, _SNAPSHOT_PTR)) as fh:
+        current = fh.read().strip()
+    return spark.read.parquet(os.path.join(out_path, current))
+
+
+def start_city_upsert(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming CDC UPSERT: maintain a latest-state-per-key snapshot
+    across micro-batches — the materialized table the reference's
+    append-only sink leaves to downstream readers (SURVEY.md §1.3;
+    batch twin: cdc_upsert_latest_state).
+
+    Mechanics per batch: merge the incoming city rows (with their
+    epoch-ms sequence) into the previous snapshot via
+    sources/cdc.py:latest_state (max_by per key — one hash aggregate,
+    no window sort), write the NEW snapshot to a versioned dir, then
+    atomically repoint the `_LATEST` pointer file. Readers
+    (read_city_snapshot) follow the pointer, so they always see a
+    complete, consistent version — never a half-written one.
+
+    Delivery: effectively exactly-once THROUGH IDEMPOTENCE — a crash
+    between snapshot publish and offset commit replays the batch, but
+    re-merging the same rows into a snapshot that already contains
+    them is a no-op (latest_state is idempotent under duplicates
+    given a total per-key sequence). Old versions are pruned, keeping
+    the previous one as the rollback point.
+
+    100 TB note: full-snapshot rewrite per batch is right for
+    dimension-sized state (the City table). Fact-sized streaming
+    upserts belong in a format with row-level merge (Iceberg/Delta
+    MERGE INTO) — out of scope for the parquet-only harness, stated
+    rather than faked.
+    """
+    import os
+
+    city = decode_city_envelope(raw, with_seq=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from flink_hiveorc_spark.sources.cdc import latest_state
+
+        spark = batch_df.sparkSession
+        os.makedirs(out_path, exist_ok=True)
+        ptr = os.path.join(out_path, _SNAPSHOT_PTR)
+        merged = batch_df
+        prev: str | None = None
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                prev = fh.read().strip()
+            merged = spark.read.parquet(os.path.join(out_path, prev)).unionByName(
+                batch_df
+            )
+        snapshot = latest_state(merged, keys=["ref"], seq_col="seq_ms")
+        vdir = f"v{batch_id:020d}"
+        snapshot.write.mode("overwrite").parquet(os.path.join(out_path, vdir))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, ptr)  # atomic publish
+        # Prune all versions older than the previous one (kept as the
+        # rollback point; a reader mid-scan on `prev` is also safe).
+        for d in os.listdir(out_path):
+            if d.startswith("v") and d not in (vdir, prev):
+                import shutil
+
+                shutil.rmtree(os.path.join(out_path, d), ignore_errors=True)
+
+    writer = city.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -335,3 +335,60 @@ def test_stream_stream_full_outer_emits_both_sides(spark, tmp_path):
     assert sign_to_purch.get(1) == 10  # matched pair
     assert 2 in sign_to_purch and sign_to_purch[2] is None  # signup never converted
     assert 12 in purch_to_sign and purch_to_sign[12] is None  # orphan purchase
+
+
+def test_streaming_upsert_latest_state_across_restart(spark, tmp_path):
+    """foreachBatch upsert snapshot: later CDC events for the same key
+    win; a RESTART on the same checkpoint merges new batches into the
+    existing snapshot without duplicating or losing keys."""
+    from flink_hiveorc_spark.streaming.ingest import (
+        file_raw_stream,
+        read_city_snapshot,
+        start_city_upsert,
+    )
+
+    def envelope(ref, name, t_ms):
+        inner = json.dumps(
+            {"after": {"ref": ref, "city_id": ref, "city_name": name, "c_time": t_ms}}
+        )
+        return json.dumps({"value": inner})
+
+    src, out, ckpt = tmp_path / "usrc", str(tmp_path / "uout"), str(tmp_path / "uckpt")
+    src.mkdir()
+    t0 = 1755000000000
+    with open(src / "a.txt", "w") as f:
+        f.write(envelope(1, "old_one", t0) + "\n")
+        f.write(envelope(2, "two", t0 + 1) + "\n")
+    with open(src / "b.txt", "w") as f:
+        f.write(envelope(1, "new_one", t0 + 10) + "\n")  # supersedes old_one
+        f.write(envelope(3, "three", t0 + 11) + "\n")
+
+    q = start_city_upsert(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
+    assert state == {1: "new_one", 2: "two", 3: "three"}
+
+    # Restart on the same checkpoint with one more file: only the new
+    # batch is processed; key 2 is upserted, the rest survive.
+    with open(src / "c.txt", "w") as f:
+        f.write(envelope(2, "two_v2", t0 + 20) + "\n")
+    q2 = start_city_upsert(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
+    assert state == {1: "new_one", 2: "two_v2", 3: "three"}
+    # Out-of-order late event (older seq) must NOT regress the state.
+    with open(src / "d.txt", "w") as f:
+        f.write(envelope(2, "stale_two", t0 + 5) + "\n")
+    q3 = start_city_upsert(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
+        available_now=True,
+    )
+    q3.awaitTermination(120)
+    state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
+    assert state[2] == "two_v2"
