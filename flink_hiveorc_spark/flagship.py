@@ -47,7 +47,9 @@ def run(spark: SparkSession, sf_dir: str, warehouse: str | None = None) -> DataF
     )
     city = city_shaped_events(spark, sf_dir)
     write_partitioned(city, warehouse, "c_date", fmt="orc")
-    back = read_table(spark, warehouse, fmt="orc")
+    from flink_hiveorc_spark.sources.cdc import CITY_SCHEMA
+
+    back = read_table(spark, warehouse, fmt="orc", schema=CITY_SCHEMA)
     return (
         back.groupBy("c_date")
         .agg(

@@ -104,7 +104,9 @@ def _city_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(attempt, ignore_errors=True)
-    return read_table(spark, wh, fmt="orc")
+    from flink_hiveorc_spark.sources.cdc import CITY_SCHEMA
+
+    return read_table(spark, wh, fmt="orc", schema=CITY_SCHEMA)
 
 
 @query(

@@ -75,10 +75,21 @@ def write_partitioned(
     w.save(path)
 
 
-def read_table(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "orc", schema=None
+) -> DataFrame:
     """Read a partitioned table dir back; partition pruning applies to
-    any filter on the ``field=value`` columns."""
-    return spark.read.format(fmt).load(path)
+    any filter on the ``field=value`` columns.
+
+    Pass ``schema`` (StructType, including partition columns) wherever
+    the expected shape is known: inference needs at least one data
+    file, so a legitimately EMPTY table (zero rows written) breaks
+    schemaless readers — the same explicit-schema rule the engine
+    applies to JSON sources (SURVEY.md §1.4: no reflective schemas)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def register_partitions(spark: SparkSession, table: str, path: str) -> None:
