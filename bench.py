@@ -38,6 +38,8 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",
     "tpch_q17_small_quantity_revenue",
+    "text_tfidf_top_terms",
+    "ml_kmeans_two_rounds",
 ]
 
 

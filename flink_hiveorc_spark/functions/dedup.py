@@ -230,12 +230,6 @@ def _minhash_from_pairs(hs: F.Column | str = "hs") -> list[F.Column]:
     ]
 
 
-def _minhash_sig_cols(s: F.Column | str = "s") -> list[F.Column]:
-    """Back-compat single-select form (used where the input frame is
-    already a shuffle boundary, so the md5 transform runs once)."""
-    return _minhash_from_pairs(_hash_pairs_col(s))
-
-
 _MINHASH_SQL_COLS = ",\n           ".join(
     f"min(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH)
 )
