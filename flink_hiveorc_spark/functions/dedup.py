@@ -488,3 +488,41 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g: the dedup END ARTIFACT — the corpus with near-duplicates
+    REMOVED: singletons pass through untouched, and each connected
+    component of the LSH pair graph keeps exactly its min-doc_id
+    representative. Composition of dedup_cluster_components + an
+    anti-join-shaped filter (left join + keep-if-unclustered-or-
+    canonical); at 100 TB the component map is tiny relative to the
+    corpus and broadcasts, so the cleanup pass is one scan of the
+    documents table."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    comp = dedup_cluster_components(spark, sf_dir)
+    drop = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti")

@@ -369,3 +369,64 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k_val.isNull(), 0).otherwise(1).alias("has_k"),
         F.nullif("event_type", F.lit("error")).alias("type_or_null"),
     )
+
+
+@query(
+    "scalar_json_nested_roundtrip",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           arg_min(event_type, event_id) AS first_type,
+           count(*) AS n_items
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def scalar_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON machinery end-to-end ON THE SPARK SIDE: build a
+    document {user:{id,n}, events:[{id,type},...]} per user with
+    to_json(struct(...)), parse it back with from_json + an explicit
+    nested schema (struct containing an ARRAY of structs), and
+    extract scalars through the parsed tree. The oracle computes the
+    expected values relationally — it verifies the roundtrip is
+    LOSSLESS without needing DuckDB to replicate Spark's JSON
+    serialization. Array order inside the doc is pinned by
+    array_sort(collect_list(struct(event_id, ...)))."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    built = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.struct(F.col("user_id").alias("id"), F.count("*").alias("n")).alias("user"),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type")))
+                ).alias("events"),
+            )
+        ).alias("doc")
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField(
+                "user",
+                T.StructType(
+                    [T.StructField("id", T.LongType()), T.StructField("n", T.LongType())]
+                ),
+            ),
+            T.StructField(
+                "events",
+                T.ArrayType(
+                    T.StructType(
+                        [T.StructField("id", T.LongType()), T.StructField("type", T.StringType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    parsed = built.select("user_id", F.from_json("doc", doc_schema).alias("j"))
+    return parsed.select(
+        "user_id",
+        F.col("j.user.n").alias("n_events"),
+        F.element_at(F.col("j.events"), 1).getField("type").alias("first_type"),
+        F.size("j.events").cast("bigint").alias("n_items"),
+    )
