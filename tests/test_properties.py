@@ -91,3 +91,48 @@ def test_salted_agg_equals_plain_agg(spark, pairs):
         ).collect()
     }
     assert plain == salted
+
+
+def test_sessionize_invariants(spark):
+    """Within a session: consecutive gaps ≤ 30 min; across consecutive
+    sessions of a user: the boundary gap > 30 min. Checked on the real
+    corpus, not just the oracle's value hash."""
+    from flink_hiveorc_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sess = QUERIES["sessionize_events"](spark, sf).collect()
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append(r)
+    gap = 30 * 60 * 1_000_000
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_seq)
+        # session_seq is dense 1..n per user
+        assert [r.session_seq for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            # next session starts strictly more than `gap` after the
+            # previous session's LAST event (start + duration).
+            assert b.start_us - (a.start_us + a.duration_us) > gap
+
+
+def test_pack_shards_budget_invariant(spark):
+    """Greedy packing property: within every (lang, source, shard),
+    the tokens BEFORE the last doc fit the budget (a doc lands in a
+    shard iff its start offset is inside it), and shard indices are
+    contiguous from 0 per stream."""
+    from flink_hiveorc_spark.functions.analytics import SHARD_TOKEN_BUDGET
+    from flink_hiveorc_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["pipeline_pack_shards"](spark, sf).collect()
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        streams.setdefault((r.lang, r.source), []).append(r)
+    for key, docs in streams.items():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for d in docs:
+            assert d.shard_idx == cum // SHARD_TOKEN_BUDGET, (key, d)
+            cum += d.n_tokens
+        shard_ids = sorted({d.shard_idx for d in docs})
+        assert shard_ids == list(range(len(shard_ids)))
