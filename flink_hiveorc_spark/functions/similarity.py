@@ -355,3 +355,45 @@ def search_ivf_index(
         .select("*", F.row_number().over(wk).alias("rnk"))
         .filter(F.col("rnk") <= k)
     )
+
+
+# Registered above in THIS module, so the lookup is cycle-free.
+from flink_hiveorc_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_BF_ORACLE = _ORACLES["sim_topk_cosine_bruteforce"]
+_IVF_ORACLE = _ORACLES["sim_topk_cosine_ivf"]
+
+
+@query(
+    "sim_ivf_recall_report",
+    oracle=f"""
+    WITH bf AS (SELECT * FROM ({_BF_ORACLE})),
+    iv AS (SELECT * FROM ({_IVF_ORACLE}))
+    SELECT bf.query_id,
+           CAST(count(iv.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM bf
+    LEFT JOIN iv ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id
+    """,
+)
+def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f: MEASURED ANN quality — per-query recall@k of the IVF
+    search against the exact brute-force top-k. The metric every ANN
+    deployment must report before trading exactness for speed; both
+    pipelines are deterministic here, so even the recall numbers are
+    value-checked cross-engine. At 100 TB this runs on a sampled
+    query set (the brute-force side is the expensive one — that's
+    the point of the report)."""
+    bf = sim_topk_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = sim_topk_cosine_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_")
+    )
+    return (
+        bf.join(
+            iv, (bf.query_id == F.col("iq")) & (bf.neighbor_id == F.col("in_")), "left"
+        )
+        .groupBy("query_id")
+        .agg((F.count("in_").cast("double") / TOP_K).alias("recall_at_k"))
+        .orderBy("query_id")
+    )

@@ -340,3 +340,42 @@ def dq_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dups))
         .select("n_orders", "n_orphan_orders", "n_null_priority", "n_dup_orderkeys")
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_orders_columns", oracle=_PROFILE_ORACLE)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null and distinct counts in ONE scan
+    (the oracle spells out the 6-scan UNION ALL; Spark computes all
+    12 aggregates in a single pass — multiple COUNT(DISTINCT)s plan
+    as one Expand, so the table is read once regardless of column
+    count). The EDA/contract primitive run before onboarding any new
+    source at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    total = F.count("*")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((total - F.count(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+    )
