@@ -174,13 +174,27 @@ def start_city_ingest_managed(
 _SNAPSHOT_PTR = "_LATEST"
 
 
-def read_city_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
-    """Read the current upsert snapshot (see start_city_upsert)."""
+def list_snapshot_versions(out_path: str) -> list[str]:
+    """Retained snapshot version dirs, oldest→newest (the last one is
+    what `_LATEST` points at unless a write is mid-publish)."""
     import os
 
-    with open(os.path.join(out_path, _SNAPSHOT_PTR)) as fh:
-        current = fh.read().strip()
-    return spark.read.parquet(os.path.join(out_path, current))
+    return sorted(d for d in os.listdir(out_path) if d.startswith("v"))
+
+
+def read_city_snapshot(
+    spark: SparkSession, out_path: str, version: str | None = None
+) -> DataFrame:
+    """Read the current upsert snapshot (see start_city_upsert), or a
+    retained older ``version`` (from list_snapshot_versions) — the
+    poor-man's time travel the versioned layout buys: roll back or
+    diff against the previous state without any table format."""
+    import os
+
+    if version is None:
+        with open(os.path.join(out_path, _SNAPSHOT_PTR)) as fh:
+            version = fh.read().strip()
+    return spark.read.parquet(os.path.join(out_path, version))
 
 
 def start_city_upsert(
@@ -189,6 +203,7 @@ def start_city_upsert(
     checkpoint: str,
     available_now: bool = False,
     trigger_seconds: int | None = None,
+    keep_versions: int = 2,
 ) -> StreamingQuery:
     """Streaming CDC UPSERT: maintain a latest-state-per-key snapshot
     across micro-batches — the materialized table the reference's
@@ -241,13 +256,15 @@ def start_city_upsert(
         with open(tmp, "w") as fh:
             fh.write(vdir)
         os.replace(tmp, ptr)  # atomic publish
-        # Prune all versions older than the previous one (kept as the
-        # rollback point; a reader mid-scan on `prev` is also safe).
-        for d in os.listdir(out_path):
-            if d.startswith("v") and d not in (vdir, prev):
-                import shutil
+        # Retain the newest `keep_versions` dirs (older ones are
+        # rollback/time-travel points; a reader mid-scan on a retained
+        # version is also safe). Version names sort chronologically
+        # (zero-padded batch ids).
+        versions = sorted(d for d in os.listdir(out_path) if d.startswith("v"))
+        for d in versions[: -max(1, keep_versions)]:
+            import shutil
 
-                shutil.rmtree(os.path.join(out_path, d), ignore_errors=True)
+            shutil.rmtree(os.path.join(out_path, d), ignore_errors=True)
 
     writer = city.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -435,3 +435,41 @@ def test_managed_ingest_output_is_compactable(spark, tmp_path):
     rows_after = sorted(r.ref for r in spark.read.orc(out).collect())
     assert rows_after == rows_before
     assert n_files_after < n_files_before
+
+
+def test_upsert_snapshot_time_travel(spark, tmp_path):
+    """Retained snapshot versions are readable: the previous version
+    shows the pre-update state (rollback/diff point)."""
+    from flink_hiveorc_spark.streaming.ingest import (
+        file_raw_stream,
+        list_snapshot_versions,
+        read_city_snapshot,
+        start_city_upsert,
+    )
+
+    def envelope(ref, name, t_ms):
+        inner = json.dumps(
+            {"after": {"ref": ref, "city_id": ref, "city_name": name, "c_time": t_ms}}
+        )
+        return json.dumps({"value": inner})
+
+    import time as _time
+
+    src, out, ckpt = tmp_path / "tsrc", str(tmp_path / "tout"), str(tmp_path / "tckpt")
+    src.mkdir()
+    t0 = 1755000000000
+    with open(src / "a.txt", "w") as f:
+        f.write(envelope(1, "v1", t0) + "\n")
+    _time.sleep(1.1)  # distinct mtimes pin file-source batch order
+    with open(src / "b.txt", "w") as f:
+        f.write(envelope(1, "v2", t0 + 10) + "\n")
+    q = start_city_upsert(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
+        available_now=True, keep_versions=2,
+    )
+    q.awaitTermination(120)
+    versions = list_snapshot_versions(out)
+    assert len(versions) == 2
+    cur = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
+    old = {r.ref: r.city_name for r in read_city_snapshot(spark, out, versions[0]).collect()}
+    assert cur == {1: "v2"} and old == {1: "v1"}
