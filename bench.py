@@ -62,14 +62,16 @@ def main() -> None:
         for name in HEADLINE:
             QUERIES[name](spark, warm).write.format("noop").mode("overwrite").save()
 
-    # min-of-2: each query runs twice and the best run is recorded —
-    # filters out one-off GC pauses and AQE first-run adaptation, so
-    # the number is the steady-state cost of the plan.
+    # min-of-3: each query runs three times and the best run is
+    # recorded — filters out GC pauses, AQE first-run adaptation, and
+    # ambient host load (observed 10-20% run-to-run drift when the
+    # host is busy), so the number is the steady-state cost of the
+    # plan.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
