@@ -391,3 +391,32 @@ def agg_string_concat_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"))
         .orderBy("r_name")
     )
+
+
+@query(
+    "agg_bitwise_flags",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey % 256) AS band,
+           bit_or(o_orderkey % 256) AS bor,
+           bit_xor(o_orderkey % 256) AS bxor
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: bitwise aggregates (flag-set folding) — associative and
+    commutative, so partial aggregation is exact under any
+    partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 256
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(k).alias("band"),
+            F.bit_or(k).alias("bor"),
+            F.bit_xor(k).alias("bxor"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -430,3 +430,62 @@ def scalar_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("j.events"), 1).getField("type").alias("first_type"),
         F.size("j.events").cast("bigint").alias("n_items"),
     )
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_lpad,
+           rpad(p_type, 10, '.') AS type_rpad,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+           levenshtein(p_brand, 'Brand#11') AS dist_to_b11,
+           repeat(substr(p_type, 1, 2), 3) AS type2x3,
+           reverse(p_name) AS name_rev
+    FROM part
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 battery 2: padding, character translation, edit distance,
+    repetition, reversal — the second tier of string functions a
+    migrating user calls (levenshtein also backs the fuzzy-match
+    blocking in text_fuzzy_name_pairs)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_type", 10, ".").alias("type_rpad"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("dist_to_b11"),
+        F.repeat(F.substring("p_type", 1, 2), 3).alias("type2x3"),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           quarter(o_orderdate) AS q,
+           isodow(o_orderdate) AS iso_dow,
+           weekofyear(o_orderdate) AS iso_week
+    FROM orders
+    """,
+)
+def scalar_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 battery 2: week truncation, month end, quarter, ISO
+    day-of-week and ISO week — the calendar arithmetic set. ISO
+    day-of-week is weekday()+1 on the Spark side (Spark's dayofweek
+    is 1=Sunday; weekday is 0=Monday — the latter maps cleanly onto
+    DuckDB's isodow)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
