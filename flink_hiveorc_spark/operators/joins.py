@@ -674,3 +674,46 @@ def rel_division_every_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_years"))
         .filter(F.col("n_years") == 3)
     )
+
+
+@query(
+    "lateral_top3_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3
+    ) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def lateral_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    the SQL-frontend form of top-N-per-group, run through spark.sql
+    over the registered views (both engines parse the IDENTICAL SQL
+    text; Catalyst decorrelates the lateral into a window/limit plan
+    rather than executing a per-row probe). The DataFrame-API twin is
+    window_topk_orders_per_priority."""
+    from flink_hiveorc_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        WHERE c.c_custkey % 10 = 0
+        """
+    )
