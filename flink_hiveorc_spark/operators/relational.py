@@ -16,6 +16,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.flagship import city_shaped_events
@@ -378,4 +379,36 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+    )
+
+
+@query(
+    "sample_stratified_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    """,
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly 10 docs per language, chosen by
+    md5-of-key rank — reproducible across runs, engines, and
+    partitionings (no RNG seed semantics to match), and uniform
+    within each stratum because the hash order is unrelated to any
+    data attribute. The eval-set / debugging-slice builder for a
+    100 TB corpus where per-stratum quotas matter more than a global
+    fraction (rare languages survive)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
     )
