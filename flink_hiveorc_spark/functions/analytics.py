@@ -305,3 +305,100 @@ def cdc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_us").alias("valid_from_us"),
         F.lead("t_us").over(w2).alias("valid_to_us"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_viewed,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS n_full_funnel,
+           CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+                AS DOUBLE) / count(t_view) AS view_to_purchase_rate
+    FROM steps
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4i: ordered funnel analysis — view → click → purchase, each
+    step's FIRST occurrence must follow the previous step's. One
+    conditional-min aggregate per user (no joins, no explode: the
+    funnel state is three timestamps), then a 1-row conversion
+    summary. The µs timestamps make the step comparisons exact; the
+    final rate is one IEEE divide of integer counts. At 100 TB this
+    is a single shuffle on user_id regardless of funnel depth."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t_us"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("t_us"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t_us"))).alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    full = (F.col("t_purchase") > F.col("t_click")) & clicked
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(full, 1)).alias("n_full_funnel"),
+        (F.count(F.when(full, 1)).cast("double") / F.count("t_view")).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+      FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             (epoch_us(e.ts) // 86400000000) - f.cohort_day AS day_offset
+      FROM events e
+      JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4j: retention cohort matrix — users grouped by first-seen day,
+    counted as active per day-offset for the first week (the
+    engagement table every product dashboard draws). first-seen is a
+    per-user min (one aggregate); the cohort join broadcasts the
+    user→cohort map when it fits, and the distinct collapses
+    multi-event days BEFORE the count. Day arithmetic is integer
+    division of µs epochs — exact on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(ts_ns div 1000) div 86400000000").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
