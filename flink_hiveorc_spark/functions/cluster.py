@@ -175,3 +175,4 @@ def ml_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = assign(e, c1)
     return a2.select("vec_id", "cluster_id", "dist_q")
+

@@ -526,3 +526,72 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup_cluster_components(spark, sf_dir)
     drop = comp.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return d.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+_PR_SCALE = 1_000_000_000_000  # rank unit: 1.0 == 10^12
+_PR_BASE = 150_000_000_000  # 0.15 in rank units
+
+_PAGERANK_ORACLE = """
+    WITH RECURSIVE pairs AS (SELECT * FROM ({pairs})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u, CAST({scale} AS BIGINT) AS r FROM deg),
+    r1 AS (
+      SELECT e.v AS u,
+             CAST({base} + sum((85 * r0.r) // (100 * deg.d)) AS BIGINT) AS r
+      FROM edges e
+      JOIN r0 ON r0.u = e.u
+      JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    ),
+    r2 AS (
+      SELECT e.v AS u,
+             CAST({base} + sum((85 * r1.r) // (100 * deg.d)) AS BIGINT) AS r
+      FROM edges e
+      JOIN r1 ON r1.u = e.u
+      JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    )
+    SELECT u AS doc_id, r AS rank_units FROM r2
+""".format(pairs="{pairs}", scale=_PR_SCALE, base=_PR_BASE)
+
+
+@query(
+    "graph_pagerank_two_rounds",
+    oracle=_PAGERANK_ORACLE.format(pairs=_LSH_PAIRS_ORACLE),
+)
+def graph_pagerank_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2h: two unrolled PageRank iterations over the near-dup graph
+    (damping 0.85) — which duplicates are HUBS (documents near-equal
+    to many others), the prioritization signal for manual dedup
+    review.
+
+    Determinism engineering (same discipline as ml_kmeans_two_rounds
+    and the 2^k quantizations): ranks live as INTEGER units
+    (1.0 = 10^12) and each neighbor contribution is the integer floor
+    (85·r)//(100·deg) — no floating point anywhere, so partition
+    order and engine cannot change a single unit. Each round is one
+    edge join + one aggregate — the standard scalable PageRank step
+    (edges shuffle on src, partial sums on dst)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)  # LSH runs once, not once per round
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    ranks = deg.select("u", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(2):
+        contrib = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v"), F.expr(f"(85 * r) div (100 * d)").alias("c"))
+        )
+        ranks = contrib.groupBy(F.col("v").alias("u")).agg(
+            (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("r")
+        )
+    return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("rank_units"))
