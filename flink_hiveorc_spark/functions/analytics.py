@@ -402,3 +402,47 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             value,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id,
+           CAST(sum(CAST(floor(value * dur_us) AS BIGINT)) AS DOUBLE)
+             / CAST(sum(dur_us) AS DOUBLE) AS twap
+    FROM seg
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4k: time-weighted average value per user (TWAP) — each
+    observation holds until the next one, so its weight is its
+    holding duration; the final sample (open-ended) is excluded. One
+    window pass (lead) + one aggregate sharing the user_id shuffle.
+    value·duration products are floor-quantized to integer µs-units
+    before the sum (exact, order-free, and TIE-FREE — a decimal cast
+    would diverge between Spark's half-up and DuckDB's half-even on
+    boundary products; observed 1e-14 drift) — then one final
+    divide. The sub-unit truncation is ~1e-14 relative at these
+    magnitudes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.expr("ts_ns div 1000").alias("t_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seg = ev.select(
+        "user_id", "value", (F.lead("t_us").over(w) - F.col("t_us")).alias("dur_us")
+    ).filter(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        (
+            F.sum(F.floor(F.col("value") * F.col("dur_us")).cast("long")).cast("double")
+            / F.sum("dur_us").cast("double")
+        ).alias("twap")
+    )
