@@ -20,6 +20,9 @@ def spark():
     s = get_spark("pytest", cpus=8, shuffle_partitions=8, warehouse_dir=wh)
     yield s
     s.stop()
+    import shutil
+
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
