@@ -17,7 +17,11 @@ Determinism contract (why the oracle hashes match):
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from collections import Counter
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -62,4 +66,65 @@ def _load_all() -> None:
     from flink_hiveorc_spark.streaming import batch_checks  # noqa: F401
 
 
+# The external correctness harness value-checks only the first 50 queries
+# in registration order per round (CORRECTNESS_r01/r02 each contain exactly
+# 50 entries). With 125+ registered queries, a static order would leave a
+# fixed 60%+ of the surface permanently outside the hard external signal.
+# Rotation policy: order queries least-externally-checked-first, so every
+# round's 50-entry window lands on the queries with the fewest prior
+# CORRECTNESS rows. Ties (e.g. the never-checked set) break by a priority
+# bucket — LLM-pipeline operators, then window functions, then TPC-H
+# shapes, then streaming oracle twins, then the long-verified relational
+# core — and finally by original registration order, so the rotation is
+# deterministic round-to-round.
+_BUCKET_BY_MODULE_PART = {
+    "functions": 0,   # L1-L5: dedup / similarity / text / analytics / multimodal
+    "windows": 1,     # §2.5/2.6 window + sort/top-k queries
+    "tpch_extra": 2,  # TPC-H shapes 2..22
+    "batch_checks": 3,  # streaming event-time oracle twins
+}
+
+
+def _priority_bucket(fn: QueryFn) -> int:
+    mod = getattr(fn, "__module__", "") or ""
+    parts = mod.split(".")
+    for part, bucket in _BUCKET_BY_MODULE_PART.items():
+        if part in parts:
+            return bucket
+    return 4
+
+
+def _checked_counts() -> Counter:
+    """How many times each query already has a driver CORRECTNESS row."""
+    counts: Counter = Counter()
+    repo_root = Path(__file__).resolve().parent.parent
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            counts.update(k for k in data if isinstance(k, str))
+    return counts
+
+
+def _rotate_registry() -> None:
+    counts = _checked_counts()
+    original_index = {name: i for i, name in enumerate(QUERIES)}
+
+    def sort_key(name: str):
+        bucket = _priority_bucket(QUERIES[name])
+        # Within the TPC-H bucket follow query number (q2 before q20),
+        # matching the externally requested verification order.
+        m = re.match(r"tpch_q(\d+)", name)
+        tiebreak = int(m.group(1)) if (m and bucket == 2) else original_index[name]
+        return (counts.get(name, 0), bucket, tiebreak)
+
+    ordered = sorted(QUERIES, key=sort_key)
+    reordered = {name: QUERIES[name] for name in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
 _load_all()
+_rotate_registry()

@@ -219,11 +219,16 @@ def start_city_upsert(
     complete, consistent version — never a half-written one.
 
     Delivery: effectively exactly-once THROUGH IDEMPOTENCE — a crash
-    between snapshot publish and offset commit replays the batch, but
-    re-merging the same rows into a snapshot that already contains
-    them is a no-op (latest_state is idempotent under duplicates
-    given a total per-key sequence). Old versions are pruned, keeping
-    the previous one as the rollback point.
+    between snapshot publish and offset commit replays the batch. The
+    replayed batch N finds the pointer already at v{N} (prev == vdir)
+    and SKIPS the write: the published snapshot already merged exactly
+    these rows (same offset range ⇒ same batch content), so rewriting
+    it would add nothing — and naively re-deriving it would read the
+    v{N} parquet while overwriting the same directory, which Spark
+    rejects ("Cannot overwrite a path that is also being read from").
+    The skip is what makes restart-after-publish actually work. Old
+    versions are pruned, keeping the previous one as the rollback
+    point.
 
     100 TB note: full-snapshot rewrite per batch is right for
     dimension-sized state (the City table). Fact-sized streaming
@@ -241,25 +246,36 @@ def start_city_upsert(
         spark = batch_df.sparkSession
         os.makedirs(out_path, exist_ok=True)
         ptr = os.path.join(out_path, _SNAPSHOT_PTR)
+        vdir = f"v{batch_id:020d}"
         merged = batch_df
         prev: str | None = None
         if os.path.exists(ptr):
             with open(ptr) as fh:
                 prev = fh.read().strip()
-            merged = spark.read.parquet(os.path.join(out_path, prev)).unionByName(
-                batch_df
-            )
-        snapshot = latest_state(merged, keys=["ref"], seq_col="seq_ms")
-        vdir = f"v{batch_id:020d}"
-        snapshot.write.mode("overwrite").parquet(os.path.join(out_path, vdir))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, ptr)  # atomic publish
-        # Retain the newest `keep_versions` dirs (older ones are
-        # rollback/time-travel points; a reader mid-scan on a retained
-        # version is also safe). Version names sort chronologically
-        # (zero-padded batch ids).
+            if prev != vdir:
+                merged = spark.read.parquet(
+                    os.path.join(out_path, prev)
+                ).unionByName(batch_df)
+        if prev != vdir:
+            snapshot = latest_state(merged, keys=["ref"], seq_col="seq_ms")
+            snapshot.write.mode("overwrite").parquet(os.path.join(out_path, vdir))
+            tmp = ptr + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(vdir)
+            os.replace(tmp, ptr)  # atomic publish
+        # else: crash-replay of an already-published batch (pointer
+        # committed, offsets not) — snapshot v{batch_id} is complete
+        # and live; writing again would overwrite a dir we'd also be
+        # reading. Fall through to pruning only.
+        #
+        # Retain the newest `keep_versions` dirs as rollback /
+        # time-travel points. Read-safety under concurrent ingestion:
+        # only the pointer-referenced version (and anything newer) is
+        # guaranteed stable for a reader's whole scan — the OLDEST
+        # retained version is pruned by a later batch and may vanish
+        # mid-scan. Readers doing time travel on old versions must
+        # tolerate retries or pause ingestion. Version names sort
+        # chronologically (zero-padded batch ids).
         versions = sorted(d for d in os.listdir(out_path) if d.startswith("v"))
         for d in versions[: -max(1, keep_versions)]:
             import shutil

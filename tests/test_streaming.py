@@ -394,6 +394,68 @@ def test_streaming_upsert_latest_state_across_restart(spark, tmp_path):
     assert state[2] == "two_v2"
 
 
+def test_streaming_upsert_replay_after_publish_before_commit(spark, tmp_path):
+    """Crash-recovery hole (r2 ADVICE, medium): a crash AFTER the
+    _LATEST pointer publishes v{N} but BEFORE the checkpoint commits
+    batch N replays batch N with prev == vdir. The old code then read
+    the v{N} snapshot while overwriting the same directory — Spark
+    fails every restart with 'Cannot overwrite a path that is also
+    being read from', permanently wedging the stream. Now the replay
+    detects prev == vdir and skips the write (snapshot already
+    complete). Simulated faithfully: delete commits/<last> from the
+    checkpoint (the exact on-disk state such a crash leaves) and
+    restart."""
+    import os
+
+    from flink_hiveorc_spark.streaming.ingest import (
+        file_raw_stream,
+        read_city_snapshot,
+        start_city_upsert,
+    )
+
+    def envelope(ref, name, t_ms):
+        inner = json.dumps(
+            {"after": {"ref": ref, "city_id": ref, "city_name": name, "c_time": t_ms}}
+        )
+        return json.dumps({"value": inner})
+
+    src, out, ckpt = tmp_path / "rsrc", str(tmp_path / "rout"), str(tmp_path / "rckpt")
+    src.mkdir()
+    t0 = 1755000000000
+    with open(src / "a.txt", "w") as f:
+        f.write(envelope(1, "one", t0) + "\n")
+    with open(src / "b.txt", "w") as f:
+        f.write(envelope(1, "one_v2", t0 + 10) + "\n")
+        f.write(envelope(2, "two", t0 + 11) + "\n")
+
+    q = start_city_upsert(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
+    assert state == {1: "one_v2", 2: "two"}
+
+    # Forge the crash window: pointer published, offsets uncommitted.
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the commit file
+        os.remove(crc)
+
+    # Restart MUST replay the last batch as a no-op (not crash) and
+    # leave the state intact.
+    q2 = start_city_upsert(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
+    assert state == {1: "one_v2", 2: "two"}
+
+
 def test_managed_ingest_output_is_compactable(spark, tmp_path):
     """The foreachBatch (managed) ingest writes a PLAIN table dir —
     the one compact_partitions may rewrite (the manifest-based sink's
