@@ -53,6 +53,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_small_scan(df: DataFrame) -> DataFrame:
+    """Spread a SMALL scan across the cluster before heavy per-row
+    compute (shingling, per-shingle md5, per-word hashing).
+
+    A file scan parallelizes by bytes (`maxPartitionBytes`), so a table
+    that is small on disk but compute-heavy per row (5 MB of documents
+    → hundreds of md5 calls per row) can land in fewer tasks than the
+    cluster has cores, serializing the dominant compute stage. When the
+    scan already yields at least `defaultParallelism` partitions — i.e.
+    at any real scale, where 100 TB / 128 MB ≫ cores — this is a
+    literal no-op: no shuffle is added and the plan is unchanged. The
+    round-robin shuffle only exists in the small-input regime, where
+    its payload is by definition tiny.
+
+    Partition-count introspection is plan-side only (file listing),
+    not a job.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (for spark.sql use)."""
     for name in TABLES:

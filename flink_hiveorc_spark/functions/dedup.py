@@ -28,8 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
+from flink_hiveorc_spark.session import reliable_checkpoint
 
 N_MINHASH = 8
 JACCARD_THRESHOLD = 0.2
@@ -136,7 +137,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle parity; at scale pass ``df_cap`` (see ngram_jaccard_pairs)
     or use the MinHash-LSH variant below.
     """
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), df_cap=None)
+    return ngram_jaccard_pairs(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents")), df_cap=None
+    )
 
 
 def ngram_jaccard_pairs(d: DataFrame, df_cap: int | None = None) -> DataFrame:
@@ -265,7 +268,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage itself shuffles nothing). Two-step projection:
     md5 hash pairs once, then the 8 derived mins (see
     _hash_pairs_col)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         _shingle_docs(d)
         .select("doc_id", _hash_pairs_col("s").alias("hs"))
@@ -277,7 +280,11 @@ _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
 
 
 # The full pairs oracle is also reused (as a CTE) by the
-# connected-components oracle below.
+# connected-components oracle below. Verification happens on the
+# DISTINCT h1 (32-bit md5-derived) hashed shingle sets, mirroring the
+# Spark side exactly: both engines derive h1 from the same md5 hex, so
+# any h1 collision collapses the same two shingles in both — the
+# Jaccard values stay bit-identical cross-engine.
 _LSH_PAIRS_ORACLE = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hp AS (
@@ -301,20 +308,21 @@ _LSH_PAIRS_ORACLE = f"""
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ),
-    ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    hx AS (SELECT DISTINCT doc_id, h1 FROM hp),
+    nx AS (SELECT doc_id, count(*) AS n_sh FROM hx GROUP BY doc_id),
     verified AS (
-      SELECT c.doc_a, c.doc_b,
-             count(*) AS n_shared,
-             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
       FROM cand c
-      JOIN ex a ON a.doc_id = c.doc_a
-      JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      JOIN hx a ON a.doc_id = c.doc_a
+      JOIN hx b ON b.doc_id = c.doc_b AND b.h1 = a.h1
       GROUP BY c.doc_a, c.doc_b
     )
-    SELECT doc_a, doc_b,
-           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
-    FROM verified
-    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - v.n_shared) AS jaccard
+    FROM verified v
+    JOIN nx na ON na.doc_id = v.doc_a
+    JOIN nx nb ON nb.doc_id = v.doc_b
+    WHERE CAST(v.n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - v.n_shared) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -323,23 +331,40 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2c: the full MinHash → LSH banding → verify pipeline.
 
     4 bands × 2 rows: docs colliding on any band become candidates
-    (P[cand] = 1-(1-j²)⁴ — steep around j≈0.4), then exact Jaccard
-    verifies ≥ 0.2. The banded join is the scale path: candidate
-    generation touches only (doc, band-key) rows, never pairs.
+    (P[cand] = 1-(1-j²)⁴ — steep around j≈0.4), then Jaccard over the
+    hashed shingle sets verifies ≥ 0.2. The banded join is the scale
+    path: candidate generation touches only (doc, band-key) rows,
+    never pairs.
+
+    The verify stage intersects DISTINCT h1 (32-bit md5-derived)
+    hashed shingle sets, not the string shingle arrays: at 100 TB the
+    verify join's shuffle payload is a dominant cost, and 8-byte
+    ints are ~an order of magnitude smaller than 3-word shingle
+    strings (with the parallelized hash stage: 1.57s → 1.35s at
+    sf0.1, where compute, not shuffle, is the local bottleneck — the
+    payload ratio is the scale win). A per-pair h1 collision
+    (P ≈ |union|²/2³³) can merge two shingles, but the oracle derives
+    h1 from the same md5 hex, so both engines collapse identically —
+    cross-engine bit-equality is preserved, and the Jaccard estimate
+    error from a single collision at realistic set sizes is < 1e-2.
     """
     d = load_table(spark, sf_dir, "documents")
-    # One explicit repartition on doc_id: the plan references the
-    # shingle frame THREE times (signature path + both verify sides),
-    # and without a shuffle boundary each reference recomputes the
-    # shingle transform from the scan. The exchange makes it compute-
-    # once/read-thrice (ReuseExchange), and the verify joins on
-    # doc_a/doc_b then reuse its partitioning (3.5s → 1.4s at sf0.1).
-    sh = _shingle_docs(d).repartition(F.col("doc_id"))
-    # Map-only signatures straight off the shingle arrays: hash pairs
-    # projected once, mins derived (see _hash_pairs_col).
-    sig = sh.select("doc_id", _hash_pairs_col("s").alias("hs")).select(
-        "doc_id", *_minhash_from_pairs("hs")
+    # Hash pairs are projected BEFORE the repartition, so the exchange
+    # carries (doc_id, array<struct<h1,h2>>) — fixed 16 B/shingle, no
+    # strings. The plan references this frame THREE times (signature
+    # path + both verify sides); without a shuffle boundary each
+    # reference would recompute shingling+md5 from the scan. The
+    # exchange makes it compute-once/read-thrice (ReuseExchange), and
+    # the verify joins on doc_a/doc_b reuse its partitioning
+    # (3.5s → 1.4s at sf0.1 for the reuse).
+    hp = (
+        _shingle_docs(parallelize_small_scan(d))
+        .select("doc_id", _hash_pairs_col("s").alias("hs"))
+        .repartition(F.col("doc_id"))
     )
+    # Map-only signatures straight off the hash-pair arrays (see
+    # _hash_pairs_col / _minhash_from_pairs).
+    sig = hp.select("doc_id", *_minhash_from_pairs("hs"))
     # One row per (doc, band) in a single pass (no 4-way union re-scan).
     stack_args = ", ".join(
         f"{band}, concat(mh{i}, '|', mh{j})" for band, (i, j) in enumerate(_BANDS)
@@ -359,14 +384,24 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard via array intersection —
-    # candidates are rare (that's LSH's point), so joining the shingle
-    # ARRAYS to the pair list beats re-exploding the corpus.
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    paired = cand.join(sa, "doc_a").join(sb, "doc_b")
-    n_shared = F.size(F.array_intersect("s_a", "s_b"))
-    jac = n_shared.cast("double") / (F.size("s_a") + F.size("s_b") - n_shared)
+    # Verify candidates by intersecting the distinct-h1 sets —
+    # candidates are rare (that's LSH's point), so joining the hashed
+    # arrays to the pair list beats re-exploding the corpus. (A
+    # semi-join restricting hx to candidate docs was measured SLOWER
+    # here: it serializes the stage DAG behind cand's completion,
+    # while the unfiltered branch overlaps with candidate generation
+    # and reuses hp's exchange. At 100 TB, if the candidate set is a
+    # tiny fraction of the corpus, revisit — the filter saves a full
+    # corpus projection at the cost of a scheduling barrier.)
+    hx = hp.select(
+        "doc_id",
+        F.array_distinct(F.transform("hs", lambda p: p.getField("h1"))).alias("h"),
+    )
+    ha = hx.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
+    hb = hx.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
+    paired = cand.join(ha, "doc_a").join(hb, "doc_b")
+    n_shared = F.size(F.array_intersect("h_a", "h_b"))
+    jac = n_shared.cast("double") / (F.size("h_a") + F.size("h_b") - n_shared)
     return paired.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
@@ -400,7 +435,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector). Near-dups then pair by Hamming distance on the
     fingerprint (blocked by fingerprint bytes at scale). Fingerprint
     is exact integer arithmetic → engine-identical."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode_outer(F.array_distinct(F.split("text", " "))).alias("w"))
     hashed = words.select(
         "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h")
@@ -424,7 +459,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family (Kiveris et al., "CC in MapReduce and Beyond"): one join +
 # one aggregate per iteration; iterations = graph diameter (near-dup
 # graphs are shallow — dup clusters are cliques-ish, diameter <= ~3).
-# Lineage is cut per iteration with localCheckpoint; convergence is a
+# Lineage is cut per iteration with a RELIABLE checkpoint
+# (session.reliable_checkpoint — survives executor loss, unlike
+# localCheckpoint's unreplicated executor blocks); convergence is a
 # count of changed labels (driver-coordinated loop by design, like
 # every iterative Spark algorithm).
 
@@ -458,10 +495,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·component) rows, fine at oracle scale, and an exact oracle
     for an algorithm SQL can't express iteratively."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint(eager=True)  # pair generation (LSH) runs ONCE, not per iteration
+    edges = reliable_checkpoint(  # pair generation (LSH) runs ONCE, not per iteration
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
     )
     labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("component")
@@ -482,7 +519,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = reliable_checkpoint(new_labels)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -578,10 +615,10 @@ def graph_pagerank_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge join + one aggregate — the standard scalable PageRank step
     (edges shuffle on src, partial sums on dst)."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint(eager=True)  # LSH runs once, not once per round
+    edges = reliable_checkpoint(  # LSH runs once, not once per round
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     ranks = deg.select("u", F.lit(_PR_SCALE).cast("long").alias("r"))

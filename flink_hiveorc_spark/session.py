@@ -21,8 +21,9 @@ factory is the single place we encode the 100 TB posture:
 from __future__ import annotations
 
 import os
+import tempfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -42,7 +43,38 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Checkpoint files of garbage-collected DataFrames are deleted by
+    # the context cleaner, so long sessions running many iterative
+    # operators don't accumulate dead checkpoint data.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
+
+
+def reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """Directory-backed checkpoint for the inter-iteration frames of
+    iterative operators (connected components, PageRank — see
+    functions/dedup.py).
+
+    Why not ``localCheckpoint``: it cuts lineage by storing blocks on
+    executors WITHOUT replication, so at 100 TB with preemptible
+    executors a single lost executor kills the job mid-iteration (the
+    truncated lineage cannot be recomputed). A reliable ``checkpoint``
+    writes the frame to the checkpoint directory — set
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` to an HDFS/S3 path on a real
+    cluster so the data survives any executor loss; the local-mode
+    fallback is a temp dir (same durability class as local disk,
+    which is all local mode can offer).
+
+    Lazily sets the context checkpoint dir on first use so
+    driver-provided bare sessions work without a build-time hook.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or tempfile.mkdtemp(
+            prefix="spark_graft_ckpt_"
+        )
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=True)
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:

@@ -19,10 +19,13 @@ def spark():
     wh = tempfile.mkdtemp(prefix="spark_graft_wh_")
     s = get_spark("pytest", cpus=8, shuffle_partitions=8, warehouse_dir=wh)
     yield s
+    ckpt = s.sparkContext.getCheckpointDir()
     s.stop()
     import shutil
 
     shutil.rmtree(wh, ignore_errors=True)
+    if ckpt and ckpt.replace("file:", "").startswith(tempfile.gettempdir()):
+        shutil.rmtree(ckpt.replace("file:", ""), ignore_errors=True)
 
 
 @pytest.fixture(scope="session")
