@@ -407,9 +407,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    oracle="""
+_SIMHASH_ORACLE = """
     WITH words AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
       FROM documents
@@ -427,8 +425,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits
     GROUP BY doc_id
-    """,
-)
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2d: 32-bit SimHash over the distinct-word set (hash = first 8
     md5 hex digits → int; each bit votes ±1; fingerprint = sign
@@ -449,6 +449,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).alias(
             "simhash"
         )
+    )
+
+
+_SIMHASH_BLOCKS = 4  # 4 × 8-bit blocks of the 32-bit fingerprint
+_HAMMING_MAX = 3  # pigeonhole: d ≤ blocks-1 ⇒ ≥1 block equal ⇒ blocking is LOSSLESS
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_ORACLE}),
+    blocks AS (
+      SELECT doc_id, simhash, b.b AS blk, (simhash >> (8 * b.b)) & 255 AS key
+      FROM fp, (SELECT unnest(range({_SIMHASH_BLOCKS})) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS f_a, b.simhash AS f_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(f_a, f_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(f_a, f_b)) <= {_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: near-duplicate pairs by SimHash Hamming distance ≤ 3 —
+    the pairing half of the SimHash dedup path (dedup_simhash computes
+    the fingerprints; this blocks and pairs them).
+
+    Blocking (Charikar-style): split the 32-bit fingerprint into 4
+    byte blocks; only docs agreeing on at least one (position, byte)
+    become candidates. By pigeonhole, Hamming distance ≤ 3 < 4 blocks
+    forces ≥ 1 untouched block, so the blocked join finds EVERY
+    qualifying pair — lossless, never all-pairs. At 100 TB the
+    candidate join shuffles on (blk, key) — 1024 uniform-ish buckets
+    per corpus here; with a 64-bit fingerprint the same plan uses
+    8-bit or 16-bit blocks to keep buckets small. Verification is one
+    integer xor + popcount per candidate — no payload beyond two
+    64-bit fingerprints."""
+    fp = dedup_simhash(spark, sf_dir)
+    stack_args = ", ".join(
+        f"{b}, shiftright(simhash, {8 * b}) & 255" for b in range(_SIMHASH_BLOCKS)
+    )
+    blocks = fp.selectExpr(
+        "doc_id", "simhash", f"stack({_SIMHASH_BLOCKS}, {stack_args}) AS (blk, key)"
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("f_a"),
+            F.col("b.simhash").alias("f_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("f_a ^ f_b"))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= _HAMMING_MAX
     )
 
 # ---------------------------------------------------------------------------
