@@ -143,12 +143,42 @@ def sim_neardup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_cosine_lsh")  # no oracle: approximate by construction
+_LSH_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(4)
+)
+_LSH_COS_SQL = (
+    "list_dot_product(q.v, n.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))"
+)
+
+
+@query(
+    "sim_topk_cosine_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    eb AS (SELECT vec_id, v, {_LSH_BUCKET_SQL} AS bucket FROM e)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_LSH_COS_SQL} AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_LSH_COS_SQL} DESC, n.vec_id) AS rnk
+      FROM eb q JOIN eb n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
 def sim_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: sign-LSH bucketed ANN. Bucket key = sign bits of
     4 coordinates (stand-in for random-hyperplane projections, which
     for the isotropic test vectors coordinates already are); top-k is
-    computed within each bucket only. Approximate → rows-only check.
+    computed within each bucket only.
+
+    Approximate vs the EXACT top-k (recall < 1 by design), but the
+    approximation itself is deterministic — seeded projections, total
+    tie order — so the whole bucketed pipeline is reproducible in
+    ANSI SQL and value-checked against the oracle, the same promotion
+    the IVF path got: the hash-match verifies the algorithm, the
+    recall report quantifies the approximation.
 
     At 100 TB: bucket on 8-16 projection bits → self-contained
     partitions, each small enough for an in-partition top-k; multi-
