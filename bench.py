@@ -62,20 +62,20 @@ def main() -> None:
         for name in HEADLINE:
             QUERIES[name](spark, warm).write.format("noop").mode("overwrite").save()
 
-    # min-of-3: each query runs three times and the best run is
-    # recorded — filters out GC pauses, AQE first-run adaptation, and
-    # ambient host load (observed 10-20% run-to-run drift when the
-    # host is busy), so the number is the steady-state cost of the
-    # plan.
+    # median-of-3: each query runs three times and the MIDDLE run is
+    # recorded — robust to one-off GC pauses / ambient host load in
+    # either direction, without the optimistic bias of min-of-3
+    # (VERDICT r2 #7: tpch_q5's +15% round-to-round wobble is exactly
+    # the noise a median removes).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -207,7 +207,20 @@ def vacuum_streaming_sink(
     import json as _json
 
     meta_dir = os.path.join(path, "_spark_metadata")
-    manifest_files = sorted(_glob.glob(os.path.join(meta_dir, "*")))
+    # Sort manifests NUMERICALLY by batch id ("9.compact" before "10"):
+    # lexicographic order applies add/delete actions for the same
+    # basename out of batch order once ids reach double digits
+    # (ADVICE r2). Compacted manifests sort before the same-id plain
+    # manifest (they summarize batches <= id).
+    manifest_files = sorted(
+        _glob.glob(os.path.join(meta_dir, "*")),
+        key=lambda p: (
+            int(os.path.basename(p).split(".")[0])
+            if os.path.basename(p).split(".")[0].isdigit()
+            else -1,
+            not os.path.basename(p).endswith(".compact"),
+        ),
+    )
     if not manifest_files:
         # Without a manifest EVERY file would look uncommitted and the
         # "vacuum" would delete the whole table — refuse instead (the

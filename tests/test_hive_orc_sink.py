@@ -219,3 +219,39 @@ def test_vacuum_honors_manifest_delete_actions(spark, tmp_path):
     removed = vacuum_streaming_sink(spark, str(out))
     assert removed == [str(dead)]
     assert live.exists() and not dead.exists()
+
+
+def test_vacuum_applies_manifests_in_numeric_batch_order(spark, tmp_path):
+    """Manifests must apply in NUMERIC batch order: lexicographically
+    '10' < '9.compact', so a file deleted by batch 9's compaction but
+    re-added as a new file in batch 10 would be resurrected-then-
+    deleted if applied alphabetically (ADVICE r2). With 11 batches the
+    orderings genuinely diverge."""
+    import json as _json
+
+    from flink_hiveorc_spark.sinks.hive_orc import vacuum_streaming_sink
+
+    out = tmp_path / "vorder"
+    meta = out / "_spark_metadata"
+    meta.mkdir(parents=True)
+    f_a = out / "part-a.orc"
+    f_a.write_bytes(b"x")
+    # Batches 0..8: add part-a (plain manifests).
+    for i in range(9):
+        with open(meta / str(i), "w") as fh:
+            fh.write("v1\n")
+            fh.write(_json.dumps({"path": str(f_a), "action": "add"}) + "\n")
+    # Batch 9 compaction: part-a deleted from the table.
+    with open(meta / "9.compact", "w") as fh:
+        fh.write("v1\n")
+        fh.write(_json.dumps({"path": str(f_a), "action": "delete"}) + "\n")
+    # Batch 10: a NEW file with the same basename story — re-adds it.
+    with open(meta / "10", "w") as fh:
+        fh.write("v1\n")
+        fh.write(_json.dumps({"path": str(f_a), "action": "add"}) + "\n")
+    # Numeric order (…9.compact, 10): part-a ends committed → kept.
+    # Lexicographic order (10, …, 9.compact) would end on 'delete' and
+    # wrongly reclaim it.
+    removed = vacuum_streaming_sink(spark, str(out))
+    assert removed == []
+    assert f_a.exists()
