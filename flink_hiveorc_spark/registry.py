@@ -48,6 +48,7 @@ def _load_all() -> None:
     from flink_hiveorc_spark.operators import (  # noqa: F401
         aggregates,
         joins,
+        merge,
         relational,
         scalar,
         tpch_extra,
