@@ -143,6 +143,189 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM t WHERE len(w) >= 2
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_2grams,
+           1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS frac_dup_2gram,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_2gram_frac,
+           CASE WHEN 1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) <= 0.3
+                 AND CAST(max(cnt) AS DOUBLE) / sum(cnt) <= 0.1
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: fraction of duplicate word
+    2-grams and the share of the single most-frequent 2-gram —
+    the signals that catch boilerplate/spam docs that length and
+    punctuation ratios miss (Rae et al. 2021 §A1.1 use exactly this
+    family: dup-n-gram fraction + top-n-gram share thresholds).
+
+    One explode → (doc, gram) count → per-doc rollup: a single
+    shuffle keyed by doc_id, no UDF, ratios are exact-int divisions.
+    Docs with <2 words have no 2-grams and drop out (both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= 2,
+        # sequence(1, n-1) would count DOWN for n<2 (Spark descends
+        # when stop<start) — hence the guard.
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        d.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt")
+    distinct = F.count("*")
+    top = F.max("cnt")
+    frac_dup = F.lit(1.0) - distinct.cast("double") / total
+    top_frac = top.cast("double") / total
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_2grams"),
+        frac_dup.alias("frac_dup_2gram"),
+        top_frac.alias("top_2gram_frac"),
+        F.when((frac_dup <= 0.3) & (top_frac <= 0.1), 1)
+        .otherwise(0)
+        .alias("passes_repetition"),
+    )
+
+
+@query(
+    "text_contamination_eval_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                         || ' ' || w[i+4]))) AS gram
+      FROM t WHERE len(w) >= 5
+    ),
+    ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % 50 = 0),
+    co AS (SELECT doc_id AS corpus_doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+    SELECT co.corpus_doc_id, ev.eval_doc_id,
+           count(*) AS n_shared_5grams
+    FROM co JOIN ev ON co.gram = ev.gram
+    GROUP BY co.corpus_doc_id, ev.eval_doc_id
+    """,
+)
+def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: distinct word-5-gram overlap
+    between the corpus and a held-out eval set (docs with
+    doc_id % 50 == 0 stand in for the benchmark). The shape every
+    decontamination pass takes (GPT-3 appendix C / PaLM use 8-13-gram
+    collision): explode BOTH sides to distinct n-grams, equi-join on
+    the gram, count collisions per (corpus_doc, eval_doc).
+
+    Scale posture: the eval side is tiny (benchmarks are ~10^5 grams)
+    → broadcast, so the 100 TB corpus is ONE scan + map-side join, no
+    corpus shuffle; the per-pair count aggregates the (rare) hits."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= 5,
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+                F.element_at(words, i + 4),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select(
+        "doc_id", F.explode_outer(F.array_distinct(grams)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    ev = exploded.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    co = exploded.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "gram"
+    )
+    return (
+        co.join(F.broadcast(ev), "gram")
+        .groupBy("corpus_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_5grams"))
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(pii_text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(pii_text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text,
+               '\\+?[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones
+    FROM p
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email and phone-number redaction plus per-doc
+    redaction counts. The corpus is synthetic (no real PII), so the
+    query plants one deterministic email + phone per doc and proves
+    the scrubber finds exactly those — the patterns are chosen to
+    mean the same thing in Java regex (Spark) and RE2 (DuckDB):
+    character classes and bounded repetition only, no lookaround."""
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+?[0-9][0-9-]{6,}[0-9]"
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(pii_text, F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(phone_re)).cast("bigint").alias("n_phones"),
+    )
+
+
+@query(
     "text_fuzzy_name_pairs",
     oracle="""
     SELECT a.p_partkey AS part_a,
