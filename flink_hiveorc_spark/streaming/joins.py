@@ -135,3 +135,35 @@ def signup_purchase_full_outer(
         "signup_ts",
         "purchase_ts",
     )
+
+
+def enrich_stream_with_static_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STATIC join: enrich a stream with a batch dimension
+    table (the CDC-ingest shape the reference's sample job stops just
+    short of — App.txt:58-70 transforms each event in isolation; any
+    real pipeline's next step is attaching dimension attributes).
+
+    Unlike stream⋈stream, this is STATELESS: each micro-batch joins
+    against the static side with no watermark and no state store —
+    Spark re-plans the join per batch, so a small dimension is
+    broadcast (asserted by the test) and the stream side never
+    shuffles. Supported join types from the stream side: inner and
+    left_outer (the static side cannot drive output rows — right/full
+    would need to re-emit static rows per batch).
+
+    100 TB posture: the dimension is loaded once per micro-batch from
+    the warehouse — point `dim` at a compacted table, not a raw CDC
+    stream; for a mutable dimension re-read it inside foreachBatch so
+    every batch sees the latest snapshot (slowly-changing attributes
+    use the as-of join in operators/joins.py on the batch side).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"stream-static join supports inner/left_outer, got {how!r}"
+        )
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -535,3 +535,49 @@ def test_upsert_snapshot_time_travel(spark, tmp_path):
     cur = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
     old = {r.ref: r.city_name for r in read_city_snapshot(spark, out, versions[0]).collect()}
     assert cur == {1: "v2"} and old == {1: "v1"}
+
+
+def test_stream_static_join_broadcasts_and_enriches(spark, tmp_path):
+    """Stream-static enrichment: a real file-source city stream joined
+    with a static dimension — stateless (no watermark needed), the
+    static side broadcast, left-outer keeps unmatched stream rows."""
+    from flink_hiveorc_spark.sources.cdc import decode_city_envelope
+    from flink_hiveorc_spark.streaming.joins import enrich_stream_with_static_dim
+
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_events(src, 0, 40)  # city_id = i % 7 -> 0..6
+    dim = spark.createDataFrame(
+        [Row(city_id=c, tier=("metro" if c < 3 else "rural")) for c in range(5)]
+    )
+    city = decode_city_envelope(file_raw_stream(spark, str(src)))
+    enriched = enrich_stream_with_static_dim(city, dim, on="city_id", how="left")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    got = {r.city_id: r.tier for r in back.select("city_id", "tier").distinct().collect()}
+    # city_id 0..4 enriched, 5..6 survive the left join with NULL tier.
+    assert got == {0: "metro", 1: "metro", 2: "metro", 3: "rural", 4: "rural",
+                   5: None, 6: None}
+
+    # The static side must be BROADCAST (stateless per-batch join, no
+    # stream-side shuffle): assert on the batch twin's physical plan
+    # (same join expression the micro-batch planner compiles).
+    batch_plan = enrich_stream_with_static_dim(
+        spark.createDataFrame([Row(city_id=1, x=1)]), dim, on="city_id", how="left"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in batch_plan
+
+    def test_rejects_unsupported_type():
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="inner/left_outer"):
+            enrich_stream_with_static_dim(city, dim, on="city_id", how="full")
+
+    test_rejects_unsupported_type()
