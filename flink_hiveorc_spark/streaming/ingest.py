@@ -290,3 +290,93 @@ def start_city_upsert(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_city_rollup(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+    keep_versions: int = 2,
+) -> StreamingQuery:
+    """Streaming INCREMENTAL AGGREGATE (materialized rollup): maintain
+    per-(c_date, city_id) event counts across micro-batches by MERGING
+    each batch's partial aggregate into the running snapshot — the
+    composition of the CDC ingest path with operators/merge.py's
+    join-based MERGE, i.e. incremental view maintenance without a
+    table format.
+
+    Per batch: aggregate ONLY the new rows (a partial agg over the
+    micro-batch — tiny), then merge_into the previous snapshot:
+    matched keys add counts / take the max sequence, unmatched keys
+    insert. The snapshot is published exactly like start_city_upsert
+    (versioned dir + atomic pointer swap, idempotent replay skip), so
+    restart safety and read consistency are inherited unchanged.
+
+    100 TB posture: the expensive side (raw events) is touched once,
+    at ingest; the merge joins a batch-sized change set (broadcast)
+    against a rollup whose cardinality is bounded by the key space,
+    not the event count. This is the standard lambda-collapse: the
+    batch twin (groupBy over all history) never has to run again.
+    """
+    import os
+
+    from flink_hiveorc_spark.operators.merge import merge_into
+
+    city = decode_city_envelope(raw, with_seq=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(out_path, exist_ok=True)
+        ptr = os.path.join(out_path, _SNAPSHOT_PTR)
+        vdir = f"v{batch_id:020d}"
+        delta = batch_df.groupBy("c_date", "city_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("seq_ms").alias("max_seq"),
+        )
+        prev: str | None = None
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                prev = fh.read().strip()
+        if prev != vdir:
+            if prev is None:
+                snapshot = delta
+            else:
+                target = spark.read.parquet(os.path.join(out_path, prev))
+                snapshot = merge_into(
+                    target,
+                    delta,
+                    on=["c_date", "city_id"],
+                    when_matched_update={
+                        "n_events": F.col("n_events") + F.col("s_n_events"),
+                        "max_seq": F.greatest(F.col("max_seq"), F.col("s_max_seq")),
+                    },
+                    when_not_matched_insert={
+                        "n_events": F.col("s_n_events"),
+                        "max_seq": F.col("s_max_seq"),
+                    },
+                    broadcast_source=True,
+                )
+            snapshot.write.mode("overwrite").parquet(os.path.join(out_path, vdir))
+            tmp = ptr + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(vdir)
+            os.replace(tmp, ptr)  # atomic publish
+        # else: replay of an already-published batch — skip (see
+        # start_city_upsert: same offsets ⇒ same delta ⇒ the live
+        # snapshot already contains this batch exactly once).
+        versions = sorted(d for d in os.listdir(out_path) if d.startswith("v"))
+        for d in versions[: -max(1, keep_versions)]:
+            import shutil
+
+            shutil.rmtree(os.path.join(out_path, d), ignore_errors=True)
+
+    writer = city.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
