@@ -40,6 +40,10 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "text_tfidf_top_terms",
     "ml_kmeans_two_rounds",
+    # round 3 additions
+    "batch_merge_upsert",
+    "text_repetition_signals",
+    "text_contamination_eval_overlap",
 ]
 
 

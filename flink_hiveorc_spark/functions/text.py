@@ -175,8 +175,14 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode → (doc, gram) count → per-doc rollup: a single
     shuffle keyed by doc_id, no UDF, ratios are exact-int divisions.
     Docs with <2 words have no 2-grams and drop out (both engines)."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), r"\s+")
+    # Materialize the words array in its own projection: referencing
+    # split() inside the lambda re-splits the text per gram position
+    # (O(words²) per doc — same trap _shingle_docs documents; 6.6s →
+    # 0.5s at sf0.1 for this two-line change).
+    wd = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
+    )
+    words = F.col("w")
     n = F.size(words)
     grams = F.when(
         n >= 2,
@@ -190,7 +196,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        d.select("doc_id", F.explode_outer(grams).alias("gram"))
+        wd.select("doc_id", F.explode_outer(grams).alias("gram"))
         .filter(F.col("gram").isNotNull())
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
@@ -242,8 +248,14 @@ def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     Scale posture: the eval side is tiny (benchmarks are ~10^5 grams)
     → broadcast, so the 100 TB corpus is ONE scan + map-side join, no
     corpus shuffle; the per-pair count aggregates the (rare) hits."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), r"\s+")
+    # Words materialized in their own projection (see
+    # text_repetition_signals: in-lambda split() re-splits per gram
+    # position; 15.9s → ~0.6s at sf0.1 here — 5 element_at calls per
+    # position quintuple the blowup).
+    wd = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
+    )
+    words = F.col("w")
     n = F.size(words)
     grams = F.when(
         n >= 5,
@@ -259,7 +271,7 @@ def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = d.select(
+    exploded = wd.select(
         "doc_id", F.explode_outer(F.array_distinct(grams)).alias("gram")
     ).filter(F.col("gram").isNotNull())
     ev = exploded.filter(F.col("doc_id") % 50 == 0).select(

@@ -20,6 +20,9 @@ GLOBAL_QUERIES = sorted(QUERIES)
 BROADCAST_EXPECTED = [
     "join_broadcast_region_revenue",
     "join_inner_revenue",
+    # the eval side of the contamination join is benchmark-sized; the
+    # corpus must never shuffle for it
+    "text_contamination_eval_overlap",
 ]
 
 # ngram_jaccard self-joins on exploded shingles — it is quadratic by
