@@ -50,6 +50,11 @@ PROBE = [
     "pipeline_pack_shards",
     "ml_kmeans_two_rounds",
     "agg_histogram_prices",
+    # round 3 (contamination excluded: replicating docs puts the same
+    # doc_id on both join sides, so its output grows N² by corpus
+    # construction, not by plan shape)
+    "batch_merge_upsert",
+    "text_repetition_signals",
 ]
 
 
