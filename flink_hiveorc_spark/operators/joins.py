@@ -717,3 +717,80 @@ def lateral_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         WHERE c.c_custkey % 10 = 0
         """
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'signup'
+    ),
+    m AS (
+      SELECT s.event_id AS signup_id, s.user_id, s.ts_us AS s_us,
+             min(p.ts_us) AS p_us
+      FROM s JOIN p ON p.user_id = s.user_id
+                   AND p.ts_us >= s.ts_us
+                   AND p.ts_us <= s.ts_us + 172800000000
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.signup_id, m.user_id,
+           min(p.event_id) AS purchase_id,
+           CAST(m.p_us - m.s_us AS BIGINT) AS lead_us
+    FROM m JOIN p ON p.user_id = m.user_id AND p.ts_us = m.p_us
+    GROUP BY m.signup_id, m.user_id, m.p_us, m.s_us
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b: FORWARD as-of join with a tolerance bound — for each
+    signup, the FIRST purchase by the same user within 48 h at-or-
+    after it (pandas merge_asof(direction='forward', tolerance=...)).
+
+    Same single-window formulation as the backward variant
+    (join_asof): union both sides tagged, scan each user's timeline
+    in DESCENDING time carrying the nearest future purchase — every
+    row shuffles exactly once, no pairwise range join, so hot users
+    cost O(their rows), not O(rows²). The tolerance is a post-filter
+    on the matched lead (the nearest future purchase is minimal, so
+    if IT misses the bound, no purchase qualifies).
+
+    Tie order (mirror of the backward ASOF fix, ADVICE r1): at equal
+    timestamps the scan must pass purchases BEFORE signups so a
+    same-instant purchase is visible (>= semantics); among equal-ts
+    purchases event_id DESCENDING makes the running `last` resolve to
+    the LOWEST event_id — "first purchase" is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    side = F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts_ns"), side, F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+    enriched = tagged.select(
+        "*",
+        F.last(p_id, ignorenulls=True).over(w).alias("purchase_id"),
+        F.last(p_ts, ignorenulls=True).over(w).alias("purchase_ts_ns"),
+    )
+    lead_us = F.expr("purchase_ts_ns div 1000") - F.expr("ts_ns div 1000")
+    return (
+        enriched.filter(
+            (F.col("event_type") == "signup") & F.col("purchase_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            "purchase_id",
+            lead_us.alias("lead_us"),
+        )
+        .filter(F.col("lead_us") <= 48 * 3600 * 1_000_000)
+    )

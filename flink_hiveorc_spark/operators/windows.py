@@ -370,3 +370,140 @@ def gapfill_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "window_nth_value_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order_key,
+           CAST(first_value(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN o_totalprice END IGNORE NULLS)
+                OVER w AS DOUBLE) AS first_urgent_price,
+           CAST(last_value(CASE WHEN o_orderstatus = 'O'
+                                THEN o_totalprice END IGNORE NULLS)
+                OVER w AS DOUBLE) AS last_open_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 completion: nth_value + IGNORE NULLS navigation — per
+    customer (ordered by date, keyed tiebreak), the 2nd order ever
+    placed, the first urgent order's price, and the latest
+    still-open order's price. The IGNORE NULLS + conditional-CASE
+    combination is how 'first/last matching event per entity' is
+    expressed without a second join. Frame pinned to the full
+    partition and a unique total order on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    open_ = F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
+        F.first(urgent, ignorenulls=True).over(w).cast("double").alias("first_urgent_price"),
+        F.last(open_, ignorenulls=True).over(w).cast("double").alias("last_open_price"),
+    )
+
+
+@query(
+    "gapfill_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    g AS (
+      SELECT s.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER wp AS prev_day,
+             first_value(d.v IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER wn AS next_day
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+      WINDOW wp AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY s.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                        / date_diff('day', prev_day, next_day))
+           END AS value_filled
+    FROM g ORDER BY day
+    """,
+)
+def gapfill_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION over the calendar spine: days
+    with no purchases get prev + (next-prev)·(Δdays/span); leading/
+    trailing gaps take the nearest known value (ffill/bfill at the
+    edges). The pandas `interpolate(method='time')` shape, as two
+    IGNORE-NULLS window passes — no UDF, no driver loop.
+
+    The global (unpartitioned) window sorts only the SPINE — rows =
+    days, bounded by the calendar, not the fact table — so the
+    single-partition sort is safe at any corpus scale (the fact table
+    was already reduced by the daily aggregate). The arithmetic is
+    the same IEEE expression tree on both engines; Δday ratios are
+    exact small-int divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")).alias("v")
+        )
+    )
+    g = F.broadcast(spine).join(daily, "day", "left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    g = g.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return g.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
+        filled.alias("value_filled"),
+    ).orderBy("day")
