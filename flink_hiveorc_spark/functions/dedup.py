@@ -563,15 +563,26 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·component) rows, fine at oracle scale, and an exact oracle
     for an algorithm SQL can't express iteratively."""
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = reliable_checkpoint(  # pair generation (LSH) runs ONCE, not per iteration
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    return min_label_components(pairs, "doc_a", "doc_b")
+
+
+def min_label_components(
+    pairs: DataFrame, col_a: str, col_b: str, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair list → (doc_id,
+    component = min reachable id). The reusable iterative core behind
+    dedup_cluster_components and the semantic (embedding) dedup:
+    min-label propagation, one join + one aggregate per iteration,
+    reliable checkpoints between iterations (see module docstring)."""
+    edges = reliable_checkpoint(  # pair generation runs ONCE, not per iteration
+        pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v")).unionAll(
+            pairs.select(F.col(col_b).alias("u"), F.col(col_a).alias("v"))
         )
     )
     labels = edges.select("u").distinct().select(
         F.col("u").alias("doc_id"), F.col("u").alias("component")
     )
-    for _ in range(20):  # diameter bound; near-dup graphs converge in ~3
+    for _ in range(max_iters):  # diameter bound; near-dup graphs converge in ~3
         nbr_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")

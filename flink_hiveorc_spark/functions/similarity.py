@@ -100,17 +100,17 @@ def sim_topk_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_neardup_pairs_cosine",
-    oracle=f"""
+_NEARDUP_PAIRS_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS vec_a,
            b.vec_id AS vec_b,
            {_COS_SQL} AS cosine
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= {NEARDUP_COSINE}
-    """,
-)
+"""
+
+
+@query("sim_neardup_pairs_cosine", oracle=_NEARDUP_PAIRS_ORACLE)
 def sim_neardup_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2e/L3: embedding near-dup pairs — blocked by `label` (the
     coarse IVF-style partition: at scale, a k-means assignment or LSH
@@ -427,3 +427,47 @@ def sim_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("in_").cast("double") / TOP_K).alias("recall_at_k"))
         .orderBy("query_id")
     )
+
+
+@query(
+    "dedup_semantic_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT vec_a, vec_b FROM ({_NEARDUP_PAIRS_ORACLE})),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION ALL
+      SELECT vec_b AS u, vec_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src
+    )
+    SELECT emb.vec_id, emb.label
+    FROM embeddings emb
+    LEFT JOIN comp c ON emb.vec_id = c.vec_id
+    WHERE c.vec_id IS NULL OR c.component = emb.vec_id
+    """,
+)
+def dedup_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2h: SEMANTIC dedup end artifact (the SemDeDup shape,
+    Abbas et al. 2023): embedding-space near-dup pairs (label-blocked
+    cosine >= 0.35 — at 100 TB the block key is a k-means/LSH
+    assignment) -> connected components -> keep one representative
+    (min vec_id) per component; vectors with no semantic twin pass
+    through. The text-side composition (dedup_canonical_corpus) and
+    this one share the iterative core (dedup.min_label_components) —
+    the component map is tiny relative to the corpus and broadcasts
+    into the final anti-join, one scan of the embeddings table."""
+    from flink_hiveorc_spark.functions.dedup import min_label_components
+
+    pairs = sim_neardup_pairs_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    comp = min_label_components(pairs, "vec_a", "vec_b")
+    drop = comp.filter(F.col("component") != F.col("doc_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return e.join(F.broadcast(drop), "vec_id", "left_anti")

@@ -412,3 +412,49 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@query(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%d') AS c_date,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS ref_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-batch parity for the CSV source: the city table written as
+    headered CSV and read back with an EXPLICIT StructType (same
+    no-inference policy as json_source_roundtrip — on a 100 TB lake
+    schema inference is an extra full scan). CSV is the lowest-common-
+    denominator interchange a reference user will eventually point at
+    the engine; integers and the yyyy-MM-dd date string round-trip
+    exactly, and the aggregate proves it against the source parquet."""
+    from pyspark.sql import types as T
+
+    wh = _roundtrip_warehouse(sf_dir) + "_csv"
+    if not os.path.exists(os.path.join(wh, "_SUCCESS")):
+        attempt = f"{wh}__attempt_{os.getpid()}_{id(spark)}"
+        city_shaped_events(spark, sf_dir).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(attempt)
+        try:
+            os.rename(attempt, wh)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(attempt, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("ref", T.LongType()),
+            T.StructField("city_id", T.LongType()),
+            T.StructField("city_name", T.StringType()),
+            T.StructField("c_date", T.StringType()),
+        ]
+    )
+    city = spark.read.schema(schema).option("header", "true").csv(wh)
+    return city.groupBy("c_date").agg(
+        F.count("*").alias("n_rows"), F.sum("ref").alias("ref_sum")
+    )

@@ -489,3 +489,29 @@ def scalar_datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).alias("iso_dow"),
         F.weekofyear("o_orderdate").alias("iso_week"),
     )
+
+
+@query(
+    "scalar_array_posexplode",
+    oracle="""
+    SELECT doc_id, u.pos, u.word
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(len(w)),
+                    i -> {'pos': i, 'word': w[i + 1]})) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id < 50)
+    )
+    """,
+)
+def scalar_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: posexplode — UNNEST WITH ORDINALITY: each word with its
+    0-based position in the document (the tokenizer-output shape every
+    sequence-labeling pipeline needs; position is what explode()
+    silently loses). Restricted to a doc_id slice purely to keep the
+    oracle diff tractable — the operator itself is a generator, scan-
+    shaped at any scale."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
