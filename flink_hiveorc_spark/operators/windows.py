@@ -507,3 +507,97 @@ def gapfill_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
         filled.alias("value_filled"),
     ).orderBy("day")
+
+
+@query(
+    "window_rolling_7d_distinct_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           count(DISTINCT p.user_id) AS users_7d
+    FROM spine s
+    LEFT JOIN pairs p ON p.day BETWEEN s.day - 6 AND s.day
+    GROUP BY s.day
+    """,
+)
+def window_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT users per day — the windowed
+    count-distinct no window frame can express (DISTINCT aggregates
+    are unsupported over frames in both engines): daily-deduped
+    (day, user) pairs range-joined to the calendar spine, then an
+    exact distinct count per spine day.
+
+    Scale shape: the dedup to (day, user) collapses the fact table
+    FIRST (the only full-size shuffle); the range join is against the
+    broadcast calendar spine — rows = days, bounded by time, so the
+    7× fan-out costs 7·|daily actives|, never 7·|events|. (The HLL
+    alternative — merge 7 daily sketches per day — drops the exact
+    answer but removes the fan-out; see agg_approx_count_distinct.)"""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("sday")
+    )
+    cond = (F.col("day") >= F.date_sub(F.col("sday"), 6)) & (
+        F.col("day") <= F.col("sday")
+    )
+    return (
+        F.broadcast(spine)
+        .join(pairs, cond, "left")
+        .groupBy("sday")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("sday", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    SELECT bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA companion to the fixed-width histogram: EQUI-DEPTH buckets
+    (deciles) via ntile over a total order — same row count per
+    bucket, data-driven boundaries (what an optimizer's histogram
+    statistics and feature-binning pipelines use).
+
+    The global ntile sorts one column pair in a single partition —
+    fine into the tens of millions; at true 100 TB scale swap in
+    approx_percentile boundaries + a range join (sketch-based
+    equi-depth), trading exactness for the distributed sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
