@@ -26,6 +26,8 @@ from pyspark.sql.window import Window
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
 
+_DEC = "decimal(25,6)"
+
 TOP_TERMS_PER_DOC = 5
 TOP_BIGRAMS = 20
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -445,4 +447,83 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * F.col("dur_us")).cast("long")).cast("double")
             / F.sum("dur_us").cast("double")
         ).alias("twap")
+    )
+
+
+@query(
+    "events_anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) * 100 AS BIGINT) AS dv
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    win AS (
+      SELECT day, dv,
+             count(*) OVER w AS n_w,
+             sum(dv) OVER w AS s1,
+             sum(dv * dv) OVER w AS s2
+      FROM (SELECT day, dv,
+                   date_diff('day', DATE '1970-01-01', day) AS day_num
+            FROM daily)
+      WINDOW w AS (ORDER BY day_num
+                   RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(dv AS DOUBLE) / 100 AS total_value,
+           n_w,
+           CASE WHEN n_w >= 8
+                 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_w)
+                     / (n_w - 1) > 0
+                THEN (CAST(dv AS DOUBLE) - CAST(s1 AS DOUBLE) / n_w)
+                     / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_w)
+                            / (n_w - 1))
+           END AS zscore
+    FROM win
+    """,
+)
+def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly scoring: each day's purchase total as a
+    z-score against its own trailing 28-day window (the alerting
+    primitive every metrics pipeline ships). Days inside the warm-up
+    (< 8 observed days) emit NULL.
+
+    Cross-engine determinism: daily totals are quantized to integer
+    CENTS via exact decimal arithmetic, so the window's running
+    sum/sum-of-squares are exact integers in ANY accumulation order
+    (window frames accumulate in different orders across engines —
+    double sums would diverge in the low bits); mean/std/z then run
+    the identical double expression tree on both sides. The RANGE
+    frame is over an epoch-day ordinal. At very large daily volumes
+    move s2 to DECIMAL — bigint squares overflow past ~3·10^9 cents
+    per day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast(_DEC)) * 100)
+            .cast("bigint")
+            .alias("dv")
+        )
+        .select("*", F.datediff("day", F.lit("1970-01-01")).alias("day_num"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-27, Window.currentRow)
+    win = daily.select(
+        "day",
+        "dv",
+        F.count("*").over(w).alias("n_w"),
+        F.sum("dv").over(w).alias("s1"),
+        F.sum(F.col("dv") * F.col("dv")).over(w).alias("s2"),
+    )
+    n_w = F.col("n_w")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n_w) / (
+        n_w - 1
+    )
+    z = (F.col("dv").cast("double") - F.col("s1").cast("double") / n_w) / F.sqrt(var)
+    return win.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("dv").cast("double") / 100).alias("total_value"),
+        "n_w",
+        F.when((n_w >= 8) & (var > 0), z).alias("zscore"),
     )
