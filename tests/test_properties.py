@@ -136,3 +136,64 @@ def test_pack_shards_budget_invariant(spark):
             cum += d.n_tokens
         shard_ids = sorted({d.shard_idx for d in docs})
         assert shard_ids == list(range(len(shard_ids)))
+
+
+# ---------------------------------------------------------------------------
+# merge_into vs an independent Python dict model.
+
+_MERGE_KEYS = st.integers(min_value=0, max_value=12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    tgt=st.dictionaries(_MERGE_KEYS, st.integers(-100, 100), max_size=10),
+    src=st.dictionaries(
+        _MERGE_KEYS,
+        st.tuples(st.integers(-100, 100), st.booleans()),
+        max_size=10,
+    ),
+)
+def test_merge_into_matches_dict_model(spark, tgt, src):
+    """ANSI MERGE vs the obvious dict model: delete wins over update
+    for matched keys, unmatched source inserts, unmatched target
+    passes through — for arbitrary overlapping key sets (including
+    empty target, empty source, full overlap, no overlap)."""
+    from flink_hiveorc_spark.operators.merge import merge_into
+    from pyspark.sql import types as T
+
+    schema_t = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    schema_s = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("delta", T.LongType()),
+            T.StructField("kill", T.BooleanType()),
+        ]
+    )
+    target = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in tgt.items()], schema=schema_t
+    )
+    source = spark.createDataFrame(
+        [Row(k=k, delta=d, kill=x) for k, (d, x) in src.items()], schema=schema_s
+    )
+    out = merge_into(
+        target,
+        source,
+        on="k",
+        when_matched_delete=F.col("s_kill"),
+        when_matched_update={"v": F.col("v") + F.col("s_delta")},
+        when_not_matched_insert={"v": F.col("s_delta")},
+    )
+    got = {r.k: r.v for r in out.collect()}
+
+    model = dict(tgt)
+    for k, (d, kill) in src.items():
+        if k in model:
+            if kill:
+                del model[k]
+            else:
+                model[k] = model[k] + d
+        else:
+            model[k] = d
+    assert got == model
