@@ -156,6 +156,17 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int | None = None) -> DataFrame:
     shingle — acceptable for near-dup mining, which is why the
     oracle-checked query runs uncapped.
     """
+    shared = shingle_shared_counts(d, df_cap)
+    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def shingle_shared_counts(d: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Inverted-index shared-shingle counting — the common core of the
+    Jaccard and containment pair miners: (doc_a, doc_b, n_shared,
+    n_a, n_b) for every doc pair sharing ≥1 shingle."""
     sh = _shingle_docs(d)
     # explode_outer, NOT explode: plain explode pushes an implicit
     # `size(s)>0 AND isnotnull(s)` filter below the shingle projection,
@@ -179,7 +190,7 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int | None = None) -> DataFrame:
         ex = ex.select("*", df_count.alias("_df")).filter(F.col("_df") <= df_cap).drop("_df")
     a = ex.alias("a")
     b = ex.alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
@@ -188,9 +199,44 @@ def ngram_jaccard_pairs(d: DataFrame, df_cap: int | None = None) -> DataFrame:
             F.first("b.n_sh").alias("n_b"),
         )
     )
-    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / least(n_a, n_b) AS containment
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / least(n_a, n_b) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2a': SUBSET duplication — containment C(A,B) = |A∩B| /
+    min(|A|,|B|) ≥ 0.6 (Broder's resemblance-vs-containment split,
+    SEQUENCES '97): a short doc quoted inside a long one scores ~1.0
+    here but near 0 on Jaccard (the union is dominated by the long
+    doc), so this catches the quote/boilerplate-embedding duplicates
+    the symmetric measures structurally cannot. Same inverted-index
+    core as the Jaccard miner (shingle_shared_counts) — only the
+    final score differs; all counts exact integers."""
+    shared = shingle_shared_counts(
+        parallelize_small_scan(load_table(spark, sf_dir, "documents")), df_cap=None
+    )
+    cont = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return shared.select("doc_a", "doc_b", cont.alias("containment")).filter(
+        F.col("containment") >= CONTAINMENT_THRESHOLD
     )
 
 
