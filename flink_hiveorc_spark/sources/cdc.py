@@ -113,3 +113,50 @@ def latest_state(df: DataFrame, keys: list[str], seq_col: str) -> DataFrame:
     return df.groupBy(*keys).agg(
         *[F.max_by(c, F.col(seq_col)).alias(c) for c in others]
     )
+
+
+def decode_city_envelope_with_dlq(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Decode with a DEAD-LETTER channel: returns (good, bad).
+
+    ``from_json`` is PERMISSIVE — a malformed envelope, a non-JSON
+    line, or a payload missing ``after`` silently decodes to NULLs,
+    which the plain decoder would happily write into the warehouse as
+    ghost rows. This variant splits the stream instead: rows whose
+    envelope fails to produce ``after.ref`` go to ``bad`` VERBATIM
+    (the raw line, plus the failure stage) so they can be quarantined
+    to a dead-letter dir and replayed after a schema fix — the
+    operational half the reference leaves out entirely (its
+    JsonDeserializationSchema would throw and fail the whole job,
+    App.txt:35).
+
+    Both frames derive from one projection of the same scan; a
+    streaming caller quarantines with
+    ``bad.writeStream.format("json")`` next to the main sink, or in
+    foreachBatch writes both sides of the split in the same batch.
+    The split predicate is codegen'd column logic — no UDF, no second
+    parse."""
+    lowered = F.lower(F.col(value_col))
+    inner = F.from_json(lowered, OUTER_SCHEMA)["value"]
+    after = F.from_json(inner, AFTER_SCHEMA)["after"]
+    annotated = raw.select(
+        F.col(value_col).alias("raw_value"),
+        inner.alias("_inner"),
+        after.alias("_after"),
+    )
+    ok = annotated["_after"]["ref"].isNotNull()
+    good = annotated.filter(ok).select(
+        F.col("_after")["ref"].alias("ref"),
+        F.col("_after")["city_id"].alias("city_id"),
+        F.col("_after")["city_name"].alias("city_name"),
+        epoch_ms_to_local_date(F.col("_after")["c_time"]).alias("c_date"),
+    )
+    bad = annotated.filter(~ok).select(
+        "raw_value",
+        F.when(F.col("_inner").isNull(), "outer_envelope")
+        .when(F.col("_after").isNull(), "inner_payload")
+        .otherwise("missing_ref")
+        .alias("failure_stage"),
+    )
+    return good, bad

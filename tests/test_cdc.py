@@ -58,3 +58,45 @@ def test_epoch_ms_date_is_session_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert set(results.values()) == {"2025-08-13"}, results
+
+
+def test_decode_with_dlq_splits_good_and_bad(spark):
+    """Malformed envelopes land in the dead-letter frame VERBATIM with
+    a failure stage; well-formed rows decode exactly as the plain
+    decoder would; nothing is dropped or duplicated."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from flink_hiveorc_spark.sources.cdc import (
+        decode_city_envelope,
+        decode_city_envelope_with_dlq,
+    )
+
+    good_line = _json.dumps(
+        {"value": _json.dumps({"after": {"ref": 1, "city_id": 2, "city_name": "x", "c_time": 1755043200000}})}
+    )
+    lines = [
+        good_line,
+        "not json at all",                                  # outer fails
+        _json.dumps({"value": "{broken inner"}),            # inner fails
+        _json.dumps({"value": _json.dumps({"after": {"city_id": 9}})}),  # no ref
+        _json.dumps({"other": 1}),                          # no value field
+    ]
+    raw = spark.createDataFrame([Row(value=ln) for ln in lines])
+    good, bad = decode_city_envelope_with_dlq(raw)
+
+    g = good.collect()
+    assert len(g) == 1 and (g[0].ref, g[0].city_id, g[0].c_date) == (1, 2, "2025-08-13")
+    # Parity with the plain decoder on the well-formed row.
+    from pyspark.sql import functions as F
+
+    plain = decode_city_envelope(raw.filter(F.col("value") == good_line)).collect()
+    assert g[0] == plain[0]
+
+    b = {r.raw_value: r.failure_stage for r in bad.collect()}
+    assert len(b) == 4
+    assert b["not json at all"] == "outer_envelope"
+    assert set(b.values()) <= {"outer_envelope", "inner_payload", "missing_ref"}
+    # Raw lines preserved byte-for-byte for replay.
+    assert set(b) == set(lines) - {good_line}
