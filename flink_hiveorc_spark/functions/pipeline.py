@@ -93,3 +93,101 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).alias("n_tokens"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+@query(
+    "pipeline_clean_corpus_v2",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(text, '\\s+')) AS n_words,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> list_contains(['the','a','of','and','to','in','is','it'], w))) AS n_stop,
+             length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20
+        AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+        AND CAST(n_punct AS DOUBLE) / n_chars < 0.2
+        AND n_stop * 10 >= n_words
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 2
+    ),
+    gcount AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    rep_ok AS (
+      SELECT doc_id FROM gcount GROUP BY doc_id
+      HAVING 1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) <= 0.3
+         AND CAST(max(cnt) AS DOUBLE) / sum(cnt) <= 0.1
+    ),
+    survivors0 AS (
+      SELECT g.* FROM gated g JOIN rep_ok r ON g.doc_id = r.doc_id
+    ),
+    deduped AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             min(doc_id) AS doc_id
+      FROM survivors0
+      GROUP BY 1
+    )
+    SELECT g.source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(g.text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+           CAST(sum(g.n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM deduped d JOIN survivors0 g ON g.doc_id = d.doc_id
+    GROUP BY g.source
+    """,
+)
+def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+L4 composite v2: quality → language → REPETITION gate
+    (the Gopher-family dup-2gram / top-2gram thresholds from
+    text_repetition_signals, reused as a semi-join) → normalized
+    exact dedup → per-source stats. Relative to v1 the repetition
+    stage adds exactly one doc_id-keyed aggregate: the gram explosion
+    collapses back to (doc_id, pass) before touching the main
+    pipeline, so corpus text still flows through a single scan-gate
+    path and only ids ride the extra shuffle."""
+    from flink_hiveorc_spark.functions.text import text_repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", r"\s+")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", r"[a-z0-9\s]", ""))
+    n_chars = F.length("text")
+
+    gated = d.select(
+        "doc_id", "source", "text", n_words.alias("n_words"),
+        n_stop.alias("n_stop"), n_punct.alias("n_punct"), n_chars.alias("n_chars"),
+    ).filter(
+        (F.col("n_words") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_words") >= 0.01)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.2)
+        & (F.col("n_stop") * 10 >= F.col("n_words"))  # lang gate: 'en'
+    )
+    rep_ok = (
+        text_repetition_signals(spark, sf_dir)
+        .filter(F.col("passes_repetition") == 1)
+        .select("doc_id")
+    )
+    survivors0 = gated.join(rep_ok, "doc_id", "left_semi")
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    keep = (
+        survivors0.select(norm_hash.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = keep.join(survivors0, on="doc_id")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])")))
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
