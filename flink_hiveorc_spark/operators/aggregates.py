@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
 
@@ -419,4 +421,44 @@ def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor(k).alias("bxor"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rnk
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rnk = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: MODE (most frequent value) per group with a deterministic
+    tiebreak (lowest value wins) — the two-level decomposition that
+    scales: count per (group, value) partials map-side, then one
+    row_number over the (tiny) per-group value counts. Never a
+    collect_list; both engines' mode() builtins have unspecified tie
+    order, hence the explicit formulation."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
     )
