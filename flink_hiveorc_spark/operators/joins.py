@@ -794,3 +794,47 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lead_us") <= 48 * 3600 * 1_000_000)
     )
+
+
+@query(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT strftime(coalesce(p.day, c.day), '%Y-%m-%d') AS day,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(c.n_clicks, 0) AS n_clicks
+    FROM p FULL OUTER JOIN c ON p.day = c.day
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 completion: FULL OUTER reconciliation of two independently
+    aggregated series (daily purchases vs daily clicks) — the audit
+    shape where neither side may silently drop a day the other saw.
+    Both inputs pre-aggregate before the join, so the full-outer
+    shuffle carries day-level rows, not events; at 100 TB this is the
+    only full-outer shape that scales (full outer on raw fact tables
+    is a data-quality smell — reconcile aggregates, not rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return p.join(c, "day", "full_outer").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+    )

@@ -380,3 +380,51 @@ def start_city_rollup(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_city_ingest_with_dlq(
+    raw: DataFrame,
+    out_path: str,
+    dlq_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Ingest with a DEAD-LETTER queue: well-formed envelopes stream
+    into c_date-partitioned ORC; malformed ones (broken outer JSON,
+    broken inner payload, missing ref) land VERBATIM as JSON lines
+    under `dlq_path` with their failure stage — instead of decoding
+    into NULL ghost rows (what PERMISSIVE from_json alone would do) or
+    failing the job (what the reference's JsonDeserializationSchema
+    does, App.txt:35).
+
+    Both sides are written in ONE foreachBatch, so good and bad rows
+    from the same source offsets commit together; delivery is
+    at-least-once on replay (same contract and rationale as
+    start_city_ingest_managed — exact dedup downstream keys on ref,
+    DLQ lines are idempotent to reprocess). After a schema fix the
+    quarantined raw lines re-enter the pipeline by pointing a new
+    stream at `dlq_path` (the `raw_value` column IS the original
+    line)."""
+    import os
+
+    from flink_hiveorc_spark.sources.cdc import decode_city_envelope_with_dlq
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = decode_city_envelope_with_dlq(batch_df)
+        good.write.mode("append").format("orc").partitionBy("c_date").save(out_path)
+        if bad.isEmpty():
+            return
+        os.makedirs(dlq_path, exist_ok=True)
+        bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").json(
+            dlq_path
+        )
+
+    writer = raw.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
