@@ -462,3 +462,29 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
+
+
+@query("agg_hll_union_weekly_users")  # rows-only: no HLL in the oracle engine
+def agg_hll_union_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at scale: TWO-LEVEL approximate distinct via DataSketches
+    HLL — per-day user sketches unioned into per-week estimates.
+    This is the re-aggregatable form exact count-distinct lacks: the
+    daily sketches are tiny (~KB), persistable, and any rollup
+    (week/month/rolling window) is a sketch UNION, never a re-scan of
+    the raw events — the documented alternative to the exact
+    fan-out in window_rolling_7d_distinct_users. Approximate by
+    nature → registered rows-only; the accuracy contract
+    (error < 5% vs exact at this cardinality) is pinned by
+    tests/test_degenerate_corpus.py::test_hll_weekly_close_to_exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("week")
+    )

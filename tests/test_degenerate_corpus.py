@@ -186,3 +186,26 @@ def test_salted_join_single_hot_key_matches_plain(spark):
     ).collect()
     assert len(agg) == 1
     assert (agg[0].name, agg[0].n, agg[0].s) == ("hot", n, n * (n - 1) // 2)
+
+
+def test_hll_weekly_close_to_exact(spark):
+    """The two-level HLL rollup (daily sketches unioned per week) must
+    land within 5% of the exact per-week distinct count — the
+    accuracy contract the rows-only registration can't pin."""
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.week: r.approx_users
+        for r in QUERIES["agg_hll_union_weekly_users"](spark, sf).collect()
+    }
+    from flink_hiveorc_spark.catalog import load_table
+
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(F.weekofyear(F.col("ts").cast("date")).alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, n in exact.items():
+        assert abs(approx[wk] - n) <= max(1, 0.05 * n), (wk, approx[wk], n)
