@@ -46,3 +46,25 @@ def bucketed_join(
     """Join two co-bucketed catalog tables on their bucket key; with
     matching bucket counts the plan has no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def analyze_table(spark, table: str, columns: list[str] | None = None) -> dict:
+    """Compute table- and column-level statistics for the CBO — the
+    operational step that makes join reordering and broadcast
+    decisions data-driven instead of threshold-guesswork at 100 TB
+    (AQE fixes plans at runtime from shuffle sizes; CBO statistics fix
+    them at PLAN time, before the first shuffle materializes).
+
+    Runs ``ANALYZE TABLE ... COMPUTE STATISTICS`` (rowCount/sizeInBytes)
+    and, when ``columns`` given, ``FOR COLUMNS`` (ndv/nulls/min/max —
+    what join-reorder cardinality estimates consume). Returns the
+    recorded table stats for verification."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    stats = next(
+        (r.data_type for r in rows if r.col_name == "Statistics"), None
+    )
+    return {"statistics": stats}

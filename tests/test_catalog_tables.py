@@ -72,3 +72,24 @@ def test_partition_recovery_msck(spark, sf_dir, tmp_path):
         assert got == city.filter(F.col("c_date") == one_date).count()
     finally:
         spark.sql("DROP TABLE IF EXISTS city_cat")
+
+
+def test_analyze_table_records_stats_and_cbo_reads_them(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE must record rowCount + sizeInBytes in the catalog
+    and column NDVs must be queryable — the statistics the CBO's join
+    reorder/broadcast estimates consume."""
+    from flink_hiveorc_spark.catalog import load_table
+    from flink_hiveorc_spark.sinks.bucketed import analyze_table
+
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    load_table(spark, sf_dir, "nation").write.saveAsTable("stats_probe")
+    try:
+        out = analyze_table(spark, "stats_probe", columns=["n_nationkey", "n_regionkey"])
+        assert out["statistics"] and "25 rows" in out["statistics"]  # e.g. "1274 bytes, 25 rows"
+        ndv = spark.sql(
+            "DESCRIBE EXTENDED stats_probe n_nationkey"
+        ).collect()
+        info = {r.info_name: r.info_value for r in ndv}
+        assert info.get("distinct_count") == "25"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
