@@ -88,14 +88,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # no oracle: HLL++ is engine-specific
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (approx): HyperLogLog++ distinct — the 100 TB default (no
-    per-group value expansion, fixed-size sketch per group). Driver
-    records a rows-only check; values are engine-specific."""
+    per-group value expansion, fixed-size sketch per group).
+
+    TOLERANCE ORACLE (r3 VERDICT #3): the raw HLL estimate is
+    engine-specific, so it cannot be hash-compared — instead the
+    query emits the exact count plus a boolean asserting the
+    estimate landed within 5% of it (rsd=0.01, so 5% is >4 sigma).
+    The oracle emits the same exact count and literal TRUE: the
+    driver's value hash now FAILS if the estimate drifts out of
+    tolerance, turning the old `err: no_oracle` rows-only cell into
+    a real check. The estimate itself stays in the plan (both aggs
+    run in one pass)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    ).select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("within_5pct"),
     )
 
 
@@ -464,7 +490,17 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_union_weekly_users")  # rows-only: no HLL in the oracle engine
+@query(
+    "agg_hll_union_weekly_users",
+    oracle="""
+    SELECT strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week_start,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
 def agg_hll_union_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 at scale: TWO-LEVEL approximate distinct via DataSketches
     HLL — per-day user sketches unioned into per-week estimates.
@@ -472,19 +508,42 @@ def agg_hll_union_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily sketches are tiny (~KB), persistable, and any rollup
     (week/month/rolling window) is a sketch UNION, never a re-scan of
     the raw events — the documented alternative to the exact
-    fan-out in window_rolling_7d_distinct_users. Approximate by
-    nature → registered rows-only; the accuracy contract
-    (error < 5% vs exact at this cardinality) is pinned by
-    tests/test_degenerate_corpus.py::test_hll_weekly_close_to_exact."""
+    fan-out in window_rolling_7d_distinct_users.
+
+    Week key is YEAR-AWARE: date_trunc('week') (Monday of the ISO
+    week, both engines) — r3 ADVICE flagged the old weekofyear()
+    key, which merges late-December with January across years.
+
+    TOLERANCE ORACLE (r3 VERDICT #3): the sketch estimate is
+    engine-specific, so the emitted columns are the exact per-week
+    distinct plus a boolean pinning |approx-exact| <= 5%·exact; the
+    oracle emits literal TRUE, so an out-of-tolerance sketch is a
+    hash FAIL, not an unverifiable cell. The exact side re-scans
+    events once — acceptable for the oracle contract; production
+    would emit approx_users alone."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    approx = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week_start")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("week_start")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
     return (
-        daily.groupBy(F.weekofyear("day").alias("week"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count("*").alias("n_days"),
+        approx.join(exact, "week_start")
+        .select(
+            F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
         )
-        .orderBy("week")
+        .orderBy("week_start")
     )

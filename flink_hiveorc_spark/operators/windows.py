@@ -343,8 +343,12 @@ def gapfill_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spine derives from the data's own min/max (one tiny agg,
     sequence() explode — rows = days, never more); the daily agg
-    shrinks the fact table before the join, and the spine side is
-    broadcast. Dates are compared as DATE and emitted as strings."""
+    shrinks the fact table to one row per day BEFORE the join, so the
+    daily side is the broadcast build side (rows = days at any corpus
+    scale). The hint must sit on the RIGHT side: Spark cannot build
+    the preserved side of a left-outer broadcast join, so a hint on
+    the spine would be silently ignored (r3 ADVICE). Dates are
+    compared as DATE and emitted as strings."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min(F.col("ts").cast("date")).alias("d0"), F.max(F.col("ts").cast("date")).alias("d1")
@@ -361,8 +365,7 @@ def gapfill_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        F.broadcast(spine)
-        .join(daily, "day", "left")
+        spine.join(F.broadcast(daily), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
@@ -481,7 +484,10 @@ def gapfill_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")).alias("v")
         )
     )
-    g = F.broadcast(spine).join(daily, "day", "left")
+    # daily = one row per day — broadcast the RIGHT side (the build
+    # side Spark can legally use for a left-outer join; a hint on the
+    # preserved spine side would be ignored — r3 ADVICE).
+    g = spine.join(F.broadcast(daily), "day", "left")
     wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wn = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
     known_day = F.when(F.col("v").isNotNull(), F.col("day"))
@@ -537,11 +543,17 @@ def window_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     exact distinct count per spine day.
 
     Scale shape: the dedup to (day, user) collapses the fact table
-    FIRST (the only full-size shuffle); the range join is against the
-    broadcast calendar spine — rows = days, bounded by time, so the
-    7× fan-out costs 7·|daily actives|, never 7·|events|. (The HLL
-    alternative — merge 7 daily sketches per day — drops the exact
-    answer but removes the fan-out; see agg_approx_count_distinct.)"""
+    FIRST (the only full-size shuffle); the range join is an INNER
+    join with the calendar spine as the broadcast build side (rows =
+    days, bounded by time), so the 7× fan-out costs 7·|daily
+    actives|, never 7·|events|. Inner, not left-outer: Spark cannot
+    broadcast the preserved side of an outer join (r3 ADVICE — the
+    old left-outer formulation's hint was ignored and risked
+    broadcasting the fact-derived pairs). Zero-activity spine days
+    are restored afterwards by a tiny days×days left join against
+    the aggregated counts. (The HLL alternative — merge 7 daily
+    sketches per day — drops the exact answer but removes the
+    fan-out; see agg_hll_union_weekly_users.)"""
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
         F.col("ts").cast("date").alias("day"), "user_id"
@@ -556,12 +568,14 @@ def window_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     cond = (F.col("day") >= F.date_sub(F.col("sday"), 6)) & (
         F.col("day") <= F.col("sday")
     )
-    return (
-        F.broadcast(spine)
-        .join(pairs, cond, "left")
+    counts = (
+        pairs.join(F.broadcast(spine), cond, "inner")
         .groupBy("sday")
         .agg(F.countDistinct("user_id").alias("users_7d"))
-        .select(F.date_format("sday", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+    return spine.join(F.broadcast(counts), "sday", "left").select(
+        F.date_format("sday", "yyyy-MM-dd").alias("day"),
+        F.coalesce("users_7d", F.lit(0)).alias("users_7d"),
     )
 
 

