@@ -45,11 +45,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table, applying the normalization rules above."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # Corpus generations that wrote TIMESTAMP(NANOS): the session
+            # reads them as raw nanos (nanosAsLong) — surface both.
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        elif ts_type.startswith("timestamp"):
+            # Corpus generations that write TIMESTAMP(MICROS) (NTZ): keep
+            # ``ts`` as the native timestamp and derive bigint nanos for
+            # the epoch-arithmetic operators. The NTZ->TZ cast binds the
+            # wall-clock to the session zone, which the engine pins to
+            # UTC (session.py), so unix_micros is the same epoch DuckDB's
+            # epoch_us(ts) computes on its naive timestamp.
+            df = df.withColumn(
+                "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
     return df
 
 

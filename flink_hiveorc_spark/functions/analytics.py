@@ -527,3 +527,60 @@ def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_w",
         F.when((n_w >= 8) & (var > 0), z).alias("zscore"),
     )
+
+
+@query(
+    "events_window_dedup",
+    oracle="""
+    SELECT user_id, event_type, w_start_us, event_id AS kept_event_id,
+           n AS n_in_window, n - 1 AS n_dropped
+    FROM (
+      SELECT user_id, event_type, event_id,
+             (epoch_us(ts) // 300000000) * 300000000 AS w_start_us,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, epoch_us(ts) // 300000000
+               ORDER BY epoch_us(ts), event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY user_id, event_type, epoch_us(ts) // 300000000) AS n
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-adjacent: windowed deduplication — keep the FIRST event per
+    (user, event_type) inside each 5-minute tumbling window, the
+    batch twin of Flink's `deduplicate` / Spark's streaming
+    dropDuplicates-within-watermark (bounded state: one row per live
+    key×window, state expiry = window close; an unbounded
+    dropDuplicates would hold every key forever at 100 TB/day).
+
+    Deterministic keep rule: earliest (ts, event_id) — the unique-key
+    tiebreak makes the survivor engine-independent even when two
+    duplicates share a timestamp. One shuffle on the composite key;
+    the count runs in the same window pass (same partitioning, no
+    second exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.expr("((ts_ns div 1000) div 300000000) * 300000000").alias("w_start_us"),
+    )
+    key = ["user_id", "event_type", "w_start_us"]
+    w_rank = Window.partitionBy(*key).orderBy("t_us", "event_id")
+    w_all = Window.partitionBy(*key)
+    return (
+        base.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "w_start_us",
+            F.col("event_id").alias("kept_event_id"),
+            F.col("n").alias("n_in_window"),
+            (F.col("n") - 1).alias("n_dropped"),
+        )
+    )

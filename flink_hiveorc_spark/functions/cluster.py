@@ -176,3 +176,128 @@ def ml_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = assign(e, c1)
     return a2.select("vec_id", "cluster_id", "dist_q")
 
+
+
+_KMEANS_DEEP_K = 6
+_KMEANS_DEEP_ROUNDS = 4
+
+
+def _kmeans_deep_oracle(k: int, rounds: int) -> str:
+    """Unrolled Lloyd-iteration oracle: the same quantized distance /
+    centroid CTEs as _KMEANS_ORACLE, generated for any (k, rounds).
+    The text is assembled once at import — the oracle stays a plain
+    ANSI-SQL string, just not hand-unrolled."""
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+      SELECT vec_id AS cluster_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < {k}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev_c = f"c{r - 1}"
+        if r == 1:
+            dist = f"""d1 AS (
+      SELECT e.vec_id, c0.cluster_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+               CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c0.cent[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c0.cent[i])
+                          * {_Q_DIST}) AS BIGINT))) AS dist_q
+      FROM e CROSS JOIN c0
+    )"""
+        else:
+            dist = f"""d{r} AS (
+      SELECT e.vec_id, {prev_c}.cluster_id,
+             sum(CAST(floor((CAST(e.embedding[{prev_c}.dim] AS DOUBLE) - {prev_c}.m)
+                            * (CAST(e.embedding[{prev_c}.dim] AS DOUBLE) - {prev_c}.m)
+                            * {_Q_DIST}) AS BIGINT)) AS dist_q
+      FROM e CROSS JOIN {prev_c}
+      GROUP BY e.vec_id, {prev_c}.cluster_id
+    )"""
+        ctes.append(dist)
+        ctes.append(
+            f"""a{r} AS (
+      SELECT vec_id, cluster_id, dist_q FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist_q, cluster_id) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    )"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""c{r} AS (
+      SELECT a{r}.cluster_id, i AS dim,
+             CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * {_Q_CENT}) AS BIGINT)) AS DOUBLE)
+               / count(*) / {_Q_CENT} AS m
+      FROM a{r} JOIN e USING (vec_id),
+           UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+      GROUP BY a{r}.cluster_id, i
+    )"""
+            )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, cluster_id, CAST(dist_q AS BIGINT) AS dist_q FROM a{rounds}\n"
+    )
+
+
+@query(
+    "ml_kmeans_deep",
+    oracle=_kmeans_deep_oracle(_KMEANS_DEEP_K, _KMEANS_DEEP_ROUNDS),
+)
+def ml_kmeans_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3e deepened (r3 VERDICT #7): k=6, FOUR unrolled Lloyd rounds
+    — demonstrates the integer-quantized cross-engine oracle
+    technique generalizes past two iterations (quantization error
+    cannot accumulate into divergent assignments: every round's
+    distances and centroid means are re-derived from exact integer
+    sums, so both engines walk the identical assignment sequence).
+
+    Scale posture identical to ml_kmeans_two_rounds: per round, one
+    broadcast-centroid join (k·dims doubles) + one (cluster, dim)
+    aggregate; rounds sequenced by the driver. The per-round frames
+    are NOT checkpointed — four rounds of narrow lineage over a
+    re-scannable source stays cheap, whereas k-means at 100 TB would
+    cache the vectors once (`.persist(DISK_ONLY)`) and still never
+    checkpoint mid-loop."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < _KMEANS_DEEP_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("cent")
+    )
+
+    assigned = None
+    for r in range(_KMEANS_DEEP_ROUNDS):
+        d = e.join(F.broadcast(cents)).select(
+            "vec_id", "cluster_id", "emb",
+            _dist_q(F.col("emb"), F.col("cent")).alias("dist_q"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist_q", "cluster_id")
+        assigned = (
+            d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        )
+        if r < _KMEANS_DEEP_ROUNDS - 1:
+            cents = (
+                assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cluster_id", (F.col("pos") + 1).alias("dim"))
+                .agg(
+                    (
+                        F.sum(F.floor(F.col("v") * _Q_CENT).cast("long")).cast("double")
+                        / F.count("*")
+                        / F.lit(_Q_CENT)
+                    ).alias("m")
+                )
+                .groupBy("cluster_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda s: s.getField("m"),
+                    ).alias("cent")
+                )
+            )
+    return assigned.select("vec_id", "cluster_id", "dist_q")

@@ -757,3 +757,153 @@ def graph_pagerank_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("r")
         )
     return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("rank_units"))
+
+
+_CHUNK_WORDS = 10  # fixed-stride chunker span (words per chunk)
+
+
+@query(
+    "dedup_chunk_level",
+    oracle=f"""
+    WITH chunked AS (
+      SELECT doc_id,
+             md5(unnest(list_transform(
+               range(0, CAST(ceil(len(w) / {_CHUNK_WORDS}.0) AS BIGINT)),
+               i -> array_to_string(
+                 w[(i * {_CHUNK_WORDS} + 1):(i * {_CHUNK_WORDS} + {_CHUNK_WORDS})], ' ')
+             ))) AS chunk_h
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    occ AS (
+      SELECT doc_id, chunk_h, count(*) AS c
+      FROM chunked GROUP BY doc_id, chunk_h
+    ),
+    keeper AS (
+      SELECT chunk_h, min(doc_id) AS keep_doc FROM occ GROUP BY chunk_h
+    )
+    SELECT o.doc_id,
+           CAST(sum(o.c) AS BIGINT) AS n_chunks,
+           count(*) AS n_unique_in_doc,
+           CAST(count(CASE WHEN k.keep_doc = o.doc_id THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(count(CASE WHEN k.keep_doc = o.doc_id THEN 1 END) AS DOUBLE)
+             / sum(o.c) AS kept_frac
+    FROM occ o JOIN keeper k USING (chunk_h)
+    GROUP BY o.doc_id
+    """,
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1c: sub-document (paragraph-level) exact dedup — split every
+    document into fixed-stride {10}-word chunks, dedup chunk CONTENT
+    across the whole corpus (first-writer-wins: the chunk survives
+    only in the lowest doc_id containing it), and report per document
+    how much of it survives. This is the cross-document repeated-
+    passage removal step of pretraining pipelines (boilerplate,
+    licenses, templated paragraphs); the chunker is a stand-in for a
+    paragraph split on corpora that carry newlines (this corpus does
+    not — TESTDATA documents are single-line).
+
+    Scale (100 TB): chunks are md5-hashed BEFORE the corpus-wide
+    group/join, so every shuffle carries 32-byte digests, never chunk
+    text (same discipline as the shingle pipeline above). Two hash
+    aggregates + one hash join, all keyed on the digest — uniform md5
+    keys, skew-free. The words array is materialized in its own
+    projection before the slicing transform (the in-lambda split()
+    O(words²) trap documented at _shingle_docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    wd = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.ceil(F.size("w") / F.lit(float(_CHUNK_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("w", i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "),
+    )
+    occ = (
+        wd.select("doc_id", F.explode(chunks).alias("chunk"))
+        .groupBy("doc_id", F.md5("chunk").alias("chunk_h"))
+        .agg(F.count("*").alias("c"))
+    )
+    keeper = occ.groupBy("chunk_h").agg(F.min("doc_id").alias("keep_doc"))
+    kept = F.count(F.when(F.col("keep_doc") == F.col("doc_id"), F.lit(1)))
+    return (
+        occ.join(keeper, "chunk_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chunks"),
+            F.count("*").alias("n_unique_in_doc"),
+            kept.alias("n_kept"),
+            (kept.cast("double") / F.sum("c")).alias("kept_frac"),
+        )
+    )
+
+
+_PR_DEEP_ROUNDS = 4
+
+
+def _pagerank_oracle_rounds(rounds: int) -> str:
+    """The graph_pagerank CTE chain generated for any round count —
+    integer rank units make every round exactly reproducible, so
+    deepening the unroll is purely textual."""
+    ctes = [
+        "pairs AS (SELECT * FROM ({pairs}))",
+        """edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    )""",
+        "deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u)",
+        f"r0 AS (SELECT u, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT e.v AS u,
+             CAST({_PR_BASE} + sum((85 * r{i - 1}.r) // (100 * deg.d)) AS BIGINT) AS r
+      FROM edges e
+      JOIN r{i - 1} ON r{i - 1}.u = e.u
+      JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    )"""
+        )
+    return (
+        "\n    WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS doc_id, r AS rank_units FROM r{rounds}\n"
+    )
+
+
+@query(
+    "graph_pagerank_deep",
+    oracle=_pagerank_oracle_rounds(_PR_DEEP_ROUNDS).format(pairs=_LSH_PAIRS_ORACLE),
+)
+def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2h deepened (r3 VERDICT #7): FOUR PageRank rounds over the
+    near-dup graph — the integer-unit determinism survives arbitrary
+    iteration depth because each round's ranks are exact integers
+    (floor-divided contributions summed as longs; no float drift to
+    accumulate).
+
+    Scale: identical per-round shape to graph_pagerank_two_rounds
+    (edge join + aggregate); the edge set is checkpointed ONCE before
+    the loop so the expensive LSH pair generation is never replayed,
+    and each round's rank frame is a slim (doc_id, long) table. At
+    real scale the per-round rank frame would also be checkpointed
+    every ~5 rounds to cap lineage depth — four rounds stays well
+    under that."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = reliable_checkpoint(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    ranks = deg.select("u", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_DEEP_ROUNDS):
+        contrib = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("(85 * r) div (100 * d)").alias("c"))
+        )
+        ranks = contrib.groupBy(F.col("v").alias("u")).agg(
+            (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("r")
+        )
+    return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("rank_units"))

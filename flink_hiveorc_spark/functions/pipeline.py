@@ -191,3 +191,72 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).alias("n_tokens"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+@query(
+    "sample_weighted_mixture",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source, text,
+             CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 4
+               WHEN 0 THEN 100 WHEN 1 THEN 60 WHEN 2 THEN 30 ELSE 10
+             END AS rate_pct,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           max(rate_pct) AS rate_pct,
+           count(*) AS n_docs,
+           count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_sampled,
+           CAST(sum(CASE WHEN bucket < rate_pct
+                    THEN len(string_split_regex(text, '\\s+')) END) AS BIGINT)
+             AS sampled_tokens
+    FROM rated
+    GROUP BY source
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4j: deterministic per-source mixture sampling — the data-
+    mixture step of a pretraining pipeline (oversample curated
+    sources, downsample bulk web). Each source gets a retention rate
+    (here derived from the source id; in production a broadcast
+    config table) and each document is kept iff its md5 key-bucket
+    falls under the rate.
+
+    Why hash-gated, not df.sample(): reproducible across runs,
+    engines, and repartitioning; a document's fate is a pure function
+    of its id, so incremental reruns over a grown corpus keep
+    previous decisions (critical when a 100 TB corpus is sampled
+    incrementally); and rates are exact in expectation per source
+    with no RNG-state coordination across 1000 executors. Map-only
+    until the per-source count aggregate — one scan, one tiny
+    shuffle of (source, counts) partials."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 4 == 0, 100)
+        .when(F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 4 == 1, 60)
+        .when(F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 4 == 2, 30)
+        .otherwise(10)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    sampled = F.col("bucket") < F.col("rate_pct")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "text",
+            rate.alias("rate_pct"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("rate_pct").alias("rate_pct"),
+            F.count("*").alias("n_docs"),
+            F.count(F.when(sampled, 1)).alias("n_sampled"),
+            F.sum(F.when(sampled, F.size(F.split("text", r"\s+")))).alias("sampled_tokens"),
+        )
+    )

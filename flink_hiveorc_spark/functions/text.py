@@ -374,3 +374,52 @@ def text_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 8)
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM words WHERE w <> '' GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_types,
+           CAST(sum(c * c) AS BIGINT) AS collision_index,
+           CAST(max(c) AS BIGINT) AS max_freq,
+           CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4i: integer-exact lexical-diversity signals per document —
+    type count, type/token ratio, collision index Σc² (the integer
+    Simpson/repeat-mass statistic: high = a few words dominate), max
+    single-word frequency. The FP-safe stand-in for word-entropy
+    filters (entropy's per-term c·ln c sums are float-order-dependent
+    across engines; Σc² ranks documents the same way and is exact).
+
+    Scale: explode → two hash aggregates keyed by (doc_id, word) then
+    doc_id — partial aggregation absorbs the explosion map-side; no
+    word-level shuffle of text beyond the (doc_id, word) pairs. The
+    final ratio is one double division of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("collision_index"),
+        F.max("c").alias("max_freq"),
+        (F.count("*").cast("double") / F.sum("c")).alias("type_token_ratio"),
+    )

