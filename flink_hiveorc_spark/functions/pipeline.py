@@ -260,3 +260,41 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(sampled, F.size(F.split("text", r"\s+")))).alias("sampled_tokens"),
         )
     )
+
+
+_PER_SOURCE_CAP = 15
+
+
+@query(
+    "sample_per_source_cap",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, rnk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= {_PER_SOURCE_CAP}
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4k: per-source document cap — keep at most N documents per
+    source, best-first (here: longest; in production: a quality
+    score). The per-domain quota step of web-corpus curation: without
+    it the head domains dominate the mixture no matter what the
+    sampling rates say.
+
+    Scale: rank-within-group + filter plans a WindowGroupLimit in
+    Spark ≥3.5 — each shuffle partition keeps only its top-N per
+    group BEFORE the final sort, so the shuffle carries O(sources·N)
+    rows, not the corpus. Deterministic: (n_chars DESC, doc_id)
+    total order."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _PER_SOURCE_CAP)
+    )

@@ -735,3 +735,46 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (rel(F.col("ap")[1], F.col("p95_disc")) <= 0.02)
         ).alias("approx_within_2pct"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+             / count(*) AS finished_frac
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 variant: FILTER-clause (conditional) aggregates — several
+    differently-predicated aggregates over ONE scan/shuffle instead
+    of N self-joined subqueries. Spark expresses the FILTER clause as
+    when()-guarded aggregates (identical semantics: rows failing the
+    predicate contribute nothing, count counts non-nulls); the SQL
+    surface also accepts `count(*) FILTER (WHERE ...)` verbatim.
+
+    Scale: this is THE pattern for one-pass multi-metric jobs — a
+    naive N-subquery formulation scans 100 TB N times; this scans
+    once and partial-aggregates map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        finished.alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O", F.col("o_totalprice").cast(_DEC)
+            )
+        )
+        .cast("double")
+        .alias("open_value"),
+        (finished.cast("double") / F.count("*")).alias("finished_frac"),
+    )

@@ -47,6 +47,7 @@ def write_partitioned(
     max_records_per_file: int | None = 1_000_000,
     repartition_first: bool = True,
     cluster_by: list[str] | None = None,
+    bloom_filter_columns: list[str] | None = None,
 ) -> None:
     """Write a Hive-layout partitioned table directory.
 
@@ -62,6 +63,15 @@ def write_partitioned(
     each file's stripes — the second level of data skipping after
     partition pruning, and at 100 TB often the bigger one (partitions
     are coarse, stripes are ~64 MB).
+
+    ``bloom_filter_columns`` writes per-stripe ORC bloom filters
+    (``orc.bloom.filter.columns``; the Hive writer-options surface the
+    reference configures at HiveOrcSink.java:313-314 `writerOptions`).
+    Min-max skipping fails on high-cardinality point lookups (every
+    stripe's [min,max] spans the probe value); a bloom filter rejects
+    stripes by membership instead — the third level of data skipping,
+    for needle-in-100-TB id probes. Parquet's equivalent is
+    ``parquet.bloom.filter.enabled#col``, applied when fmt is parquet.
     """
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     writer = df
@@ -72,6 +82,13 @@ def write_partitioned(
     w = writer.write.format(fmt).mode(mode).partitionBy(*keys)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if bloom_filter_columns:
+        if fmt == "orc":
+            w = w.option("orc.bloom.filter.columns", ",".join(bloom_filter_columns))
+            w = w.option("orc.bloom.filter.fpp", "0.05")
+        else:  # parquet: per-column enable flags
+            for c in bloom_filter_columns:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
     w.save(path)
 
 

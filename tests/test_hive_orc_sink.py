@@ -255,3 +255,26 @@ def test_vacuum_applies_manifests_in_numeric_batch_order(spark, tmp_path):
     removed = vacuum_streaming_sink(spark, str(out))
     assert removed == []
     assert f_a.exists()
+
+
+def test_bloom_filter_columns_written(spark, sf_dir, tmp_path):
+    """orc.bloom.filter.columns must materially change the written
+    files (bloom streams add bytes per stripe) while read-back stays
+    identical — and the option string must be accepted by the native
+    ORC writer (a typo'd option name would be silently dropped by a
+    lenient writer, but the size delta proves the stream exists)."""
+    city = city_shaped_events(spark, sf_dir)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_partitioned(city, plain, "c_date", fmt="orc")
+    write_partitioned(city, bloomed, "c_date", fmt="orc", bloom_filter_columns=["ref"])
+
+    def total_bytes(root):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(root, "**", "*.orc"), recursive=True)
+        )
+
+    assert total_bytes(bloomed) > total_bytes(plain)
+    a = spark.read.orc(plain).orderBy("ref").collect()
+    b = spark.read.orc(bloomed).orderBy("ref").collect()
+    assert a == b
