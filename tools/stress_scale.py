@@ -55,6 +55,17 @@ PROBE = [
     # construction, not by plan shape)
     "batch_merge_upsert",
     "text_repetition_signals",
+    # round 4 (pagerank_deep excluded as a pair-finder derivative;
+    # kmeans_deep's seed collect tolerates replicated vec_ids but
+    # kmeans_two_rounds already probes the same plan shape)
+    "dedup_chunk_level",
+    "text_lexical_diversity",
+    "events_window_dedup",
+    "agg_corr_regr_battery",
+    "agg_filter_clause",
+    "agg_approx_percentile",
+    "sample_per_source_cap",
+    "sample_weighted_mixture",
 ]
 
 
