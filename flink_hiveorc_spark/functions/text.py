@@ -423,3 +423,69 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_freq"),
         (F.count("*").cast("double") / F.sum("c")).alias("type_token_ratio"),
     )
+
+
+_FAMILIAR_MIN_DF = 3  # bigram must appear in >= this many OTHER docs
+
+
+@query(
+    "text_bigram_familiarity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    df AS (
+      SELECT bigram, count(DISTINCT doc_id) AS n_docs FROM bg GROUP BY bigram
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           count(CASE WHEN df.n_docs - 1 >= {_FAMILIAR_MIN_DF} THEN 1 END)
+             AS n_familiar,
+           CAST(count(CASE WHEN df.n_docs - 1 >= {_FAMILIAR_MIN_DF} THEN 1 END)
+                AS DOUBLE) / count(*) AS familiarity
+    FROM bg JOIN df USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4l: corpus-self-supervised fluency signal — the fraction of a
+    document's bigrams that also occur in ≥3 OTHER documents. The
+    integer-exact stand-in for n-gram language-model scoring
+    (documents whose word transitions appear nowhere else in the
+    corpus are gibberish, boilerplate-mangled, or wrong-language);
+    the same two-pass corpus-statistics shape an actual KenLM-style
+    filter takes, with the model estimated from the corpus itself.
+
+    Exactness: counts and document frequencies are integers; the
+    final ratio is one double division (log-probability averages
+    would be float-sum-order-dependent across engines). Scale: pass
+    1 aggregates bigram document-frequencies (map-side partials);
+    pass 2 joins docs' bigrams to the DF table on the bigram hash —
+    both shuffles carry (bigram, counts), never documents. The DF
+    table is corpus-vocabulary-sized; for a web-scale corpus add a
+    min-count pre-filter so it stays broadcastable."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", r"\s+")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    df_tab = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("n_docs"))
+    fam = F.count(F.when(F.col("n_docs") - 1 >= _FAMILIAR_MIN_DF, 1))
+    return (
+        bg.join(df_tab, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            fam.alias("n_familiar"),
+            (fam.cast("double") / F.count("*")).alias("familiarity"),
+        )
+    )

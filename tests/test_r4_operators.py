@@ -116,3 +116,39 @@ def test_pagerank_deep_vs_two_rounds(spark, sf_dir):
     two = {r.doc_id: r.rank_units for r in QUERIES["graph_pagerank_two_rounds"](spark, sf_dir).collect()}
     assert set(deep) == set(two)
     assert all(v >= _PR_BASE for v in deep.values())
+
+
+def test_per_source_cap_quota(spark, sf_dir):
+    from flink_hiveorc_spark.functions.pipeline import _PER_SOURCE_CAP
+
+    out = QUERIES["sample_per_source_cap"](spark, sf_dir)
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= _PER_SOURCE_CAP for r in per_src)
+    # within a source the kept docs are the longest ones: rank 1 has
+    # max n_chars
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        top = min(rs, key=lambda r: r.rnk)
+        assert top.n_chars == max(r.n_chars for r in rs)
+
+
+def test_filter_clause_consistency(spark, sf_dir):
+    rows = QUERIES["agg_filter_clause"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.n_finished <= r.n_orders
+        assert 0 <= r.n_large <= r.n_orders
+        assert abs(r.finished_frac - r.n_finished / r.n_orders) < 1e-12
+
+
+def test_bigram_familiarity_bounds(spark, sf_dir):
+    rows = QUERIES["text_bigram_familiarity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_familiar <= r.n_bigrams
+        assert 0.0 <= r.familiarity <= 1.0
+    # the corpus-self-supervised signal must separate documents (a
+    # constant column would mean the DF join is broken)
+    assert len({r.familiarity for r in rows}) > 1

@@ -15,6 +15,14 @@ every document identifies nothing).
 
 Usage: python tools/viral_shingle_probe.py [n_docs] [sf_dir]
 Prints one JSON line with uncapped vs capped timings and pair counts.
+
+Measured (sf0.1 docs + 19-word boilerplate, local[32]):
+  2000 docs: uncapped 15.1 s / 309,758 pairs → capped 8.5 s / 43 pairs (1.8×)
+  5000 docs: uncapped 102.0 s / 1,949,263 pairs → capped 9.3 s / 247 pairs (10.9×)
+2.5× the docs made the uncapped join 6.8× slower while the capped run
+barely moved — the N² blowup is real and the cap removes exactly the
+boilerplate-only pairs (a pair sharing ONLY boilerplate is a false
+near-duplicate by construction).
 """
 
 from __future__ import annotations
