@@ -584,3 +584,115 @@ def events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - 1).alias("n_dropped"),
         )
     )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+    WITH vc AS (
+      SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT source,
+             min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN n_chars END) AS median_chars
+      FROM (
+        SELECT source, n_chars,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM vc
+      )
+      GROUP BY source
+    ),
+    dev AS (
+      SELECT vc.source, abs(vc.n_chars - med.median_chars) AS d, sum(vc.c) AS c
+      FROM vc JOIN med USING (source)
+      GROUP BY 1, 2
+    ),
+    mad AS (
+      SELECT source,
+             min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN d END) AS mad_chars
+      FROM (
+        SELECT source, d,
+               sum(c) OVER (PARTITION BY source ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM dev
+      )
+      GROUP BY source
+    )
+    SELECT d.source,
+           CAST(any_value(med.median_chars) AS BIGINT) AS median_chars,
+           CAST(any_value(mad.mad_chars) AS BIGINT) AS mad_chars,
+           count(*) AS n_docs,
+           count(CASE WHEN abs(d.n_chars - med.median_chars)
+                          > 3 * mad.mad_chars THEN 1 END) AS n_outliers
+    FROM documents d
+    JOIN med ON med.source = d.source
+    JOIN mad ON mad.source = d.source
+    GROUP BY d.source
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4m: robust per-source outlier detection — median and MAD
+    (median absolute deviation) of document length, and the count of
+    documents beyond 3 MADs. The robust-statistics quality gate
+    (mean/stddev are dragged by the very outliers they should flag;
+    median/MAD are not).
+
+    Both medians are exact DISCRETE medians computed from
+    per-(source, value) counts + a cumulative sum over DISTINCT
+    values (same scalable shape as agg_approx_percentile's exact
+    side: the parallel hash agg does the corpus-sized work, the
+    sequential window only ever sees distinct lengths). Everything is
+    integer — no FP anywhere. Final pass joins the two tiny per-
+    source tables back (broadcast) and counts outliers in one scan."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def disc_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        vc = df.groupBy("source", val).agg(F.count("*").alias("c"))
+        w_cum = (
+            Window.partitionBy("source")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("source")
+        cum = vc.select(
+            "source",
+            F.col(val).alias("v"),
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        return cum.groupBy("source").agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    F.col("v"),
+                )
+            ).alias(out)
+        )
+
+    med = disc_median(d.select("source", "n_chars"), "n_chars", "median_chars")
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev")
+    )
+    mad = disc_median(dev, "dev", "mad_chars")
+    return (
+        d.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.first("median_chars").alias("median_chars"),
+            F.first("mad_chars").alias("mad_chars"),
+            F.count("*").alias("n_docs"),
+            F.count(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("median_chars"))
+                    > 3 * F.col("mad_chars"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
