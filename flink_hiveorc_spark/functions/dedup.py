@@ -907,3 +907,69 @@ def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("r")
         )
     return ranks.select(F.col("u").alias("doc_id"), F.col("r").alias("rank_units"))
+
+
+_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_minhash_accuracy",
+    oracle=f"""
+    WITH pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE})),
+    sh AS ({_SHINGLES_SQL}),
+    hp AS (
+      {_HASH_PAIR_SQL}
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_SQL_COLS}
+      FROM hp
+      GROUP BY doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST({_MATCH_SQL} AS BIGINT) AS n_matches,
+           CAST({_MATCH_SQL} AS DOUBLE) / {N_MINHASH} AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    """,
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b accuracy report: for every verified near-dup pair, the
+    MinHash ESTIMATE of Jaccard (matching signature components / 8)
+    next to the TRUE hashed-shingle Jaccard — the sim_ivf_recall_
+    report pattern applied to the dedup sketch: the sketch's accuracy
+    is a measured column in the artifact, not a claim in a docstring
+    (E[est] = J with σ = √(J(1-J)/8); a broken hash family or band
+    layout shows up as systematic divergence here before it silently
+    degrades recall).
+
+    Scale: joins the 8-long signatures onto the (already bucketed)
+    pair list — payload is 64 bytes per doc side; the expensive parts
+    (signatures, banded candidates, verification) are the SAME stages
+    the production pipeline already runs."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            matches.cast("bigint").alias("n_matches"),
+            (matches.cast("double") / N_MINHASH).alias("est_jaccard"),
+        )
+    )

@@ -152,3 +152,35 @@ def test_bigram_familiarity_bounds(spark, sf_dir):
     # the corpus-self-supervised signal must separate documents (a
     # constant column would mean the DF join is broken)
     assert len({r.familiarity for r in rows}) > 1
+
+
+def test_mad_outliers_invariants(spark, sf_dir):
+    rows = QUERIES["agg_mad_outliers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_chars >= 0
+        assert 0 <= r.n_outliers <= r.n_docs
+        # median must be an attained value, so within [min, max] chars
+        assert r.median_chars > 0
+        # with a sane corpus, 3-MAD outliers are a small minority
+        assert r.n_outliers <= r.n_docs // 2
+
+
+def test_minhash_accuracy_estimator(spark, sf_dir):
+    from flink_hiveorc_spark.functions.dedup import N_MINHASH
+
+    rows = QUERIES["dedup_minhash_accuracy"](spark, sf_dir).collect()
+    assert rows  # LSH finds pairs in the standard corpus
+    for r in rows:
+        assert 0 <= r.n_matches <= N_MINHASH
+        assert abs(r.est_jaccard - r.n_matches / N_MINHASH) < 1e-12
+        assert 0.0 < r.jaccard <= 1.0
+    # estimator sanity: mean signed error over verified pairs stays
+    # within 2 sigma of the binomial bound around the mean true J
+    import math
+
+    n = len(rows)
+    mean_j = sum(r.jaccard for r in rows) / n
+    mean_err = sum(r.est_jaccard - r.jaccard for r in rows) / n
+    sigma = math.sqrt(mean_j * (1 - mean_j) / N_MINHASH / n)
+    assert abs(mean_err) < 4 * sigma + 0.1
