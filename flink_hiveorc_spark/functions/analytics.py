@@ -696,3 +696,71 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, source, text, n_tokens,
+             CAST((sum(n_tokens) OVER (
+                     PARTITION BY lang, source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_idx
+      FROM sized
+    )
+    SELECT lang, source, shard_idx,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+             AS content_checksum
+    FROM packed
+    GROUP BY lang, source, shard_idx
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4h+: training-shard MANIFEST — per (lang, source, shard): doc
+    count, token count, doc-id range, and an order-free content
+    checksum (sum of 32-bit md5 prefixes; commutative, so the value
+    is independent of partitioning/merge order — ≤2⁴¹ for any shard
+    that fits in memory, no overflow). This is the artifact a 100 TB
+    packing job actually ships: the consumer re-derives the checksum
+    after download and a single flipped document (content OR
+    membership) changes it.
+
+    Scale: reuses pipeline_pack_shards' per-stream cumulative-sum
+    assignment (one window per (lang, source) stream), then one hash
+    aggregate on the shard key. The md5 runs once per document over
+    text already in hand — no extra scan, no extra shuffle beyond
+    the manifest's own (tiny) aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", "source", "text",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "*",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        .cast("bigint")
+        .alias("shard_idx"),
+    )
+    chk = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return packed.groupBy("lang", "source", "shard_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(chk).alias("content_checksum"),
+    )
