@@ -1,0 +1,75 @@
+"""Training-shard export: the sink half of the packing pipeline
+(functions/analytics.py: pipeline_pack_shards assigns documents to
+token-budget shards; pipeline_shard_manifest summarizes them; this
+module WRITES them and verifies the written files against the
+manifest).
+
+Layout: ``<root>/lang=<l>/source=<s>/`` Hive-partitioned parquet with
+one file per shard (``maxRecordsPerFile`` cannot express "split at
+shard boundary", so the shard id is carried as a COLUMN inside the
+partition dir and consumers filter on it — partition pruning handles
+(lang, source), parquet row-group stats + the shard_idx filter handle
+the rest). At 100 TB this writes with one task per (lang, source)
+stream after the same single repartition the packing window already
+required — no extra shuffle.
+
+Integrity: `verify_shards` recomputes the per-shard manifest FROM THE
+WRITTEN FILES and diffs it against the pre-write manifest. The
+checksum is the commutative md5-prefix sum, so file order / task
+placement cannot produce false alarms; any lost, duplicated, or
+corrupted document changes (n_docs, n_tokens, content_checksum) for
+exactly its shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_training_shards(packed: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a packed corpus (doc_id, lang, source, text, n_tokens,
+    shard_idx — pipeline_pack_shards' schema plus text) as a
+    Hive-partitioned shard store."""
+    (
+        packed.repartition(F.col("lang"), F.col("source"))
+        .sortWithinPartitions("lang", "source", "shard_idx", "doc_id")
+        .write.mode(mode)
+        .partitionBy("lang", "source")
+        .parquet(path)
+    )
+
+
+def shard_manifest(df: DataFrame) -> DataFrame:
+    """Per-(lang, source, shard_idx) manifest of a packed frame:
+    doc/token counts, id range, commutative content checksum."""
+    chk = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return df.groupBy("lang", "source", "shard_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(chk).alias("content_checksum"),
+    )
+
+
+def verify_shards(spark: SparkSession, path: str, expected_manifest: DataFrame) -> DataFrame:
+    """Re-derive the manifest from the written files and return the
+    rows that DISAGREE with the expected manifest (empty = verified).
+    Full-outer join on the shard key so lost and phantom shards both
+    surface, not just changed ones."""
+    actual = shard_manifest(spark.read.parquet(path))
+    key = ["lang", "source", "shard_idx"]
+    cols = ["n_docs", "n_tokens", "first_doc", "last_doc", "content_checksum"]
+    e = expected_manifest.select(key + cols).alias("e")
+    a = actual.select(key + cols).alias("a")
+    joined = e.join(a, on=key, how="full_outer")
+    mismatch = None
+    for c in cols:
+        ne = ~F.col(f"e.{c}").eqNullSafe(F.col(f"a.{c}"))
+        mismatch = ne if mismatch is None else (mismatch | ne)
+    return joined.filter(mismatch).select(
+        *key,
+        *[F.col(f"e.{c}").alias(f"expected_{c}") for c in cols],
+        *[F.col(f"a.{c}").alias(f"actual_{c}") for c in cols],
+    )
