@@ -810,7 +810,13 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, skew-free. The words array is materialized in its own
     projection before the slicing transform (the in-lambda split()
     O(words²) trap documented at _shingle_docs)."""
-    d = load_table(spark, sf_dir, "documents")
+    return chunk_level_stats(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_level_stats(d: DataFrame) -> DataFrame:
+    """Reusable core of dedup_chunk_level over any (doc_id, text)
+    frame — separated so property tests can drive it with arbitrary
+    generated corpora (tests/test_properties.py)."""
     wd = d.select("doc_id", F.split("text", " ").alias("w"))
     n_chunks = F.ceil(F.size("w") / F.lit(float(_CHUNK_WORDS))).cast("int")
     chunks = F.transform(

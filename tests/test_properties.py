@@ -197,3 +197,46 @@ def test_merge_into_matches_dict_model(spark, tgt, src):
         else:
             model[k] = d
     assert got == model
+
+
+DOC_TEXTS = st.lists(
+    st.text(alphabet="abc xyz", min_size=1, max_size=80).map(str.strip).filter(bool),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(DOC_TEXTS)
+def test_chunk_dedup_matches_python_model(spark, texts):
+    """dedup_chunk_level's core vs an independent Python model on
+    arbitrary corpora: per-doc totals, uniques, and first-writer-wins
+    kept counts must match exactly (including duplicate texts across
+    docs and duplicate chunks inside one doc)."""
+    from flink_hiveorc_spark.functions.dedup import _CHUNK_WORDS, chunk_level_stats
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    got = {
+        r.doc_id: r
+        for r in chunk_level_stats(spark.createDataFrame(rows)).collect()
+    }
+
+    # Python model (split(' ') keeps empties, mirroring the engine)
+    def chunks(t):
+        w = t.split(" ")
+        k = -(-len(w) // _CHUNK_WORDS)
+        return [" ".join(w[i * _CHUNK_WORDS : (i + 1) * _CHUNK_WORDS]) for i in range(k)]
+
+    per_doc = {i: chunks(t) for i, t in enumerate(texts)}
+    keeper = {}
+    for i in sorted(per_doc):
+        for c in per_doc[i]:
+            keeper.setdefault(c, i)
+    for i, cs in per_doc.items():
+        uniq = set(cs)
+        kept = sum(1 for c in uniq if keeper[c] == i)
+        r = got[i]
+        assert r.n_chunks == len(cs)
+        assert r.n_unique_in_doc == len(uniq)
+        assert r.n_kept == kept, (i, texts[i])
