@@ -764,3 +764,96 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(chk).alias("content_checksum"),
     )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_hourly_concurrency",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t_us, event_id,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+             t_us
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_seq,
+             min(t_us) // {_HOUR_US} AS h_lo,
+             max(t_us) // {_HOUR_US} AS h_hi
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT h AS hour_idx,
+           count(*) AS n_active_sessions,
+           count(DISTINCT user_id) AS n_active_users
+    FROM spans, UNNEST(range(h_lo, h_hi + 1)) AS t(h)
+    GROUP BY h
+    """,
+)
+def events_hourly_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4n: hourly concurrency — how many sessions (and distinct
+    users) were ACTIVE in each hour, computed by flattening session
+    intervals onto the hour grid (the interval→bucket explode that
+    powers concurrency/occupancy/utilization analytics over any
+    interval table).
+
+    Scale: sessions compress each user's events to one row per
+    session BEFORE the hour explode, and a session spans few hours —
+    the exploded row count is O(sessions · avg_hours), never
+    O(events). One shuffle for sessionization (reused by the span
+    aggregate — same user_id partitioning), one for the final
+    per-hour aggregate. Integer hour indices, exact everywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "t_us",
+        "event_id",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    # (t_us, event_id) total order: under timestamp ties the running
+    # sum would otherwise assign engine-dependent session membership
+    w_seq = Window.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "t_us", F.sum("is_start").over(w_seq).alias("session_seq")
+    )
+    spans = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(f"min(t_us) div {_HOUR_US}").alias("h_lo"),
+        F.expr(f"max(t_us) div {_HOUR_US}").alias("h_hi"),
+    )
+    return (
+        spans.select(
+            "user_id",
+            F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("hour_idx"),
+        )
+        .groupBy("hour_idx")
+        .agg(
+            F.count("*").alias("n_active_sessions"),
+            F.countDistinct("user_id").alias("n_active_users"),
+        )
+    )
