@@ -65,3 +65,19 @@ def test_column_pruning_on_wide_table(spark, sf_dir):
     df = QUERIES["agg_pricing_summary"](spark, sf_dir)
     schemas = A.scan_read_schemas(df)
     assert schemas and all(len(s) <= 8 for s in schemas), schemas
+
+
+def test_per_source_cap_plans_window_group_limit(spark, sf_dir):
+    """sample_per_source_cap's docstring claims a WindowGroupLimit:
+    each shuffle partition keeps only its per-group top-N before the
+    window sort, so the exchange carries O(groups·N) rows. Pin it."""
+    df = QUERIES["sample_per_source_cap"](spark, sf_dir)
+    assert A.count_nodes(df, "WindowGroupLimit") >= 1
+
+
+def test_kmeans_deep_assignment_is_shuffle_free(spark, sf_dir):
+    """ml_kmeans_deep's returned plan must stay map-only (literal
+    centroids; the per-round aggregates ran at construction time) —
+    the 0-exchange property PLANS.md records, pinned."""
+    df = QUERIES["ml_kmeans_deep"](spark, sf_dir)
+    assert A.shuffle_count(df) == 0
