@@ -232,7 +232,14 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no RNG-state coordination across 1000 executors. Map-only
     until the per-source count aggregate — one scan, one tiny
     shuffle of (source, counts) partials."""
-    d = load_table(spark, sf_dir, "documents")
+    return weighted_mixture_stats(load_table(spark, sf_dir, "documents"))
+
+
+def weighted_mixture_stats(d: DataFrame) -> DataFrame:
+    """Reusable core of sample_weighted_mixture over any (doc_id,
+    source, text) frame — separated for property tests
+    (tests/test_properties.py drives it with generated corpora
+    against a hashlib model)."""
     rate = (
         F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 4 == 0, 100)
         .when(F.regexp_extract("source", r"src(\d+)", 1).cast("bigint") % 4 == 1, 60)

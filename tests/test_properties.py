@@ -240,3 +240,47 @@ def test_chunk_dedup_matches_python_model(spark, texts):
         assert r.n_chunks == len(cs)
         assert r.n_unique_in_doc == len(uniq)
         assert r.n_kept == kept, (i, texts[i])
+
+
+MIX_DOCS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000_000),  # doc_id
+        st.integers(min_value=0, max_value=7),           # source number
+        st.text(alphabet="ab ", min_size=1, max_size=30).map(str.strip).filter(bool),
+    ),
+    min_size=1,
+    max_size=48,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(MIX_DOCS)
+def test_weighted_mixture_matches_hashlib_model(spark, docs):
+    """sample_weighted_mixture's core vs an independent hashlib model:
+    the md5 keep-gate and per-source rates must agree exactly for
+    arbitrary doc_ids and sources (the reproducibility guarantee IS
+    the operator — a drifting hash silently changes the corpus)."""
+    import hashlib
+
+    from flink_hiveorc_spark.functions.pipeline import weighted_mixture_stats
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, source=f"src{s}", text=t) for i, s, t in docs]
+    got = {
+        r.source: r for r in weighted_mixture_stats(spark.createDataFrame(rows)).collect()
+    }
+
+    rates = {0: 100, 1: 60, 2: 30, 3: 10}
+    model: dict[str, list[int]] = {}
+    for i, s, t in docs:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        kept = bucket < rates[s % 4]
+        n_tokens = len(t.split())  # texts have single spaces, no empties
+        model.setdefault(f"src{s}", []).append((kept, n_tokens))
+    for src, entries in model.items():
+        r = got[src]
+        assert r.n_docs == len(entries)
+        assert r.n_sampled == sum(1 for k, _ in entries if k)
+        expect_tokens = sum(n for k, n in entries if k)
+        assert (r.sampled_tokens or 0) == expect_tokens, (src, entries)
