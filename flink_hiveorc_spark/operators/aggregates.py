@@ -788,3 +788,38 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("open_value"),
         (finished.cast("double") / F.count("*")).alias("finished_frac"),
     )
+
+
+@query(
+    "agg_grouping_id_sets",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+: GROUPING() introspection over grouping sets — the bit that
+    distinguishes "NULL because the data is NULL" from "NULL because
+    this row is a subtotal". Without it, rollup consumers misread
+    subtotal rows whenever the grouped column itself contains NULLs;
+    with it, every row self-describes its aggregation level. Same
+    single-pass expand-aggregate plan as agg_grouping_sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+        )
+    )

@@ -515,3 +515,40 @@ def scalar_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
+
+
+@query(
+    "scalar_try_safe_arithmetic",
+    oracle="""
+    SELECT event_id,
+           value / NULLIF(CAST(user_id % 5 AS DOUBLE), 0) AS safe_ratio,
+           TRY_CAST(props AS BIGINT) AS props_as_int,
+           TRY_CAST(event_type AS DOUBLE) AS type_as_num,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS scaled_or_null
+    FROM events
+    """,
+)
+def scalar_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+: error-safe arithmetic — try_divide / try_cast return NULL
+    instead of raising, the semantics a 100 TB job needs (one
+    malformed row must not kill a 10-hour pipeline; the NULLs flow to
+    a dead-letter filter instead). Spark's try_* family maps to
+    NULLIF-guarded division and TRY_CAST on the oracle side —
+    identical three-valued results.
+
+    try_cast on a non-numeric string (event_type, JSON props) is the
+    canonical schema-drift guard: yesterday's int column arriving as
+    text yields NULLs to quarantine, not a crashed stage."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_divide(value, cast(user_id % 5 as double))").alias("safe_ratio"),
+        F.expr("try_cast(props as bigint)").alias("props_as_int"),
+        F.expr("try_cast(event_type as double)").alias("type_as_num"),
+        # floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
+        # Spark's truncates - an implicit cast here diverges on 5% of rows
+        F.when(
+            F.col("user_id") % 5 != 0, F.floor(F.col("value") * 100).cast("bigint")
+        ).alias("scaled_or_null"),
+    )
