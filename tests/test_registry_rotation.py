@@ -45,3 +45,17 @@ def test_ties_break_by_priority_bucket():
 
 def test_oracles_are_a_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_never_checked_backlog_fits_the_window():
+    """Additions budget (round-4 rule): every never-driver-checked
+    query must land INSIDE the 50-slot correctness window this round,
+    or full external verification slips a round. Adding a query when
+    this asserts means some earlier query loses its slot — either wait
+    a round or accept the documented slip consciously."""
+    counts = _checked_counts()
+    never = [n for n in QUERIES if counts.get(n, 0) == 0]
+    assert len(never) <= 50, (
+        f"{len(never)} never-checked queries exceed the driver's 50-slot "
+        f"window; the overflow will stay externally unverified this round"
+    )
