@@ -66,6 +66,14 @@ PROBE = [
     "agg_approx_percentile",
     "sample_per_source_cap",
     "sample_weighted_mixture",
+    # round-4 late additions (dup-insensitive; accuracy/manifest track
+    # the same bucketed stages their production pipelines run)
+    "text_bigram_familiarity",
+    "agg_mad_outliers",
+    "pipeline_shard_manifest",
+    "events_hourly_concurrency",
+    "agg_grouping_id_sets",
+    "scalar_try_safe_arithmetic",
 ]
 
 
