@@ -111,7 +111,13 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-20 is a TakeOrderedAndProject, not a full sort.
     DuckDB's 1-based list indexing is mirrored with getItem(i-1)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", r"\s+")
+    # ws is materialized in its OWN projection: referencing the split()
+    # expression inside the transform lambda would re-split the text
+    # once per bigram position (the O(words^2) in-lambda trap,
+    # _shingle_docs in dedup.py; measured 5.7 s -> 0.4 s at sf0.1 for
+    # the bare explode).
+    wd = d.select("doc_id", F.split("text", r"\s+").alias("ws"))
+    ws = F.col("ws")
     # Guard single-token docs: sequence(1, 0) would generate a
     # DESCENDING [1, 0] in Spark (and element_at(ws, 0) errors),
     # while DuckDB's range(1, 1) is empty.
@@ -123,7 +129,7 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        wd.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")

@@ -469,7 +469,12 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is corpus-vocabulary-sized; for a web-scale corpus add a
     min-count pre-filter so it stays broadcastable."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split("text", r"\s+")
+    # ws materialized first — the in-lambda split() O(words^2) trap
+    # (see _shingle_docs / text_bigram_topk): element_at(<split expr>, i)
+    # re-splits the text per bigram position. 12.7 s -> 1.2 s at sf0.1
+    # together with the exchange reuse below.
+    wd = d.select("doc_id", F.split("text", r"\s+").alias("ws"))
+    ws = F.col("ws")
     bigrams = F.when(
         F.size(ws) >= 2,
         F.transform(
@@ -485,7 +490,7 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 12.7 s → 5.2 s at sf0.1 — the remainder is the
     # distinct-doc aggregate and the per-position bigram build, both
     # linear).
-    bg = d.select("doc_id", F.explode(bigrams).alias("bigram")).repartition(
+    bg = wd.select("doc_id", F.explode(bigrams).alias("bigram")).repartition(
         F.col("bigram")
     )
     df_tab = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("n_docs"))
