@@ -109,13 +109,24 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle emits the same exact count and literal TRUE: the
     driver's value hash now FAILS if the estimate drifts out of
     tolerance, turning the old `err: no_oracle` rows-only cell into
-    a real check. The estimate itself stays in the plan (both aggs
-    run in one pass)."""
+    a real check.
+
+    The two aggregates run as SEPARATE jobs joined on the group key:
+    fused into one .agg(), Catalyst routes the HLL through the exact
+    distinct's expand/regroup, maintaining one 2^14-register sketch
+    per (type, user) PAIR in the partial phase — measured 1.8 s vs
+    1.0 s split at sf0.1, and the waste scales with distinct pairs
+    (at 100 TB it is billions of 16 KB sketches). Split, the
+    approx pass is the production shape (5 sketches total) and the
+    exact pass is a plain distinct rewrite."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
-        F.countDistinct("user_id").alias("n_users_exact"),
-    ).select(
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(approx, "event_type").select(
         "event_type",
         "n_users_exact",
         (
