@@ -129,6 +129,50 @@ def _loadavg() -> float | None:
         return None
 
 
+# The driver records only the last 2000 chars of stdout; the summary
+# line (printed last) must fit that window WHOLE or the round's perf
+# record is lost (BENCH_r04: parsed:null). Margin for the trailing
+# newline + any stray executor stderr interleaving.
+TAIL_BUDGET = 1900
+
+
+def compose_summary_line(
+    *,
+    total: float,
+    sf: float | str,
+    timings: dict[str, float],
+    calibration: dict,
+    loadavg: dict,
+) -> str:
+    """Build the final stdout line: the driver-required envelope
+    {"metric", "value", "unit", "queries", "sf"} plus as much
+    diagnostic context (calibration, loadavg) as fits in TAIL_BUDGET.
+    Optional fields are dropped in reverse-importance order; the
+    envelope itself is never dropped (per-query timings are the
+    round-over-round record the judge reads)."""
+    required = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    for extras in (
+        {"calibration": calibration, "loadavg_1m": loadavg},
+        {"calibration": calibration},
+        {},
+    ):
+        line = json.dumps({**required, **extras})
+        if len(line) <= TAIL_BUDGET:
+            return line
+    # Envelope alone exceeds the budget (would need ~45+ headline
+    # queries): keep metric/value parseable and move per-query detail
+    # to the diagnostics line's sibling field.
+    return json.dumps(
+        {k: v for k, v in required.items() if k != "queries"}
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from flink_hiveorc_spark.registry import QUERIES
@@ -186,23 +230,33 @@ def main() -> None:
         sf: float | str = float(sf_str)
     except ValueError:
         sf = sf_str
+    calibration = {
+        "work": "range(800e6).sum((id*2654435761)%1000003), 32 splits, noop sink",
+        "sec_before": calib_before,
+        "sec_after": calib_after,
+    }
+    loadavg = {"start": load_start, "end": _loadavg()}
+    # Full diagnostic record FIRST (may be truncated out of the
+    # driver's bounded stdout-tail capture — that's fine, it's for
+    # humans re-reading the raw log), compact summary line LAST so the
+    # tail always ends with a complete parseable JSON object
+    # (VERDICT r4 #1: r4's single 2.4k-char line overflowed the
+    # driver's 2000-char tail window and BENCH_r04 recorded
+    # parsed:null).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "record": "bench_diagnostics",
                 "queries_min": timings_min,
                 "total_min": round(sum(timings_min.values()), 3),
-                "calibration": {
-                    "work": "range(800e6).sum((id*2654435761)%1000003), 32 splits, noop sink",
-                    "sec_before": calib_before,
-                    "sec_after": calib_after,
-                },
-                "loadavg_1m": {"start": load_start, "end": _loadavg()},
-                "sf": sf,
+                "calibration": calibration,
+                "loadavg_1m": loadavg,
             }
+        )
+    )
+    print(
+        compose_summary_line(
+            total=total, sf=sf, timings=timings, calibration=calibration, loadavg=loadavg
         )
     )
     spark.stop()

@@ -1,0 +1,65 @@
+"""The driver records only the last 2000 chars of bench.py stdout and
+parses the final JSON line out of that tail. BENCH_r04 recorded
+parsed:null because the (single) output line outgrew the window — these
+tests pin the fix: the LAST printed line must always be a complete JSON
+object within TAIL_BUDGET, for the real headline set and for plausible
+growth, and must always carry the driver-required envelope keys.
+"""
+
+import json
+
+from bench import HEADLINE, TAIL_BUDGET, compose_summary_line
+
+CAL = {
+    "work": "range(800e6).sum((id*2654435761)%1000003), 32 splits, noop sink",
+    "sec_before": 0.181,
+    "sec_after": 0.169,
+}
+LOAD = {"start": 31.25, "end": 30.88}
+
+
+def _line(timings):
+    return compose_summary_line(
+        total=round(sum(timings.values()), 3),
+        sf=0.1,
+        timings=timings,
+        calibration=CAL,
+        loadavg=LOAD,
+    )
+
+
+def test_real_headline_set_fits_with_all_diagnostics():
+    # worst realistic value width: hundreds of seconds with 3 decimals
+    timings = {name: 123.456 for name in HEADLINE}
+    line = _line(timings)
+    assert len(line) <= TAIL_BUDGET
+    obj = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in obj
+    # the real set is small enough that no diagnostic field is dropped
+    assert obj["calibration"] == CAL
+    assert obj["loadavg_1m"] == LOAD
+
+
+def test_grown_headline_set_drops_diagnostics_before_queries():
+    # +10 future queries at the real set's typical name width: the
+    # envelope must survive by shedding diagnostics, never queries
+    timings = {name: 123.456 for name in HEADLINE}
+    timings.update({f"future_round_query_{i:02d}": 123.456 for i in range(10)})
+    line = _line(timings)
+    assert len(line) <= TAIL_BUDGET
+    obj = json.loads(line)
+    assert "queries" in obj and len(obj["queries"]) == len(HEADLINE) + 10
+
+
+def test_pathological_set_still_emits_parseable_envelope():
+    timings = {f"q_{'x' * 80}_{i:03d}": 123.456 for i in range(60)}
+    line = _line(timings)
+    assert len(line) <= TAIL_BUDGET
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_queries_total_runtime"
+    assert obj["value"] > 0 and obj["unit"] == "sec"
+
+
+def test_tail_budget_under_driver_window():
+    assert TAIL_BUDGET <= 1950  # driver window is 2000; keep newline margin

@@ -5,7 +5,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from flink_hiveorc_spark.catalog import load_table
-from flink_hiveorc_spark.functions.analytics import SHARD_TOKEN_BUDGET
+from flink_hiveorc_spark.functions.analytics import (
+    SHARD_TOKEN_BUDGET,
+    assign_shard_idx,
+)
 from flink_hiveorc_spark.sinks.shards import (
     shard_manifest,
     verify_shards,
@@ -14,23 +17,59 @@ from flink_hiveorc_spark.sinks.shards import (
 from pyspark.sql.window import Window
 
 
-def _packed(spark, sf_dir):
+def _sized(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
+    return d.select(
         "doc_id", "lang", "source", "text",
         F.size(F.split("text", r"\s+")).alias("n_tokens"),
     )
+
+
+def _packed(spark, sf_dir):
+    return assign_shard_idx(_sized(spark, sf_dir))
+
+
+def _packed_sequential_reference(spark, sf_dir):
+    """The original one-window-per-stream formulation — kept here as
+    the semantic model the distributed two-pass prefix sum must
+    reproduce bit-for-bit."""
     w = (
         Window.partitionBy("lang", "source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return sized.select(
+    return _sized(spark, sf_dir).select(
         "*",
         ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
         .cast("bigint")
         .alias("shard_idx"),
     )
+
+
+def test_two_pass_assignment_matches_sequential_model(spark, sf_dir):
+    cols = ["doc_id", "lang", "source", "shard_idx"]
+    got = {tuple(r) for r in _packed(spark, sf_dir).select(cols).collect()}
+    want = {
+        tuple(r)
+        for r in _packed_sequential_reference(spark, sf_dir).select(cols).collect()
+    }
+    assert got == want
+
+
+def test_two_pass_plan_splits_streams_and_broadcasts_offsets(spark, sf_dir):
+    """VERDICT r4 #2 pin: the only corpus-sized window must be keyed
+    on (lang, source, _bucket) — never (lang, source) alone, which
+    serializes a hot stream onto one task — and the per-cell offsets
+    must come in via a broadcast join."""
+    plan = _packed(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    corpus_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [sum(n_tokens" in ln and "windowspecdefinition" in ln
+    ]
+    assert corpus_windows, plan
+    for ln in corpus_windows:
+        assert "_bucket" in ln.split("windowspecdefinition", 1)[1], ln
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_shard_export_roundtrip_verifies(spark, sf_dir, tmp_path):
