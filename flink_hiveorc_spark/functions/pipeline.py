@@ -198,7 +198,7 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rated AS (
       SELECT doc_id, source, text,
-             CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 4
+             CASE TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 4
                WHEN 0 THEN 100 WHEN 1 THEN 60 WHEN 2 THEN 30 ELSE 10
              END AS rate_pct,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

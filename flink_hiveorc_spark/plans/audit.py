@@ -98,6 +98,68 @@ def has_python_eval(df: DataFrame) -> bool:
     return count_nodes(df, r"BatchEvalPython") > 0
 
 
+# Functions expensive enough that re-evaluating one per array element
+# inside a higher-order lambda turns O(n) work into O(n²) (VERDICT
+# r3/r4: the `split()`-in-`transform` bug class recurred in two
+# consecutive rounds despite documentation — commits ef3c584 and the
+# r3 doc sites — so it is now a mechanical plan invariant).
+EXPENSIVE_LAMBDA_FNS = (
+    "split",
+    "sentences",
+    "sha2",
+    "md5",
+    "regexp_extract",
+    "regexp_replace",
+    "from_json",
+)
+
+
+def _balanced_regions(text: str, token: str) -> list[str]:
+    """Every substring starting at an occurrence of `token` (which must
+    end with '(') through its matching close paren."""
+    out = []
+    start = text.find(token)
+    while start != -1:
+        depth = 0
+        for i in range(start + len(token) - 1, len(text)):
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(text[start : i + 1])
+                    break
+        start = text.find(token, start + 1)
+    return out
+
+
+def lambda_invariant_recomputes(
+    df: DataFrame, fns: tuple[str, ...] = EXPENSIVE_LAMBDA_FNS
+) -> list[str]:
+    """Loop-invariant expensive calls inside higher-order-function
+    lambdas — each one re-runs per ARRAY ELEMENT at execution time.
+
+    Detection, over the ANALYZED plan text (stable across physical
+    planning): inside every `lambdafunction(...)` region, an expensive
+    call whose argument region references a column (`name#id`) but
+    never a lambda variable (printed `lambda name#id`) cannot depend
+    on the element being processed — its result is identical for every
+    element and should have been materialized in a projection BEFORE
+    the lambda (`withColumn("words", split(...))`). Calls over the
+    lambda variable itself (`md5(lambda x#7)`) are per-element by
+    nature and allowed."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    hits: list[str] = []
+    for body in set(_balanced_regions(text, "lambdafunction(")):
+        for fn in fns:
+            for call in _balanced_regions(body, fn + "("):
+                arg = call[len(fn) + 1 : -1]
+                if re.search(r"\w+#\d+", arg) and "lambda " not in arg:
+                    snippet = call if len(call) <= 90 else call[:87] + "..."
+                    hits.append(snippet)
+    return sorted(set(hits))
+
+
 def audit(df: DataFrame) -> dict:
     """One-call plan summary for logging / BENCH notes."""
     return {
@@ -108,4 +170,5 @@ def audit(df: DataFrame) -> dict:
         "python_row_udf": has_python_eval(df),
         "pushed_filters": pushed_filters(df),
         "scan_schemas": scan_read_schemas(df),
+        "lambda_recomputes": lambda_invariant_recomputes(df),
     }

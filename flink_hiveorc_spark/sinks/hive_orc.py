@@ -65,8 +65,10 @@ def write_partitioned(
     are coarse, stripes are ~64 MB).
 
     ``bloom_filter_columns`` writes per-stripe ORC bloom filters
-    (``orc.bloom.filter.columns``; the Hive writer-options surface the
-    reference configures at HiveOrcSink.java:313-314 `writerOptions`).
+    (``orc.bloom.filter.columns``; these options belong to the
+    OrcFile.writerOptions surface the reference exposes at
+    HiveOrcSink.java:313-314 — the reference itself never sets bloom
+    filter columns, this is an [ext] addition on that surface).
     Min-max skipping fails on high-cardinality point lookups (every
     stripe's [min,max] spans the probe value); a bloom filter rejects
     stripes by membership instead — the third level of data skipping,

@@ -46,6 +46,46 @@ def test_no_row_python_udf(spark, sf_dir, name):
     assert not A.has_python_eval(df), f"{name}: row-at-a-time Python UDF in plan"
 
 
+@pytest.mark.parametrize("name", GLOBAL_QUERIES)
+def test_no_loop_invariant_lambda_recompute(spark, sf_dir, name):
+    """The O(n²) `split()`-inside-`transform` bug class (recurred in
+    r3 AND r4 — commit ef3c584) as a mechanical invariant: no query
+    plan may evaluate an expensive loop-invariant expression inside a
+    higher-order lambda."""
+    df = QUERIES[name](spark, sf_dir)
+    hits = A.lambda_invariant_recomputes(df)
+    assert not hits, f"{name}: loop-invariant expensive call(s) in lambda: {hits}"
+
+
+def test_lambda_recompute_guard_fires_on_known_bad_shape(spark):
+    """The guard must actually catch the historical bug shape (bigram
+    construction re-splitting the document per element) and stay quiet
+    on both fixed formulations."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    bad = df.select(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+        ).alias("bigrams")
+    )
+    assert A.lambda_invariant_recomputes(bad), "guard missed the r3/r4 bug shape"
+
+    fixed = df.withColumn("words", F.split("text", " ")).select(
+        F.expr(
+            "transform(sequence(0, size(words) - 2),"
+            " i -> concat(words[i], ' ', words[i + 1]))"
+        ).alias("bigrams")
+    )
+    assert A.lambda_invariant_recomputes(fixed) == []
+
+    per_element = df.select(
+        F.expr("transform(split(text, ' '), x -> md5(x))").alias("hashes")
+    )
+    assert A.lambda_invariant_recomputes(per_element) == []
+
+
 @pytest.mark.parametrize("name", BROADCAST_EXPECTED)
 def test_dim_joins_broadcast(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)

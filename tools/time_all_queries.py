@@ -39,23 +39,25 @@ def main() -> None:
     spark = get_spark("time-all")
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
-    for name, fn in QUERIES.items():
-        try:
-            for _ in range(warm):
+    try:
+        for name, fn in QUERIES.items():
+            try:
+                for _ in range(warm):
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.monotonic()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times[name] = time.monotonic() - t0
-        except Exception as e:  # keep sweeping; report at the end
-            errs[name] = f"{type(e).__name__}: {e}"[:160]
-    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
-        print(f"{t:8.2f}  {name}")
-    print(f"\n{len(times)} timed, total {sum(times.values()):.1f}s at {sf_dir}")
-    for name, e in errs.items():
-        print("ERR", name, e)
+                times[name] = time.monotonic() - t0
+            except Exception as e:  # keep sweeping; report at the end
+                errs[name] = f"{type(e).__name__}: {e}"[:160]
+        for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+            print(f"{t:8.2f}  {name}")
+        print(f"\n{len(times)} timed, total {sum(times.values()):.1f}s at {sf_dir}")
+        for name, e in errs.items():
+            print("ERR", name, e)
+    finally:
+        spark.stop()
     if errs:
         sys.exit(1)
-    spark.stop()
 
 
 if __name__ == "__main__":
