@@ -31,6 +31,7 @@ _DEC = "decimal(25,6)"
 TOP_TERMS_PER_DOC = 5
 TOP_BIGRAMS = 20
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+_HOUR_US = 3_600_000_000
 
 
 @query(
@@ -658,6 +659,120 @@ def events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_concurrency_open",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t_us, event_id,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+             t_us
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_seq,
+             min(t_us) // {_HOUR_US} AS h_lo,
+             max(t_us) // {_HOUR_US} AS h_hi,
+             max(t_us) AS last_us
+      FROM sessions GROUP BY user_id, session_seq
+    ),
+    bound AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    eff AS (
+      SELECT s.user_id,
+             CASE WHEN b.end_us - s.last_us <= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_open,
+             s.h_lo,
+             CASE WHEN b.end_us - s.last_us <= {SESSION_GAP_US}
+                  THEN b.end_us // {_HOUR_US} ELSE s.h_hi END AS h_hi_eff
+      FROM spans s, bound b
+    )
+    SELECT h AS hour_idx,
+           count(*) AS n_active_sessions,
+           count(DISTINCT user_id) AS n_active_users,
+           CAST(sum(is_open) AS BIGINT) AS n_open_sessions
+    FROM eff, UNNEST(range(h_lo, h_hi_eff + 1)) AS t(h)
+    GROUP BY h
+    """,
+)
+def events_hourly_concurrency_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4n variant with OPEN-interval semantics (VERDICT r4 #8): a
+    session whose last event is within the session gap of the corpus'
+    observation end has not actually ENDED — it is still running when
+    the data stops. The closed-interval query truncates such sessions
+    at their last event, under-counting concurrency in the final
+    hours; this variant extends open sessions through the observation
+    end and reports how many of each hour's active sessions are
+    open-ended (the "currently online" figure a live dashboard needs).
+
+    Scale: identical shape to events_hourly_concurrency (one user_id
+    shuffle reused by sessionize + span aggregate, explode is
+    O(sessions · avg_hours)); the observation end is a 1-row global
+    aggregate joined in via broadcast — no extra corpus shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "t_us",
+        "event_id",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("t_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "t_us", F.sum("is_start").over(w_seq).alias("session_seq")
+    )
+    spans = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(f"min(t_us) div {_HOUR_US}").alias("h_lo"),
+        F.expr(f"max(t_us) div {_HOUR_US}").alias("h_hi"),
+        F.max("t_us").alias("last_us"),
+    )
+    bound = ev.agg(F.max("t_us").alias("end_us"))
+    is_open = F.col("end_us") - F.col("last_us") <= SESSION_GAP_US
+    eff = spans.crossJoin(F.broadcast(bound)).select(
+        "user_id",
+        F.when(is_open, 1).otherwise(0).alias("is_open"),
+        "h_lo",
+        F.when(is_open, F.expr(f"end_us div {_HOUR_US}"))
+        .otherwise(F.col("h_hi"))
+        .alias("h_hi_eff"),
+    )
+    return (
+        eff.select(
+            "user_id",
+            "is_open",
+            F.explode(F.sequence(F.col("h_lo"), F.col("h_hi_eff"))).alias("hour_idx"),
+        )
+        .groupBy("hour_idx")
+        .agg(
+            F.count("*").alias("n_active_sessions"),
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.sum("is_open").alias("n_open_sessions"),
+        )
+    )
+
+
+@query(
     "agg_mad_outliers",
     oracle="""
     WITH vc AS (
@@ -826,9 +941,6 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(chk).alias("content_checksum"),
     )
-
-
-_HOUR_US = 3_600_000_000
 
 
 @query(
