@@ -305,3 +305,209 @@ def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= _PER_SOURCE_CAP)
     )
+
+
+@query(
+    "pipeline_stratified_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, source,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang, source,
+           CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM tagged
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4l: deterministic train/val/test split (98/1/1) stratified by
+    (lang, source) — the holdout-carving step of a pretraining
+    pipeline. Same hash-gated discipline as sample_weighted_mixture
+    (a document's split is a pure function of its id: stable across
+    runs, engines, repartitioning, and incremental corpus growth) but
+    keyed on a SALTED hash (`doc_id || '|split'`) so split membership
+    is statistically independent of the mixture-sampling bucket —
+    reusing one hash for both decisions would systematically place
+    sampled-out documents in a non-random subset of the holdout.
+
+    Scale: map-only scan (hash, bucket, tokenize once per doc) into a
+    (lang, source, split) hash aggregate — one tiny shuffle of
+    partials; no window, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        )
+        .groupBy("lang", "source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "pipeline_source_temperature_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    units AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_units
+      FROM per_source
+    )
+    SELECT source, n_tokens,
+           CAST(w_units AS DOUBLE) / CAST(sum(w_units) OVER () AS DOUBLE) AS weight_frac
+    FROM units
+    """,
+)
+def pipeline_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4m: temperature-scaled source mixture weights — w_s ∝
+    (tokens_s)^(1/T) with T=2, the standard flattening that keeps
+    head sources from dominating a multi-source corpus in proportion
+    to their raw size (multilingual/multi-domain sampling à la the
+    published temperature-sampling recipes). Exponent fixed at 1/2
+    because IEEE sqrt is correctly rounded in both engines — pow()
+    with an arbitrary exponent is libm-dependent and would break
+    bit-equality of the oracle comparison. Each sqrt is quantized to
+    integer micro-units BEFORE normalization: a float sum over the
+    sources is order-dependent (observed 1e-17 drift between
+    engines), an integer sum is not — the BIGINT-moments discipline
+    from agg_corr_regr_battery applied to weights.
+
+    Scale: one corpus scan into a per-source token aggregate
+    (map-side combined); the normalization window runs over the
+    ~|sources| aggregated rows — a single-partition exchange of a few
+    dozen rows, not a corpus shuffle."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n_tokens")
+    )
+    w_units = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast("bigint")
+    w_all = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_tokens",
+        w_units.alias("w_units"),
+    ).select(
+        "source",
+        "n_tokens",
+        (F.col("w_units").cast("double") / F.sum("w_units").over(w_all).cast("double")).alias(
+            "weight_frac"
+        ),
+    )
+
+
+_QUALITY_KEEP_PCT = 0.75  # keep documents at or above their source's p75
+
+
+@query(
+    "text_quality_quantile_filter",
+    oracle=f"""
+    WITH vc AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT source,
+             min(CASE WHEN cum >= CAST(ceil({_QUALITY_KEEP_PCT} * n) AS BIGINT)
+                 THEN n_chars END) AS threshold_chars
+      FROM (
+        SELECT source, n_chars, c,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM vc
+      )
+      GROUP BY source
+    )
+    SELECT vc.source,
+           max(thr.threshold_chars) AS threshold_chars,
+           CAST(sum(vc.c) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN vc.n_chars >= thr.threshold_chars
+                    THEN vc.c ELSE 0 END) AS BIGINT) AS n_kept
+    FROM vc JOIN thr ON vc.source = thr.source
+    GROUP BY vc.source
+    """,
+)
+def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f: per-source quantile quality gate — each source keeps only
+    its documents at or above the source's own p75 length (n_chars as
+    the quality proxy; in production a learned score column). ADAPTIVE
+    thresholds are the point: a fixed global cutoff either guts short-
+    form sources or lets verbose boilerplate through; per-source
+    quantiles normalize for the source's native length distribution.
+
+    Integer-exact percentile via the value-count + cumulative-count
+    pattern (same as agg_mad_outliers' median): threshold = smallest
+    n_chars whose cumulative count reaches ceil(p·n) — no float
+    interpolation, bit-equal across engines.
+
+    Scale: the corpus compresses to (source, n_chars) value counts
+    FIRST (hash agg, map-side combined), so the percentile window and
+    the threshold join run over ~|sources|·|distinct lengths| rows,
+    never documents. Threshold frame is broadcast; counting kept docs
+    reuses the value counts — one corpus scan total."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = vc.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    thr = ranked.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(_QUALITY_KEEP_PCT) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias("threshold_chars")
+    )
+    return (
+        vc.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("threshold_chars").alias("threshold_chars"),
+            F.sum("c").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_chars") >= F.col("threshold_chars"), F.col("c")).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
