@@ -74,6 +74,12 @@ PROBE = [
     "events_hourly_concurrency",
     "agg_grouping_id_sets",
     "scalar_try_safe_arithmetic",
+    # round 5 (all dup-insensitive: counts/weights/thresholds scale
+    # with replication without changing the plan under test)
+    "events_hourly_concurrency_open",
+    "pipeline_stratified_split",
+    "pipeline_source_temperature_weights",
+    "text_quality_quantile_filter",
 ]
 
 
