@@ -284,3 +284,51 @@ def test_weighted_mixture_matches_hashlib_model(spark, docs):
         assert r.n_sampled == sum(1 for k, _ in entries if k)
         expect_tokens = sum(n for k, n in entries if k)
         assert (r.sampled_tokens or 0) == expect_tokens, (src, entries)
+
+
+SHARD_DOCS = st.lists(
+    st.tuples(
+        # sparse, clustered, and huge doc_ids — the range-bucketing in
+        # assign_shard_idx must be a pure no-op on the OUTPUT for any
+        # id distribution, including all-ids-in-one-bucket (width
+        # collapse) and one-id-per-bucket
+        st.integers(min_value=0, max_value=2**40),
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["src1", "src2", "src3"]),
+        st.integers(min_value=0, max_value=5000),  # n_tokens (0 = empty doc)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],  # doc_id is a key
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(SHARD_DOCS)
+def test_assign_shard_idx_matches_python_model(spark, docs):
+    """The two-pass distributed prefix sum vs an independent Python
+    model of greedy sequential packing (per-stream doc_id order,
+    shard = floor(start_offset / budget)) on arbitrary id
+    distributions — bucket boundaries must never leak into the
+    output."""
+    from flink_hiveorc_spark.functions.analytics import (
+        SHARD_TOKEN_BUDGET,
+        assign_shard_idx,
+    )
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, lang=l, source=s, n_tokens=n) for i, l, s, n in docs
+    ]
+    got = {
+        r.doc_id: r.shard_idx
+        for r in assign_shard_idx(spark.createDataFrame(rows)).collect()
+    }
+
+    want = {}
+    streams: dict[tuple, int] = {}
+    for i, l, s, n in sorted(docs):
+        cum = streams.get((l, s), 0)
+        want[i] = cum // SHARD_TOKEN_BUDGET
+        streams[(l, s)] = cum + n
+    assert got == want
