@@ -1031,3 +1031,71 @@ def events_hourly_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_active_users"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             lag(event_type) OVER w AS prev_type,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    transitions AS (
+      SELECT prev_type, event_type AS next_type
+      FROM ordered
+      WHERE prev_type IS NOT NULL AND t_us - prev_us <= {SESSION_GAP_US}
+    ),
+    counted AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM transitions GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 8) AS p
+    FROM counted
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4l/§2.5-adjacent: first-order Markov transition matrix over
+    within-session event pairs — the "what do users do next" model
+    behind funnel design and next-action prediction features.
+
+    Consecutive-event pairs come from a lag window on (user_id) —
+    the SAME shuffle sessionization uses, so on a shared pipeline the
+    exchange is reused. Cross-session pairs (gap > 30 min) are
+    excluded: a transition spanning a sessions boundary is noise, not
+    behavior. The transition count matrix is at most |event_types|²
+    rows (here ≤ 25) regardless of corpus size — the groupBy collapses
+    map-side, and the row-probability normalization runs on the tiny
+    result, not the events. Probabilities are a single double divide
+    rounded to 8 decimals in both engines (n and row totals are
+    integer-exact)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.col("t_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("t_us").over(w).alias("prev_us"),
+    )
+    counted = (
+        ordered.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("t_us") - F.col("prev_us") <= SESSION_GAP_US)
+        )
+        .select(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counted.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 8).alias("p"),
+    ).orderBy("prev_type", "next_type")

@@ -504,3 +504,92 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fam.cast("double") / F.count("*")).alias("familiarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4k [ext]: boilerplate n-gram detection (C4/RefinedWeb-style shared-
+# passage removal signal) with hash-bucket candidate pruning.
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DF = 5  # trigram shared by >= this many distinct docs
+_BOILER_BUCKETS = 1 << 16
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM t, UNNEST(range(1, len(ws) - 1)) AS u(i)
+    )
+    SELECT gram, count(*) AS df
+    FROM tg
+    GROUP BY gram
+    HAVING count(*) >= {_BOILER_MIN_DF}
+    ORDER BY df DESC, gram
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4k: trigrams shared by >= 5 distinct documents — the boilerplate
+    (header/footer/license-block) signal web-corpus cleaners subtract
+    before training.
+
+    Two-pass candidate pruning keeps the heavy shuffle off the string
+    long tail (the Spark-idiomatic replacement for a Misra-Gries
+    sketch, with an EXACT result):
+
+    - pass 1 shuffles distinct (bucket=xxhash64(gram) mod 2^16, doc_id)
+      INTEGER pairs and keeps buckets whose distinct-doc count reaches
+      the threshold. A gram with df >= T forces its bucket's df >= T
+      (the bucket's doc set is a superset), so surviving buckets are a
+      sound candidate superset; key width is 16 bytes regardless of
+      gram length, and bucket cardinality caps the second aggregation
+      level at 2^16 groups.
+    - pass 2 exact-counts ONLY grams in surviving buckets (semi-join on
+      the broadcast bucket list) — at 100 TB the string shuffle carries
+      the few shared passages, not the ~unique long tail (here 16k-27k
+      distinct trigrams; at corpus scale, billions).
+
+    Output is exact, so the oracle is the direct GROUP BY/HAVING.
+    Trigram arrays are materialized before the positional transform
+    (the λ-recompute guard's bug class; PLANS.md pins 0 recomputes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wd = d.select("doc_id", F.split("text", r"\s+").alias("ws"))
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucketed = wd.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id",
+        "gram",
+        F.pmod(F.xxhash64("gram"), F.lit(_BOILER_BUCKETS)).alias("bucket"),
+    )
+    # Pass 1 never shuffles a string: distinct (doc_id, bucket) INTEGER
+    # pairs (map-side partial dedup applies), then count per bucket.
+    heavy_buckets = (
+        bucketed.select("doc_id", "bucket")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_df"))
+        .filter(F.col("bucket_df") >= _BOILER_MIN_DF)
+        .select("bucket")
+    )
+    candidates = bucketed.join(F.broadcast(heavy_buckets), "bucket", "left_semi")
+    return (
+        candidates.select("doc_id", "gram")
+        .distinct()  # candidate strings only — the long tail never shuffles
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DF)
+        .orderBy(F.col("df").desc(), "gram")
+    )

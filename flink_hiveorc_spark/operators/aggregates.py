@@ -834,3 +834,69 @@ def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+_ROLLUP_CUTOFF = "2000-01-01"  # base state covers < cutoff; delta covers >= cutoff
+
+
+@query(
+    "batch_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_price
+    FROM orders
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def batch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 [ext]: incremental materialized-aggregate maintenance — the
+    monthly revenue rollup is computed as BASE STATE (orders before
+    2000-01-01) merged with a DELTA (orders after), and the merge of
+    partial states must equal the full recompute (the oracle is the
+    direct GROUP BY over everything; no split on the DuckDB side).
+
+    Why this is its own operator: at 100 TB you never recompute years
+    of history to absorb a day of new data. Keep a state table of
+    DECOMPOSABLE aggregate state per group — (count, decimal sum)
+    here; (n, Σx, Σx²) when variance is needed — read ONLY the delta's
+    date partitions (the filter prunes at the scan: at scale the base
+    is a stored table, not a re-scan), aggregate the delta, and merge
+    states with a second-level sum. count/sum are commutative monoids,
+    so merge order and batch boundaries can't change the result —
+    which is exactly what the oracle proves. avg is DERIVED from the
+    merged state (never averaged across batches — avg-of-avgs is the
+    classic incremental-rollup bug). The same state shape feeds the
+    streaming incremental rollup (streaming/ingest.py) via
+    foreachBatch, so batch backfill and stream tail share one merge.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_state"),
+        )
+
+    base = partial_state(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial_state(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_state").alias("rev_state"),
+        )
+    )
+    revenue = F.col("rev_state").cast("double")
+    return merged.select(
+        "month",
+        "n_orders",
+        revenue.alias("revenue"),
+        F.round(revenue / F.col("n_orders"), 6).alias("avg_price"),
+    ).orderBy("month")

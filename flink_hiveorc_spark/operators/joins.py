@@ -838,3 +838,132 @@ def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 [ext]: bloom-filter prefilter join (runtime row-level filtering,
+# made explicit). Spark's AQE can inject this automatically
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) when stats warrant;
+# this operator builds the same artifact declaratively so the pattern
+# is testable and portable to engines/versions without the rule.
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 256  # 16384 bits = 2 KiB
+BLOOM_BITS = BLOOM_WORDS * 64
+BLOOM_K = 3  # Kirsch-Mitzenmacher: g_i = h1 + i*h2 (mod m)
+_BLOOM_PRICE_MIN = 450_000.0
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """k bit positions for a bigint key via two xxhash64 draws.
+
+    Kirsch-Mitzenmacher 2006: two independent hashes simulate k with
+    no loss in the FPR bound. Both hashes are reduced mod m BEFORE the
+    linear combination so the arithmetic stays far from long overflow
+    (the engine runs ANSI mode: a wrapping h1 + i*h2 would throw).
+    """
+    h1 = F.pmod(F.xxhash64(key), F.lit(BLOOM_BITS))
+    h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(BLOOM_BITS))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_K)]
+
+
+def build_bloom_bitmap(keys: DataFrame, key_col: str) -> list[int]:
+    """Aggregate a 16384-bit bloom bitmap over a key column, JVM-side.
+
+    Each key explodes to its k (word, bit) contributions; a bit_or
+    groupBy over at most BLOOM_WORDS=256 integer groups folds them —
+    the shuffle carries <= 3 tiny rows per key into <= 256 groups, and
+    the collect is bounded at 256 rows regardless of key count (the
+    bounded-collect inventory in PLANS.md/VERDICT covers this site).
+    """
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("p")
+    )
+    words = (
+        pos.select(
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for row in words.collect():  # bounded: <= BLOOM_WORDS rows
+        bitmap[row["w"]] = row["bits"]
+    return bitmap
+
+
+def bloom_prefilter(df: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame:
+    """Filter ``df`` to rows whose ``key_col`` might be in the bloom
+    set, as pure column expressions (constant-folded literal array; no
+    broadcast join, no shuffle — the probe side is filtered in place
+    inside its scan stage). h1/h2 are materialized once per row so the
+    k probes share them instead of re-hashing."""
+    hashed = df.select(
+        "*",
+        F.pmod(F.xxhash64(key_col), F.lit(BLOOM_BITS)).alias("_bh1"),
+        F.pmod(F.xxhash64(key_col, F.lit(1)), F.lit(BLOOM_BITS)).alias("_bh2"),
+        F.array(*[F.lit(w) for w in bitmap]).alias("_bloom"),
+    )
+    tests = [
+        f"(element_at(_bloom, CAST(pmod(_bh1 + {i} * _bh2, {BLOOM_BITS}) DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(pmod(_bh1 + {i} * _bh2, {BLOOM_BITS}) % 64 AS INT))) != 0"
+        for i in range(BLOOM_K)
+    ]
+    return hashed.filter(F.expr(" AND ".join(tests))).drop("_bh1", "_bh2", "_bloom")
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O' AND o.o_totalprice > 450000
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: equi-join with an explicit bloom-filter prefilter on the
+    probe side (the 100 TB "runtime filter" pattern).
+
+    Scenario: revenue of open orders above 450k. The build side
+    (filtered orders) is ~3% of orders — at SF100k that is millions
+    of keys: too many rows to broadcast as a hash relation, but their
+    2 KiB bloom bitmap travels free inside the probe-side filter
+    expression. The probe (lineitem, the 100 TB fact) is filtered
+    IN ITS SCAN STAGE to rows whose l_orderkey might match, so the
+    join shuffle moves only ~selectivity + FPR of the fact table.
+
+    Bloom has no false negatives, so the final exact join restores
+    precise semantics — the oracle is the PLAIN join; the bitmap only
+    prunes. Sizing rule documented, not hidden: FPR ~= (1-e^(-kn/m))^k;
+    with m=16384, k=3 this is ~6e-4 at sf0.01 (n~500) and degrades to
+    ~0.2 at sf0.1 (n~5000) — at real scale size m ~= 1.44*n*log2(1/eps)
+    and build the bitmap with the same bit_or groupBy (m/64 groups),
+    or enable spark.sql.optimizer.runtime.bloomFilter.enabled and let
+    AQE inject it when the build side beats the stats thresholds.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > _BLOOM_PRICE_MIN)
+    ).select("o_orderkey", "o_orderpriority")
+    bitmap = build_bloom_bitmap(build.select("o_orderkey"), "o_orderkey")
+    probe = bloom_prefilter(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey", bitmap
+    )
+    joined = probe.join(build, probe.l_orderkey == build.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,129 @@
+"""Semantic invariants for the round-5 second-batch operators
+(bloom-prefilter join, boilerplate n-grams, transition matrix,
+incremental rollup). The value oracle runs in tools/check_oracle.py +
+the driver; these pin the operator contracts a hash can't explain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.operators.joins import (
+    BLOOM_WORDS,
+    bloom_prefilter,
+    build_bloom_bitmap,
+)
+from flink_hiveorc_spark.registry import QUERIES
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every inserted key must pass the probe test — the property the
+    exact-result claim rests on."""
+    keys = load_table(spark, sf_dir, "orders").select("o_orderkey").limit(500)
+    bitmap = build_bloom_bitmap(keys, "o_orderkey")
+    assert len(bitmap) == BLOOM_WORDS
+    assert bloom_prefilter(keys, "o_orderkey", bitmap).count() == keys.count()
+
+
+def test_bloom_prunes_non_members(spark, sf_dir):
+    """A bitmap built from a small key set must reject most of a
+    disjoint key universe (FPR sanity, not just no-false-negatives)."""
+    orders = load_table(spark, sf_dir, "orders")
+    members = orders.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    non_members = orders.filter(F.col("o_orderkey") % 100 == 50).select("o_orderkey")
+    bitmap = build_bloom_bitmap(members, "o_orderkey")
+    n_non = non_members.count()
+    passed = bloom_prefilter(non_members, "o_orderkey", bitmap).count()
+    # with n~15 keys in 16384 bits, k=3, FPR is ~1e-8; allow slack
+    assert passed <= max(1, n_non // 20)
+
+
+def test_bloom_join_equals_plain_join(spark, sf_dir):
+    """The prefiltered join must equal the same join without the bloom
+    (false positives are removed by the exact join; no false negatives)."""
+    got = {tuple(r) for r in QUERIES["join_bloom_prefilter"](spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(
+            orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 450_000)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    assert got == {tuple(r) for r in plain.collect()}
+
+
+def test_boilerplate_ngrams_exact_df(spark, sf_dir):
+    """Returned grams carry their exact document frequency, and the
+    bucket-pruned result equals the direct (unpruned) computation."""
+    out = QUERIES["text_boilerplate_ngrams"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "corpus should contain boilerplate trigrams"
+    assert all(r.df >= 5 for r in rows)
+    assert len({r.gram for r in rows}) == len(rows)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("ws")
+    )
+    ws = F.col("ws")
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    direct = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+    assert {(r.gram, r.df) for r in rows} == {(r.gram, r.df) for r in direct.collect()}
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """Each prev_type's outgoing probabilities sum to ~1 and the
+    matrix is bounded by |event_types|²."""
+    rows = QUERIES["events_transition_matrix"](spark, sf_dir).collect()
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert 0 < len(rows) <= n_types * n_types
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for total in by_prev.values():
+        assert abs(total - 1.0) < 1e-6
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
+    """Merged base+delta partial states == single-pass full aggregate,
+    and avg derives from the merged state."""
+    got = QUERIES["batch_incremental_rollup"](spark, sf_dir).collect()
+    full = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
+        )
+        .collect()
+    )
+    full_by_month = {r.month: r for r in full}
+    assert {r.month for r in got} == set(full_by_month)
+    for r in got:
+        f = full_by_month[r.month]
+        assert r.n_orders == f.n_orders
+        assert r.revenue == f.revenue
+        assert abs(r.avg_price - r.revenue / r.n_orders) < 1e-6
