@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
@@ -327,3 +328,295 @@ def ml_kmeans_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KMEANS_DEEP_ROUNDS - 1):
         cents = _recompute_centroids(_assign_map(e, cents))
     return _assign_map(e, cents).select("vec_id", "cluster_id", "dist_q")
+
+
+# ---------------------------------------------------------------------------
+# L3f [ext]: product-quantization ADC search (IVF-PQ's compression half,
+# as declarative Spark with an exact integer-quantized oracle).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-d)
+_PQ_K = 8  # codes per subspace (init = subvectors of vec_id 0..7)
+_PQ_NQ = 4  # query vectors: vec_id < 4
+_PQ_TOPK = 10
+
+_PQ_ORACLE_CTES = f"""sub AS (
+      SELECT vec_id, m,
+             list_transform(embedding[m*{_PQ_SUBDIM}+1 : m*{_PQ_SUBDIM}+{_PQ_SUBDIM}],
+                            x -> CAST(x AS DOUBLE)) AS sv
+      FROM embeddings, UNNEST(range(0, {_PQ_M})) AS t(m)
+    ),
+    init AS (
+      SELECT m, vec_id AS code, sv AS cent FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.m, i.code,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1), j ->
+               CAST(floor((s.sv[j] - i.cent[j]) * (s.sv[j] - i.cent[j]) * {_Q_DIST}) AS BIGINT))) AS dist_q
+      FROM sub s JOIN init i ON s.m = i.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist_q, code) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT a1.m, a1.code, j AS dim,
+             CAST(sum(CAST(floor(s.sv[j] * {_Q_CENT}) AS BIGINT)) AS DOUBLE)
+               / count(*) / {_Q_CENT} AS cv
+      FROM a1 JOIN sub s ON a1.vec_id = s.vec_id AND a1.m = s.m,
+           UNNEST(range(1, {_PQ_SUBDIM} + 1)) AS t(j)
+      GROUP BY a1.m, a1.code, j
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.m, cb.code,
+             sum(CAST(floor((s.sv[cb.dim] - cb.cv) * (s.sv[cb.dim] - cb.cv) * {_Q_DIST}) AS BIGINT)) AS dist_q
+      FROM sub s JOIN cb ON s.m = cb.m
+      GROUP BY s.vec_id, s.m, cb.code
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist_q, code) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT vec_id AS qid, m, code, dist_q AS dq FROM d2 WHERE vec_id < {_PQ_NQ}
+    ),
+    adc AS (
+      SELECT qd.qid, enc.vec_id, CAST(sum(qd.dq) AS BIGINT) AS approx_dist_q
+      FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.code
+      WHERE enc.vec_id <> qd.qid
+      GROUP BY qd.qid, enc.vec_id
+    ),
+    pqtop AS (
+      SELECT qid, vec_id, approx_dist_q, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_dist_q, vec_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {_PQ_TOPK}
+    )"""
+
+_PQ_ORACLE = f"""
+    WITH {_PQ_ORACLE_CTES}
+    SELECT qid, vec_id, approx_dist_q, rnk FROM pqtop
+"""
+
+_PQ_RECALL_ORACLE = f"""
+    WITH {_PQ_ORACLE_CTES},
+    exactd AS (
+      SELECT q.vec_id AS qid, e.vec_id,
+             list_sum(list_transform(range(1, {_PQ_M * _PQ_SUBDIM} + 1), i ->
+               CAST(floor((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+                          * {_Q_DIST}) AS BIGINT))) AS dist_q
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {_PQ_NQ}
+    ),
+    exacttop AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_q, vec_id) AS rn
+        FROM exactd
+      ) WHERE rn <= {_PQ_TOPK}
+    )
+    SELECT p.qid,
+           count(*) AS n_overlap,
+           round(CAST(count(*) AS DOUBLE) / {_PQ_TOPK}, 8) AS recall_at_{_PQ_TOPK}
+    FROM pqtop p JOIN exacttop x ON p.qid = x.qid AND p.vec_id = x.vec_id
+    GROUP BY p.qid
+    ORDER BY p.qid
+"""
+
+
+def _pq_nested_literal(codebooks: dict[int, list[tuple[int, list[float]]]]):
+    """array (indexed by m+1) of array<struct<code, cent>> literals —
+    the trained codebooks re-embedded into the plan, like
+    _cent_literal but per-subspace."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(code)).cast("long").alias("code"),
+                        F.array(*[F.lit(float(v)) for v in cent]).alias("cent"),
+                    )
+                    for code, cent in codebooks.get(m, [])
+                ]
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector split into _PQ_M subspace slices.
+    posexplode of the slice array — one pass, no joins."""
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("emb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)])
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_dist_table(sub: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, m, code, dq): quantized squared distance from each
+    subvector to EVERY code of its subspace — map-only against the
+    literal codebooks (the ADC table builder and, filtered to argmin,
+    the encoder)."""
+    tbl = F.transform(
+        F.element_at(_pq_nested_literal(codebooks), (F.col("m") + 1).cast("int")),
+        lambda c: F.struct(
+            c["code"].alias("code"),
+            _dist_q(F.col("sv"), c["cent"]).alias("dq"),
+        ),
+    )
+    return sub.select("vec_id", "m", F.explode(tbl).alias("t")).select(
+        "vec_id", "m", F.col("t.code").alias("code"), F.col("t.dq").alias("dq")
+    )
+
+
+def _pq_encode(sub: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, m, code): argmin over the subspace codebook, map-only
+    (array_min over struct(dq, code) — lexicographic order is the
+    deterministic tiebreak)."""
+    cand = F.transform(
+        F.element_at(_pq_nested_literal(codebooks), (F.col("m") + 1).cast("int")),
+        lambda c: F.struct(
+            _dist_q(F.col("sv"), c["cent"]).alias("dq"),
+            c["code"].alias("code"),
+        ),
+    )
+    best = F.array_min(cand)
+    return sub.select("vec_id", "m", best["code"].alias("code"), "sv")
+
+
+@query("sim_topk_pq_adc", oracle=_PQ_ORACLE)
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f: product-quantization search with asymmetric distance
+    computation (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011) — the compression layer every
+    billion-vector ANN index (FAISS IVF-PQ) pairs with IVF's cell
+    pruning (sim_topk_cosine_ivf).
+
+    Pipeline, all stages value-checked by one SQL oracle:
+    1. split 64-d vectors into M=4 16-d subspaces;
+    2. train one codebook per subspace: k=8 seeds (subvectors of
+       vec_id 0..7) refined by one Lloyd round — integer-quantized
+       means, same determinism engineering as ml_kmeans;
+    3. encode every vector as 4 code ids (here 4 bytes vs 256 — a
+       64× compression; at 100 TB the encoded corpus fits where raw
+       vectors never will);
+    4. ADC: each query precomputes a 4×8 table of quantized distances
+       to every code, and a corpus vector's approximate distance is
+       the sum of 4 TABLE LOOKUPS (join on (m, code) against the
+       broadcast table), never a 64-d float op — the reason PQ scan
+       throughput beats raw-vector scan by the compression ratio.
+
+    Scale shape: codebook training collects ≤ M·k·subdim quantized
+    means (the bounded-collect class); encoding and table build are
+    map-only against literal codebooks; the only corpus shuffle is
+    the (qid, vec_id) partial-sum groupBy, which AQE coalesces. The
+    approximation error PQ trades for this is measured by the recall
+    twin (sim_pq_recall_report)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    sub = _pq_subvectors(e)
+    init = {
+        m: [(r.vec_id, list(r.sv)) for r in rows]
+        for m, rows in _group_by_m(
+            sub.filter(F.col("vec_id") < _PQ_K).collect()  # bounded: M·k rows
+        ).items()
+    }
+    assigned = _pq_encode(sub, init)
+    cb_rows = (
+        assigned.select("m", "code", F.posexplode("sv").alias("pos", "v"))
+        .groupBy("m", "code", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * _Q_CENT).cast("long")).cast("double")
+                / F.count("*")
+                / F.lit(_Q_CENT)
+            ).alias("cv")
+        )
+        .collect()  # bounded: ≤ M·k·subdim rows
+    )
+    trained: dict[int, dict[int, dict[int, float]]] = {}
+    for r in cb_rows:
+        trained.setdefault(r.m, {}).setdefault(r.code, {})[r.dim] = r.cv
+    codebooks = {
+        m: [
+            (code, [dims[d] for d in sorted(dims)])
+            for code, dims in sorted(codes.items())
+        ]
+        for m, codes in trained.items()
+    }
+    enc = _pq_encode(sub, codebooks).select("vec_id", "m", "code")
+    qd = (
+        _pq_dist_table(sub.filter(F.col("vec_id") < _PQ_NQ), codebooks)
+        .select(F.col("vec_id").alias("qid"), "m", "code", "dq")
+    )
+    adc = (
+        enc.join(F.broadcast(qd), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").alias("approx_dist_q"))
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist_q", "vec_id")
+    return (
+        adc.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+    )
+
+
+def _group_by_m(rows) -> dict[int, list]:
+    out: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.m, r.vec_id)):
+        out.setdefault(r.m, []).append(r)
+    return out
+
+
+@query("sim_pq_recall_report", oracle=_PQ_RECALL_ORACLE)
+def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3f twin: measured recall@10 of PQ-ADC against the exact
+    (quantized-L2) top-10 — the compression/accuracy trade made a
+    first-class, oracle-checked artifact, like sim_ivf_recall_report
+    for cell pruning and sim_int8_quantized_recall for scalar
+    quantization. A PQ config is only shippable with its measured
+    recall next to it.
+
+    The exact side is the brute-force quantized L2 top-10 per query
+    (broadcast query rows against the corpus scan — one map-side
+    pass); the overlap join and per-query count are driver-tiny."""
+    pq_top = sim_topk_pq_adc(spark, sf_dir).select("qid", "vec_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _PQ_NQ).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    exact = (
+        q.join(e, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _dist_q(F.col("emb"), F.col("qemb")).alias("dist_q"))
+    )
+    w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+    exact_top = (
+        exact.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    return (
+        pq_top.join(exact_top, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.round(F.count("*").cast("double") / _PQ_TOPK, 8).alias(
+                f"recall_at_{_PQ_TOPK}"
+            ),
+        )
+        .orderBy("qid")
+    )

@@ -127,3 +127,31 @@ def test_incremental_rollup_matches_full_recompute(spark, sf_dir):
         assert r.n_orders == f.n_orders
         assert r.revenue == f.revenue
         assert abs(r.avg_price - r.revenue / r.n_orders) < 1e-6
+
+
+def test_pq_adc_topk_shape(spark, sf_dir):
+    """4 queries × exactly 10 ranked neighbors, contiguous ranks,
+    monotone approx distance, no self-matches."""
+    rows = QUERIES["sim_topk_pq_adc"](spark, sf_dir).collect()
+    assert len(rows) == 4 * 10
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, 11))
+        dists = [r.approx_dist_q for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_pq_recall_bounds(spark, sf_dir):
+    """Recall is in (0, 1]; PQ on this corpus should beat random
+    (random recall@10 over 500 vectors ~ 0.02)."""
+    rows = QUERIES["sim_pq_recall_report"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 4
+    for r in rows:
+        assert 1 <= r.n_overlap <= 10
+        assert abs(r.recall_at_10 - r.n_overlap / 10) < 1e-9
+    avg = sum(r.n_overlap for r in rows) / (4 * 10)
+    assert avg >= 0.2, f"PQ recall suspiciously low: {avg}"
