@@ -66,6 +66,10 @@ HEADLINE = [
     "agg_corr_regr_battery",
     "events_window_dedup",
     "sim_ivf_search_persisted",  # special: see _EXTRA below
+    # round 5 additions
+    "join_bloom_prefilter",
+    "text_boilerplate_ngrams",
+    "sim_topk_pq_adc",
 ]
 
 

@@ -80,6 +80,14 @@ PROBE = [
     "pipeline_stratified_split",
     "pipeline_source_temperature_weights",
     "text_quality_quantile_filter",
+    # round-5 second batch. Excluded as replication artifacts, not
+    # plan risks: join_bloom_prefilter (duplicated o_orderkey makes
+    # the join output N² by corpus construction; the prefilter+scan
+    # path it tests is the same shape as join_inner_revenue), and the
+    # PQ pair (duplicated vec_ids corrupt the k seed codebooks).
+    "text_boilerplate_ngrams",
+    "events_transition_matrix",
+    "batch_incremental_rollup",
 ]
 
 
