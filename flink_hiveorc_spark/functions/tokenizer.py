@@ -1,0 +1,179 @@
+"""Distributed tokenizer training (SURVEY.md §2.10 L4 extension):
+byte-pair-encoding merge learning over the corpus word distribution —
+the "train the tokenizer on the training data" step of an LLM data
+pipeline, as declarative Spark with a full value oracle.
+
+Scale notes (100 TB): BPE training never touches documents after the
+first pass — it runs on the WORD-FREQUENCY table (millions of rows at
+web scale, not billions of tokens). Each merge round is one
+pair-count aggregate over that table (map-side combine collapses the
+pair space) plus a 1-row argmax collect (the bounded-collect class),
+and the merge application is a map-only fold against the collected
+pair literal — the same broadcast-literal round structure as
+ml_kmeans (cluster.py). Rounds are driver-sequenced; lineage stays
+one fold deep per round because ``sym`` is overwritten in place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+_BPE_ROUNDS = 3
+
+# The greedy-leftmost single-merge fold, shared semantics in both
+# engines: walk the symbol string left to right; when the running
+# tail symbol equals p1 and the next symbol is p2, splice them into
+# p1||p2 (the freshly merged symbol becomes the new tail, so "a a a"
+# under pair (a,a) gives "aa a", never "a aa" — standard BPE).
+_DUCK_FOLD = """
+      list_reduce(list_prepend('', ws), (acc, x) ->
+        CASE WHEN acc <> '' AND split_part(acc, ' ', -1) = {p1} AND x = {p2}
+             THEN left(acc, length(acc) - length(split_part(acc, ' ', -1))) || {m}
+             ELSE CASE WHEN acc = '' THEN x ELSE acc || ' ' || x END
+        END)
+"""
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled merge-learning oracle: per round, a pair-count CTE, a
+    1-row argmax CTE, and a fold CTE applying the merge — same
+    generated-CTE idiom as the k-means oracle (cluster.py)."""
+    ctes = [
+        """w0 AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word FROM documents)
+      GROUP BY word
+    )""",
+        """s0 AS (
+      SELECT word, n, array_to_string(regexp_extract_all(word, '.'), ' ') AS sym
+      FROM w0
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""pc{r} AS (
+      SELECT ws[i] || ' ' || ws[i+1] AS pair, CAST(sum(n) AS BIGINT) AS freq
+      FROM (SELECT n, string_split(sym, ' ') AS ws FROM {prev}),
+           UNNEST(range(1, len(ws))) AS t(i)
+      GROUP BY pair
+    )"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+      SELECT pair, freq FROM (
+        SELECT *, row_number() OVER (ORDER BY freq DESC, pair) AS rn FROM pc{r}
+      ) WHERE rn = 1
+    )"""
+        )
+        fold = _DUCK_FOLD.format(p1="p1", p2="p2", m="m")
+        ctes.append(
+            f"""s{r} AS (
+      SELECT word, n, {fold} AS sym
+      FROM (SELECT word, n, string_split(sym, ' ') AS ws FROM {prev})
+           CROSS JOIN (SELECT split_part(pair, ' ', 1) AS p1,
+                              split_part(pair, ' ', 2) AS p2,
+                              replace(pair, ' ', '') AS m
+                       FROM b{r}) AS best{r}
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS rnk, pair, freq FROM b{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT rnk, pair, freq FROM ({selects}) ORDER BY rnk\n"
+    )
+
+
+def _merge_fold(p1: str, p2: str) -> Column:
+    """Spark twin of _DUCK_FOLD over the materialized ``ws`` array,
+    with the round's winning pair baked in as literals."""
+    merged = F.lit(p1 + p2)
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.substring_index(acc, " ", -1)
+        spliced = F.concat(
+            acc.substr(F.lit(1), F.length(acc) - F.length(last)), merged
+        )
+        appended = F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
+        return F.when(
+            (acc != "") & (last == F.lit(p1)) & (x == F.lit(p2)), spliced
+        ).otherwise(appended)
+
+    return F.aggregate(F.col("ws"), F.lit(""), step)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, freq): adjacent-symbol pair frequencies weighted by word
+    count. ``ws`` is materialized in its own projection (the
+    λ-recompute guard's bug class)."""
+    wd = words.select("n", F.split("sym", " ").alias("ws"))
+    ws = F.col("ws")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wd.select("n", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n").alias("freq"))
+    )
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4m: learn the first 3 BPE merges from the corpus (Sennrich et
+    al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units") — tokenizer training as a distributed job.
+
+    Round structure (×3, driver-sequenced like ml_kmeans' Lloyd
+    rounds): (1) aggregate adjacent-symbol pair frequencies over the
+    word-frequency table — the corpus itself is touched ONCE, to
+    build that table; (2) collect the single argmax row (freq DESC,
+    pair ASC tiebreak — deterministic in both engines); (3) apply the
+    merge as a map-only greedy-leftmost fold with the winning pair as
+    a literal. The fold semantics are shared character-for-character
+    with the oracle's list_reduce, so the learned merge table is
+    value-comparable, not just shape-comparable.
+
+    Output: (rnk, pair, freq) — the ordered merge table a tokenizer
+    would persist."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.regexp_extract_all("text", F.lit("([a-z]+)"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.concat_ws(" ", F.regexp_extract_all("word", F.lit("(.)"))).alias("sym"),
+        )
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("freq").desc(), "pair")
+            .limit(1)
+            .collect()  # bounded: exactly one row (TakeOrdered)
+        )
+        if not best:  # degenerate corpus: no multi-char words remain
+            break
+        pair, freq = best[0]["pair"], int(best[0]["freq"])
+        merges.append((r, pair, freq))
+        p1, p2 = pair.split(" ", 1)
+        words = words.select(
+            "word", "n", F.split("sym", " ").alias("ws")
+        ).select("word", "n", _merge_fold(p1, p2).alias("sym"))
+    return spark.createDataFrame(
+        merges, "rnk int, pair string, freq bigint"
+    ).orderBy("rnk")

@@ -63,6 +63,7 @@ def _load_all() -> None:
         similarity,
         skew,
         text,
+        tokenizer,
     )
     from flink_hiveorc_spark.streaming import batch_checks  # noqa: F401
 

@@ -155,3 +155,57 @@ def test_pq_recall_bounds(spark, sf_dir):
         assert abs(r.recall_at_10 - r.n_overlap / 10) < 1e-9
     avg = sum(r.n_overlap for r in rows) / (4 * 10)
     assert avg >= 0.2, f"PQ recall suspiciously low: {avg}"
+
+
+def _python_bpe(word_counts: dict[str, int], rounds: int):
+    """Reference BPE merge learning (greedy leftmost application),
+    plain Python — the model the distributed job must match."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (p1, p2), freq = best
+        merges.append((r, f"{p1} {p2}", freq))
+        for w in syms:
+            s, out = syms[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == p1 and s[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_matches_python_model(spark, sf_dir):
+    """The distributed merge table equals a plain-Python BPE run over
+    the same word-frequency table (greedy leftmost merge semantics)."""
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    wc: dict[str, int] = {}
+    for r in docs:
+        for w in _re.findall(r"[a-z]+", r.text):
+            wc[w] = wc.get(w, 0) + 1
+    expected = _python_bpe(wc, 3)
+    got = [(r.rnk, r.pair, r.freq) for r in QUERIES["text_bpe_merges"](spark, sf_dir).collect()]
+    assert got == expected
+
+
+def test_bpe_freq_non_increasing(spark, sf_dir):
+    rows = QUERIES["text_bpe_merges"](spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    for r in rows:
+        assert len(r.pair.split(" ")) == 2
