@@ -458,3 +458,87 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return city.groupBy("c_date").agg(
         F.count("*").alias("n_rows"), F.sum("ref").alias("ref_sum")
     )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    WITH base AS (
+      SELECT count(*) AS row_count,
+             count(*) - count(DISTINCT o_orderkey) AS pk_dupes,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS fresh_days
+      FROM orders
+    ),
+    orph AS (
+      SELECT count(*) AS orphans FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT * FROM (
+      SELECT 'row_count_positive' AS check_name, 'orders' AS target,
+             CAST(row_count AS BIGINT) AS observed, row_count > 0 AS passed FROM base
+      UNION ALL
+      SELECT 'pk_unique_orderkey', 'orders', CAST(pk_dupes AS BIGINT), pk_dupes = 0 FROM base
+      UNION ALL
+      SELECT 'not_null_custkey', 'orders', CAST(null_custkey AS BIGINT), null_custkey = 0 FROM base
+      UNION ALL
+      SELECT 'accepted_values_status', 'orders', CAST(bad_status AS BIGINT), bad_status = 0 FROM base
+      UNION ALL
+      SELECT 'positive_totalprice', 'orders', CAST(nonpos_price AS BIGINT), nonpos_price = 0 FROM base
+      UNION ALL
+      SELECT 'freshness_orderdate', 'orders', fresh_days, fresh_days >= 1826 FROM base
+      UNION ALL
+      SELECT 'referential_custkey', 'orders->customer', CAST(orphans AS BIGINT), orphans = 0 FROM orph
+    ) ORDER BY check_name
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ [ext]: dbt/Great-Expectations-style check REPORT — one row
+    per expectation (check_name, target, observed, passed) so a
+    publish gate can assert `WHERE NOT passed` is empty and a
+    dashboard can trend `observed` per check over runs.
+
+    Seven checks across five classes: volume (row count), uniqueness
+    (pk duplicate count), completeness (null count), validity
+    (accepted values, positive range), freshness (days from epoch
+    anchor to max o_orderdate, gated at >= 5 years), and referential
+    integrity (orders→customer anti join). All single-table checks
+    fold into ONE multi-aggregate pass over orders (one scan at
+    100 TB, map-side combined); the anti-join broadcasts the customer
+    key column; the 1-row results cross-join for free and unpivot via
+    stack() into the report rows — the report itself is 7 rows, so
+    everything after the aggregates is driver-trivial."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("row_count"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dupes"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.datediff(F.max("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("fresh_days"),
+    )
+    orph = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    joined = base.crossJoin(F.broadcast(orph))
+    return joined.select(
+        F.expr(
+            """stack(7,
+              'row_count_positive',     'orders',           CAST(row_count AS BIGINT),    row_count > 0,
+              'pk_unique_orderkey',     'orders',           CAST(pk_dupes AS BIGINT),     pk_dupes = 0,
+              'not_null_custkey',       'orders',           CAST(null_custkey AS BIGINT), null_custkey = 0,
+              'accepted_values_status', 'orders',           CAST(bad_status AS BIGINT),   bad_status = 0,
+              'positive_totalprice',    'orders',           CAST(nonpos_price AS BIGINT), nonpos_price = 0,
+              'freshness_orderdate',    'orders',           fresh_days,                   fresh_days >= 1826,
+              'referential_custkey',    'orders->customer', CAST(orphans AS BIGINT),      orphans = 0
+            ) AS (check_name, target, observed, passed)"""
+        )
+    ).orderBy("check_name")

@@ -209,3 +209,23 @@ def test_bpe_freq_non_increasing(spark, sf_dir):
     assert freqs == sorted(freqs, reverse=True)
     for r in rows:
         assert len(r.pair.split(" ")) == 2
+
+
+def test_dq_expectations_all_pass_on_clean_corpus(spark, sf_dir):
+    """The synthetic corpus satisfies every expectation; observed
+    values are consistent with the verdicts."""
+    rows = QUERIES["dq_expectations_report"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    by_name = {r.check_name: r for r in rows}
+    assert set(by_name) == {
+        "row_count_positive", "pk_unique_orderkey", "not_null_custkey",
+        "accepted_values_status", "positive_totalprice",
+        "freshness_orderdate", "referential_custkey",
+    }
+    assert all(r.passed for r in rows)
+    assert by_name["row_count_positive"].observed > 0
+    for zero_check in ("pk_unique_orderkey", "not_null_custkey",
+                       "accepted_values_status", "positive_totalprice",
+                       "referential_custkey"):
+        assert by_name[zero_check].observed == 0
+    assert by_name["freshness_orderdate"].observed >= 1826
