@@ -70,6 +70,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "text_boilerplate_ngrams",
     "sim_topk_pq_adc",
+    "text_bpe_merges",
 ]
 
 

@@ -530,6 +530,10 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub.filter(F.col("vec_id") < _PQ_K).collect()  # bounded: M·k rows
         ).items()
     }
+    if not init:  # degenerate corpus: no seed vectors → empty result
+        return spark.createDataFrame(
+            [], "qid bigint, vec_id bigint, approx_dist_q bigint, rnk int"
+        )
     assigned = _pq_encode(sub, init)
     cb_rows = (
         assigned.select("m", "code", F.posexplode("sv").alias("pos", "v"))

@@ -552,3 +552,58 @@ def scalar_try_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") % 5 != 0, F.floor(F.col("value") * 100).cast("bigint")
         ).alias("scaled_or_null"),
     )
+
+
+@query(
+    "scalar_variant_shred",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_units
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 [ext]: VARIANT-typed semi-structured handling (Spark 4
+    native). The event row is re-serialized into ONE nested JSON
+    document, parsed ONCE into a VARIANT (binary-encoded, schema-free
+    — the open-format answer to JSON columns at 100 TB: parse cost is
+    paid once per document, every ``variant_get`` afterwards is a
+    typed binary path walk, and unlike a declared StructType the
+    writer can evolve fields without a reader schema change), then
+    shredded back out through typed paths ('$.props.k' BIGINT,
+    '$.type' STRING, '$.value' DOUBLE) and aggregated.
+
+    The oracle extracts the same values from the ORIGINAL props JSON
+    — engine-specific VARIANT internals never surface; what is
+    compared is that the to_json → parse_json → variant_get loop is
+    lossless for every row. The double payload is floor-quantized to
+    integer micro-units before summing (order-independence across
+    engines, the corpus-wide discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("type"),
+            F.from_json("props", "k bigint").alias("props"),
+            F.col("value").alias("value"),
+        )
+    )
+    v = ev.select(F.parse_json(doc).alias("v"))
+    shredded = v.select(
+        F.expr("variant_get(v, '$.type', 'string')").alias("event_type"),
+        F.expr("variant_get(v, '$.props.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.value', 'double')").alias("value"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("value_units"),
+        )
+        .orderBy("event_type")
+    )

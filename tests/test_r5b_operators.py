@@ -229,3 +229,24 @@ def test_dq_expectations_all_pass_on_clean_corpus(spark, sf_dir):
                        "referential_custkey"):
         assert by_name[zero_check].observed == 0
     assert by_name["freshness_orderdate"].observed >= 1826
+
+
+def test_variant_shred_lossless_roundtrip(spark, sf_dir):
+    """The to_json → parse_json → variant_get loop loses nothing:
+    per-type counts equal the raw groupBy, and sum_k equals the
+    from_json sum."""
+    got = {r.event_type: r for r in QUERIES["scalar_variant_shred"](spark, sf_dir).collect()}
+    raw = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+        .collect()
+    }
+    assert set(got) == set(raw)
+    for t in got:
+        assert got[t].n == raw[t].n
+        assert got[t].sum_k == raw[t].sum_k
