@@ -88,6 +88,11 @@ PROBE = [
     "text_boilerplate_ngrams",
     "events_transition_matrix",
     "batch_incremental_rollup",
+    # dup-insensitive late-r5 additions: counts/freqs scale with
+    # replication, merge tables and check verdicts do not change.
+    "text_bpe_merges",
+    "dq_expectations_report",
+    "scalar_variant_shred",
 ]
 
 
