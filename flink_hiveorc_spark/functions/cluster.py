@@ -624,3 +624,166 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3g [ext]: IVF-PQ — cell pruning × code compression composed
+# (the billion-vector index recipe: FAISS IVFPQ, by_residual=false).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELL_LO, _IVFPQ_CELL_HI = 100, 107  # coarse-quantizer seeds (8 cells)
+_IVFPQ_NPROBE = 2
+
+_IVFPQ_ORACLE = f"""
+    WITH {_PQ_ORACLE_CTES},
+    cells AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings
+      WHERE vec_id BETWEEN {_IVFPQ_CELL_LO} AND {_IVFPQ_CELL_HI}
+    ),
+    vcelld AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+               CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+                          * {_Q_DIST}) AS BIGINT))) AS dist_q
+      FROM embeddings e CROSS JOIN cells c
+    ),
+    vassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cid) AS rn
+        FROM vcelld
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, cid) AS rn
+        FROM vcelld WHERE vec_id < {_PQ_NQ}
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT q.qid, a.vec_id
+      FROM qprobe q JOIN vassign a ON a.cid = q.cid
+      WHERE a.vec_id <> q.qid
+    ),
+    ivfadc AS (
+      SELECT cand.qid, cand.vec_id, CAST(sum(qd.dq) AS BIGINT) AS approx_dist_q
+      FROM cand
+      JOIN enc ON enc.vec_id = cand.vec_id
+      JOIN qd ON qd.qid = cand.qid AND qd.m = enc.m AND qd.code = enc.code
+      GROUP BY cand.qid, cand.vec_id
+    )
+    SELECT qid, vec_id, approx_dist_q, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_dist_q, vec_id) AS rnk
+      FROM ivfadc
+    ) WHERE rnk <= {_PQ_TOPK}
+"""
+
+
+@query("sim_topk_ivf_pq", oracle=_IVFPQ_ORACLE)
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g: IVF-PQ search — coarse cell pruning composed with PQ code
+    compression, the standard billion-vector ANN shape (FAISS IVFPQ;
+    here by_residual=false — codes quantize raw vectors, not cell
+    residuals, which keeps the PQ codebooks shared with
+    sim_topk_pq_adc and the whole path expressible as one oracle).
+
+    Search cost model, the reason this is THE 100 TB recipe: a query
+    touches |corpus| / C × n_probe candidate vectors (cell pruning),
+    and each candidate costs M=4 table lookups instead of a 64-d
+    float op (code compression) — here 8 cells probed 2-deep over
+    int8-sized codes; at a billion vectors, C and M scale to keep
+    both factors flat. Plan shape: cell assignment is the SAME
+    map-only literal-centroid pass as k-means (_assign_map); the
+    probe list (4×2 rows) and ADC tables (≤128 rows) broadcast; the
+    only corpus-sized work is the candidate semi-join and the
+    (qid, vec_id) partial-sum groupBy. Accuracy: PQ recall is
+    measured by sim_pq_recall_report; IVF cell recall by
+    sim_ivf_recall_report — this operator composes the two stages
+    they measure."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    sub = _pq_subvectors(e)
+    init = {
+        m: [(r.vec_id, list(r.sv)) for r in rows]
+        for m, rows in _group_by_m(
+            sub.filter(F.col("vec_id") < _PQ_K).collect()  # bounded: M·k rows
+        ).items()
+    }
+    cells = [
+        (r.vec_id, list(r.emb))
+        for r in e.filter(
+            F.col("vec_id").between(_IVFPQ_CELL_LO, _IVFPQ_CELL_HI)
+        ).collect()  # bounded: 8 rows
+    ]
+    empty = "qid bigint, vec_id bigint, approx_dist_q bigint, rnk int"
+    if not init or not cells:  # degenerate corpus: no seeds
+        return spark.createDataFrame([], empty)
+    # PQ codebooks: one Lloyd round, shared with sim_topk_pq_adc.
+    assigned = _pq_encode(sub, init)
+    cb_rows = (
+        assigned.select("m", "code", F.posexplode("sv").alias("pos", "v"))
+        .groupBy("m", "code", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * _Q_CENT).cast("long")).cast("double")
+                / F.count("*")
+                / F.lit(_Q_CENT)
+            ).alias("cv")
+        )
+        .collect()  # bounded: ≤ M·k·subdim rows
+    )
+    trained: dict[int, dict[int, dict[int, float]]] = {}
+    for r in cb_rows:
+        trained.setdefault(r.m, {}).setdefault(r.code, {})[r.dim] = r.cv
+    codebooks = {
+        m: [
+            (code, [dims[d] for d in sorted(dims)])
+            for code, dims in sorted(codes.items())
+        ]
+        for m, codes in trained.items()
+    }
+    enc = _pq_encode(sub, codebooks).select("vec_id", "m", "code")
+    # Coarse quantizer: map-only cell assignment (k-means' _assign_map).
+    vassign = _assign_map(e, cells).select(
+        "vec_id", F.col("cluster_id").alias("cid")
+    )
+    # Query probes: rank all C cells per query, keep the top n_probe.
+    cand_cells = F.transform(
+        _cent_literal(cells),
+        lambda c: F.struct(
+            _dist_q(F.col("emb"), c["cent"]).alias("dist_q"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy("dist_q", "cid")
+    qprobe = (
+        e.filter(F.col("vec_id") < _PQ_NQ)
+        .select(F.col("vec_id").alias("qid"), F.explode(cand_cells).alias("t"))
+        .select("qid", F.col("t.dist_q").alias("dist_q"), F.col("t.cid").alias("cid"))
+        .select("*", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        vassign.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    qd = (
+        _pq_dist_table(sub.filter(F.col("vec_id") < _PQ_NQ), codebooks)
+        .select(F.col("vec_id").alias("qid"), "m", "code", "dq")
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(qd), ["qid", "m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").alias("approx_dist_q"))
+    )
+    wr = Window.partitionBy("qid").orderBy("approx_dist_q", "vec_id")
+    return (
+        adc.select("*", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+    )

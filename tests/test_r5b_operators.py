@@ -250,3 +250,27 @@ def test_variant_shred_lossless_roundtrip(spark, sf_dir):
     for t in got:
         assert got[t].n == raw[t].n
         assert got[t].sum_k == raw[t].sum_k
+
+
+def test_ivf_pq_shape_and_adc_consistency(spark, sf_dir):
+    """IVF-PQ returns ≤ top-10 per query with contiguous ranks, no
+    self-matches; for pairs that also appear in the unpruned PQ-ADC
+    top-10, the approximate distance is IDENTICAL (same codebooks,
+    same ADC tables — cell pruning only restricts the candidate set)."""
+    ivfpq = QUERIES["sim_topk_ivf_pq"](spark, sf_dir).collect()
+    assert ivfpq
+    by_q: dict[int, list] = {}
+    for r in ivfpq:
+        assert r.vec_id != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        dists = [r.approx_dist_q for r in rs]
+        assert dists == sorted(dists)
+    pq = {(r.qid, r.vec_id): r.approx_dist_q for r in QUERIES["sim_topk_pq_adc"](spark, sf_dir).collect()}
+    shared = [(r.qid, r.vec_id, r.approx_dist_q) for r in ivfpq if (r.qid, r.vec_id) in pq]
+    assert shared, "pruned and unpruned top-10 should overlap somewhere"
+    for qid, vid, d in shared:
+        assert d == pq[(qid, vid)]
