@@ -283,7 +283,12 @@ def assign_shard_idx(sized: DataFrame) -> DataFrame:
         b.join(F.broadcast(offsets), ["lang", "source", "_bucket"])
         .withColumn(
             "shard_idx",
-            (
+            # floor, EXPLICITLY in both engines: Spark's double->bigint
+            # cast truncates but DuckDB's ROUNDS half-away (0.5255 -> 1)
+            # — the divergence only fires once a stream accumulates
+            # >= half a budget (invisible at sf0.01, corpus-wide wrong
+            # at sf0.1; caught by the local sf0.1 oracle replica r5).
+            F.floor(
                 (F.col("_offset") + F.sum("n_tokens").over(w_cell) - F.col("n_tokens"))
                 / SHARD_TOKEN_BUDGET
             ).cast("bigint"),
@@ -309,7 +314,7 @@ def assign_shard_idx(sized: DataFrame) -> DataFrame:
       FROM sized
     )
     SELECT doc_id, lang, source, n_tokens,
-           CAST((cum_tokens - n_tokens) / {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_idx
+           CAST(floor((cum_tokens - n_tokens) / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
     FROM packed
     """,
 )
@@ -894,10 +899,10 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT doc_id, lang, source, text, n_tokens,
-             CAST((sum(n_tokens) OVER (
+             CAST(floor((sum(n_tokens) OVER (
                      PARTITION BY lang, source ORDER BY doc_id
                      ROWS UNBOUNDED PRECEDING) - n_tokens)
-                  / {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_idx
+                  / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
       FROM sized
     )
     SELECT lang, source, shard_idx,

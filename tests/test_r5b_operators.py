@@ -274,3 +274,43 @@ def test_ivf_pq_shape_and_adc_consistency(spark, sf_dir):
     assert shared, "pruned and unpruned top-10 should overlap somewhere"
     for qid, vid, d in shared:
         assert d == pq[(qid, vid)]
+
+
+def test_pack_shards_oracle_floor_semantics(spark, tmp_path):
+    """Regression (r5, caught by the local sf0.1 oracle replica):
+    DuckDB CAST(double AS BIGINT) ROUNDS while Spark truncates, so a
+    bare CAST(cum/budget AS BIGINT) oracle diverges from the engine as
+    soon as a stream accumulates >= budget/2 tokens (invisible at
+    sf0.01 where no stream reaches 1000). Pin floor semantics by
+    running the REGISTERED oracle text in DuckDB on a corpus that
+    crosses the half-budget line and comparing engines exactly."""
+    import duckdb
+
+    from flink_hiveorc_spark.registry import ORACLES
+
+    # one stream, 60 docs x 25 tokens = 1500 tokens: start offsets
+    # cross 1000 (= budget/2) at doc 40 — the rounding trap region.
+    text = " ".join(["tok"] * 25)
+    rows = [(i, text, "en", "src0", len(text)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        (r.doc_id, r.shard_idx)
+        for r in QUERIES["pipeline_pack_shards"](spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    exp = {
+        (r[0], r[4])
+        for r in con.execute(ORACLES["pipeline_pack_shards"]).fetchall()
+    }
+    assert got == exp
+    # the boundary doc itself: start 1000 -> shard 0 under floor
+    by_doc = dict(got)
+    assert by_doc[40] == 0  # start = 40*25 = 1000; floor(1000/2000) = 0
+    assert by_doc[59] == 0  # start = 1475 < 2000
