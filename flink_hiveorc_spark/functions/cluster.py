@@ -787,3 +787,163 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.select("*", F.row_number().over(wr).alias("rnk"))
         .filter(F.col("rnk") <= _PQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# L3h [ext]: Johnson-Lindenstrauss random projection — the third
+# compression family (PQ = codebooks, int8 = scalar, JL = dimension),
+# with its recall measured against the exact neighbors.
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIMS = 16
+_JL_IN_DIMS = 64
+_Q_JL = 1 << 20  # element quantization BEFORE projection: keeps the
+# projected coords exact integers (|proj| <= 64·2^20·|v| ~ 2^26, so a
+# squared 16-d distance stays < 2^57 — inside long range), and makes
+# the sum order-independent across engines/partitionings.
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 projection matrix, derived from md5 at import time (pure
+    Python, engine-independent) and inlined as LITERALS into both the
+    Spark plan and the generated oracle — the deterministic stand-in
+    for the JL lemma's random Rademacher matrix."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}_{i}".encode()).digest()[0] & 1 else -1
+            for i in range(_JL_IN_DIMS)
+        ]
+        for j in range(_JL_OUT_DIMS)
+    ]
+
+
+_JL_S = _jl_signs()
+
+_JL_S_SQL = "[" + ", ".join("[" + ", ".join(str(v) for v in row) + "]" for row in _JL_S) + "]"
+
+_JL_RECALL_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q_JL}) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id,
+             list_transform({_JL_S_SQL}, row ->
+               list_sum(list_transform(range(1, {_JL_IN_DIMS} + 1), i -> vq[i] * row[i]))) AS p
+      FROM q
+    ),
+    jld AS (
+      SELECT a.vec_id AS qid, b.vec_id,
+             list_sum(list_transform(range(1, {_JL_OUT_DIMS} + 1), j ->
+               (a.p[j] - b.p[j]) * (a.p[j] - b.p[j]))) AS dist_j
+      FROM proj a JOIN proj b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_PQ_NQ}
+    ),
+    jltop AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_j, vec_id) AS rn
+        FROM jld
+      ) WHERE rn <= {_PQ_TOPK}
+    ),
+    exactd AS (
+      SELECT a.vec_id AS qid, e.vec_id,
+             list_sum(list_transform(range(1, {_JL_IN_DIMS} + 1), i ->
+               CAST(floor((CAST(e.embedding[i] AS DOUBLE) - CAST(a.embedding[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(a.embedding[i] AS DOUBLE))
+                          * {_Q_DIST}) AS BIGINT))) AS dist_q
+      FROM embeddings a JOIN embeddings e ON e.vec_id <> a.vec_id
+      WHERE a.vec_id < {_PQ_NQ}
+    ),
+    exacttop AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_q, vec_id) AS rn
+        FROM exactd
+      ) WHERE rn <= {_PQ_TOPK}
+    )
+    SELECT j.qid,
+           count(*) AS n_overlap,
+           round(CAST(count(*) AS DOUBLE) / {_PQ_TOPK}, 8) AS recall_at_{_PQ_TOPK}
+    FROM jltop j JOIN exacttop x ON j.qid = x.qid AND j.vec_id = x.vec_id
+    GROUP BY j.qid
+    ORDER BY j.qid
+"""
+
+
+@query("sim_topk_jl_recall", oracle=_JL_RECALL_ORACLE)
+def sim_topk_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3h: JL random-projection search, recall-measured. 64-d → 16-d
+    via a ±1 Rademacher matrix (Achlioptas 2003's database-friendly
+    JL construction — signs derived from md5 at import and inlined as
+    literals in BOTH engines, so the \"random\" matrix is exactly
+    reproducible). Elements are integer-quantized BEFORE projection:
+    the projected coordinates are then exact BIGINTs and the whole
+    top-k is order-independent — an FP projection would make every
+    distance engine- and partitioning-dependent.
+
+    Scale shape: projection is map-only (a literal 16×64 multiply per
+    row — at a billion rows this is the cheap pass that buys a 4×
+    smaller ANN problem); the top-k is the brute-force broadcast-query
+    pattern in PROJECTED space (16 subtractions per pair instead of
+    64); recall vs the exact quantized-L2 top-10 is the honest price
+    tag, same contract as the PQ/int8/IVF recall twins."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double("embedding").alias("emb")
+    )
+    vq = F.transform(F.col("emb"), lambda x: F.floor(x * _Q_JL).cast("long"))
+    s_lit = F.array(
+        *[F.array(*[F.lit(v).cast("long") for v in row]) for row in _JL_S]
+    )
+    proj = F.transform(
+        s_lit,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("vq"), row, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pr = e.select("vec_id", vq.alias("vq")).select("vec_id", proj.alias("p"))
+    q = F.broadcast(
+        pr.filter(F.col("vec_id") < _PQ_NQ).select(
+            F.col("vec_id").alias("qid"), F.col("p").alias("qp")
+        )
+    )
+    dist_j = F.aggregate(
+        F.zip_with(F.col("qp"), F.col("p"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wj = Window.partitionBy("qid").orderBy("dist_j", "vec_id")
+    jl_top = (
+        q.join(pr, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dist_j.alias("dist_j"))
+        .select("*", F.row_number().over(wj).alias("rn"))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    qe = F.broadcast(
+        e.filter(F.col("vec_id") < _PQ_NQ).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    we = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+    exact_top = (
+        qe.join(e, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _dist_q(F.col("emb"), F.col("qemb")).alias("dist_q"))
+        .select("*", F.row_number().over(we).alias("rn"))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id")
+    )
+    return (
+        jl_top.join(exact_top, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_overlap"),
+            F.round(F.count("*").cast("double") / _PQ_TOPK, 8).alias(
+                f"recall_at_{_PQ_TOPK}"
+            ),
+        )
+        .orderBy("qid")
+    )

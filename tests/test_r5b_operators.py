@@ -314,3 +314,13 @@ def test_pack_shards_oracle_floor_semantics(spark, tmp_path):
     by_doc = dict(got)
     assert by_doc[40] == 0  # start = 40*25 = 1000; floor(1000/2000) = 0
     assert by_doc[59] == 0  # start = 1475 < 2000
+
+
+def test_jl_recall_report_bounds(spark, sf_dir):
+    """JL recall rows are well-formed; the report never overclaims
+    (recall is derived exactly from the overlap count)."""
+    rows = QUERIES["sim_topk_jl_recall"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 4
+    for r in rows:
+        assert 1 <= r.n_overlap <= 10
+        assert abs(r.recall_at_10 - r.n_overlap / 10) < 1e-9
