@@ -1104,3 +1104,68 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 8).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+_TOP_PATHS = 20
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             lag(event_type, 1) OVER w AS p1,
+             lag(epoch_us(ts), 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(epoch_us(ts), 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+    FROM ordered
+    WHERE p2 IS NOT NULL
+      AND t_us - t1 <= {SESSION_GAP_US}
+      AND t1 - t2 <= {SESSION_GAP_US}
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {_TOP_PATHS}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4n/§2.5: top 3-step behavioral paths (sequence mining) — the
+    journey view funnels and transition matrices summarize away: which
+    exact a→b→c sequences dominate within sessions.
+
+    Two lags over the SAME (user_id, time) window sessionization and
+    the transition matrix use — in a shared pipeline all three reuse
+    one exchange + sort. Both inter-event gaps must sit inside the
+    session window (a path spanning a session boundary is two visits,
+    not one journey). The path space is ≤ |event_types|³ = 125 after
+    the map-side-combined count, and the top-20 is a
+    TakeOrderedAndProject, not a full sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ordered = ev.select(
+        "event_type",
+        "t_us",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("t_us", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("t_us", 2).over(w).alias("t2"),
+    )
+    return (
+        ordered.filter(
+            F.col("p2").isNotNull()
+            & (F.col("t_us") - F.col("t1") <= SESSION_GAP_US)
+            & (F.col("t1") - F.col("t2") <= SESSION_GAP_US)
+        )
+        .select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_TOP_PATHS)
+    )

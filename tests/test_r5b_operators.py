@@ -324,3 +324,19 @@ def test_jl_recall_report_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_overlap <= 10
         assert abs(r.recall_at_10 - r.n_overlap / 10) < 1e-9
+
+
+def test_top_paths_consistent_with_transitions(spark, sf_dir):
+    """Every 3-step path's count is bounded by the counts of both of
+    its constituent 2-step transitions (an a>b>c journey contains an
+    a>b and a b>c within the same session gap)."""
+    paths = QUERIES["events_top_paths"](spark, sf_dir).collect()
+    assert paths and all(r.n >= 1 for r in paths)
+    trans = {
+        (r.prev_type, r.next_type): r.n
+        for r in QUERIES["events_transition_matrix"](spark, sf_dir).collect()
+    }
+    for r in paths:
+        a, b, c = r.path.split(">")
+        assert r.n <= trans.get((a, b), 0)
+        assert r.n <= trans.get((b, c), 0)
