@@ -613,3 +613,89 @@ def sim_int8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.col("i.neighbor_id")).cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    e AS (
+      SELECT a.label, a.vec_id AS u, b.vec_id AS w
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= {NEARDUP_COSINE}
+    ),
+    tri AS (
+      SELECT e1.label, count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.label = e1.label AND e2.u = e1.w
+      JOIN e e3 ON e3.label = e1.label AND e3.u = e1.u AND e3.w = e2.w
+      GROUP BY e1.label
+    )
+    SELECT e.label,
+           count(*) AS n_edges,
+           coalesce(max(tri.n_triangles), 0) AS n_triangles
+    FROM e LEFT JOIN tri ON tri.label = e.label
+    GROUP BY e.label
+    ORDER BY e.label
+    """
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/graph: triangle counting over the near-duplicate pair graph
+    — the motif statistic behind clustering-coefficient / community-
+    density diagnostics on a dedup graph (a label whose near-dup
+    edges close into many triangles is one dense duplicate cluster; a
+    triangle-free label is chains of borderline pairs — different
+    cleanup actions).
+
+    Algorithm: the ORIENTED edge-join — every edge is stored once as
+    (u < w), a wedge is e1(u,w)⋈e2(w,x), and the closing edge is
+    probed as (u,x) with u < w < x ordering built in, so each
+    triangle is counted exactly once and the join width is bounded by
+    out-degree under the total order (the standard skew bound: orient
+    by degree at 100 TB so hubs fan out, never in). Both joins key on
+    (label, vertex) — same-label edges co-locate, so one partitioning
+    serves the whole cascade. Counts are integer-exact."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.select("*", norm(F.col("v")).alias("nv")).repartition(F.col("label"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+    edges = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= NEARDUP_COSINE)
+        .select(F.col("a.label").alias("label"), F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("w"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.label") == F.col("e1.label")) & (F.col("e2.u") == F.col("e1.w")),
+        )
+        .join(
+            e3,
+            (F.col("e3.label") == F.col("e1.label"))
+            & (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.w") == F.col("e2.w")),
+            "left_semi",
+        )
+        .groupBy(F.col("e1.label").alias("label"))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        edges.groupBy("label")
+        .agg(F.count("*").alias("n_edges"))
+        .join(tri, "label", "left")
+        .select(
+            "label",
+            "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("label")
+    )

@@ -340,3 +340,16 @@ def test_top_paths_consistent_with_transitions(spark, sf_dir):
         a, b, c = r.path.split(">")
         assert r.n <= trans.get((a, b), 0)
         assert r.n <= trans.get((b, c), 0)
+
+
+def test_triangle_count_bounds(spark, sf_dir):
+    """Triangles are bounded by C(edges-per-label, 3)-free sanity:
+    n_triangles <= n_edges*(n_edges-1)/3 loose bound, nonneg, and a
+    label with < 3 edges has 0 triangles."""
+    rows = QUERIES["graph_triangle_count"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_edges >= 1 and r.n_triangles >= 0
+        if r.n_edges < 3:
+            assert r.n_triangles == 0
+        assert 3 * r.n_triangles <= r.n_edges * (r.n_edges - 1)
