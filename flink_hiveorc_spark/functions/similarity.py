@@ -654,9 +654,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed as (u,x) with u < w < x ordering built in, so each
     triangle is counted exactly once and the join width is bounded by
     out-degree under the total order (the standard skew bound: orient
-    by degree at 100 TB so hubs fan out, never in). Both joins key on
-    (label, vertex) — same-label edges co-locate, so one partitioning
-    serves the whole cascade. Counts are integer-exact."""
+    by degree at 100 TB so hubs fan out, never in). The joins key on
+    different (label, vertex) pairs, so stock Spark shuffles between
+    cascade stages (visible in PLANS.md); at scale, materialize the
+    oriented edge table ONCE, bucketed by source vertex
+    (sinks/bucketed.py), and the wedge join's build side reads
+    co-located — the cascade is then one shuffle, not five. Counts
+    are integer-exact."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
