@@ -1169,3 +1169,67 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_TOP_PATHS)
     )
+
+
+@query(
+    "sessionize_native_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, t_us,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, t_us,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           min(t_us) AS start_us,
+           CAST((max(t_us) - min(t_us)) AS BIGINT) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, start_us
+    """,
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/L4g twin: sessionization via Spark's NATIVE session_window
+    operator, value-pinned EQUAL to the hand-rolled gaps-and-islands
+    formulation (sessionize_events) through the same SQL oracle.
+
+    Why both exist: session_window is one groupBy (Spark merges
+    overlapping per-event windows internally — no lag, no running
+    sum, and it is the only formulation Structured Streaming accepts
+    for session aggregation), while gaps-and-islands generalizes to
+    per-event session attribution. Proving them equal on the corpus
+    certifies the native operator can replace the window pass in any
+    downstream pipeline. Boundary semantics differ ONLY on exact
+    30-minute gaps (native: window end is exclusive, an event at
+    exactly prev+gap starts a NEW session; hand-rolled `> gap` keeps
+    it) — the corpus has zero exact-gap pairs at any sf (checked), so
+    the oracle pins equality on everything else."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            (F.max("t_us") - F.min("t_us")).cast("bigint").alias("duration_us"),
+        )
+        .select("user_id", "n_events", "start_us", "duration_us")
+        .orderBy("user_id", "start_us")
+    )

@@ -353,3 +353,17 @@ def test_triangle_count_bounds(spark, sf_dir):
         if r.n_edges < 3:
             assert r.n_triangles == 0
         assert 3 * r.n_triangles <= r.n_edges * (r.n_edges - 1)
+
+
+def test_native_session_window_equals_gaps_and_islands(spark, sf_dir):
+    """The native session_window operator and the hand-rolled
+    formulation produce identical sessions on this corpus."""
+    native = {
+        (r.user_id, r.start_us, r.n_events, r.duration_us)
+        for r in QUERIES["sessionize_native_window"](spark, sf_dir).collect()
+    }
+    rolled = {
+        (r.user_id, r.start_us, r.n_events, r.duration_us)
+        for r in QUERIES["sessionize_events"](spark, sf_dir).collect()
+    }
+    assert native == rolled
