@@ -1233,3 +1233,278 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "start_us", "duration_us")
         .orderBy("user_id", "start_us")
     )
+
+
+_CEP_PATTERN = "click(>view)*>purchase"
+
+# Session-assignment CTE chain shared by the CEP query (same
+# gaps-and-islands formulation as sessionize_events, with event_type
+# carried through to the per-session sequence string).
+_SESSION_SEQ_SQL = f"""
+    ordered AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, t_us,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, event_type, t_us,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_seq
+      FROM flagged
+    ),
+    seqs AS (
+      SELECT user_id, session_seq,
+             count(*) AS n_events,
+             string_agg(event_type, '>' ORDER BY t_us, event_id) AS seq
+      FROM sessions
+      GROUP BY user_id, session_seq
+    )
+"""
+
+
+@query(
+    "events_pattern_cep",
+    oracle=f"""
+    WITH {_SESSION_SEQ_SQL}
+    SELECT user_id, session_seq, n_events,
+           regexp_extract(seq, '{_CEP_PATTERN}', 0) AS matched
+    FROM seqs
+    WHERE regexp_matches(seq, '{_CEP_PATTERN}')
+    """,
+)
+def events_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-adjacent/§2.8: complex-event-processing pattern detection —
+    the batch twin of Flink CEP's `Pattern.begin("click")
+    .followedBy(view*).next("purchase")`: find sessions whose event
+    sequence contains click (>view)* purchase, i.e. a click that
+    converts to a purchase with only views in between.
+
+    MATCH_RECOGNIZE-style sequence patterns compile to a REGEX over
+    the per-session event-type string: one window pass assigns
+    sessions (shared shape with sessionize_events), one aggregate
+    builds the ordered `a>b>c` sequence string, and the pattern is a
+    single regexp per session row. Both engines use leftmost-first
+    regex semantics (java.util.regex / RE2), and the sequence order
+    is total (t_us, event_id), so the matched substring is
+    deterministic.
+
+    100 TB: state per session is one bounded string (sessions are
+    gap-bounded); the pattern match is a scan over the session table,
+    not the event stream — CEP as a corpus-sized, not event-sized,
+    operator. Longer patterns and within-window constraints compose
+    by editing the regex / adding a duration predicate; per-event
+    state machines (Flink's runtime shape) are only needed online —
+    see streaming/windows.py applyInPandasWithState for that half."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    flagged = ev.select(
+        "*",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = flagged.select(
+        "*",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    seqs = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct("t_us", "event_id", "event_type"))
+            ).alias("arr"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            F.concat_ws(">", F.transform("arr", lambda x: x["event_type"])).alias("seq"),
+        )
+    )
+    return seqs.filter(F.col("seq").rlike(_CEP_PATTERN)).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.regexp_extract("seq", _CEP_PATTERN, 0).alias("matched"),
+    )
+
+
+_EWMA_TAPS = 16  # trailing events in the dyadic smoother
+
+
+def _ewma_oracle() -> str:
+    terms = " + ".join(
+        f"coalesce(lag(v_cents, {k}) OVER (PARTITION BY user_id ORDER BY t_us, event_id), 0) * {1 << (_EWMA_TAPS - 1 - k)}"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+    WITH vc AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    )
+    SELECT event_id, user_id, t_us, v_cents,
+           CAST({terms} AS BIGINT) AS ewma_units
+    FROM vc
+    """
+
+
+@query("events_ewma_smoothing", oracle=_ewma_oracle())
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/L4 time-series: exponentially-weighted moving average of
+    per-user event values — the classic stream smoother s_t = v_t +
+    s_{t-1}/2, truncated at 16 taps, IN INTEGER UNITS: values are
+    quantized to cents and the weight for the k-th most recent event
+    is the integer 2^(15-k) (α = 1/2 half-life, scaled by 2^15 so
+    the smallest weight is exactly 1). ewma_units is a BIGINT —
+    renormalize by 2^15/... ≈ /65536 downstream if a float view is
+    wanted; keeping the artifact integral makes it engine- and
+    partition-order-exact (the same 2^k discipline as PageRank's rank
+    units and SimHash's bit blocks).
+
+    Truncation error is bounded by max|v|·2^-16 of the untruncated
+    EWMA — below one cent-unit here. The 16 lag terms compile into
+    ONE window pass (all lags share the (user_id, t_us, event_id)
+    frame — Spark evaluates them in a single WindowExec over one
+    shuffle), so at 100 TB this costs exactly what any per-key window
+    costs; no per-row state machine, no UDF."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    ewma = sum(
+        F.coalesce(F.lag("v_cents", k).over(w), F.lit(0))
+        * F.lit(1 << (_EWMA_TAPS - 1 - k))
+        for k in range(_EWMA_TAPS)
+    )
+    return ev.select(
+        "event_id", "user_id", "t_us", "v_cents", ewma.cast("bigint").alias("ewma_units")
+    )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("hash", "join", "stream")
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             count(*) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tokens
+      WHERE term IN {_BM25_QUERY!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             count(*) AS n_query_terms_hit,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ), 8) AS score
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_query_terms_hit, score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4e': BM25 full-text ranking (Robertson & Zaragoza 2009, "The
+    Probabilistic Relevance Framework: BM25 and Beyond"; idf in the
+    Lucene ln(1 + (N-df+0.5)/(df+0.5)) form, k1=1.2, b=0.75) — the
+    retrieval-scoring complement to raw TF-IDF: tf saturation plus
+    doc-length normalization, scored for a fixed 3-term query and
+    reporting the top-20 documents.
+
+    Shape: token explode → per-doc length aggregate + per-(doc,
+    query-term) tf aggregate (the tf side filters to the query terms
+    BEFORE aggregating, so the shuffled volume is queries-hit rows,
+    not the whole postings list); df and the (avgdl, N) stats are
+    tiny aggregates broadcast onto the scored rows; top-20 is a
+    TakeOrdered on (score DESC, doc_id). Scores round to 8 decimals
+    in both engines before ranking (the tfidf discipline: inputs are
+    exact ints, one ln + a few IEEE ops, round absorbs last-ulp libm
+    drift — and ranking on the ROUNDED score keeps the order
+    engine-identical).
+
+    100 TB: this is the batch "score the corpus against a query"
+    sweep (eval-retrieval, contamination scoring); per-query cost is
+    one corpus scan with term filters pushed to the parquet reader
+    when the postings are pre-exploded."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit("([a-z]+)"))).alias("term")
+    )
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        tokens.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_query_terms_hit"),
+            F.round(F.sum(idf * tf_part), 8).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)

@@ -979,3 +979,183 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches.cast("double") / N_MINHASH).alias("est_jaccard"),
         )
     )
+
+
+PREFIX_JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS ({{shingles}}),
+    ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {PREFIX_JACCARD_THRESHOLD}
+    """.format(shingles=_SHINGLES_SQL),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2a'': prefix-filtered set-similarity self-join (SSJoin/
+    All-Pairs/PPJoin family: Chaudhuri et al. ICDE'06, Bayardo et al.
+    WWW'07) — the candidate-pruned formulation of the shingle-Jaccard
+    near-dup miner for HIGH thresholds.
+
+    Instead of indexing every shingle of every doc (the plain inverted
+    index of dedup_ngram_jaccard_pairs), each doc indexes only the
+    PREFIX of its shingle set under a global canonical order
+    (ascending document frequency, ties by shingle — rarest first).
+    For Jaccard ≥ t a pair must overlap within the first
+    n - ⌈t·n⌉ + 1 shingles of each side's ordering (if the prefixes
+    were disjoint, the intersection would fit inside one suffix of
+    length ⌈t·n⌉ - 1 < ⌈t·n⌉ ≤ |A∩B|), so joining prefixes only is
+    LOSSLESS while shrinking the index ~2× at t=0.5 and — because the
+    dropped entries are exactly the most-frequent shingles — cutting
+    the candidate-pair blowup far more than 2× (candidate count per
+    shingle is quadratic in its document frequency).
+
+    With t = 0.5 the prefix length is the integer n_sh - (n_sh+1) div
+    2 + 1 (engine-exact; no float ceil). Candidates are verified
+    EXACTLY with a full-set array intersection, so the output equals
+    the unfiltered formulation at the same threshold — the oracle IS
+    the plain inverted-index SQL, and a pytest pins equality against
+    ngram_jaccard_pairs on the same frame.
+
+    100 TB: the df aggregate is vocabulary-sized; the rank window
+    partitions by doc_id (bounded rows per doc); the self-join key
+    space is the PRUNED index. This is the scale path for t ≥ 0.5
+    dedup sweeps, complementing MinHash-LSH (which stays the choice
+    for low thresholds where prefixes barely prune)."""
+    from pyspark.sql.window import Window
+
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_docs(d)  # (doc_id, s): distinct shingles per doc
+    ex = sh.select(
+        "doc_id", F.explode_outer("s").alias("shingle"), F.size("s").alias("n_sh")
+    )
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "shingle").select(
+        "doc_id",
+        "shingle",
+        "n_sh",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "shingle"))
+        .alias("rn"),
+    )
+    prefix = ranked.filter(F.col("rn") <= F.expr("n_sh - (n_sh + 1) div 2 + 1"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sets_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_THRESHOLD)
+    )
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label-propagation oracle over the LSH
+    near-dup graph: per round, a neighbor-label count CTE and a
+    deterministic argmax CTE (count DESC, label ASC) — the same
+    generated-CTE idiom as the PageRank and BPE oracles."""
+    ctes = [
+        f"pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE}))",
+        """edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    )""",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        ctes.append(
+            f"""c{r} AS (
+      SELECT e.v AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.u
+      GROUP BY e.v, l.lbl
+    )"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS doc_id, lbl AS community FROM l{rounds}\n"
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2i: community detection by synchronous label propagation
+    (Raghavan et al. 2007, "Near linear time algorithm to detect
+    community structures") over the near-dup LSH pair graph — two
+    unrolled rounds, each node adopting the MODE of its neighbors'
+    labels (ties broken by MIN label, so every round is a pure
+    function of the graph: engine- and partition-order-independent).
+
+    Where connected components (dedup_cluster_components) merges
+    everything reachable, LPA finds DENSE cores: a chain of borderline
+    near-dups does not collapse into one community unless the
+    majority vote carries — the finer-grained grouping used to pick
+    per-cluster canonical documents without over-merging.
+
+    Shape per round: one edge⋈label join (shuffle on node id) + one
+    (node, label) count aggregate + one argmax window over the count
+    table — the standard scalable LPA step; labels are integers, the
+    argmax is total-ordered, nothing floats. Edges are checkpointed
+    once (LSH runs once, not per round)."""
+    from pyspark.sql.window import Window
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = reliable_checkpoint(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.select("node", "lbl", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("community"))

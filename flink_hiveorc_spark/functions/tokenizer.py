@@ -38,10 +38,12 @@ _DUCK_FOLD = """
 """
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled merge-learning oracle: per round, a pair-count CTE, a
-    1-row argmax CTE, and a fold CTE applying the merge — same
-    generated-CTE idiom as the k-means oracle (cluster.py)."""
+def _bpe_ctes(rounds: int) -> list[str]:
+    """Unrolled merge-learning CTE chain: per round, a pair-count CTE,
+    a 1-row argmax CTE, and a fold CTE applying the merge — same
+    generated-CTE idiom as the k-means oracle (cluster.py). Shared by
+    the learn oracle (selects the b{r} merge tables) and the apply
+    oracle (selects the final s{rounds} segmentation)."""
     ctes = [
         """w0 AS (
       SELECT word, count(*) AS n
@@ -81,13 +83,31 @@ def _bpe_oracle(rounds: int) -> str:
                        FROM b{r}) AS best{r}
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS rnk, pair, freq FROM b{r}" for r in range(1, rounds + 1)
     )
     return (
         "\n    WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_bpe_ctes(rounds))
         + f"\n    SELECT rnk, pair, freq FROM ({selects}) ORDER BY rnk\n"
+    )
+
+
+def _bpe_apply_oracle(rounds: int, limit: int) -> str:
+    return (
+        "\n    WITH "
+        + ",\n    ".join(_bpe_ctes(rounds))
+        + f"""
+    SELECT word, n, sym AS tokens,
+           CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tokens
+    FROM s{rounds}
+    ORDER BY n DESC, word
+    LIMIT {limit}
+"""
     )
 
 
@@ -147,6 +167,20 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (rnk, pair, freq) — the ordered merge table a tokenizer
     would persist."""
+    merges, _ = _learn_bpe(spark, sf_dir, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "rnk int, pair string, freq bigint"
+    ).orderBy("rnk")
+
+
+def _learn_bpe(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Run the BPE merge-learning rounds; return the learned merge
+    table AND the word-frequency frame with the final segmentation
+    applied (``sym``) — the shared core of text_bpe_merges (which
+    reports the merges) and text_bpe_apply (which reports the
+    resulting tokenization)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.regexp_extract_all("text", F.lit("([a-z]+)"))).alias("word"))
@@ -159,7 +193,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merges = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         best = (
             _pair_counts(words)
             .orderBy(F.col("freq").desc(), "pair")
@@ -174,6 +208,35 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.select(
             "word", "n", F.split("sym", " ").alias("ws")
         ).select("word", "n", _merge_fold(p1, p2).alias("sym"))
-    return spark.createDataFrame(
-        merges, "rnk int, pair string, freq bigint"
-    ).orderBy("rnk")
+    return merges, words
+
+
+_BPE_APPLY_TOP = 200
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle(_BPE_ROUNDS, _BPE_APPLY_TOP))
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4m': TOKENIZE with the learned merges — the apply half of the
+    BPE story: after the 3 learned merge rounds, report the resulting
+    segmentation and token count for the {200} most frequent corpus
+    words (freq DESC, word ASC — total order).
+
+    Shares the learning loop with text_bpe_merges verbatim
+    (_learn_bpe), so the segmentations here are exactly what that
+    merge table produces; the oracle replays the same unrolled CTE
+    chain and reads the final fold output instead of the argmax
+    tables. In production the merge table is the broadcast-side
+    artifact and application is this same map-only fold over the
+    corpus (per-word, so cost scales with VOCABULARY for the dedup'd
+    table, or with tokens when applied inline at scan time)."""
+    _, words = _learn_bpe(spark, sf_dir, _BPE_ROUNDS)
+    return (
+        words.select(
+            "word",
+            "n",
+            F.col("sym").alias("tokens"),
+            F.size(F.split("sym", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(F.col("n").desc(), "word")
+        .limit(_BPE_APPLY_TOP)
+    )

@@ -900,3 +900,99 @@ def batch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.alias("revenue"),
         F.round(revenue / F.col("n_orders"), 6).alias("avg_price"),
     ).orderBy("month")
+
+
+_CMS_WIDTH = 512  # buckets per sketch row
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_TOPK = 20  # heavy hitters reported
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, n_events_exact, TRUE AS cms_within_bound
+    FROM (
+      SELECT user_id, count(*) AS n_events_exact,
+             row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+      FROM events
+      GROUP BY user_id
+    )
+    WHERE rn <= {_CMS_TOPK}
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2'' (approx): count-min-sketch heavy hitters (Cormode &
+    Muthukrishnan 2005, "An improved data stream summary: the
+    count-min sketch and its applications") — the fixed-memory
+    frequency summary used when per-key exact counting is too much
+    state (top talkers, hot keys, trending items).
+
+    Sketch = {_CMS_DEPTH} hash rows × {_CMS_WIDTH} buckets: one
+    union'd scan hashes every event into one bucket per row
+    (xxhash64 seeded by the row index) and a map-side-combined
+    aggregate produces the ≤ {_CMS_DEPTH}·{_CMS_WIDTH}-row sketch —
+    fixed size regardless of corpus scale, the whole point. The
+    point estimate for a key is min over rows of its bucket count.
+
+    TOLERANCE ORACLE (same contract as agg_approx_count_distinct):
+    the estimate depends on hash collisions, so the query emits the
+    EXACT count of each true top-{_CMS_TOPK} user plus a boolean
+    asserting the CMS estimate obeys the sketch's guarantees:
+    est ≥ exact (one-sided error is a theorem — a key's own mass is
+    always in its bucket) and est ≤ exact + {_CMS_DEPTH}·N/{_CMS_WIDTH}
+    (4× the per-row expected collision mass N/w; the min over
+    {_CMS_DEPTH} independent rows concentrates far below it). The
+    oracle emits the exact counts + literal TRUE, so the driver's
+    value hash fails if the sketch drifts out of tolerance.
+
+    100 TB: the sketch aggregate is the production shape (bounded
+    state, no per-key shuffle); the exact top-k comparison side here
+    exists to grade the sketch and broadcasts ({_CMS_TOPK} rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()  # one column-pruned count-star (parquet footer stats)
+    margin = (_CMS_DEPTH * n_total) // _CMS_WIDTH
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64("user_id", F.lit(r)), F.lit(_CMS_WIDTH)).alias("bucket"),
+                )
+                for r in range(_CMS_DEPTH)
+            ])
+        ).alias("rb"),
+    ).select("user_id", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    sketch = hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events_exact"))
+        .orderBy(F.col("n_events_exact").desc(), "user_id")
+        .limit(_CMS_TOPK)  # TakeOrdered — no single-partition window
+    )
+    probes = top.select(
+        "user_id",
+        "n_events_exact",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64("user_id", F.lit(r)), F.lit(_CMS_WIDTH)).alias("bucket"),
+                )
+                for r in range(_CMS_DEPTH)
+            ])
+        ).alias("rb"),
+    ).select("user_id", "n_events_exact", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.first("n_events_exact").alias("n_events_exact"), F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "n_events_exact",
+        (
+            (F.col("cms_est") >= F.col("n_events_exact"))
+            & (F.col("cms_est") <= F.col("n_events_exact") + F.lit(margin))
+        ).alias("cms_within_bound"),
+    )

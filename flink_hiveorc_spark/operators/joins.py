@@ -970,3 +970,105 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_DAY_US = 86_400_000_000
+_IV_WEEK = 7  # bucket width (days) for the overlap-join band index
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    iv AS (
+      SELECT user_id, grp, min(day) AS d0, max(day) AS d1
+      FROM runs GROUP BY user_id, grp
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_overlaps,
+           CAST(sum(least(a.d1, b.d1) - greatest(a.d0, b.d0) + 1) AS BIGINT)
+             AS total_overlap_days
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.d0 <= b.d1 AND b.d0 <= a.d1
+    GROUP BY a.user_id, b.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: interval×interval OVERLAP join — which pairs of users have
+    overlapping activity spans, and for how long. The second classic
+    range-join shape after point-in-interval (join_interval_bucketed):
+    campaign-overlap, co-presence, and resource-contention queries
+    all reduce to it.
+
+    Intervals are activity RUNS: consecutive active days per user
+    (gaps-and-islands on the distinct-day table — day minus
+    row_number is constant within a run). The overlap join itself is
+    the scale-critical part: a naive theta-join `a.d0 <= b.d1 AND
+    b.d0 <= a.d1` is a cross product to Spark (BNLJ), so each
+    interval is EXPLODED into its covered {_IV_WEEK}-day band buckets
+    and the join runs as an EQUI-join on the band — two overlapping
+    intervals always share the band containing max(d0_a, d0_b), so
+    band-equality is a complete candidate filter; the exact predicate
+    then verifies, and a distinct on interval identity collapses
+    multi-band double-hits. Candidate volume is O(Σ span/band) per
+    band cell, never |A|×|B|; band width trades index size against
+    false candidates exactly like the point-in-interval bucketer.
+    The oracle states the same join as the direct theta-join (DuckDB
+    runs it as an IEJoin — small enough at oracle scale).
+
+    Overlap lengths are integer DAYS (closed intervals), so sums are
+    exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr(f"ts_ns div 1000 div {_DAY_US}").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.select("user_id", "day", (F.col("day") - F.row_number().over(w)).alias("grp"))
+    iv = runs.groupBy("user_id", "grp").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    banded = iv.select(
+        "user_id",
+        "grp",
+        "d0",
+        "d1",
+        F.explode(
+            F.sequence(F.expr(f"d0 div {_IV_WEEK}"), F.expr(f"d1 div {_IV_WEEK}"))
+        ).alias("band"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.d0") <= F.col("b.d1"))
+            & (F.col("b.d0") <= F.col("a.d1")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.grp").alias("grp_a"),
+            F.col("a.d0").alias("d0_a"),
+            F.col("a.d1").alias("d1_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.grp").alias("grp_b"),
+            F.col("b.d0").alias("d0_b"),
+            F.col("b.d1").alias("d1_b"),
+        )
+        .distinct()  # collapse multi-band double-hits per interval pair
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum(
+            F.least("d1_a", "d1_b") - F.greatest("d0_a", "d0_b") + 1
+        ).cast("bigint").alias("total_overlap_days"),
+    )

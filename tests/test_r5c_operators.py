@@ -1,0 +1,188 @@
+"""Semantic invariants for the round-5 third-batch operators (prefix-
+filtered set-similarity join, label propagation, CEP pattern match,
+integer EWMA, interval-overlap join, CMS heavy hitters, BM25, BPE
+apply). The value oracle runs in tools/check_oracle.py + the driver;
+these pin the operator contracts a hash can't explain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
+from flink_hiveorc_spark.functions.dedup import (
+    PREFIX_JACCARD_THRESHOLD,
+    dedup_prefix_filter_jaccard,
+    graph_label_propagation,
+    dedup_cluster_components,
+    ngram_jaccard_pairs,
+)
+from flink_hiveorc_spark.functions.analytics import (
+    events_ewma_smoothing,
+    events_pattern_cep,
+    text_bm25_topk,
+    _EWMA_TAPS,
+)
+from flink_hiveorc_spark.functions.tokenizer import (
+    text_bpe_apply,
+    text_bpe_merges,
+    _merge_fold,
+)
+from flink_hiveorc_spark.operators.aggregates import agg_cms_heavy_hitters
+from flink_hiveorc_spark.operators.joins import join_interval_overlap
+
+
+def test_prefix_filter_equals_unfiltered(spark, sf_dir):
+    """The prefix filter is candidate PRUNING, not approximation: at
+    the same threshold its output must equal the plain inverted-index
+    formulation row for row."""
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+    full = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(d).collect()
+        if r["jaccard"] >= PREFIX_JACCARD_THRESHOLD
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    assert pref == full
+    assert pref  # non-vacuous: the corpus has >= one J>=0.5 pair
+
+
+def test_label_propagation_refines_components(spark, sf_dir):
+    """Two LPA communities never span two connected components (a
+    label can only travel along edges), and every labeled node is a
+    clustered node."""
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup_cluster_components(spark, sf_dir).collect()
+    }
+    lpa = graph_label_propagation(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in lpa} == set(comp)
+    # community label is itself a node id inside the same component
+    for r in lpa:
+        assert comp[r["community"]] == comp[r["doc_id"]]
+
+
+def test_cep_matches_are_real_subsequences(spark, sf_dir):
+    """Every reported match is a click→(view…)→purchase run, and at
+    least one session in the corpus matches."""
+    rows = events_pattern_cep(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        steps = r["matched"].split(">")
+        assert steps[0] == "click" and steps[-1] == "purchase"
+        assert all(s == "view" for s in steps[1:-1])
+
+
+def test_ewma_matches_python_model(spark, sf_dir):
+    """ewma_units equals the 16-tap dyadic convolution computed by a
+    plain Python replay of each user's ordered stream."""
+    rows = events_ewma_smoothing(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for _, rs in list(by_user.items())[:10]:
+        rs.sort(key=lambda r: (r["t_us"], r["event_id"]))
+        hist: list[int] = []
+        for r in rs:
+            hist.append(r["v_cents"])
+            want = sum(
+                v * (1 << (_EWMA_TAPS - 1 - k))
+                for k, v in enumerate(reversed(hist[-_EWMA_TAPS:]))
+            )
+            assert r["ewma_units"] == want
+            checked += 1
+    assert checked > 100
+
+
+def test_interval_overlap_symmetric_exact(spark, sf_dir):
+    """Band-bucketed overlap join equals the direct O(n²) predicate on
+    the same interval table (driver-side replay)."""
+    out = {
+        (r["user_a"], r["user_b"]): (r["n_overlaps"], r["total_overlap_days"])
+        for r in join_interval_overlap(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    days = sorted(
+        (r["user_id"], r["day"])
+        for r in ev.select(
+            "user_id", F.expr("ts_ns div 1000 div 86400000000").alias("day")
+        )
+        .distinct()
+        .collect()
+    )
+    ivs: list[tuple[int, int, int]] = []
+    cur = None
+    for u, day in days:
+        if cur and cur[0] == u and day == cur[2] + 1:
+            cur = (u, cur[1], day)
+        else:
+            if cur:
+                ivs.append(cur)
+            cur = (u, day, day)
+    if cur:
+        ivs.append(cur)
+    from collections import defaultdict
+
+    want: dict = defaultdict(lambda: [0, 0])
+    for i, (ua, a0, a1) in enumerate(ivs):
+        for ub, b0, b1 in ivs[i + 1 :]:
+            if ua == ub or max(a0, b0) > min(a1, b1):
+                continue
+            key = (min(ua, ub), max(ua, ub))
+            want[key][0] += 1
+            want[key][1] += min(a1, b1) - max(a0, b0) + 1
+    assert out == {k: tuple(v) for k, v in want.items()}
+
+
+def test_cms_bound_holds_and_estimates_tight(spark, sf_dir):
+    """All top-k rows report the sketch inside its guarantee band."""
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    rows = agg_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == min(20, n_users)
+    assert all(r["cms_within_bound"] for r in rows)
+
+
+def test_bm25_scores_ranked_and_positive(spark, sf_dir):
+    rows = text_bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r["n_query_terms_hit"] <= 3 for r in rows)
+
+
+def test_bpe_apply_consistent_with_merges(spark, sf_dir):
+    """Applying the learned merge table by hand to each reported word
+    reproduces the reported segmentation (greedy-leftmost, in merge
+    order)."""
+    merges = [r["pair"] for r in text_bpe_merges(spark, sf_dir).collect()]
+    rows = text_bpe_apply(spark, sf_dir).collect()
+    assert rows
+
+    def apply(word: str) -> list[str]:
+        syms = list(word)
+        for pair in merges:
+            p1, p2 = pair.split(" ", 1)
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == p1 and s == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for r in rows:
+        assert r["tokens"].split(" ") == apply(r["word"])
+        assert r["n_tokens"] == len(r["tokens"].split(" "))
+
+
+def test_merge_fold_splices_leftmost(spark):
+    """'a a a' under pair (a,a) folds to 'aa a' — standard BPE
+    greedy-leftmost, pinned directly on the fold expression."""
+    df = spark.createDataFrame([(["a", "a", "a"],)], "ws array<string>")
+    assert df.select(_merge_fold("a", "a").alias("s")).first()["s"] == "aa a"
