@@ -71,6 +71,12 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "sim_topk_pq_adc",
     "text_bpe_merges",
+    # round 5 third batch: retrieval ranking, CEP, diversified
+    # rerank, and the interval-overlap band join
+    "text_bm25_topk",
+    "events_pattern_cep",
+    "sim_mmr_rerank",
+    "join_interval_overlap",
 ]
 
 

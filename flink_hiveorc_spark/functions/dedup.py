@@ -1159,3 +1159,77 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "lbl")
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("community"))
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle: per round, a degree CTE, a survivor
+    CTE, and an induced-edge CTE — same generated-CTE idiom as the
+    PageRank and LPA oracles."""
+    ctes = [
+        f"pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE}))",
+        """g0 AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"g{r - 1}"
+        ctes.append(
+            f"d{r} AS (SELECT u, count(*) AS d FROM {prev} GROUP BY u)"
+        )
+        ctes.append(f"keep{r} AS (SELECT u FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"""g{r} AS (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN keep{r} a ON e.u = a.u
+      JOIN keep{r} b ON e.v = b.u
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS doc_id, count(*) AS degree FROM g{rounds} GROUP BY u\n"
+    )
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2j: k-core peeling (Seidman 1983, "Network structure and
+    minimum degree"; the distributed peel is Montresor et al.'s
+    iterative formulation) over the near-dup LSH graph — 3 unrolled
+    rounds toward the k=2 core: drop nodes with degree < 2, induce
+    the surviving subgraph, repeat. The surviving core separates
+    DENSELY duplicated regions (template farms, mirror clusters)
+    from incidental pairwise matches, which is the triage signal for
+    what to bulk-delete vs review; output is (doc_id, degree) in the
+    round-3 subgraph.
+
+    Each round is two hash aggregates (degrees, survivors) + one
+    induced-subgraph semi-join — all on integer node ids, no floats,
+    so partition order cannot change anything. A FIXED round count
+    keeps the oracle expressible as unrolled CTEs (the converged
+    k-core just iterates this to fixpoint with the same per-round
+    plan; near-dup graphs converge in a handful of rounds). Edges
+    are checkpointed once — LSH runs once, not per round."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = reliable_checkpoint(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+        )
+    return edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count("*").alias("degree")
+    )

@@ -703,3 +703,146 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_QUERY_VEC = 0  # the query vector's vec_id
+
+
+def _mmr_oracle(pool: int, k: int) -> str:
+    """Unrolled greedy-MMR oracle: pool CTE, then per selection round
+    a remaining-candidate score CTE and a 1-row argmax CTE, with the
+    selected set accumulated as union CTEs — the BPE/k-means
+    generated-CTE idiom applied to a rerank loop."""
+    ctes = [
+        """e8 AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * 127.0 / nullif(
+                 list_max(list_transform(embedding::DOUBLE[], y -> abs(y))),
+                 0.0) + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"qv AS (SELECT q FROM e8 WHERE vec_id = {_MMR_QUERY_VEC})",
+        f"""pool AS (
+      SELECT p.vec_id, CAST(list_dot_product(p.q, qv.q) AS BIGINT) AS rel, p.q
+      FROM e8 p, qv WHERE p.vec_id <> {_MMR_QUERY_VEC}
+      ORDER BY rel DESC, p.vec_id LIMIT {pool}
+    )""",
+        """sel1 AS (
+      SELECT vec_id, rel, rel AS mmr, 1 AS rnk FROM pool
+      ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+        "a1 AS (SELECT * FROM sel1)",
+    ]
+    for r in range(2, k + 1):
+        prev = f"a{r - 1}"
+        ctes.append(
+            f"""c{r} AS (
+      SELECT c.vec_id, c.rel,
+             c.rel - max(CAST(list_dot_product(c.q, s.q) AS BIGINT)) AS mmr
+      FROM pool c
+      CROSS JOIN (SELECT p.q FROM pool p JOIN {prev} u ON p.vec_id = u.vec_id) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY c.vec_id, c.rel
+    )"""
+        )
+        ctes.append(
+            f"""sel{r} AS (
+      SELECT vec_id, rel, mmr, {r} AS rnk FROM c{r}
+      ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(f"a{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r})")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rnk, vec_id, rel AS rel_dot, mmr AS mmr_score
+    FROM a{k} ORDER BY rnk
+"""
+    )
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(_MMR_POOL, _MMR_K))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3': maximal-marginal-relevance rerank (Carbonell & Goldstein,
+    SIGIR 1998) — diversify a top-k answer: greedily pick 5 of the
+    20 most query-relevant vectors, each round taking the candidate
+    maximizing relevance minus max-similarity-to-already-picked
+    (λ = 0.5, for which argmax(λ·rel − (1−λ)·maxsim) reduces to the
+    INTEGER argmax(rel − maxsim)).
+
+    Determinism engineering: similarities are exact integer dot
+    products over the engine-portable int8 quantization
+    (sim_int8_quantized_recall's scheme), ties break by vec_id, so
+    the greedy trajectory is a pure function of the data. Round
+    structure is the BPE/k-means bounded-collect class: candidate
+    generation (the corpus-sized part — query-dot + top-20) is fully
+    distributed; each greedy round then scores the ≤20-row pool
+    against the ≤4 selected literals and collects exactly one argmax
+    row. At 100 TB the pool step is an ANN query (compose with the
+    IVF/PQ index); the rerank cost is O(pool·k) regardless of corpus
+    size — MMR is a head operator, not a scan operator.
+
+    Output: (rnk, vec_id, rel_dot, mmr_score) — rank-1 reports its
+    relevance as mmr_score (nothing picked yet), all in int8-dot
+    units."""
+    from flink_hiveorc_spark.session import reliable_checkpoint
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 127.0 / F.nullif(s, F.lit(0.0)) + 0.5).cast("bigint"),
+        ).alias("q"),
+    )
+    qv = q8.filter(F.col("vec_id") == _MMR_QUERY_VEC).select(F.col("q").alias("qq"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — exact int8 dot
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pool = reliable_checkpoint(  # tiny (pool rows); rounds reread it, not the corpus
+        q8.filter(F.col("vec_id") != _MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", idot(F.col("q"), F.col("qq")).alias("rel"), "q")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    picked: list[tuple[int, int, int, int]] = []  # (rnk, vec_id, rel, mmr)
+    for r in range(1, _MMR_K + 1):
+        if not picked:
+            best = pool.orderBy(F.col("rel").desc(), "vec_id").limit(1).collect()
+            if not best:
+                break
+            row = best[0]
+            picked.append((1, row["vec_id"], row["rel"], row["rel"]))
+            continue
+        sel_ids = [p[1] for p in picked]
+        sel = pool.filter(F.col("vec_id").isin(sel_ids)).select(
+            F.col("q").alias("sq")
+        )
+        best = (
+            pool.filter(~F.col("vec_id").isin(sel_ids))
+            .crossJoin(F.broadcast(sel))
+            .select("vec_id", "rel", idot(F.col("q"), F.col("sq")).alias("sim"))
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select("vec_id", "rel", (F.col("rel") - F.col("maxsim")).alias("mmr"))
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per round
+        )
+        if not best:
+            break
+        row = best[0]
+        picked.append((r, row["vec_id"], row["rel"], row["mmr"]))
+    return spark.createDataFrame(
+        picked, "rnk int, vec_id bigint, rel_dot bigint, mmr_score bigint"
+    ).orderBy("rnk")

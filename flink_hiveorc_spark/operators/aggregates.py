@@ -996,3 +996,76 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cms_est") <= F.col("n_events_exact") + F.lit(margin))
         ).alias("cms_within_bound"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH by_price AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+      SELECT l_returnflag, price, qty,
+             CAST(sum(qty) OVER (
+               PARTITION BY l_returnflag ORDER BY price
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_qty,
+             CAST(sum(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total_qty
+      FROM by_price
+    )
+    SELECT l_returnflag,
+           min(price) AS weighted_median_price,
+           any_value(total_qty) AS total_qty
+    FROM cum
+    WHERE 2 * cum_qty >= total_qty
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4': exact WEIGHTED median — the quantity-weighted median unit
+    price per return flag: the smallest price p with
+    Σ_{price ≤ p} quantity ≥ total_quantity / 2 (lower weighted
+    median — interpolation-free, hence engine-exact; the ≥-half test
+    is the integer comparison 2·cum ≥ total, no float halves).
+
+    Shape: pre-aggregate to (group, price) cells — the shuffle
+    carries distinct prices per group, not raw rows — then one
+    cumulative window per group over the cell table and a min()
+    pick of the first qualifying price. Quantities are whole-number
+    doubles in this corpus and cast to BIGINT, keeping every
+    comparison integral; prices are compared but never arithmetically
+    combined, so bit-equal across engines.
+
+    100 TB: the window runs over the (group × distinct-price) table —
+    if a single group's price cardinality explodes, swap in the GK
+    sketch (agg_approx_percentile) or bucket prices first; the exact
+    formulation is right whenever the cell table fits comfortably,
+    which 3 flags × distinct prices does at any corpus scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    by_price = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    wp = Window.partitionBy("l_returnflag").orderBy("price")
+    cum = by_price.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty")
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_qty"),
+        F.sum("qty")
+        .over(Window.partitionBy("l_returnflag"))
+        .cast("bigint")
+        .alias("total_qty"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_qty") >= F.col("total_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.first("total_qty").alias("total_qty"),
+        )
+    )

@@ -186,3 +186,143 @@ def test_merge_fold_splices_leftmost(spark):
     greedy-leftmost, pinned directly on the fold expression."""
     df = spark.createDataFrame([(["a", "a", "a"],)], "ws array<string>")
     assert df.select(_merge_fold("a", "a").alias("s")).first()["s"] == "aa a"
+
+
+def test_weighted_median_matches_python_model(spark, sf_dir):
+    """The lower weighted median equals a driver-side replay of the
+    definition on the raw rows."""
+    from flink_hiveorc_spark.operators.aggregates import agg_weighted_median
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append((r["l_extendedprice"], int(r["l_quantity"])))
+    want = {}
+    for flag, pairs in groups.items():
+        total = sum(q for _, q in pairs)
+        cum = 0
+        by_price = defaultdict(int)
+        for p, q in pairs:
+            by_price[p] += q
+        for p in sorted(by_price):
+            cum += by_price[p]
+            if 2 * cum >= total:
+                want[flag] = (p, total)
+                break
+    got = {
+        r["l_returnflag"]: (r["weighted_median_price"], r["total_qty"])
+        for r in agg_weighted_median(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_kcore_peel_monotone_and_dense(spark, sf_dir):
+    """Every surviving node has degree >= k-after-peel is NOT
+    guaranteed mid-iteration, but survivors must be a subset of the
+    round-1 survivors and all degrees positive; and peeling must not
+    INVENT nodes."""
+    from flink_hiveorc_spark.functions.dedup import (
+        dedup_minhash_lsh_pairs,
+        graph_kcore_peel,
+    )
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for r in pairs:
+        deg[r["doc_a"]] += 1
+        deg[r["doc_b"]] += 1
+    out = graph_kcore_peel(spark, sf_dir).collect()
+    nodes = {r["doc_id"] for r in out}
+    assert nodes <= set(deg)
+    for r in out:
+        assert r["degree"] >= 1
+        assert r["degree"] <= deg[r["doc_id"]]
+
+
+def test_kcore_fixpoint_on_triangle_plus_tail(spark):
+    """A triangle with a pendant tail peels to exactly the triangle
+    under k=2 (hand-checkable fixture, exercised through the same
+    peel loop shape)."""
+    from flink_hiveorc_spark.session import reliable_checkpoint
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u bigint, v bigint"
+    )
+    sym = reliable_checkpoint(
+        edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    for _ in range(3):
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select("u")
+        sym = (
+            sym.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+        )
+    survivors = {r["u"] for r in sym.select("u").distinct().collect()}
+    assert survivors == {1, 2, 3}
+
+
+def test_mmr_matches_python_greedy_replay(spark, sf_dir):
+    """The whole greedy trajectory (pool, picks, scores) equals a
+    plain-Python replay of quantize → relevance → greedy MMR."""
+    import math
+
+    from flink_hiveorc_spark.functions.similarity import (
+        _MMR_K,
+        _MMR_POOL,
+        _MMR_QUERY_VEC,
+        sim_mmr_rerank,
+    )
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def quant(v):
+        s = max(abs(x) for x in v)
+        if s == 0:
+            return None
+        return [math.floor(x * 127.0 / s + 0.5) for x in v]
+
+    q = {vid: quant(v) for vid, v in vecs.items()}
+    qq = q[_MMR_QUERY_VEC]
+    rel = {
+        vid: sum(a * b for a, b in zip(qv, qq))
+        for vid, qv in q.items()
+        if vid != _MMR_QUERY_VEC and qv is not None
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_POOL]
+    picked = []
+    want = []
+    for r in range(1, _MMR_K + 1):
+        if not picked:
+            best = min(pool, key=lambda v: (-rel[v], v))
+            want.append((1, best, rel[best], rel[best]))
+            picked.append(best)
+            continue
+        cands = [v for v in pool if v not in picked]
+        if not cands:
+            break
+
+        def mmr(v):
+            return rel[v] - max(
+                sum(a * b for a, b in zip(q[v], q[s])) for s in picked
+            )
+
+        best = min(cands, key=lambda v: (-mmr(v), v))
+        want.append((r, best, rel[best], mmr(best)))
+        picked.append(best)
+    got = [
+        (r["rnk"], r["vec_id"], r["rel_dot"], r["mmr_score"])
+        for r in sim_mmr_rerank(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert len({v for _, v, _, _ in got}) == len(got)  # no duplicates

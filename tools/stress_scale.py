@@ -93,6 +93,20 @@ PROBE = [
     "text_bpe_merges",
     "dq_expectations_report",
     "scalar_variant_shred",
+    # round-5 third batch. Excluded as replication artifacts:
+    # dedup_prefix_filter_jaccard and graph_label_propagation are
+    # pair-finders / pair-graph derivatives (replicated doc_ids make
+    # their output N² by corpus construction; the inverted-index and
+    # edge-join shapes they use are probed by minhash_signatures and
+    # the oracle-scale runs). join_interval_overlap IS included: its
+    # intervals come from DISTINCT days, so replication stresses the
+    # explode+band-join linearly without changing the output.
+    "events_pattern_cep",
+    "events_ewma_smoothing",
+    "text_bm25_topk",
+    "text_bpe_apply",
+    "agg_cms_heavy_hitters",
+    "join_interval_overlap",
 ]
 
 
