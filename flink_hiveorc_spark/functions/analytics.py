@@ -1508,3 +1508,66 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+
+
+@query(
+    "agg_entropy_mixing",
+    oracle="""
+    WITH src AS (
+      SELECT lang, source, count(*) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             count(*) AS n_sources,
+             CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1e9 ) AS BIGINT)) AS BIGINT)
+               AS clnc_e9
+      FROM src GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources,
+           round(ln(CAST(n_docs AS DOUBLE)) - (clnc_e9 / 1e9) / n_docs, 8) AS entropy_nats,
+           round((ln(CAST(n_docs AS DOUBLE)) - (clnc_e9 / 1e9) / n_docs)
+                 / ln(CAST(n_sources AS DOUBLE)), 8) AS norm_entropy
+    FROM per_lang
+    WHERE n_sources > 1
+    """,
+)
+def agg_entropy_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4o: Shannon entropy of the SOURCE mix per language — the
+    mixture-diversity health metric of a training-data pipeline (a
+    lang whose tokens come from two sources has low entropy however
+    many documents it has; the normalized form is entropy / ln(k),
+    1.0 = perfectly balanced).
+
+    Order-independence engineering: H = ln N − (Σ c·ln c)/N, and the
+    only floating SUM (Σ c·ln c over sources) is quantized per TERM
+    to integer 1e-9 units before aggregation — each term is one
+    deterministic ln+multiply on exact integers, the sum is then a
+    BIGINT sum (partition-order independent), and the final H is
+    arithmetic on two scalars. Same discipline as chi2_total_e8 and
+    the temperature-weights query (SURVEY §7.5's order-dependent-
+    float-sum trap).
+
+    Shape: one (lang, source) count aggregate — cardinality
+    languages × sources, tiny forever — then a per-lang aggregate of
+    that. Two map-side-combined shuffles over cell-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    per_lang = src.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1e9).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("clnc_e9"),
+    )
+    h = F.log(F.col("n_docs").cast("double")) - (F.col("clnc_e9") / 1e9) / F.col("n_docs")
+    return per_lang.filter(F.col("n_sources") > 1).select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(h, 8).alias("entropy_nats"),
+        F.round(h / F.log(F.col("n_sources").cast("double")), 8).alias("norm_entropy"),
+    )

@@ -1233,3 +1233,70 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("u").alias("doc_id")).agg(
         F.count("*").alias("degree")
     )
+
+
+@query(
+    "dedup_canonical_longest",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_LSH_PAIRS_ORACLE})),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    ),
+    keeper AS (
+      SELECT component, doc_id AS keep_doc FROM (
+        SELECT c.component, c.doc_id,
+               row_number() OVER (
+                 PARTITION BY c.component
+                 ORDER BY d.n_chars DESC, c.doc_id
+               ) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN keeper k ON k.component = c.component
+    WHERE c.doc_id IS NULL OR k.keep_doc = d.doc_id
+    """,
+)
+def dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g': dedup end artifact with CONTENT-AWARE canonical selection
+    — each near-dup cluster keeps its LONGEST member (n_chars DESC,
+    doc_id tiebreak) instead of the arbitrary min-id: the standard
+    web-corpus heuristic (the longest variant of a mirrored page is
+    usually the un-truncated one), and the shape every "keep best by
+    <quality score>" policy reuses — swap n_chars for any scoring
+    column and the plan is unchanged.
+
+    Composition: connected components over the LSH pair graph
+    (min-label propagation, iterative core shared with
+    dedup_cluster_components), an argmax-per-component window over
+    the CLUSTERED docs only (cluster-membership-sized, not
+    corpus-sized), and a broadcast drop-list anti-join — one full
+    scan of the corpus total, same 100 TB posture as
+    dedup_canonical_corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = min_label_components(pairs, "doc_a", "doc_b")
+    scored = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    drop = (
+        scored.select("doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti")

@@ -1069,3 +1069,91 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("total_qty").alias("total_qty"),
         )
     )
+
+
+@query(
+    "agg_chisq_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             count(*) AS observed
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT status, priority, observed,
+             CAST(sum(observed) OVER (PARTITION BY status) AS BIGINT) AS row_total,
+             CAST(sum(observed) OVER (PARTITION BY priority) AS BIGINT) AS col_total,
+             CAST(sum(observed) OVER () AS BIGINT) AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT status, priority, observed,
+             round(CAST(row_total * col_total AS DOUBLE) / n, 8) AS expected,
+             CAST(n * observed - row_total * col_total AS BIGINT) AS dev_units,
+             round(CAST((n * observed - row_total * col_total)
+                        * (n * observed - row_total * col_total) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * row_total * col_total), 8) AS chi2_contrib
+      FROM tot
+    )
+    SELECT status, priority, observed, expected, chi2_contrib,
+           CAST(sum(CAST(round(chi2_contrib * 1e8) AS BIGINT)) OVER () AS BIGINT)
+             AS chi2_total_e8
+    FROM cells
+    """,
+)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4'': Pearson χ² test of independence over the status ×
+    priority contingency table — the categorical-association screen
+    (feature selection, drift detection between corpus slices).
+
+    Exactness engineering: E_ij = R_i·C_j/N makes (O-E)²/E float-
+    messy, so each cell's contribution is computed as the
+    algebraically identical (N·O − R·C)² / (N·R·C) — numerator and
+    denominator are exact BIGINT products, the single division is one
+    correctly-rounded double op, and the round(…, 8) absorbs nothing
+    more than formatting. The GLOBAL statistic is the sum of
+    PER-CELL values quantized to integer 1e-8 units first
+    (chi2_total_e8) — an integer sum, hence partition- and
+    engine-order independent, sidestepping the order-dependent
+    float-sum trap documented in SURVEY §7.5.
+
+    Shape: one count aggregate (map-side combined), three window
+    passes over the CELL table (|statuses|×|priorities| rows — tiny
+    at any corpus scale), no second scan of the facts."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("observed"))
+    tot = obs.select(
+        "*",
+        F.sum("observed").over(Window.partitionBy("status")).cast("bigint").alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("priority")).cast("bigint").alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    dev = F.col("n") * F.col("observed") - F.col("row_total") * F.col("col_total")
+    cells = tot.select(
+        "status",
+        "priority",
+        "observed",
+        F.round((F.col("row_total") * F.col("col_total")).cast("double") / F.col("n"), 8).alias(
+            "expected"
+        ),
+        dev.cast("bigint").alias("dev_units"),
+        F.round(
+            (dev * dev).cast("double")
+            / (F.col("n").cast("double") * F.col("row_total") * F.col("col_total")),
+            8,
+        ).alias("chi2_contrib"),
+    )
+    return cells.select(
+        "status",
+        "priority",
+        "observed",
+        "expected",
+        "chi2_contrib",
+        F.sum(F.round(F.col("chi2_contrib") * 1e8).cast("bigint"))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("chi2_total_e8"),
+    )

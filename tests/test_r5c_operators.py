@@ -326,3 +326,88 @@ def test_mmr_matches_python_greedy_replay(spark, sf_dir):
     ]
     assert got == want
     assert len({v for _, v, _, _ in got}) == len(got)  # no duplicates
+
+
+def test_chisq_matches_python_model(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from flink_hiveorc_spark.operators.aggregates import agg_chisq_independence
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    obs = Counter((r["o_orderstatus"], r["o_orderpriority"]) for r in rows)
+    n = sum(obs.values())
+    row_t = Counter()
+    col_t = Counter()
+    for (s, p), c in obs.items():
+        row_t[s] += c
+        col_t[p] += c
+    got = agg_chisq_independence(spark, sf_dir).collect()
+    assert len(got) == len(obs)
+    total_e8 = 0
+    for r in got:
+        o = obs[(r["status"], r["priority"])]
+        assert r["observed"] == o
+        rt, ct = row_t[r["status"]], col_t[r["priority"]]
+        want_contrib = round((n * o - rt * ct) ** 2 / (float(n) * rt * ct), 8)
+        assert abs(r["chi2_contrib"] - want_contrib) < 1e-9
+        assert abs(r["expected"] - round(rt * ct / n, 8)) < 1e-9
+        total_e8 += round(want_contrib * 1e8)
+    assert all(r["chi2_total_e8"] == total_e8 for r in got)
+
+
+def test_entropy_matches_python_model(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    from flink_hiveorc_spark.functions.analytics import agg_entropy_mixing
+
+    rows = load_table(spark, sf_dir, "documents").select("lang", "source").collect()
+    cells = Counter((r["lang"], r["source"]) for r in rows)
+    per_lang = defaultdict(list)
+    for (lang, _), c in cells.items():
+        per_lang[lang].append(c)
+    got = {r["lang"]: r for r in agg_entropy_mixing(spark, sf_dir).collect()}
+    for lang, cs in per_lang.items():
+        if len(cs) <= 1:
+            assert lang not in got
+            continue
+        n = sum(cs)
+        s_e9 = sum(round(c * math.log(c) * 1e9) for c in cs)
+        h = math.log(n) - (s_e9 / 1e9) / n
+        r = got[lang]
+        assert r["n_docs"] == n and r["n_sources"] == len(cs)
+        assert abs(r["entropy_nats"] - round(h, 8)) < 1e-9
+        assert abs(r["norm_entropy"] - round(h / math.log(len(cs)), 8)) < 1e-9
+        # balanced-ish synthetic corpus: entropy within (0, ln k]
+        assert 0.0 < r["entropy_nats"] <= math.log(len(cs)) + 1e-9
+
+
+def test_canonical_longest_keeps_longest_member(spark, sf_dir):
+    from flink_hiveorc_spark.functions.dedup import (
+        dedup_canonical_longest,
+        dedup_cluster_components,
+    )
+
+    comp = dedup_cluster_components(spark, sf_dir).collect()
+    lengths = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        ).collect()
+    }
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in comp:
+        clusters[r["component"]].append(r["doc_id"])
+    kept = {r["doc_id"] for r in dedup_canonical_longest(spark, sf_dir).collect()}
+    clustered = {d for ds in clusters.values() for d in ds}
+    # singletons all pass through
+    assert set(lengths) - clustered <= kept
+    # exactly one survivor per cluster: the longest (ties -> min id)
+    for ds in clusters.values():
+        best = min(ds, key=lambda d: (-lengths[d], d))
+        assert kept & set(ds) == {best}

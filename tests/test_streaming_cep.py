@@ -1,0 +1,70 @@
+"""Streaming CEP (streaming/cep.py) pinned to its batch oracle twin:
+the per-key automaton over a real multi-batch stream must report
+exactly the sessions (and view counts) the batch regex query reports.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.functions.analytics import events_pattern_cep
+from flink_hiveorc_spark.streaming.cep import pattern_matches_per_user
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_stream(spark, tmp_path, n_chunks=4):
+    qname = f"cep_out_{n_chunks}"  # unique per variant: memory sink names are session-global
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("t_us"))
+        .orderBy("t_us", "event_id")
+        .collect()
+    )
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    chunk = (len(ev) + n_chunks - 1) // n_chunks
+    import json
+
+    for i in range(n_chunks):
+        rows = ev[i * chunk : (i + 1) * chunk]
+        with open(src / f"part-{i:04d}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, t_us long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        pattern_matches_per_user(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "cep_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {qname}").collect()
+
+
+def test_streaming_cep_equals_batch_regex(spark, tmp_path):
+    got = {
+        (r["user_id"], r["session_seq"], r["n_views"])
+        for r in _run_stream(spark, tmp_path)
+    }
+    want = set()
+    for r in events_pattern_cep(spark, SF_DIR).collect():
+        steps = r["matched"].split(">")
+        want.add((r["user_id"], r["session_seq"], len(steps) - 2))
+    assert got == want
+    assert want  # non-vacuous
+
+
+def test_streaming_cep_match_windows_are_ordered(spark, tmp_path):
+    for r in _run_stream(spark, tmp_path, n_chunks=2):
+        assert r["start_us"] <= r["end_us"]
+        assert r["n_views"] >= 0
