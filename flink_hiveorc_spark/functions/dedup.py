@@ -1300,3 +1300,109 @@ def dedup_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return d.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+_SNM_WINDOW = 3  # sorted-neighborhood width (pairs within w ranks)
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH sh AS ({{shingles}}),
+    keyed AS (
+      SELECT d.doc_id,
+             substr(regexp_replace(lower(d.text), '[^a-z]', '', 'g'), 1, 20) AS k,
+             sh.s
+      FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, k, s,
+             row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM ranked a JOIN ranked b
+      ON b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW}
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    """.format(shingles=_SHINGLES_SQL),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2a''': sorted-neighborhood near-dup mining (Hernández &
+    Stolfo SIGMOD'95, the merge/purge method) — the THIRD blocking
+    family next to the inverted index / prefix filter and
+    MinHash-LSH: sort the corpus by a normalization key (first 20
+    letters of the lowercased alpha-only text) and compare only rows
+    within w=3 ranks of each other, then verify candidates with the
+    exact shingle Jaccard. Catches prefix-similar near-dups with a
+    LINEAR candidate count (n·w pairs regardless of content), the
+    cheap first pass of a multi-blocking dedup sweep.
+
+    The global rank is the scale-critical part: row_number over a
+    global ORDER BY is a single-partition window in Spark, so the
+    rank is assigned with the SAME two-pass distributed prefix sum as
+    shard packing (functions/analytics.assign_shard_idx): partition
+    by the 2-char key prefix (lexicographic buckets — prefix order IS
+    key order), per-bucket row_number in parallel, then broadcast the
+    tiny per-bucket offsets and add. The neighborhood self-join is an
+    equi-join on rank-block (rn div w on the left meeting blocks {b, b+1} on the right — complete for rank gaps in [1, w]), never
+    a cross join.
+
+    The oracle states the same pairs with DuckDB's plain global
+    window + band join; the ranks agree because (k, doc_id) is a
+    total order."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_docs(parallelize_small_scan(d))
+    keyed = (
+        d.select(
+            "doc_id",
+            F.substring(
+                F.regexp_replace(F.lower("text"), "[^a-z]", ""), 1, 20
+            ).alias("k"),
+        )
+        .join(sh, "doc_id")
+    )
+    # two-pass global rank: per-bucket row_number + broadcast offsets
+    b = keyed.select("*", F.substring("k", 1, 2).alias("_bucket"))
+    wb = Window.partitionBy("_bucket").orderBy("k", "doc_id")
+    local = b.select("*", F.row_number().over(wb).alias("_rn"))
+    sizes = b.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    wo = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_bucket", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+    )  # bucket-count rows: the window is over the TINY size table
+    ranked = local.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id", "s", (F.col("_off") + F.col("_rn")).alias("rn")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.col("rn").alias("rn_a"),
+        F.expr(f"rn div {_SNM_WINDOW}").alias("block"),
+    )
+    bb = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.col("rn").alias("rn_b"),
+        F.explode(
+            F.array(
+                F.expr(f"rn div {_SNM_WINDOW}"),
+                F.expr(f"rn div {_SNM_WINDOW} - 1"),
+            )
+        ).alias("block"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        a.join(bb, "block")
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= _SNM_WINDOW)
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

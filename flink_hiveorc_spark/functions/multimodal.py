@@ -286,3 +286,70 @@ def udf_pandas_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", norm("text").alias("norm_text")).select(
         "doc_id", "norm_text", F.length("norm_text").alias("n_chars_norm")
     )
+
+
+@query(
+    "udf_grouped_agg_gini",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           any_value(n) AS n_events,
+           CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+             / (any_value(n) * sum(cents)) AS gini
+    FROM r
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 GROUPED_AGG pandas UDF — the fourth Arrow shape (true
+    UDAF: Series→scalar inside .agg()), completing the surface next
+    to scalar (udf_pandas_normalize_text), grouped-map
+    (udf_grouped_zscore), and map-iter (multimodal_binary_features).
+
+    The aggregate is the Gini concentration coefficient of event
+    value per type (sorted-rank formula G = Σ(2i−n−1)x_(i) /
+    (n·Σx)) — computed over CENTS as int64 inside the kernel, so the
+    only float op is one final division of two exact < 2^53 integers:
+    engine-identical, no tolerance needed. Ties contribute
+    index-permutation-invariant sums (equal x across an index block
+    factor out), so the sort inside the kernel is deterministic-
+    enough by construction.
+
+    Scale caveat (documented, inherent to GROUPED_AGG): the whole
+    group materializes in one kernel invocation — no partial
+    aggregation. Right for bounded group counts/sizes (5 types here);
+    for unbounded groups use the built-in-expression formulation the
+    oracle itself demonstrates (window rank + integer sums), which
+    does stream. Both shapes shown on purpose: the UDF is the
+    escape hatch, the oracle is the scale path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def gini(v: pd.Series) -> float:
+        cents = np.floor(v.to_numpy(dtype="float64") * 100.0 + 0.5).astype("int64")
+        cents.sort()
+        n = len(cents)
+        total = int(cents.sum())
+        if n == 0 or total == 0:
+            return None
+        num = int(((2 * np.arange(1, n + 1) - n - 1) * cents).sum())
+        return float(num) / float(n * total)
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT) — the
+    # count runs as its own plain aggregate and joins back on the
+    # group key, the same split-agg shape as agg_approx_count_distinct.
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    ginis = ev.groupBy("event_type").agg(gini("value").alias("gini"))
+    return counts.join(ginis, "event_type").select("event_type", "n_events", "gini")

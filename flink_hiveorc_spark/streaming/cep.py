@@ -113,3 +113,64 @@ def pattern_matches_per_user(events: DataFrame, timeout_ms: int = 3_600_000) -> 
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---- streaming EWMA twin (batch oracle twin: events_ewma_smoothing) -------
+
+_EWMA_TAPS = 16  # mirrors functions/analytics.events_ewma_smoothing
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_us", T.LongType()),
+        T.StructField("v_cents", T.LongType()),
+        T.StructField("ewma_units", T.LongType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("hist", T.ArrayType(T.LongType()))]
+)
+
+
+def ewma_per_user(events: DataFrame, timeout_ms: int = 3_600_000) -> DataFrame:
+    """Online twin of the batch 16-tap dyadic EWMA: per-key state is
+    the last 15 cent values (O(1), no event buffering beyond the tap
+    window); each arriving event emits its smoothed value in the same
+    integer units as the batch query, so the two are row-for-row
+    equal on an in-order stream — the batch window pass IS the oracle
+    for the streaming operator (the T7 batch-twin discipline applied
+    to keyed state)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        rows = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
+        out = []
+        for eid, t_us, vc in zip(rows["event_id"], rows["t_us"], rows["v_cents"]):
+            hist.append(int(vc))
+            hist = hist[-_EWMA_TAPS:]
+            ewma = sum(
+                v * (1 << (_EWMA_TAPS - 1 - k))
+                for k, v in enumerate(reversed(hist))
+            )
+            out.append((int(eid), key[0], int(t_us), int(vc), ewma))
+        state.update((hist,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "t_us", "v_cents", "ewma_units"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -68,3 +68,54 @@ def test_streaming_cep_match_windows_are_ordered(spark, tmp_path):
     for r in _run_stream(spark, tmp_path, n_chunks=2):
         assert r["start_us"] <= r["end_us"]
         assert r["n_views"] >= 0
+
+
+def test_streaming_ewma_equals_batch_window(spark, tmp_path):
+    """The keyed-state EWMA on a 3-batch stream equals the batch
+    window formulation row for row."""
+    import json
+
+    from flink_hiveorc_spark.functions.analytics import events_ewma_smoothing
+    from flink_hiveorc_spark.streaming.cep import ewma_per_user
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns div 1000").alias("t_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        )
+        .orderBy("t_us", "event_id")
+        .collect()
+    )
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    chunk = (len(ev) + 2) // 3
+    for i in range(3):
+        with open(src / f"part-{i:04d}.json", "w") as f:
+            for r in ev[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r.asDict()) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, t_us long, v_cents long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        ewma_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["ewma_units"])
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    want = {
+        (r["event_id"], r["ewma_units"])
+        for r in events_ewma_smoothing(spark, SF_DIR).collect()
+    }
+    assert got == want
