@@ -1157,3 +1157,148 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_total_e8"),
     )
+
+
+_BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF thresholds in 2^20 units: u20 < T[k] → weight k
+# (floor(CDF(k)·2^20) for k = 0..4; the tail lands on weight 5).
+_BOOT_T = (385749, 771499, 964373, 1028665, 1044738)
+
+_BOOT_W_SQL = """
+      CASE WHEN u20 < 385749 THEN 0
+           WHEN u20 < 771499 THEN 1
+           WHEN u20 < 964373 THEN 2
+           WHEN u20 < 1028665 THEN 3
+           WHEN u20 < 1044738 THEN 4
+           ELSE 5 END
+"""
+
+
+@query(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH ex AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             b,
+             CAST(('0x' || substr(md5(event_id || ':' || b), 1, 8)) AS BIGINT)
+               % 1048576 AS u20
+      FROM events, UNNEST(range(0, {_BOOT_B})) AS t(b)
+    ),
+    weighted AS (
+      SELECT event_type, b, cents, {_BOOT_W_SQL} AS w FROM ex
+    ),
+    reps AS (
+      SELECT event_type, b,
+             CAST(sum(w * cents) AS DOUBLE) / sum(w) AS mean_b
+      FROM weighted
+      GROUP BY event_type, b
+      HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT event_type, mean_b,
+             row_number() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_reps
+      FROM reps
+    ),
+    ci AS (
+      SELECT event_type,
+             round(min(CASE WHEN rn = 2 THEN mean_b END), 8) AS ci_lo_cents,
+             round(min(CASE WHEN rn = n_reps - 1 THEN mean_b END), 8) AS ci_hi_cents
+      FROM ranked GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) AS mean_cents
+      FROM events GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.n_events, pt.mean_cents,
+           ci.ci_lo_cents, ci.ci_hi_cents
+    FROM pt JOIN ci ON ci.event_type = pt.event_type
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4''': bootstrap confidence interval for the per-type mean
+    event value via the POISSON bootstrap (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams"; Kleiner et
+    al.'s BLB is the other member of the family) — THE resampling
+    scheme for data that cannot be indexed for classic with-
+    replacement draws: each row independently joins replica b with
+    multiplicity ~ Poisson(1), so one scan computes all B replicas
+    as weighted partial aggregates.
+
+    Determinism engineering: the multiplicity is the inverse-CDF
+    bucket of an md5-derived 20-bit uniform (same engine-portable
+    hash family as MinHash), thresholds precomputed as integer
+    constants — both engines draw IDENTICAL weights, so the replica
+    means (exact-int sums, one double division) and hence the CI
+    bounds hash-match; no tolerance oracle needed even though the
+    method is statistical. The 2nd/31st order statistics of the 32
+    replica means give a ~94% percentile CI.
+
+    Scale: the explode is ×B on the scanned rows but the shuffle is
+    only B·|groups| partial-agg rows (map-side combine) — at 100 TB
+    this is the textbook one-pass uncertainty estimate; B scales the
+    CPU, never the shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    ex = ev.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
+    ).select(
+        "event_type",
+        "cents",
+        "b",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", "event_id", "b")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 1048576
+        ).alias("u20"),
+    )
+    w = (
+        F.when(F.col("u20") < _BOOT_T[0], 0)
+        .when(F.col("u20") < _BOOT_T[1], 1)
+        .when(F.col("u20") < _BOOT_T[2], 2)
+        .when(F.col("u20") < _BOOT_T[3], 3)
+        .when(F.col("u20") < _BOOT_T[4], 4)
+        .otherwise(5)
+    )
+    reps = (
+        ex.select("event_type", "b", "cents", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type", "b", (F.col("swc").cast("double") / F.col("sw")).alias("mean_b")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    ranked = reps.select(
+        "event_type",
+        "mean_b",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_reps"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.round(F.min(F.when(F.col("rn") == 2, F.col("mean_b"))), 8).alias("ci_lo_cents"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("n_reps") - 1, F.col("mean_b"))), 8
+        ).alias("ci_hi_cents"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum("cents").cast("double") / F.count("*")).alias("mean_cents"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n_events", "mean_cents", "ci_lo_cents", "ci_hi_cents"
+    )

@@ -411,3 +411,50 @@ def test_canonical_longest_keeps_longest_member(spark, sf_dir):
     for ds in clusters.values():
         best = min(ds, key=lambda d: (-lengths[d], d))
         assert kept & set(ds) == {best}
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The ~94% CI should bracket the point estimate (a replica-mean
+    order statistic strictly outside the data range would be a
+    weight-scheme bug), and lo <= hi always."""
+    from flink_hiveorc_spark.operators.aggregates import agg_poisson_bootstrap_ci
+
+    rows = agg_poisson_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+        assert r["ci_lo_cents"] <= r["mean_cents"] <= r["ci_hi_cents"]
+
+
+def test_poisson_weights_are_poisson_ish(spark, sf_dir):
+    """Empirical weight distribution over all (row, replica) draws
+    must match Poisson(1) within a few percent — pins the inverse-CDF
+    thresholds (a transposed digit would shift the masses)."""
+    import math
+
+    from flink_hiveorc_spark.operators.aggregates import _BOOT_T
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    b = ev.select(
+        "event_id",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("b"),
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.concat_ws(":", "event_id", "b")), 1, 8), 16, 10)
+            .cast("bigint") % 1048576
+        ).alias("u20")
+    )
+    w = (
+        F.when(F.col("u20") < _BOOT_T[0], 0)
+        .when(F.col("u20") < _BOOT_T[1], 1)
+        .when(F.col("u20") < _BOOT_T[2], 2)
+        .when(F.col("u20") < _BOOT_T[3], 3)
+        .when(F.col("u20") < _BOOT_T[4], 4)
+        .otherwise(5)
+    )
+    counts = {r["w"]: r["c"] for r in b.select(w.alias("w")).groupBy("w").agg(F.count("*").alias("c")).collect()}
+    n = sum(counts.values())
+    p = math.exp(-1.0)
+    for k in (0, 1, 2):
+        assert abs(counts.get(k, 0) / n - p) < 0.03
+        p /= k + 1  # Poisson(1): p_{k+1} = p_k / (k+1)
