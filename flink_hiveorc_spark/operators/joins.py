@@ -1076,3 +1076,74 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("d1_a", "d1_b") - F.greatest("d0_a", "d0_b") + 1
         ).cast("bigint").alias("total_overlap_days"),
     )
+
+
+@query(
+    "join_temporal_scd2_enrich",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS t_us, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, state, t_us, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state
+    ),
+    scd2 AS (
+      SELECT user_id, state,
+             t_us AS valid_from_us,
+             lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+               AS valid_to_us
+      FROM changes
+    )
+    SELECT s.state AS state_at_event, e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN scd2 s
+      ON s.user_id = e.user_id
+     AND epoch_us(e.ts) >= s.valid_from_us
+     AND (s.valid_to_us IS NULL OR epoch_us(e.ts) < s.valid_to_us)
+    GROUP BY s.state, e.event_type
+    """,
+)
+def join_temporal_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: TEMPORAL dimension enrichment — join every fact event to
+    the SCD2 dimension version valid at its event time (half-open
+    [valid_from, valid_to) intervals from cdc_scd2_user_state), then
+    aggregate behavior by state-at-event-time × event type. This is
+    the canonical warehouse "as the world was THEN" join: pricing at
+    order time, plan tier at usage time, CRM state at touch time.
+
+    Scale shape: the join key is the EQUI key (user_id) — the
+    interval predicate is a residual filter on the co-partitioned
+    pair, never a cross/theta join; per-key SCD2 intervals are
+    non-overlapping half-open spans, so each event matches EXACTLY
+    one version (a zero-length [t, t) version — two state changes in
+    the same microsecond — matches nothing, and the event binds to
+    the successor version, deterministically in both engines). At
+    100 TB both sides shuffle once on user_id; if the dimension is
+    small it broadcasts instead. Composes the registered SCD2
+    builder verbatim, so the lineage dimension-build → temporal-join
+    is oracle-checked end to end."""
+    from flink_hiveorc_spark.functions.analytics import cdc_scd2_user_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("value"), F.expr("ts_ns div 1000").alias("t_us")
+    )
+    scd2 = cdc_scd2_user_state(spark, sf_dir)
+    joined = ev.join(
+        scd2,
+        (ev.user_id == scd2.user_id)
+        & (ev.t_us >= scd2.valid_from_us)
+        & (scd2.valid_to_us.isNull() | (ev.t_us < scd2.valid_to_us)),
+    )
+    return joined.groupBy(
+        F.col("state").alias("state_at_event"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+    )

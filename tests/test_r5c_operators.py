@@ -458,3 +458,17 @@ def test_poisson_weights_are_poisson_ish(spark, sf_dir):
     for k in (0, 1, 2):
         assert abs(counts.get(k, 0) / n - p) < 0.03
         p /= k + 1  # Poisson(1): p_{k+1} = p_k / (k+1)
+
+
+def test_temporal_scd2_every_event_matches_exactly_once(spark, sf_dir):
+    """The SCD2 intervals tile each user's timeline, so the temporal
+    join is lossless: aggregate event counts equal the raw count."""
+    from flink_hiveorc_spark.operators.joins import join_temporal_scd2_enrich
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    out = join_temporal_scd2_enrich(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in out) == n_events
+    # state_at_event equals event_type whenever the event itself
+    # caused the state change — so the diagonal cells must be nonempty
+    diag = {r["state_at_event"] for r in out if r["state_at_event"] == r["event_type"]}
+    assert diag
