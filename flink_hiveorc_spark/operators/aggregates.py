@@ -1090,8 +1090,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT status, priority, observed,
              round(CAST(row_total * col_total AS DOUBLE) / n, 8) AS expected,
              CAST(n * observed - row_total * col_total AS BIGINT) AS dev_units,
-             round(CAST((n * observed - row_total * col_total)
-                        * (n * observed - row_total * col_total) AS DOUBLE)
+             round(CAST(n * observed - row_total * col_total AS DOUBLE)
+                   * CAST(n * observed - row_total * col_total AS DOUBLE)
                    / (CAST(n AS DOUBLE) * row_total * col_total), 8) AS chi2_contrib
       FROM tot
     )
@@ -1140,8 +1140,13 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected"
         ),
         dev.cast("bigint").alias("dev_units"),
+        # dev² is squared in DOUBLE: dev itself is an exact BIGINT
+        # (N·O and R·C each fit long far beyond this corpus), but its
+        # square overflows int64 already at the 16× stress scale —
+        # caught by the probe. |dev| ≪ 2^53, so the double conversion
+        # is exact and both engines compute the identical square.
         F.round(
-            (dev * dev).cast("double")
+            dev.cast("double") * dev.cast("double")
             / (F.col("n").cast("double") * F.col("row_total") * F.col("col_total")),
             8,
         ).alias("chi2_contrib"),

@@ -107,6 +107,18 @@ PROBE = [
     "text_bpe_apply",
     "agg_cms_heavy_hitters",
     "join_interval_overlap",
+    # round-5 late additions (dup-insensitive: weights/counts/means
+    # scale with replication, CIs/medians/statistics stay exact).
+    # dedup_sorted_neighborhood excluded as a pair-finder (replicated
+    # doc_ids put identical sort keys adjacent — output grows N² by
+    # corpus construction); its rank machinery is the shard prefix-sum
+    # shape already probed by pipeline_pack_shards.
+    "agg_poisson_bootstrap_ci",
+    "agg_weighted_median",
+    "agg_chisq_independence",
+    "agg_entropy_mixing",
+    "udf_grouped_agg_gini",
+    "join_temporal_scd2_enrich",
 ]
 
 
