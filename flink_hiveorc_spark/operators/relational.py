@@ -542,3 +542,41 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS (check_name, target, observed, passed)"""
         )
     ).orderBy("check_name")
+
+
+_SQL_PARITY = """
+    WITH nation_rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, revenue,
+           ROW_NUMBER() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+             AS rank_in_region
+    FROM nation_rev
+"""
+
+
+@query("sql_api_parity", oracle=_SQL_PARITY)
+def sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2/front-end: the SQL STRING API end to end — the tables are
+    registered as temp views and the IDENTICAL ANSI text that serves
+    as the DuckDB oracle runs through spark.sql(): one source string,
+    two engines, hash-equal results. This pins the engine's SQL
+    front-end (parser → Catalyst) as a first-class entry point next
+    to the DataFrame API every other query uses; users of the
+    reference's SQL-ish config surface get the same capability as a
+    real ANSI dialect.
+
+    Catalyst plans this exactly like the DataFrame formulation of the
+    same star join (join_broadcast_region_revenue): dims broadcast,
+    one shuffle for the aggregate, one for the per-region window —
+    the front-end choice is syntax, not a different engine path."""
+    for t in ("lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_PARITY)

@@ -65,6 +65,7 @@ def _load_all() -> None:
         text,
         tokenizer,
     )
+    from flink_hiveorc_spark.sources import pyds  # noqa: F401
     from flink_hiveorc_spark.streaming import batch_checks  # noqa: F401
 
 

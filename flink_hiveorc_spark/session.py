@@ -43,6 +43,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Required for Python DataSource readers that implement
+    # pushFilters() (sources/pyds.py) — without it Spark refuses to
+    # initialize the reader at all (DATA_SOURCE_PUSHDOWN_DISABLED).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Checkpoint files of garbage-collected DataFrames are deleted by
     # the context cleaner, so long sessions running many iterative
     # operators don't accumulate dead checkpoint data.

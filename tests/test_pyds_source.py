@@ -1,0 +1,65 @@
+"""Custom Python DataSource (sources/pyds.py): pushdown pruning and
+end-to-end read semantics the value oracle can't see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_hiveorc_spark.sources.pyds import (
+    CdcSynthReader,
+    cdc_row,
+    register,
+)
+
+
+def test_pushdown_prunes_splits_before_read():
+    """An EqualTo filter on `part` must shrink partitions() to one
+    split — pruning happens at planning, not as a post-read filter."""
+    from pyspark.sql.datasource import EqualTo
+
+    r = CdcSynthReader({"rows": "1000", "partitions": "8"})
+    assert len(r.partitions()) == 8
+    rest = list(r.pushFilters([EqualTo(("part",), 3)]))
+    assert rest == []  # fully consumed
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].part == 3
+
+
+def test_unsupported_filters_returned():
+    from pyspark.sql.datasource import EqualTo
+
+    r = CdcSynthReader({"rows": "100", "partitions": "4"})
+    rest = list(r.pushFilters([EqualTo(("city",), "berlin")]))
+    assert len(rest) == 1  # city filter NOT consumed -> Spark reapplies it
+
+
+def test_filtered_scan_matches_direct_generation(spark):
+    """Reading with part=3 through Spark returns exactly the rows the
+    generator produces for that split."""
+    register(spark)
+    df = (
+        spark.read.format("cdc_synth")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+        .filter(F.col("part") == 3)
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {cdc_row(i, 125) for i in range(3 * 125, 4 * 125)}
+    assert got == want
+
+
+def test_city_filter_correct_above_scan(spark):
+    """A non-pushable filter still evaluates correctly above the scan."""
+    register(spark)
+    df = (
+        spark.read.format("cdc_synth")
+        .option("rows", 500)
+        .option("partitions", 4)
+        .load()
+        .filter(F.col("city") == "berlin")
+    )
+    rows = df.collect()
+    assert rows and all(r["city"] == "berlin" for r in rows)
+    want = sum(1 for i in range(500) if cdc_row(i, 125)[3] == "berlin")
+    assert len(rows) == want
