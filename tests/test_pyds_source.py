@@ -63,3 +63,38 @@ def test_city_filter_correct_above_scan(spark):
     assert rows and all(r["city"] == "berlin" for r in rows)
     want = sum(1 for i in range(500) if cdc_row(i, 125)[3] == "berlin")
     assert len(rows) == want
+
+
+def test_streaming_source_exactly_once_across_restart(spark, tmp_path):
+    """Run the custom stream source to completion, kill, restart on
+    the same checkpoint: every row arrives exactly once, equal to the
+    batch generation."""
+    from flink_hiveorc_spark.sources.pyds import cdc_row, register_streaming
+
+    register_streaming(spark)
+    ckpt = str(tmp_path / "pyds_ckpt")
+    out = str(tmp_path / "pyds_out")  # parquet sink: commit log -> restartable
+
+    def run_once():
+        stream = (
+            spark.readStream.format("cdc_synth_stream")
+            .option("rows", 800)
+            .option("batch_rows", 200)
+            .option("partitions", 4)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # restart on the same checkpoint: no duplicates
+    rows = spark.read.parquet(out).collect()
+    got = sorted(tuple(r) for r in rows)
+    want = sorted(cdc_row(i, 200) for i in range(800))
+    assert got == want
