@@ -1033,9 +1033,16 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     space is the PRUNED index. This is the scale path for t ≥ 0.5
     dedup sweeps, complementing MinHash-LSH (which stays the choice
     for low thresholds where prefixes barely prune)."""
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_jaccard_pairs(d)
+
+
+def prefix_filter_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """The reusable prefix-filtered similarity self-join behind the
+    registered query (property-tested against brute force on random
+    corpora in tests/test_properties.py)."""
     from pyspark.sql.window import Window
 
-    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
     sh = _shingle_docs(d)  # (doc_id, s): distinct shingles per doc
     ex = sh.select(
         "doc_id", F.explode_outer("s").alias("shingle"), F.size("s").alias("n_sh")

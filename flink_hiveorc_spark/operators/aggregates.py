@@ -1307,3 +1307,94 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(ci, "event_type").select(
         "event_type", "n_events", "mean_cents", "ci_lo_cents", "ci_hi_cents"
     )
+
+
+@query(
+    "agg_hll_intersection_estimate",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ),
+    users AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT p.type_a, p.type_b,
+           (SELECT count(*) FROM users ua JOIN users ub
+             ON ua.user_id = ub.user_id
+            WHERE ua.event_type = p.type_a AND ub.event_type = p.type_b)
+             AS exact_intersection,
+           TRUE AS within_tolerance
+    FROM pairs p
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def agg_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2''': sketch SET ALGEBRA — estimated audience OVERLAP between
+    every pair of event types from HLL sketches alone, via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B). The
+    union is a sketch merge (hll_union_agg), so overlap matrices over
+    N segments need N sketches + N² tiny merges, never N² re-scans —
+    the audience-overlap / cross-segment-reach primitive at 100 TB.
+
+    TOLERANCE ORACLE (the agg_approx_count_distinct contract):
+    inclusion-exclusion compounds THREE estimates, each with error
+    relative to its own SET size, so the bound is relative to the
+    UNION: |est∩ − exact∩| ≤ 5% · |A∪B| (rsd 0.01 per sketch leaves
+    wide margin). The oracle emits the exact pairwise intersections
+    + literal TRUE; a drifting sketch is a hash FAIL."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("n_b"),
+    )
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_inter"),
+            "est_union",
+        )
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_intersection",
+            (
+                F.abs(F.col("est_inter") - F.col("exact_intersection"))
+                <= 0.05 * F.col("est_union")
+            ).alias("within_tolerance"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -332,3 +332,101 @@ def test_assign_shard_idx_matches_python_model(spark, docs):
         want[i] = cum // SHARD_TOKEN_BUDGET
         streams[(l, s)] = cum + n
     assert got == want
+
+
+DOC_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "green", "dog", "cat", "sun"]),
+        min_size=1,
+        max_size=10,
+    ).map(" ".join),
+    min_size=2,
+    max_size=24,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(DOC_TEXTS)
+def test_prefix_filter_lossless_on_random_corpora(spark, texts):
+    """The PPJoin prefix filter must equal brute-force Jaccard >= 0.5
+    on arbitrary small-vocabulary corpora (the losslessness theorem,
+    checked empirically beyond the fixed testdata)."""
+    from flink_hiveorc_spark.functions.dedup import (
+        PREFIX_JACCARD_THRESHOLD,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(df).collect()
+    }
+
+    def shingles(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = shingles(texts[i]), shingles(texts[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= PREFIX_JACCARD_THRESHOLD:
+                want.add((i, j, round(jac, 9)))
+    assert got == want
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user
+        st.integers(min_value=0, max_value=60),  # start day
+        st.integers(min_value=0, max_value=20),  # length
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(INTERVALS)
+def test_interval_band_join_complete_on_random_intervals(spark, ivs):
+    """The canonical-band equi-join finds exactly the overlapping
+    cross-user interval pairs the O(n²) predicate finds — on random
+    interval sets, including touching and contained spans."""
+    rows = [
+        Row(user_id=u, grp=i, d0=s, d1=s + ln)
+        for i, (u, s, ln) in enumerate(ivs)
+    ]
+    iv = spark.createDataFrame(rows)
+    banded = iv.select(
+        "*",
+        F.explode(F.sequence(F.expr("d0 div 7"), F.expr("d1 div 7"))).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    got = {
+        (r["ua"], r["ga"], r["ub"], r["gb"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.d0") <= F.col("b.d1"))
+            & (F.col("b.d0") <= F.col("a.d1"))
+            & (F.col("a.band") == F.expr("greatest(a.d0, b.d0) div 7")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("a.grp").alias("ga"),
+            F.col("b.user_id").alias("ub"),
+            F.col("b.grp").alias("gb"),
+        )
+        .collect()
+    }
+    want = set()
+    for i, (u1, s1, l1) in enumerate(ivs):
+        for j, (u2, s2, l2) in enumerate(ivs):
+            if u1 < u2 and s1 <= s2 + l2 and s2 <= s1 + l1:
+                want.add((u1, i, u2, j))
+    assert got == want
