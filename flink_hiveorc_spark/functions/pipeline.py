@@ -511,3 +511,40 @@ def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+@query(
+    "pipeline_observed_filter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE n_chars >= 120 AND lang IN ('en', 'de')
+    """,
+)
+def pipeline_observed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational parity (§4/metrics): the filter stage instrumented
+    with OBSERVED METRICS — Spark's `observe()` accumulators are the
+    engine twin of the reference framework's runtime metric counters
+    (Flink operators expose records-in/records-out/filtered-rate the
+    same way): input rows, kept rows, and null-text count ride the
+    SAME job as the query, costing one accumulator update per row —
+    no second scan, no driver-side recount.
+
+    The returned frame is the filtered corpus (value-oracled like any
+    query); the metrics land in the query listener / Observation
+    handle, asserted equal to independently-computed counts in
+    tests/test_r5c_operators.py. At 100 TB this is how a pipeline
+    reports selectivity and DQ counters without doubling its I/O."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = F.col("n_chars") >= 120
+    langs = F.col("lang").isin("en", "de")
+    return (
+        d.observe(
+            "pipeline_observed_filter_metrics",
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((kept & langs).cast("long")).alias("rows_kept"),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+        )
+        .filter(kept & langs)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

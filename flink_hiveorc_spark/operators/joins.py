@@ -1147,3 +1147,46 @@ def join_temporal_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "join_hint_sort_merge",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_hint_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4 physical control: the SAME fact⋈fact join forced onto
+    SORT-MERGE via .hint("merge") — the explicit-strategy escape
+    hatch for when the optimizer's default is wrong for the workload
+    (e.g., both sides pre-sorted on the key by an upstream stage, or
+    a broadcast estimate that would OOM the executors). Results are
+    identical by construction (hints never change semantics — the
+    oracle is the plain join); the PLAN is pinned to SortMergeJoin in
+    tests/test_r5c_operators.py next to a shuffle-hash-hinted twin,
+    so the hint surface is regression-checked, not assumed.
+
+    100 TB note: SMJ is the robust default for large same-size
+    fact⋈fact joins (spillable sort, no hash-table build-side OOM
+    risk); the hint matters when AQE's local stats mislead it —
+    exactly the case this query pins."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        l.hint("merge")
+        .join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -472,3 +472,42 @@ def test_temporal_scd2_every_event_matches_exactly_once(spark, sf_dir):
     # caused the state change — so the diagonal cells must be nonempty
     diag = {r["state_at_event"] for r in out if r["state_at_event"] == r["event_type"]}
     assert diag
+
+
+def test_observed_metrics_match_counts(spark, sf_dir):
+    """The observe() accumulators equal independently-computed counts
+    (rows_in / rows_kept / null_texts) on the same data."""
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (F.col("n_chars") >= 120) & F.col("lang").isin("en", "de")
+    obs = Observation()
+    out = (
+        d.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(kept.cast("long")).alias("rows_kept"),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+        )
+        .filter(kept)
+        .count()
+    )
+    m = obs.get
+    assert m["rows_in"] == d.count()
+    assert m["rows_kept"] == out
+    assert m["null_texts"] == d.filter(F.col("text").isNull()).count()
+
+
+def test_join_hints_pin_physical_strategy(spark, sf_dir):
+    """merge-hinted join plans SortMergeJoin; a shuffle_hash-hinted
+    twin plans ShuffledHashJoin — the hint surface actually steers
+    the planner."""
+    from flink_hiveorc_spark.operators.joins import join_hint_sort_merge
+
+    smj_plan = join_hint_sort_merge(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in smj_plan
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    shj = l.hint("shuffle_hash").join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+    shj_plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in shj_plan
