@@ -1235,7 +1235,15 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CEP_PATTERN = "click(>view)*>purchase"
+_CEP_TOKENS = "click(>view)*>purchase"
+# Anchored so tokens match WHOLE event types, not substrings (ADVICE
+# r5: unanchored, a future 'preview' or 'clickthrough' event type
+# would silently false-match and diverge from the streaming
+# automaton's exact token comparison). Lookarounds are out — DuckDB's
+# RE2 lacks them — so the anchors consume the bounding '>' (or
+# string edge) and both engines strip them back off the extracted
+# match, keeping the `matched` artifact format unchanged.
+_CEP_PATTERN = f"(^|>){_CEP_TOKENS}($|>)"
 
 # Session-assignment CTE chain shared by the CEP query (same
 # gaps-and-islands formulation as sessionize_events, with event_type
@@ -1275,7 +1283,7 @@ _SESSION_SEQ_SQL = f"""
     oracle=f"""
     WITH {_SESSION_SEQ_SQL}
     SELECT user_id, session_seq, n_events,
-           regexp_extract(seq, '{_CEP_PATTERN}', 0) AS matched
+           regexp_replace(regexp_extract(seq, '{_CEP_PATTERN}', 0), '^>|>$', '', 'g') AS matched
     FROM seqs
     WHERE regexp_matches(seq, '{_CEP_PATTERN}')
     """,
@@ -1342,7 +1350,9 @@ def events_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "session_seq",
         "n_events",
-        F.regexp_extract("seq", _CEP_PATTERN, 0).alias("matched"),
+        F.regexp_replace(
+            F.regexp_extract("seq", _CEP_PATTERN, 0), "^>|>$", ""
+        ).alias("matched"),
     )
 
 

@@ -905,6 +905,7 @@ def batch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_WIDTH = 512  # buckets per sketch row
 _CMS_DEPTH = 4  # independent hash rows
 _CMS_TOPK = 20  # heavy hitters reported
+_CMS_MARGIN_T = 32  # tolerance multiple of N/width (failure ≤ t^-depth per key)
 
 
 @query(
@@ -939,18 +940,25 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT count of each true top-{_CMS_TOPK} user plus a boolean
     asserting the CMS estimate obeys the sketch's guarantees:
     est ≥ exact (one-sided error is a theorem — a key's own mass is
-    always in its bucket) and est ≤ exact + {_CMS_DEPTH}·N/{_CMS_WIDTH}
-    (4× the per-row expected collision mass N/w; the min over
-    {_CMS_DEPTH} independent rows concentrates far below it). The
-    oracle emits the exact counts + literal TRUE, so the driver's
-    value hash fails if the sketch drifts out of tolerance.
+    always in its bucket) and est ≤ exact + {_CMS_MARGIN_T}·N/{_CMS_WIDTH}.
+    The upper half is PROBABILISTIC (Markov: a single row exceeds
+    t·N/w with prob ≤ 1/t, the min over {_CMS_DEPTH} independent rows
+    with prob ≤ t^-{_CMS_DEPTH}), so the margin is sized for
+    negligible failure at any probe scale: t={_CMS_MARGIN_T} gives
+    per-key failure ≤ {_CMS_MARGIN_T}^-{_CMS_DEPTH} ≈ 1e-6, ≈ 2e-5
+    across the {_CMS_TOPK} probed keys — residual risk documented
+    rather than zero (a hard TRUE oracle on a tail event tighter than
+    this failed review in r5). The oracle emits the exact counts +
+    literal TRUE, so the driver's value hash fails if the sketch
+    drifts beyond even this loose envelope (i.e. the sketch is
+    broken, not merely unlucky).
 
     100 TB: the sketch aggregate is the production shape (bounded
     state, no per-key shuffle); the exact top-k comparison side here
     exists to grade the sketch and broadcasts ({_CMS_TOPK} rows)."""
     ev = load_table(spark, sf_dir, "events")
     n_total = ev.count()  # one column-pruned count-star (parquet footer stats)
-    margin = (_CMS_DEPTH * n_total) // _CMS_WIDTH
+    margin = (_CMS_MARGIN_T * n_total) // _CMS_WIDTH
     hashed = ev.select(
         "user_id",
         F.explode(

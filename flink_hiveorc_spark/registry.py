@@ -98,7 +98,16 @@ def _priority_bucket(fn: QueryFn) -> int:
 
 
 def _checked_counts() -> Counter:
-    """How many times each query already has a driver CORRECTNESS row."""
+    """How many times each query already has a *green* driver CORRECTNESS row.
+
+    Only rows where the external check actually succeeded count: a full
+    value pass (``hash_match`` true) or, for queries registered without an
+    oracle, a clean rows-only pass (``err`` null and ``rows_match`` not
+    false). Errored rows (e.g. the pre-oracle ``err: no_oracle`` cells) do
+    NOT count — otherwise a query the external gate has never validated
+    sorts as if it were well-checked and keeps getting deferred by the
+    rotation (this bit ``agg_approx_count_distinct`` for five rounds).
+    """
     counts: Counter = Counter()
     repo_root = Path(__file__).resolve().parent.parent
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
@@ -106,8 +115,16 @@ def _checked_counts() -> Counter:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            counts.update(k for k in data if isinstance(k, str))
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(name, str) or not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("err") is None and row.get("rows_match") is not False
+            )
+            if green:
+                counts[name] += 1
     return counts
 
 

@@ -209,22 +209,51 @@ class CdcSynthStreamReader(DataSourceStreamReader):
     in the harness, this synthetic offset source is the testable
     stand-in that exercises the engine's offset/commit machinery for
     a CUSTOM Python connector (the file-source ingest path covers the
-    built-in connector side)."""
+    built-in connector side).
+
+    Arrival model (ADVICE r5: batch_rows was read but unused — the
+    whole feed ran as one micro-batch and the restart test never
+    exercised a MID-stream offset resume): `latestOffset` answers
+    "how much data exists right now", which for a real topic is
+    broker-side state that survives consumer restarts. With the
+    `advance_path` option set, that state lives in a small file —
+    each `latestOffset` call "arrives" `batch_rows` more rows (capped
+    at `rows`), monotone across reader instances, so a restarted
+    query resumes mid-stream from the checkpoint against a feed that
+    keeps growing. Without the option, all rows are available
+    immediately (single-batch semantics — the honest default when
+    nothing external owns arrival state: an in-memory mark would
+    reset below the checkpoint on restart, and a planned end-offset
+    behind the committed one would re-commit backwards and duplicate
+    rows through the sink's batch-id log)."""
 
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
         self.batch_rows = int(options.get("batch_rows", 100))
         self.num_parts = int(options.get("partitions", 4))
+        self.advance_path = options.get("advance_path")  # broker-side arrival state
+
+    def _arrived(self) -> int:
+        try:
+            with open(self.advance_path) as fh:
+                return int(fh.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"idx": 0}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        # Each call advances one micro-batch worth of rows; the
-        # planner persists the returned offset to the checkpoint
+        # The planner persists the returned offset to the checkpoint
         # BEFORE the batch runs (WAL), which is what makes restart
-        # exactly-once.
-        return {"idx": self.rows}  # availableNow/steady: expose all
+        # exactly-once: replays re-plan the same (start, end] range
+        # and the read is a pure function of the range.
+        if self.advance_path is None:
+            return {"idx": self.rows}  # steady: all rows available
+        arrived = min(self._arrived() + self.batch_rows, self.rows)
+        with open(self.advance_path, "w") as fh:
+            fh.write(str(arrived))
+        return {"idx": arrived}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["idx"]), int(end["idx"])

@@ -14,6 +14,20 @@ from flink_hiveorc_spark.streaming.cep import pattern_matches_per_user
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _bump_mtime(path, i: int) -> None:
+    """Give chunk i a distinct, strictly increasing mtime. Spark's
+    FileStreamSource picks up files in MODIFICATION-TIME order, not
+    name order; chunks written in a tight loop can share an mtime and
+    arrive out of order, violating the automaton's per-key
+    in-order-arrival contract and making the batch-equality assertion
+    flaky (ADVICE r5)."""
+    import os
+    import time
+
+    t = time.time() - 3600 + i * 10  # well-separated, all in the past
+    os.utime(path, (t, t))
+
+
 def _run_stream(spark, tmp_path, n_chunks=4):
     qname = f"cep_out_{n_chunks}"  # unique per variant: memory sink names are session-global
     ev = (
@@ -32,6 +46,7 @@ def _run_stream(spark, tmp_path, n_chunks=4):
         with open(src / f"part-{i:04d}.json", "w") as f:
             for r in rows:
                 f.write(json.dumps(r.asDict()) + "\n")
+        _bump_mtime(src / f"part-{i:04d}.json", i)
     stream = (
         spark.readStream.schema(
             "user_id long, event_id long, event_type string, t_us long"
@@ -96,6 +111,7 @@ def test_streaming_ewma_equals_batch_window(spark, tmp_path):
         with open(src / f"part-{i:04d}.json", "w") as f:
             for r in ev[i * chunk : (i + 1) * chunk]:
                 f.write(json.dumps(r.asDict()) + "\n")
+        _bump_mtime(src / f"part-{i:04d}.json", i)
     stream = (
         spark.readStream.schema("event_id long, user_id long, t_us long, v_cents long")
         .option("maxFilesPerTrigger", "1")
