@@ -158,10 +158,20 @@ def _wait_for_idle(threshold: float = 1.0, max_wait_sec: float = 180.0) -> float
 
 
 def _next_round() -> int:
-    """Infer the current round number from the BENCH_r*.json artifacts
-    the driver has already committed (r6 runs with r01..r05 present)."""
+    """Current round number: $SPARK_GRAFT_ROUND when set, else inferred
+    from the BENCH_r*.json artifacts the driver has already committed
+    (r6 runs with r01..r05 present). The env override exists because
+    the inference is wrong for a RE-run inside a round: once the driver
+    writes this round's BENCH file, max+1 points at the next round
+    (ADVICE r6)."""
     import re as _re
 
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [0]
     for f in os.listdir(here):
@@ -169,6 +179,20 @@ def _next_round() -> int:
         if m:
             rounds.append(int(m.group(1)))
     return max(rounds) + 1
+
+
+def _details_path() -> str:
+    """Round-keyed diagnostics filename; on collision (a bench re-run
+    after this round's details file already exists) append a sequence
+    suffix instead of silently overwriting (ADVICE r6)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(here, f"bench_details_r{_next_round():02d}")
+    path = base + ".json"
+    seq = 1
+    while os.path.exists(path):
+        path = f"{base}.{seq}.json"
+        seq += 1
+    return path
 
 
 # The driver records only the last 2000 chars of stdout; the summary

@@ -107,6 +107,9 @@ def _checked_counts() -> Counter:
     NOT count — otherwise a query the external gate has never validated
     sorts as if it were well-checked and keeps getting deferred by the
     rotation (this bit ``agg_approx_count_distinct`` for five rounds).
+    A row with an explicit FAILED hash verdict (``hash_match: false``)
+    also does not count, even if rows matched: the rows-only clause only
+    applies when no hash verdict exists at all (``hash_match`` null).
     """
     counts: Counter = Counter()
     repo_root = Path(__file__).resolve().parent.parent
@@ -121,7 +124,9 @@ def _checked_counts() -> Counter:
             if not isinstance(name, str) or not isinstance(row, dict):
                 continue
             green = row.get("hash_match") is True or (
-                row.get("err") is None and row.get("rows_match") is not False
+                row.get("hash_match") is None
+                and row.get("err") is None
+                and row.get("rows_match") is not False
             )
             if green:
                 counts[name] += 1

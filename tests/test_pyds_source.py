@@ -101,10 +101,12 @@ def test_streaming_source_exactly_once_across_restart(spark, tmp_path):
         return spark.read.parquet(out).count()
 
     counts = [run_once() for _ in range(5)]
-    # Progress is monotone, resumes MID-stream (strictly between 0 and
-    # 800 after the first run), and the extra 5th run re-delivers
-    # nothing.
-    assert counts[0] == 200  # first run: one arrival snapshot only
+    # Progress is monotone, resumes MID-stream, and the extra runs
+    # re-deliver nothing. How many times an availableNow run probes
+    # latestOffset is an engine internal, not contractual — so bound
+    # the first run (>=1 arrival, <=2 probes => mid-stream restart is
+    # still exercised) instead of pinning it to exactly one snapshot.
+    assert 200 <= counts[0] <= 400  # first run mid-stream, not drained
     assert counts == sorted(counts) and counts[3] == 800 and counts[4] == 800
     rows = spark.read.parquet(out).collect()
     got = sorted(tuple(r) for r in rows)
