@@ -209,6 +209,7 @@ def compose_summary_line(
     timings: dict[str, float],
     calibration: dict,
     loadavg: dict,
+    normalized_total: float | None = None,
 ) -> str:
     """Build the final stdout line: the driver-required envelope
     {"metric", "value", "unit", "queries", "sf"} plus as much
@@ -223,9 +224,13 @@ def compose_summary_line(
         "queries": timings,
         "sf": sf,
     }
+    norm_extra = (
+        {} if normalized_total is None else {"normalized_total": normalized_total}
+    )
     for extras in (
-        {"calibration": calibration, "loadavg_1m": loadavg},
-        {"calibration": calibration},
+        {**norm_extra, "calibration": calibration, "loadavg_1m": loadavg},
+        {**norm_extra, "calibration": calibration},
+        norm_extra,
         {},
     ):
         line = json.dumps({**required, **extras})
@@ -303,13 +308,27 @@ def main() -> None:
         "sec_after": calib_after,
     }
     loadavg = {"start": load_start, "end": _loadavg(), "idle_wait_sec": idle_wait_sec}
+    # Calibration-NORMALIZED record (VERDICT r6 #1: r6's zero-code-change
+    # round drifted a uniform 1.08-1.23x vs r5 while the calibration
+    # probe drifted 1.17x in lockstep — host state, not plans; the probe
+    # was measured but never USED). Each query's time is divided by the
+    # before-run probe cost, yielding a host-independent "calibration
+    # units" figure: round-over-round, a real plan regression moves the
+    # normalized number while pure host drift cancels out. sec_before is
+    # the divisor (taken closest to idle, before any query heat); a
+    # sec_after >> sec_before run is flagged by the raw fields anyway.
+    norm = lambda t: round(t / calib_before, 3) if calib_before else None  # noqa: E731
+    timings_norm = {name: norm(t) for name, t in timings.items()}
     diagnostics = {
         "record": "bench_diagnostics",
         "sf": sf,
         "queries_median": timings,
         "queries_min": timings_min,
+        "queries_normalized": timings_norm,
         "total_median": total,
         "total_min": round(sum(timings_min.values()), 3),
+        "normalized_total": norm(total),
+        "normalized_total_min": norm(sum(timings_min.values())),
         "calibration": calibration,
         "loadavg_1m": loadavg,
     }
@@ -318,10 +337,7 @@ def main() -> None:
     # truncated mid-map by the driver's 2000-char tail window, losing
     # 27 of 38 per-query min values — round-over-round min-vs-min
     # comparison needs a durable artifact, not a log tail).
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"bench_details_r{_next_round():02d}.json",
-    )
+    details_path = _details_path()
     try:
         with open(details_path, "w") as fh:
             json.dump(diagnostics, fh, indent=1)
@@ -336,7 +352,12 @@ def main() -> None:
     print(json.dumps(diagnostics))
     print(
         compose_summary_line(
-            total=total, sf=sf, timings=timings, calibration=calibration, loadavg=loadavg
+            total=total,
+            sf=sf,
+            timings=timings,
+            calibration=calibration,
+            loadavg=loadavg,
+            normalized_total=diagnostics["normalized_total"],
         )
     )
     spark.stop()

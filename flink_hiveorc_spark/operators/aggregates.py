@@ -928,34 +928,35 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency summary used when per-key exact counting is too much
     state (top talkers, hot keys, trending items).
 
-    Sketch = {_CMS_DEPTH} hash rows × {_CMS_WIDTH} buckets: one
+    Sketch = depth 4 hash rows × width 512 buckets (the _CMS_*
+    constants above; a plain docstring, not interpolated — an
+    f-string docstring would not register as ``__doc__``): one
     union'd scan hashes every event into one bucket per row
     (xxhash64 seeded by the row index) and a map-side-combined
-    aggregate produces the ≤ {_CMS_DEPTH}·{_CMS_WIDTH}-row sketch —
-    fixed size regardless of corpus scale, the whole point. The
-    point estimate for a key is min over rows of its bucket count.
+    aggregate produces the ≤ 4·512-row sketch — fixed size
+    regardless of corpus scale, the whole point. The point estimate
+    for a key is min over rows of its bucket count.
 
     TOLERANCE ORACLE (same contract as agg_approx_count_distinct):
     the estimate depends on hash collisions, so the query emits the
-    EXACT count of each true top-{_CMS_TOPK} user plus a boolean
-    asserting the CMS estimate obeys the sketch's guarantees:
-    est ≥ exact (one-sided error is a theorem — a key's own mass is
-    always in its bucket) and est ≤ exact + {_CMS_MARGIN_T}·N/{_CMS_WIDTH}.
-    The upper half is PROBABILISTIC (Markov: a single row exceeds
-    t·N/w with prob ≤ 1/t, the min over {_CMS_DEPTH} independent rows
-    with prob ≤ t^-{_CMS_DEPTH}), so the margin is sized for
-    negligible failure at any probe scale: t={_CMS_MARGIN_T} gives
-    per-key failure ≤ {_CMS_MARGIN_T}^-{_CMS_DEPTH} ≈ 1e-6, ≈ 2e-5
-    across the {_CMS_TOPK} probed keys — residual risk documented
-    rather than zero (a hard TRUE oracle on a tail event tighter than
-    this failed review in r5). The oracle emits the exact counts +
-    literal TRUE, so the driver's value hash fails if the sketch
-    drifts beyond even this loose envelope (i.e. the sketch is
-    broken, not merely unlucky).
+    EXACT count of each true top-20 user plus a boolean asserting
+    the CMS estimate obeys the sketch's guarantees: est ≥ exact
+    (one-sided error is a theorem — a key's own mass is always in
+    its bucket) and est ≤ exact + 32·N/512 (t=_CMS_MARGIN_T times
+    N/width). The upper half is PROBABILISTIC (Markov: a single row
+    exceeds t·N/w with prob ≤ 1/t, the min over the 4 independent
+    rows with prob ≤ t^-4), so the margin is sized for negligible
+    failure at any probe scale: t=32 gives per-key failure
+    ≤ 32^-4 ≈ 1e-6, ≈ 2e-5 across the 20 probed keys — residual
+    risk documented rather than zero (a hard TRUE oracle on a tail
+    event tighter than this failed review in r5). The oracle emits
+    the exact counts + literal TRUE, so the driver's value hash
+    fails if the sketch drifts beyond even this loose envelope
+    (i.e. the sketch is broken, not merely unlucky).
 
     100 TB: the sketch aggregate is the production shape (bounded
     state, no per-key shuffle); the exact top-k comparison side here
-    exists to grade the sketch and broadcasts ({_CMS_TOPK} rows)."""
+    exists to grade the sketch and broadcasts (20 rows)."""
     ev = load_table(spark, sf_dir, "events")
     n_total = ev.count()  # one column-pruned count-star (parquet footer stats)
     margin = (_CMS_MARGIN_T * n_total) // _CMS_WIDTH

