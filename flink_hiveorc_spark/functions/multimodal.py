@@ -2,12 +2,15 @@
 payloads + typed metadata structs, processed with Arrow-batched
 `mapInPandas`.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked stub (`decode_image` raises NotImplementedError unless
-given the deterministic fake codec); everything Spark-side — schema,
-binary columns, metadata structs, batch iteration, output schema —
-is real and oracle-checked. Swap `_fake_features` for a real decoder
-(PIL/torchaudio) on a cluster that has one; the plumbing is unchanged.
+Decode status: UNCOMPRESSED formats decode for real, in pure numpy —
+binary netpbm (P6/P5) and 24/32-bit BMP (`decode_image`), with a
+distributed decode→featurize path (`image_stats`, mapInPandas)
+pytest-verified against independently built pixel arrays. Compressed
+formats (PNG/JPEG) still need a codec this container lacks: they
+dispatch to PIL when importable and raise a clearly-marked
+NotImplementedError otherwise. Everything Spark-side — schema, binary
+columns, metadata structs, batch iteration, output schema — is real
+and oracle-checked regardless.
 
 100 TB posture: binary payloads ride in their own column so column
 pruning drops them unless the UDF needs them; `mapInPandas` streams
@@ -39,17 +42,133 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, codec: str = "real"):
-    """Decode an image payload → (height, width, channels) array.
+def _parse_pnm_header(data: bytes) -> tuple[list[int], int]:
+    """Parse the P5/P6 netpbm header: three ASCII integers (width,
+    height, maxval) separated by whitespace, '#' comments allowed.
+    Returns ([w, h, maxval], offset_of_first_pixel_byte)."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    return vals, pos + 1  # exactly ONE whitespace byte after maxval
 
-    STUB: real decoding needs an image library this container lacks.
-    ``codec='fake'`` returns a deterministic stand-in used by tests.
+
+def _decode_pnm(data: bytes):
+    import numpy as np
+
+    channels = 3 if data[:2] == b"P6" else 1
+    (w, h, maxval), off = _parse_pnm_header(data)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    n = w * h * channels
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    return px.reshape(h, w, channels)
+
+
+def _decode_bmp(data: bytes):
+    import struct
+
+    import numpy as np
+
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, compression={compression})"
+        )
+    nch = bpp // 8
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, [2, 1, 0]] if nch == 3 else rows[:, :, [2, 1, 0, 3]]  # BGR(A)→RGB(A)
+
+
+def decode_image(payload: bytes, codec: str = "auto"):
+    """Decode an image payload → HxWxC uint8 numpy array.
+
+    REAL for the uncompressed formats a codec-less container can
+    honestly own: binary netpbm (P6 PPM → HxWx3, P5 PGM → HxWx1,
+    8-bit) and uncompressed 24/32-bit BMP (bottom-up or top-down,
+    row padding handled, BGR(A)→RGB(A)) — pure numpy, no image
+    library, pytest-verified round-trip against independently built
+    pixel arrays. Compressed formats (PNG/JPEG/...) dispatch to PIL
+    when importable and stay a clearly-marked NotImplementedError
+    here (this container has no codec — swap-in point documented).
+    ``codec='fake'`` keeps the deterministic (h, w, c) tuple stand-in
+    the plumbing tests use for arbitrary non-image payloads.
     """
     if codec == "fake":
         h = int.from_bytes(hashlib.md5(payload).digest()[:2], "big") % 64 + 1
         return (h, 64, 3)
-    raise NotImplementedError(
-        "image decoding requires an image codec (PIL/cv2) not present in this container"
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    try:  # compressed formats: only with a real codec on the cluster
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "compressed-image decoding requires a codec (PIL/cv2) not present "
+            "in this container; PPM/PGM/BMP decode natively"
+        ) from None
+
+
+_IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def _image_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode → feature rows (mapInPandas): per image, shape plus
+    mean pixel byte from the decoded array — the actual
+    resize/embed/feature step's batch shape, exercised end-to-end on
+    genuinely decoded pixels (not the fake). Exact mean: integer pixel
+    sum / count, one final double division."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "height", "width", "channels", "mean_byte")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_image(bytes(payload))
+            out["doc_id"].append(doc_id)
+            out["height"].append(arr.shape[0])
+            out["width"].append(arr.shape[1])
+            out["channels"].append(arr.shape[2])
+            out["mean_byte"].append(int(arr.sum(dtype="int64")) / arr.size)
+        yield pd.DataFrame(out)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Distributed decode+featurize over an (doc_id, payload) frame of
+    real image payloads. Column pruning keeps the blob column out of
+    every plan that doesn't call this; Arrow streams the batches."""
+    return images.select("doc_id", "payload").mapInPandas(
+        _image_stats, _IMAGE_STATS_SCHEMA
     )
 
 

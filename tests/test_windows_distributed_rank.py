@@ -70,6 +70,67 @@ def test_bucketed_rank_no_global_row_window(spark, sf_dir):
             assert "_bucket" in spec, spec
 
 
+def _patched(spark, df):
+    """Run window_percent_rank_spend over an in-memory orders table."""
+    import flink_hiveorc_spark.operators.windows as W
+
+    orig = W.load_table
+    W.load_table = lambda s, d, t: df
+    try:
+        return window_percent_rank_spend(spark, "ignored").collect()
+    finally:
+        W.load_table = orig
+
+
+def test_bucketed_rank_property_random_spends(spark):
+    """Hypothesis: on arbitrary per-customer price multisets (heavy
+    duplicate totals, tiny and large magnitudes, sizes that under- and
+    over-fill the 32 buckets), the bucketed rank equals the plain
+    global-window rank exactly. This is the monotone-bucketing theorem
+    (a <= b => bucket(a) <= bucket(b), equal totals share a bucket)
+    checked empirically — an off-by-one in the width_bucket bounds or
+    the prefix-sum offsets breaks equality on some draw."""
+    from hypothesis import given, settings, strategies as st
+
+    prices = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # o_custkey
+            st.sampled_from(  # few distinct prices -> many tied totals
+                [0.01, 1.0, 1.5, 99999.99, 123456.78]
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(prices)
+    def check(rows):
+        df = spark.createDataFrame(
+            rows, "o_custkey int, o_totalprice double"
+        )
+        got = {
+            r["o_custkey"]: (r["total_spend"], r["pct_rank"], r["cume"])
+            for r in _patched(spark, df)
+        }
+        spend = df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total")
+        )
+        w = Window.orderBy("total", "o_custkey")
+        want = {
+            r["o_custkey"]: (r["total_spend"], r["pct_rank"], r["cume"])
+            for r in spend.select(
+                "o_custkey",
+                F.col("total").cast("double").alias("total_spend"),
+                F.percent_rank().over(w).alias("pct_rank"),
+                F.cume_dist().over(w).alias("cume"),
+            ).collect()
+        }
+        assert got == want
+
+    check()
+
+
 def test_degenerate_all_equal_totals(spark):
     """All-equal sort key: one bucket (hi+1 guard), ties broken by
     custkey, percent_rank spans 0..1, cume ends at 1."""

@@ -119,6 +119,11 @@ PROBE = [
     "agg_entropy_mixing",
     "udf_grouped_agg_gini",
     "join_temporal_scd2_enrich",
+    # round 7: the two-pass bucketed global rank (replication
+    # multiplies each customer's total, shifting ranks but keeping
+    # the output one row per customer — dup-insensitive plan probe
+    # for the new width_bucket + prefix-sum shape).
+    "window_percent_rank_spend",
 ]
 
 
