@@ -3,14 +3,15 @@ payloads + typed metadata structs, processed with Arrow-batched
 `mapInPandas`.
 
 Decode status: UNCOMPRESSED formats decode for real, in pure numpy —
-binary netpbm (P6/P5) and 24/32-bit BMP (`decode_image`), with a
-distributed decode→featurize path (`image_stats`, mapInPandas)
-pytest-verified against independently built pixel arrays. Compressed
-formats (PNG/JPEG) still need a codec this container lacks: they
-dispatch to PIL when importable and raise a clearly-marked
-NotImplementedError otherwise. Everything Spark-side — schema, binary
-columns, metadata structs, batch iteration, output schema — is real
-and oracle-checked regardless.
+binary netpbm (P6/P5) and 24/32-bit BMP (`decode_image`), integer
+PCM WAV (`decode_audio`) — each with a distributed decode→featurize
+path (`image_stats` / `audio_stats`, mapInPandas) pytest-verified
+against independently serialized payloads. Compressed formats
+(PNG/JPEG/MP3/...) still need a codec this container lacks: images
+dispatch to PIL when importable; otherwise both raise a
+clearly-marked NotImplementedError. Everything Spark-side — schema,
+binary columns, metadata structs, batch iteration, output schema —
+is real and oracle-checked regardless.
 
 100 TB posture: binary payloads ride in their own column so column
 pruning drops them unless the UDF needs them; `mapInPandas` streams
@@ -169,6 +170,102 @@ def image_stats(images: DataFrame) -> DataFrame:
     every plan that doesn't call this; Arrow streams the batches."""
     return images.select("doc_id", "payload").mapInPandas(
         _image_stats, _IMAGE_STATS_SCHEMA
+    )
+
+
+def decode_audio(payload: bytes):
+    """Decode a WAV payload → (samples array of shape
+    (n_frames, n_channels), sample_rate_hz).
+
+    REAL for uncompressed PCM (RIFF/WAVE, format tag 1, 8/16/32-bit
+    integer samples, any channel count) — pure struct/numpy chunk
+    walking, no audio library, pytest-verified round-trip against
+    independently serialized waveforms. 8-bit WAV is unsigned
+    (returned as uint8 per spec); 16/32-bit are signed little-endian.
+    Compressed/float formats (MP3, AAC, IEEE-float WAV, A-law...)
+    raise a clearly-marked NotImplementedError — this container has
+    no audio codec; a torchaudio/soundfile dispatch drops in here on
+    a cluster that has one."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed-audio decoding requires a codec not present in this "
+            "container; uncompressed PCM WAV decodes natively"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 32):
+        raise NotImplementedError(
+            f"only integer PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+    frame_bytes = n_ch * bits // 8
+    n_frames = len(data) // frame_bytes
+    samples = np.frombuffer(data, dtype=dtype, count=n_frames * n_ch)
+    return samples.reshape(n_frames, n_ch), rate
+
+
+_AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode → per-clip features: shape, duration, RMS amplitude
+    from the decoded samples — the windowing/embedding step's batch
+    shape on genuinely decoded audio. RMS from an exact integer
+    sum-of-squares, one final sqrt/divide."""
+    for pdf in batches:
+        out = {
+            k: []
+            for k in (
+                "doc_id",
+                "sample_rate",
+                "n_frames",
+                "n_channels",
+                "duration_s",
+                "rms",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples, rate = decode_audio(bytes(payload))
+            n, ch = samples.shape
+            sq = int((samples.astype("int64") ** 2).sum())
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["n_frames"].append(n)
+            out["n_channels"].append(ch)
+            out["duration_s"].append(n / rate)
+            out["rms"].append((sq / (n * ch)) ** 0.5 if n else 0.0)
+        yield pd.DataFrame(out)
+
+
+def audio_stats(clips: DataFrame) -> DataFrame:
+    """Distributed decode+featurize over (doc_id, payload) PCM-WAV
+    clips; same Arrow-batched mapInPandas shape as image_stats."""
+    return clips.select("doc_id", "payload").mapInPandas(
+        _audio_stats, _AUDIO_STATS_SCHEMA
     )
 
 

@@ -112,6 +112,77 @@ def test_rle_bmp_rejected_not_garbled():
         decode_image(bytes(data))
 
 
+def _wav_bytes(samples: np.ndarray, rate: int, extra_chunk: bool = False) -> bytes:
+    """PCM WAV from an (n_frames, n_channels) int array; written from
+    the RIFF spec independently of the decoder (fmt layout, even-byte
+    chunk padding, optional LIST chunk before data)."""
+    n, ch = samples.shape
+    bits = samples.dtype.itemsize * 8
+    data = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        info = b"INFOodd"  # 7 bytes: exercises even-offset padding
+        chunks += b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav16_stereo_roundtrip_with_odd_chunk():
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    samples = _rng(20).integers(-32768, 32768, size=(500, 2)).astype("<i2")
+    got, rate = decode_audio(_wav_bytes(samples, 16000, extra_chunk=True))
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_wav8_mono_unsigned():
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    samples = _rng(21).integers(0, 256, size=(64, 1)).astype(np.uint8)
+    got, rate = decode_audio(_wav_bytes(samples, 8000))
+    assert rate == 8000 and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_non_pcm_wav_and_mp3_rejected():
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    samples = _rng(22).integers(-100, 100, size=(8, 1)).astype("<i2")
+    data = bytearray(_wav_bytes(samples, 8000))
+    struct.pack_into("<H", data, 20, 3)  # format 3 = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(data))
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3 frame sync
+
+
+def test_audio_stats_distributed_matches_numpy(spark):
+    from flink_hiveorc_spark.functions.multimodal import audio_stats
+
+    clips = {
+        200: (_rng(30).integers(-32768, 32768, size=(800, 1)).astype("<i2"), 16000),
+        201: (_rng(31).integers(-32768, 32768, size=(441, 2)).astype("<i2"), 44100),
+        202: (_rng(32).integers(0, 256, size=(123, 1)).astype(np.uint8), 8000),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(_wav_bytes(s, r))) for k, (s, r) in clips.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in audio_stats(df).collect()}
+    assert set(got) == set(clips)
+    for doc_id, (s, rate) in clips.items():
+        r = got[doc_id]
+        n, ch = s.shape
+        assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (rate, n, ch)
+        assert r["duration_s"] == n / rate
+        sq = int((s.astype("int64") ** 2).sum())
+        assert r["rms"] == (sq / (n * ch)) ** 0.5
+
+
 def test_image_stats_distributed_matches_numpy(spark):
     """Mixed-format corpus through the Spark mapInPandas path: shapes
     and exact mean bytes equal local numpy on the same arrays."""
