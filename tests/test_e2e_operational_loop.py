@@ -170,3 +170,64 @@ def test_full_loop_crash_restart_all_three_stages(spark, tmp_path):
     _run_rollup(spark, landing, rollup, ck_rollup)
     assert _snapshot(spark, rollup) == before
     assert _refs(read_committed(spark, landing)) == list(range(150))
+
+
+def test_dlq_quarantine_fix_requeue_exactly_once(spark, tmp_path):
+    """The DLQ REPLAY leg the quarantine test only gestures at: bad
+    lines quarantine, an operator 'fixes' them from the DLQ's verbatim
+    raw_value column, the fixed lines re-enter through the SOURCE dir
+    (the production requeue pattern — one ingest stream, one
+    checkpoint, so file-source tracking gives the replay the same
+    exactly-once story as any other arrival), and the restarted ingest
+    catches up without duplicating a single previously-good row."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flink_hiveorc_spark.streaming.ingest import start_city_ingest_with_dlq
+
+    src = tmp_path / "src"
+    out, dlq, ckpt = str(tmp_path / "out"), str(tmp_path / "dlq"), str(tmp_path / "ck")
+    _write_events(src, 0, 40)
+    with open(src / "bad.txt", "w") as f:
+        f.write("totally broken\n")
+        f.write(_json.dumps({"value": "{nope"}) + "\n")
+        f.write(
+            _json.dumps({"value": _json.dumps({"after": {"city_id": 5}})}) + "\n"
+        )
+
+    def run():
+        q = start_city_ingest_with_dlq(
+            file_raw_stream(spark, str(src)), out, dlq, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(r.ref for r in spark.read.orc(out).collect()) == list(range(40))
+    quarantined = [r.raw_value for r in spark.read.json(dlq).collect()]
+    assert len(quarantined) == 3
+
+    # Operator 'fix': every quarantined line becomes a valid envelope
+    # (deterministic refs 1000.. so the repair is visible downstream);
+    # requeue through the source dir — NOT a second writer on `out`.
+    with open(src / "fixed_from_dlq.txt", "w") as f:
+        for i, _line in enumerate(sorted(quarantined)):
+            inner = _json.dumps(
+                {
+                    "after": {
+                        "ref": 1000 + i,
+                        "city_id": i,
+                        "city_name": f"Fixed{i}",
+                        "c_time": 1755000000000 + i * 3_600_000,
+                    }
+                }
+            )
+            f.write(_json.dumps({"value": inner}) + "\n")
+    run()  # same checkpoint: picks up ONLY the requeued file
+
+    refs = sorted(r.ref for r in spark.read.orc(out).collect())
+    assert refs == list(range(40)) + [1000, 1001, 1002]  # no dupes, no loss
+    good = spark.read.orc(out)
+    assert good.filter(F.col("ref").isNull()).count() == 0
+    # the repaired lines decoded cleanly: DLQ did not grow
+    assert spark.read.json(dlq).count() == 3
