@@ -341,15 +341,24 @@ def window_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket — any value-bucketing collapses there). Monotone:
     # a <= b (decimal) => double(a) <= double(b) => bucket(a) <=
     # bucket(b), and equal totals share a bucket, so bucket order IS
-    # key order. The explicit repartition on _bucket is the ONE
-    # data-sized exchange; both consumers below (the per-bucket rank
-    # window and the bucket-size aggregate) require exactly that
-    # distribution, so neither adds a shuffle and the exchange is
-    # reusable between them.
+    # key order. NULL totals (all-null price groups) take bucket 0
+    # explicitly: Spark's ascending window sorts NULLS FIRST, and a
+    # null bucket would silently DROP those rows at the equi-join.
+    # lo is None iff every total is null — any constant bounds then.
+    # The explicit repartition on _bucket is the ONE data-sized
+    # exchange; both consumers below (the per-bucket rank window and
+    # the bucket-size aggregate) require exactly that distribution,
+    # so neither adds a shuffle and the exchange is reusable between
+    # them.
     b = base.withColumn(
         "_bucket",
-        F.width_bucket(
-            F.col("total_spend"), F.lit(lo), F.lit(hi + 1.0), F.lit(32)
+        F.when(F.col("total_spend").isNull(), F.lit(0)).otherwise(
+            F.width_bucket(
+                F.col("total_spend"),
+                F.lit(lo if lo is not None else 0.0),
+                F.lit(hi + 1.0 if hi is not None else 1.0),
+                F.lit(32),
+            )
         ),
     ).repartition(F.col("_bucket"))
     wb = Window.partitionBy("_bucket").orderBy("total", "o_custkey")

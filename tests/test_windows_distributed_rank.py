@@ -131,6 +131,43 @@ def test_bucketed_rank_property_random_spends(spark):
     check()
 
 
+def test_null_totals_rank_first_not_dropped(spark):
+    """Customers whose every price is NULL aggregate to a NULL total.
+    They must (a) not be silently dropped by the bucket equi-join and
+    (b) rank exactly where the single-window Spark form puts them
+    (ascending window order = NULLS FIRST). Includes the all-null
+    corpus, where the bounds row has no min/max at all."""
+    mixed = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, 1.0), (2, 7.0)],
+        "o_custkey int, o_totalprice double",
+    )
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None), (2, None)], "o_custkey int, o_totalprice double"
+    )
+    for df in (mixed, all_null):
+        got = {r["o_custkey"]: r for r in _patched(spark, df)}
+        spend = df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("total")
+        )
+        w = Window.orderBy("total", "o_custkey")
+        want = {
+            r["o_custkey"]: r
+            for r in spend.select(
+                "o_custkey",
+                F.col("total").cast("double").alias("total_spend"),
+                F.percent_rank().over(w).alias("pct_rank"),
+                F.cume_dist().over(w).alias("cume"),
+            ).collect()
+        }
+        assert set(got) == set(want)  # nothing dropped
+        for k in want:
+            assert (got[k]["total_spend"], got[k]["pct_rank"], got[k]["cume"]) == (
+                want[k]["total_spend"],
+                want[k]["pct_rank"],
+                want[k]["cume"],
+            ), k
+
+
 def test_degenerate_all_equal_totals(spark):
     """All-equal sort key: one bucket (hi+1 guard), ties broken by
     custkey, percent_rank spans 0..1, cume ends at 1."""
