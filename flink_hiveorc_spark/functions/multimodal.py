@@ -99,7 +99,7 @@ def _decode_bmp(data: bytes):
     return rows[:, :, [2, 1, 0]] if nch == 3 else rows[:, :, [2, 1, 0, 3]]  # BGR(A)→RGB(A)
 
 
-def decode_image(payload: bytes, codec: str = "auto"):
+def decode_image(payload: bytes):
     """Decode an image payload → HxWxC uint8 numpy array.
 
     REAL for the uncompressed formats a codec-less container can
@@ -110,29 +110,41 @@ def decode_image(payload: bytes, codec: str = "auto"):
     pixel arrays. Compressed formats (PNG/JPEG/...) dispatch to PIL
     when importable and stay a clearly-marked NotImplementedError
     here (this container has no codec — swap-in point documented).
-    ``codec='fake'`` keeps the deterministic (h, w, c) tuple stand-in
-    the plumbing tests use for arbitrary non-image payloads.
-    """
-    if codec == "fake":
-        h = int.from_bytes(hashlib.md5(payload).digest()[:2], "big") % 64 + 1
-        return (h, 64, 3)
+
+    Error contract (what a DLQ-style caller can rely on):
+    NotImplementedError = the FORMAT needs a codec/feature this
+    build lacks; ValueError = the payload claims a supported format
+    but is malformed (truncated body, corrupt header, undecodable
+    by PIL). Nothing else escapes."""
     if payload[:2] in (b"P5", b"P6"):
-        return _decode_pnm(payload)
+        try:
+            return _decode_pnm(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed netpbm payload: {e}") from e
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        try:
+            return _decode_bmp(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed BMP payload: {e}") from e
     try:  # compressed formats: only with a real codec on the cluster
         import io
 
-        from PIL import Image  # noqa: F401
-
-        import numpy as np
-
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        from PIL import Image
     except ImportError:
         raise NotImplementedError(
             "compressed-image decoding requires a codec (PIL/cv2) not present "
             "in this container; PPM/PGM/BMP decode natively"
         ) from None
+    import numpy as np
+
+    try:
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except Exception as e:  # UnidentifiedImageError etc. — keep the contract
+        raise ValueError(f"undecodable image payload: {e}") from e
 
 
 _IMAGE_STATS_SCHEMA = T.StructType(
@@ -212,6 +224,10 @@ def decode_audio(payload: bytes):
         raise NotImplementedError(
             f"only integer PCM WAV supported (format={audio_format}, bits={bits})"
         )
+    if n_ch < 1 or rate < 1:
+        # malformed, not unsupported: 0 channels would ZeroDivide the
+        # frame math and 0 Hz the duration downstream
+        raise ValueError(f"malformed WAV fmt chunk (channels={n_ch}, rate={rate})")
     dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
     frame_bytes = n_ch * bits // 8
     n_frames = len(data) // frame_bytes
@@ -229,6 +245,28 @@ _AUDIO_STATS_SCHEMA = T.StructType(
         T.StructField("rms", T.DoubleType()),
     ]
 )
+
+
+def _sum_of_squares_exact(samples) -> int:
+    """Exact Σx² over an integer sample array, as a Python int.
+
+    A plain int64 ``(x**2).sum()`` overflows for 32-bit PCM — one
+    full-scale sample squares to 2^62, so TWO of them wrap the
+    accumulator (observed: negative sums → complex RMS). Same cure as
+    agg_corr_regr_battery's moment sums: hi/lo split x = q·2^16 + r,
+    so Σx² = 2^32·Σq² + 2^17·Σqr + Σr², where every partial stays
+    safely inside int64 (|q| ≤ 2^15 ⇒ q² ≤ 2^30; qr ≤ 2^31; r² < 2^32
+    — headroom for > 2^30 samples per clip), and the three partials
+    recombine in arbitrary-precision Python ints."""
+    import numpy as np
+
+    x = samples.astype("int64").ravel()
+    q, r = np.divmod(x, 1 << 16)  # r in [0, 2^16) even for negative x
+    return (
+        (int((q * q).sum()) << 32)
+        + (int((q * r).sum()) << 17)
+        + int((r * r).sum())
+    )
 
 
 def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,7 +289,7 @@ def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             samples, rate = decode_audio(bytes(payload))
             n, ch = samples.shape
-            sq = int((samples.astype("int64") ** 2).sum())
+            sq = _sum_of_squares_exact(samples)
             out["doc_id"].append(doc_id)
             out["sample_rate"].append(rate)
             out["n_frames"].append(n)

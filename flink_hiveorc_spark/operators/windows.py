@@ -349,14 +349,23 @@ def window_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange; both consumers below (the per-bucket rank window and
     # the bucket-size aggregate) require exactly that distribution,
     # so neither adds a shuffle and the exchange is reusable between
-    # them.
+    # them. The upper bound must sit STRICTLY above hi even when
+    # hi + 1.0 == hi (doubles >= 2^53 absorb +1.0, and
+    # width_bucket(x, b, b, n) is NULL -> every row silently dropped
+    # at the join), hence the nextafter fallback.
+    import math
+
+    span_lo = lo if lo is not None else 0.0
+    span_hi = hi + 1.0 if hi is not None else 1.0
+    if span_hi <= span_lo:
+        span_hi = math.nextafter(span_lo, math.inf)
     b = base.withColumn(
         "_bucket",
         F.when(F.col("total_spend").isNull(), F.lit(0)).otherwise(
             F.width_bucket(
                 F.col("total_spend"),
-                F.lit(lo if lo is not None else 0.0),
-                F.lit(hi + 1.0 if hi is not None else 1.0),
+                F.lit(span_lo),
+                F.lit(span_hi),
                 F.lit(32),
             )
         ),

@@ -148,6 +148,54 @@ def test_wav8_mono_unsigned():
     np.testing.assert_array_equal(got, samples)
 
 
+def test_wav32_fullscale_rms_exact_no_overflow():
+    """Full-scale 32-bit PCM: each sample squares to ~2^62, so a naive
+    int64 accumulator wraps negative after TWO samples (observed:
+    complex RMS). The hi/lo-split exact sum must return the true
+    value."""
+    from flink_hiveorc_spark.functions.multimodal import (
+        _sum_of_squares_exact,
+        decode_audio,
+    )
+
+    samples = np.array(
+        [[2**31 - 1], [-(2**31)], [2**31 - 1], [-(2**31)], [123456789]],
+        dtype="<i4",
+    )
+    got, rate = decode_audio(_wav_bytes(samples, 48000))
+    np.testing.assert_array_equal(got, samples)
+    expect = sum(int(v) ** 2 for v in samples.ravel())
+    assert expect > 2**63  # the naive accumulator provably wraps here
+    assert _sum_of_squares_exact(got) == expect
+
+
+def test_wav_zero_channels_rejected_as_malformed():
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    samples = _rng(23).integers(-100, 100, size=(8, 1)).astype("<i2")
+    data = bytearray(_wav_bytes(samples, 8000))
+    struct.pack_into("<H", data, 22, 0)  # n_channels = 0
+    with pytest.raises(ValueError):
+        decode_audio(bytes(data))
+    data = bytearray(_wav_bytes(samples, 8000))
+    struct.pack_into("<I", data, 24, 0)  # sample_rate = 0
+    with pytest.raises(ValueError):
+        decode_audio(bytes(data))
+
+
+def test_malformed_supported_formats_raise_value_error():
+    """The decode error contract: NotImplementedError = unsupported
+    FORMAT; ValueError = malformed payload of a supported format — so
+    a DLQ-style caller can catch the pair and never sees a raw
+    struct.error / ZeroDivisionError from header math."""
+    # truncated PPM body (header promises more pixels than exist)
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n10 10\n255\n" + b"\x00" * 10)
+    # BMP magic with garbage header
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + b"\x01" * 20)
+
+
 def test_non_pcm_wav_and_mp3_rejected():
     from flink_hiveorc_spark.functions.multimodal import decode_audio
 

@@ -63,11 +63,17 @@ def test_bucketed_rank_no_global_row_window(spark, sf_dir):
     )
     import re
 
+    data_specs = 0
     for m in re.finditer(r"windowspecdefinition\(([^\)]*)\)", plan):
         spec = m.group(1)
         # a window ordered by the customer sort key must be partitioned
         if "total" in spec and "o_custkey" in spec:
             assert "_bucket" in spec, spec
+            data_specs += 1
+    # guard against vacuous pass: if a Spark upgrade renames the node
+    # or the columns, the loop above matches nothing and stops
+    # guarding — fail loudly instead.
+    assert data_specs >= 1, plan[:2000]
 
 
 def _patched(spark, df):
@@ -166,6 +172,22 @@ def test_null_totals_rank_first_not_dropped(spark):
                 want[k]["pct_rank"],
                 want[k]["cume"],
             ), k
+
+
+def test_all_equal_totals_beyond_double_ulp(spark):
+    """All-equal totals at a magnitude where hi + 1.0 == hi (>= 2^53):
+    the naive upper bound collapses to a zero-width interval, Spark's
+    width_bucket returns NULL, and every row would silently vanish at
+    the bucket join. The nextafter fallback must keep them all."""
+    big = float(1 << 53)  # 9007199254740992.0; big + 1.0 == big
+    df = spark.createDataFrame(
+        [(i, big) for i in range(1, 6)], "o_custkey int, o_totalprice double"
+    )
+    rows = sorted(_patched(spark, df), key=lambda r: r["o_custkey"])
+    assert len(rows) == 5  # nothing dropped
+    for i, r in enumerate(rows):
+        assert r["pct_rank"] == i / 4
+        assert r["cume"] == (i + 1) / 5
 
 
 def test_degenerate_all_equal_totals(spark):
