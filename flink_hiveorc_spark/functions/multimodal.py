@@ -2,16 +2,19 @@
 payloads + typed metadata structs, processed with Arrow-batched
 `mapInPandas`.
 
-Decode status: UNCOMPRESSED formats decode for real, in pure numpy —
-binary netpbm (P6/P5) and 24/32-bit BMP (`decode_image`), integer
-PCM WAV (`decode_audio`) — each with a distributed decode→featurize
-path (`image_stats` / `audio_stats`, mapInPandas) pytest-verified
-against independently serialized payloads. Compressed formats
-(PNG/JPEG/MP3/...) still need a codec this container lacks: images
-dispatch to PIL when importable; otherwise both raise a
-clearly-marked NotImplementedError. Everything Spark-side — schema,
-binary columns, metadata structs, batch iteration, output schema —
-is real and oracle-checked regardless.
+Decode status: every format whose byte stream stdlib+numpy can
+honestly own decodes FOR REAL — binary netpbm (P6/P5), 24/32-bit
+BMP, and non-interlaced ≤8-bit PNG (zlib IS stdlib; all five color
+types, all five scanline filters, palette+tRNS, CRC-verified) via
+`decode_image`; integer PCM, IEEE-float, and G.711 μ-law/A-law WAV
+via `decode_audio` — each with a distributed decode→featurize path
+(`image_stats` / `audio_stats`, mapInPandas) pytest-verified
+against independently serialized payloads. What's left genuinely
+needs an entropy codec this container lacks (JPEG/MP3/AAC/16-bit
+or Adam7 PNG): images dispatch to PIL when importable; otherwise
+a clearly-marked NotImplementedError. Everything Spark-side —
+schema, binary columns, metadata structs, batch iteration, output
+schema — is real and oracle-checked regardless.
 
 100 TB posture: binary payloads ride in their own column so column
 pruning drops them unless the UDF needs them; `mapInPandas` streams
@@ -99,17 +102,191 @@ def _decode_bmp(data: bytes):
     return rows[:, :, [2, 1, 0]] if nch == 3 else rows[:, :, [2, 1, 0, 3]]  # BGR(A)→RGB(A)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(rows, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters (spec §9, 'Filtering').
+
+    Filters None/Up are whole-row vectorized; Sub is a per-lane
+    cumulative sum mod 256 (recon[x] = filt[x] + recon[x-bpp] is
+    exactly a prefix sum over each byte lane); Average and Paeth
+    carry a true left-to-right data dependency, so they run a
+    sequential pixel loop vectorized across the bpp channel bytes.
+    Python-loop cost is per *pixel*, not per byte, and only on rows
+    an encoder filtered with 3/4 — acceptable for a codec-less
+    container; a cluster with a real codec swaps PIL in above this.
+    """
+    import numpy as np
+
+    h = rows.shape[0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    npx = stride // bpp  # stride % bpp == 0: depth<8 ⇒ bpp=1, else stride=w·bpp
+    for y in range(h):
+        ftype = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int64)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub
+            rec = np.empty(stride, dtype=np.int64)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif ftype == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for i in range(npx):
+                s = slice(i * bpp, (i + 1) * bpp)
+                left = (cur[s] + (left + prev[s]) // 2) % 256
+                rec[s] = left
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            a = np.zeros(bpp, dtype=np.int64)  # left
+            c = np.zeros(bpp, dtype=np.int64)  # upper-left
+            for i in range(npx):
+                s = slice(i * bpp, (i + 1) * bpp)
+                b = prev[s]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                a = (cur[s] + pred) % 256
+                rec[s] = a
+                c = b
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = rec
+        out[y] = rec
+    return out
+
+
+def _decode_png(data: bytes):
+    """Non-interlaced ≤8-bit PNG in pure stdlib-zlib + numpy.
+
+    Full spec subset: chunk walk with CRC-32 verification, IHDR
+    validation, multi-IDAT concatenation, all five scanline filters,
+    bit depths 1/2/4/8 (grayscale scaled to full 0..255 range, the
+    PIL 'L'-mode convention), color types 0 gray / 2 RGB / 3 palette
+    (PLTE + optional tRNS alpha → RGB(A)) / 4 gray+alpha / 6 RGBA.
+    16-bit and Adam7 interlacing raise NotImplementedError (PIL
+    fallback when importable); everything structurally wrong raises
+    through the caller's ValueError wrapper."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype.decode('latin1')} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or w == 0 or h == 0:
+        raise ValueError(f"bad IHDR (compression={comp}, filter={filt}, {w}x{h})")
+    if interlace == 1:
+        raise NotImplementedError("Adam7-interlaced PNG needs a codec (PIL)")
+    if interlace != 0:
+        raise ValueError(f"bad IHDR interlace {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    if depth == 16:
+        raise NotImplementedError("16-bit PNG needs a codec (PIL)")
+    if depth not in (1, 2, 4, 8) or (depth != 8 and color not in (0, 3)):
+        raise ValueError(f"bad PNG bit depth {depth} for color type {color}")
+    stride = (w * depth * channels + 7) // 8
+    expected = (stride + 1) * h
+    # decompressobj + max_length caps the inflate at expected+1 bytes:
+    # a decompression bomb (tiny IDAT, huge stream) fails the length
+    # check below instead of materializing executor-memory-sized junk
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError(f"PNG pixel stream is {len(raw)}+ bytes, expected {expected}")
+    bpp = max(1, depth * channels // 8)
+    recon = _png_unfilter(
+        np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1), stride, bpp
+    )
+    if depth < 8:
+        bits = np.unpackbits(recon, axis=1)  # MSB-first per spec
+        samples = (
+            bits[:, : (stride * 8 // depth) * depth]
+            .reshape(h, -1, depth)
+            .dot(1 << np.arange(depth - 1, -1, -1))
+            .astype(np.uint8)[:, :w]
+        )
+    else:
+        samples = recon.reshape(h, w * channels)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/odd PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(h, w)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([pal[idx], alpha[idx][:, :, None]])
+        return pal[idx]
+    if depth < 8:  # grayscale: scale 2^depth-1 → 255 (exact: 255 = 3·5·17)
+        return (samples * (255 // ((1 << depth) - 1)))[:, :, None]
+    return samples.reshape(h, w, channels)
+
+
+def _pil_decode(payload: bytes):
+    """Codec-backed fallback for formats/features the native decoders
+    can't own (JPEG, 16-bit/interlaced PNG, ...). Import-gated: the
+    swap-in point for a cluster with PIL/cv2 installed."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "compressed-image decoding requires a codec (PIL/cv2) not present "
+            "in this container; PPM/PGM/BMP/≤8-bit-PNG decode natively"
+        ) from None
+    import numpy as np
+
+    try:
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except Exception as e:  # UnidentifiedImageError etc. — keep the contract
+        raise ValueError(f"undecodable image payload: {e}") from e
+
+
 def decode_image(payload: bytes):
     """Decode an image payload → HxWxC uint8 numpy array.
 
-    REAL for the uncompressed formats a codec-less container can
-    honestly own: binary netpbm (P6 PPM → HxWx3, P5 PGM → HxWx1,
-    8-bit) and uncompressed 24/32-bit BMP (bottom-up or top-down,
-    row padding handled, BGR(A)→RGB(A)) — pure numpy, no image
-    library, pytest-verified round-trip against independently built
-    pixel arrays. Compressed formats (PNG/JPEG/...) dispatch to PIL
+    REAL for every format stdlib+numpy can honestly own: binary
+    netpbm (P6 PPM → HxWx3, P5 PGM → HxWx1, 8-bit), uncompressed
+    24/32-bit BMP (bottom-up or top-down, row padding handled,
+    BGR(A)→RGB(A)), and non-interlaced ≤8-bit PNG (zlib inflate +
+    all five scanline filters + palette/tRNS, chunk CRCs verified)
+    — no image library, pytest-verified round-trip against
+    independently built pixel arrays. Formats that genuinely need
+    an entropy codec (JPEG, 16-bit/Adam7 PNG, ...) dispatch to PIL
     when importable and stay a clearly-marked NotImplementedError
-    here (this container has no codec — swap-in point documented).
+    otherwise (this container has no codec — swap-in point
+    documented).
 
     Error contract (what a DLQ-style caller can rely on):
     NotImplementedError = the FORMAT needs a codec/feature this
@@ -130,21 +307,16 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed BMP payload: {e}") from e
-    try:  # compressed formats: only with a real codec on the cluster
-        import io
-
-        from PIL import Image
-    except ImportError:
-        raise NotImplementedError(
-            "compressed-image decoding requires a codec (PIL/cv2) not present "
-            "in this container; PPM/PGM/BMP decode natively"
-        ) from None
-    import numpy as np
-
-    try:
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-    except Exception as e:  # UnidentifiedImageError etc. — keep the contract
-        raise ValueError(f"undecodable image payload: {e}") from e
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            # 16-bit / Adam7: a real codec CAN own these — try it.
+            return _pil_decode(payload)
+        except Exception as e:
+            raise ValueError(f"malformed PNG payload: {e}") from e
+    # entropy-coded formats (JPEG/...): only with a real codec
+    return _pil_decode(payload)
 
 
 _IMAGE_STATS_SCHEMA = T.StructType(
@@ -156,32 +328,68 @@ _IMAGE_STATS_SCHEMA = T.StructType(
         T.StructField("mean_byte", T.DoubleType()),
     ]
 )
+_ERROR_FIELD = T.StructField("error", T.StringType())
 
 
-def _image_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _quarantine_error(e: Exception) -> str:
+    """Error-channel encoding for quarantine mode: the decode contract's
+    two classes keep their identity so downstream can split 'needs a
+    codec' (reprocess on a codec-equipped cluster) from 'corrupt blob'
+    (true DLQ)."""
+    kind = "unsupported" if isinstance(e, NotImplementedError) else "malformed"
+    return f"{kind}: {e}"
+
+
+def _image_stats(
+    batches: Iterator[pd.DataFrame], quarantine: bool = False
+) -> Iterator[pd.DataFrame]:
     """REAL decode → feature rows (mapInPandas): per image, shape plus
     mean pixel byte from the decoded array — the actual
     resize/embed/feature step's batch shape, exercised end-to-end on
     genuinely decoded pixels (not the fake). Exact mean: integer pixel
     sum / count, one final double division."""
+    cols = ("doc_id", "height", "width", "channels", "mean_byte")
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "height", "width", "channels", "mean_byte")}
+        out = {k: [] for k in cols + (("error",) if quarantine else ())}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            arr = decode_image(bytes(payload))
+            try:
+                arr = decode_image(bytes(payload))
+            except (NotImplementedError, ValueError) as e:
+                if not quarantine:
+                    raise
+                out["doc_id"].append(doc_id)
+                for k in cols[1:]:
+                    out[k].append(None)
+                out["error"].append(_quarantine_error(e))
+                continue
             out["doc_id"].append(doc_id)
             out["height"].append(arr.shape[0])
             out["width"].append(arr.shape[1])
             out["channels"].append(arr.shape[2])
             out["mean_byte"].append(int(arr.sum(dtype="int64")) / arr.size)
+            if quarantine:
+                out["error"].append(None)
         yield pd.DataFrame(out)
 
 
-def image_stats(images: DataFrame) -> DataFrame:
+def image_stats(images: DataFrame, quarantine: bool = False) -> DataFrame:
     """Distributed decode+featurize over an (doc_id, payload) frame of
     real image payloads. Column pruning keeps the blob column out of
-    every plan that doesn't call this; Arrow streams the batches."""
+    every plan that doesn't call this; Arrow streams the batches.
+
+    ``quarantine=True`` is the 100 TB posture: one corrupt blob among
+    billions must not kill the job, so decode failures become rows
+    with NULL features and an `error` column ('unsupported: ...' /
+    'malformed: ...' per the decode contract) — filter them into a
+    DLQ table and keep going. Default raises (fail-fast for curated
+    inputs)."""
+    schema = (
+        T.StructType(_IMAGE_STATS_SCHEMA.fields + [_ERROR_FIELD])
+        if quarantine
+        else _IMAGE_STATS_SCHEMA
+    )
     return images.select("doc_id", "payload").mapInPandas(
-        _image_stats, _IMAGE_STATS_SCHEMA
+        lambda batches: _image_stats(batches, quarantine), schema
     )
 
 
@@ -189,15 +397,19 @@ def decode_audio(payload: bytes):
     """Decode a WAV payload → (samples array of shape
     (n_frames, n_channels), sample_rate_hz).
 
-    REAL for uncompressed PCM (RIFF/WAVE, format tag 1, 8/16/32-bit
-    integer samples, any channel count) — pure struct/numpy chunk
-    walking, no audio library, pytest-verified round-trip against
-    independently serialized waveforms. 8-bit WAV is unsigned
-    (returned as uint8 per spec); 16/32-bit are signed little-endian.
-    Compressed/float formats (MP3, AAC, IEEE-float WAV, A-law...)
-    raise a clearly-marked NotImplementedError — this container has
-    no audio codec; a torchaudio/soundfile dispatch drops in here on
-    a cluster that has one."""
+    REAL for every WAV flavor stdlib+numpy can honestly own — pure
+    struct/numpy chunk walking, no audio library, pytest-verified
+    round-trip against independently serialized waveforms:
+    - format 1 integer PCM, 8/16/24/32-bit, any channel count (8-bit
+      is unsigned per spec → uint8; 16/32 signed little-endian;
+      24-bit 3-byte frames sign-extended → int32);
+    - format 3 IEEE float, 32/64-bit (returned as float32/float64);
+    - formats 6/7 G.711 A-law/μ-law (8-bit log-companded; expanded
+      through the ITU G.711 decode tables → int16 linear).
+    Genuinely-compressed formats (MP3, AAC, ADPCM...) raise a
+    clearly-marked NotImplementedError — this container has no
+    audio codec; a torchaudio/soundfile dispatch drops in here on a
+    cluster that has one."""
     import struct
 
     import numpy as np
@@ -220,19 +432,74 @@ def decode_audio(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16, 32):
+    supported = {
+        (1, 8): np.dtype(np.uint8),
+        (1, 16): np.dtype("<i2"),
+        (1, 24): None,  # 3-byte packed: assembled below, not a numpy dtype
+        (1, 32): np.dtype("<i4"),
+        (3, 32): np.dtype("<f4"),
+        (3, 64): np.dtype("<f8"),
+        (6, 8): np.dtype(np.uint8),  # G.711 A-law
+        (7, 8): np.dtype(np.uint8),  # G.711 μ-law
+    }
+    if (audio_format, bits) not in supported:
         raise NotImplementedError(
-            f"only integer PCM WAV supported (format={audio_format}, bits={bits})"
+            f"only PCM/IEEE-float/G.711 WAV supported (format={audio_format}, "
+            f"bits={bits})"
         )
     if n_ch < 1 or rate < 1:
         # malformed, not unsupported: 0 channels would ZeroDivide the
         # frame math and 0 Hz the duration downstream
         raise ValueError(f"malformed WAV fmt chunk (channels={n_ch}, rate={rate})")
-    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
     frame_bytes = n_ch * bits // 8
     n_frames = len(data) // frame_bytes
-    samples = np.frombuffer(data, dtype=dtype, count=n_frames * n_ch)
+    if bits == 24:  # 3-byte little-endian two's complement → int32
+        b = np.frombuffer(data, dtype=np.uint8, count=n_frames * n_ch * 3)
+        b = b.reshape(-1, 3).astype(np.int32)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = vals - ((vals & 0x800000) << 1)  # sign-extend bit 23
+        return samples.reshape(n_frames, n_ch), rate
+    samples = np.frombuffer(data, dtype=supported[(audio_format, bits)], count=n_frames * n_ch)
+    if audio_format in (6, 7):
+        samples = _g711_table(audio_format)[samples]  # log-companded → int16
     return samples.reshape(n_frames, n_ch), rate
+
+
+_G711_TABLES: dict = {}
+
+
+def _g711_table(audio_format: int):
+    """256-entry G.711 expansion table (byte code → int16 linear),
+    built vectorized from the ITU-T G.711 bit-field definition.
+
+    μ-law (format 7): complement the byte, then
+    linear = ((mantissa·8 + 0x84) << exponent) − 0x84, negative when
+    the complemented sign bit is set (max magnitude 32124).
+    A-law (format 6): XOR 0x55, mantissa·16 (+8 in segment 0, +0x108
+    then << seg−1 above), POSITIVE when bit 0x80 is set — A-law's
+    sign convention is inverted vs μ-law (max magnitude 32256).
+    Spot-pinned in tests against a scalar transliteration of the
+    CCITT reference decoder and the silence codes (μ 0xFF → 0,
+    A 0xD5 → +8)."""
+    import numpy as np
+
+    tab = _G711_TABLES.get(audio_format)
+    if tab is not None:
+        return tab
+    codes = np.arange(256, dtype=np.int32)
+    if audio_format == 7:  # μ-law
+        u = codes ^ 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+        lin = np.where(u & 0x80, -mag, mag)
+    else:  # A-law
+        a = codes ^ 0x55
+        seg = (a >> 4) & 0x07
+        t = (a & 0x0F) << 4
+        mag = np.where(seg == 0, t + 8, (t + 0x108) << (np.maximum(seg, 1) - 1))
+        lin = np.where(a & 0x80, mag, -mag)
+    tab = lin.astype(np.int16)
+    _G711_TABLES[audio_format] = tab
+    return tab
 
 
 _AUDIO_STATS_SCHEMA = T.StructType(
@@ -269,41 +536,58 @@ def _sum_of_squares_exact(samples) -> int:
     )
 
 
-def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _audio_stats(
+    batches: Iterator[pd.DataFrame], quarantine: bool = False
+) -> Iterator[pd.DataFrame]:
     """REAL decode → per-clip features: shape, duration, RMS amplitude
     from the decoded samples — the windowing/embedding step's batch
     shape on genuinely decoded audio. RMS from an exact integer
     sum-of-squares, one final sqrt/divide."""
+    cols = ("doc_id", "sample_rate", "n_frames", "n_channels", "duration_s", "rms")
     for pdf in batches:
-        out = {
-            k: []
-            for k in (
-                "doc_id",
-                "sample_rate",
-                "n_frames",
-                "n_channels",
-                "duration_s",
-                "rms",
-            )
-        }
+        out = {k: [] for k in cols + (("error",) if quarantine else ())}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples, rate = decode_audio(bytes(payload))
+            try:
+                samples, rate = decode_audio(bytes(payload))
+            except (NotImplementedError, ValueError) as e:
+                if not quarantine:
+                    raise
+                out["doc_id"].append(doc_id)
+                for k in cols[1:]:
+                    out[k].append(None)
+                out["error"].append(_quarantine_error(e))
+                continue
             n, ch = samples.shape
-            sq = _sum_of_squares_exact(samples)
+            if samples.dtype.kind == "f":  # IEEE-float WAV: no exact
+                # integer sum exists; float64 accumulation is the
+                # honest best (error ~n·ulp, documented not hidden)
+                x = samples.astype("float64").ravel()
+                sq = float((x * x).sum())
+            else:
+                sq = _sum_of_squares_exact(samples)
             out["doc_id"].append(doc_id)
             out["sample_rate"].append(rate)
             out["n_frames"].append(n)
             out["n_channels"].append(ch)
             out["duration_s"].append(n / rate)
             out["rms"].append((sq / (n * ch)) ** 0.5 if n else 0.0)
+            if quarantine:
+                out["error"].append(None)
         yield pd.DataFrame(out)
 
 
-def audio_stats(clips: DataFrame) -> DataFrame:
-    """Distributed decode+featurize over (doc_id, payload) PCM-WAV
-    clips; same Arrow-batched mapInPandas shape as image_stats."""
+def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
+    """Distributed decode+featurize over (doc_id, payload) WAV clips;
+    same Arrow-batched mapInPandas shape as image_stats, including the
+    opt-in `quarantine=True` error channel (NULL features + `error`
+    column instead of a task-killing raise — see image_stats)."""
+    schema = (
+        T.StructType(_AUDIO_STATS_SCHEMA.fields + [_ERROR_FIELD])
+        if quarantine
+        else _AUDIO_STATS_SCHEMA
+    )
     return clips.select("doc_id", "payload").mapInPandas(
-        _audio_stats, _AUDIO_STATS_SCHEMA
+        lambda batches: _audio_stats(batches, quarantine), schema
     )
 
 

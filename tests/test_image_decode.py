@@ -92,16 +92,21 @@ def test_bmp32_top_down():
     np.testing.assert_array_equal(decode_image(_bmp_bytes(arr, top_down=True)), arr)
 
 
-def test_compressed_without_codec_raises_not_implemented():
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+def _no_pil() -> bool:
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL present on this host; gate untestable")
+        return False
     except ImportError:
-        pass
+        return True
+
+
+def test_compressed_without_codec_raises_not_implemented():
+    jpeg_magic = b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 32
+    if not _no_pil():
+        pytest.skip("PIL present on this host; gate untestable")
     with pytest.raises(NotImplementedError):
-        decode_image(png_magic)
+        decode_image(jpeg_magic)
 
 
 def test_rle_bmp_rejected_not_garbled():
@@ -112,15 +117,18 @@ def test_rle_bmp_rejected_not_garbled():
         decode_image(bytes(data))
 
 
-def _wav_bytes(samples: np.ndarray, rate: int, extra_chunk: bool = False) -> bytes:
-    """PCM WAV from an (n_frames, n_channels) int array; written from
+def _wav_bytes(
+    samples: np.ndarray, rate: int, extra_chunk: bool = False, fmt_tag: int = 1
+) -> bytes:
+    """WAV from an (n_frames, n_channels) sample array; written from
     the RIFF spec independently of the decoder (fmt layout, even-byte
-    chunk padding, optional LIST chunk before data)."""
+    chunk padding, optional LIST chunk before data). fmt_tag 1 = PCM,
+    3 = IEEE float, 6/7 = G.711 A-law/μ-law byte codes."""
     n, ch = samples.shape
     bits = samples.dtype.itemsize * 8
     data = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
     fmt = struct.pack(
-        "<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+        "<HHIIHH", fmt_tag, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
     )
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if extra_chunk:
@@ -196,12 +204,16 @@ def test_malformed_supported_formats_raise_value_error():
         decode_image(b"BM" + b"\x01" * 20)
 
 
-def test_non_pcm_wav_and_mp3_rejected():
+def test_unsupported_wav_and_mp3_rejected():
     from flink_hiveorc_spark.functions.multimodal import decode_audio
 
     samples = _rng(22).integers(-100, 100, size=(8, 1)).astype("<i2")
     data = bytearray(_wav_bytes(samples, 8000))
-    struct.pack_into("<H", data, 20, 3)  # format 3 = IEEE float
+    struct.pack_into("<H", data, 20, 2)  # format 2 = MS ADPCM
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(data))
+    data = bytearray(_wav_bytes(samples, 8000))
+    struct.pack_into("<H", data, 20, 3)  # float16 isn't a WAV thing
     with pytest.raises(NotImplementedError):
         decode_audio(bytes(data))
     with pytest.raises(NotImplementedError):

@@ -1,0 +1,411 @@
+"""Native PNG and G.711/float WAV decode (functions/multimodal.py).
+
+The PNG serializer here is written from the PNG spec independently of
+the decoder: scalar per-byte filter math (the decoder unfilters with
+vectorized prefix sums / per-pixel loops), explicit MSB-first bit
+packing for sub-byte depths, chunk CRCs via zlib.crc32 over
+type+body. The G.711 reference decoders are scalar transliterations
+of the CCITT/Sun reference C (ulaw2linear / alaw2linear) — a
+different formulation from the decoder's vectorized bit-field table —
+so a shared misunderstanding can't cancel out.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from flink_hiveorc_spark.functions.multimodal import decode_audio, decode_image
+
+from test_image_decode import _no_pil, _rng, _wav_bytes
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(ftype: int, row: list, prev: list, bpp: int) -> bytes:
+    """Apply PNG filter `ftype` to one scanline, scalar per-byte per
+    spec §9 (recon → filtered)."""
+    out = bytearray()
+    for x, v in enumerate(row):
+        a = row[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out.append((v - pred) % 256)
+    return bytes(out)
+
+
+def _pack_row(samples, depth: int) -> bytes:
+    """MSB-first bit packing of sub-byte samples into scanline bytes."""
+    bits = []
+    for s in samples:
+        for k in range(depth - 1, -1, -1):
+            bits.append((int(s) >> k) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[j : j + 8]))
+        for j in range(0, len(bits), 8)
+    )
+
+
+def _png_bytes(
+    scanlines: list,
+    w: int,
+    h: int,
+    depth: int,
+    color: int,
+    filters: list,
+    palette=None,
+    trns=None,
+    interlace: int = 0,
+) -> bytes:
+    """Full PNG byte stream: signature, IHDR, optional PLTE/tRNS, the
+    IDAT zlib stream split across TWO chunks (exercises multi-IDAT
+    concatenation), IEND."""
+    bpp = max(1, depth * _CHANNELS[color] // 8)
+    stride = len(scanlines[0])
+    raw = bytearray()
+    prev = [0] * stride
+    for y, row in enumerate(scanlines):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _filter_row(f, list(row), prev, bpp)
+        prev = list(row)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(trns))
+    comp = zlib.compress(bytes(raw))
+    mid = len(comp) // 2
+    out += _png_chunk(b"IDAT", comp[:mid]) + _png_chunk(b"IDAT", comp[mid:])
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _png_from_array(arr: np.ndarray, filters: list) -> bytes:
+    """8-bit PNG of an HxWxC array (C ∈ {1,2,3,4} → color type)."""
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    return _png_bytes([arr[y].tobytes() for y in range(h)], w, h, 8, color, filters)
+
+
+ALL_FILTERS = [0, 1, 2, 3, 4]
+
+
+def test_png_rgb_all_five_filters_roundtrip():
+    arr = _rng(40).integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    got = decode_image(_png_from_array(arr, ALL_FILTERS))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_png_rgba_paeth_only():
+    arr = _rng(41).integers(0, 256, size=(6, 9, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_png_from_array(arr, [4])), arr)
+
+
+def test_png_gray_and_gray_alpha():
+    g = _rng(42).integers(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_png_from_array(g, [3, 1])), g)
+    ga = _rng(43).integers(0, 256, size=(4, 8, 2), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_png_from_array(ga, [2, 4])), ga)
+
+
+def test_png_palette8_with_trns_alpha():
+    pal = [(10 * i % 256, (7 * i + 3) % 256, (13 * i + 1) % 256) for i in range(16)]
+    trns = [255, 0, 128, 7]  # first 4 entries get explicit alpha
+    idx = _rng(44).integers(0, 16, size=(6, 11), dtype=np.uint8)
+    png = _png_bytes(
+        [idx[y].tobytes() for y in range(6)], 11, 6, 8, 3, ALL_FILTERS, pal, trns
+    )
+    got = decode_image(png)
+    pal_arr = np.array(pal, dtype=np.uint8)
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:4] = trns
+    expect = np.dstack([pal_arr[idx], alpha[idx][:, :, None]])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_png_palette4_packed_indices():
+    pal = [(i * 16, 255 - i * 16, i * 5) for i in range(13)]
+    idx = _rng(45).integers(0, 13, size=(7, 5), dtype=np.uint8)  # odd width: pad bits
+    png = _png_bytes(
+        [_pack_row(idx[y], 4) for y in range(7)], 5, 7, 4, 3, [0, 1, 2], pal
+    )
+    np.testing.assert_array_equal(
+        decode_image(png), np.array(pal, dtype=np.uint8)[idx]
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_png_subbyte_gray_scales_to_full_range(depth):
+    maxval = (1 << depth) - 1
+    vals = _rng(46 + depth).integers(0, maxval + 1, size=(3, 11), dtype=np.uint8)
+    png = _png_bytes(
+        [_pack_row(vals[y], depth) for y in range(3)], 11, 3, depth, 0, [0, 2]
+    )
+    expect = (vals * (255 // maxval)).astype(np.uint8)[:, :, None]
+    np.testing.assert_array_equal(decode_image(png), expect)
+
+
+def test_png_crc_corruption_is_malformed():
+    arr = _rng(48).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    data = bytearray(_png_from_array(arr, [0]))
+    data[-5] ^= 0xFF  # flip a bit inside IEND's CRC... IEND body empty; flip IDAT
+    data[40] ^= 0x01  # and one inside a chunk body
+    with pytest.raises(ValueError):
+        decode_image(bytes(data))
+
+
+def test_png_truncated_stream_is_malformed():
+    arr = _rng(49).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    h, w, _ = arr.shape
+    # lie about the height: IHDR promises 5 rows, stream carries 4
+    rows = [arr[y].tobytes() for y in range(h)]
+    png = _png_bytes(rows, w, 5, 8, 2, [0])
+    with pytest.raises(ValueError):
+        decode_image(png)
+
+
+def test_png_16bit_and_interlaced_need_codec():
+    if not _no_pil():
+        pytest.skip("PIL present on this host; gate untestable")
+    arr = _rng(50).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    rows = [arr[y].tobytes() for y in range(2)]
+    with pytest.raises(NotImplementedError):
+        decode_image(_png_bytes(rows, 2, 2, 8, 2, [0], interlace=1))
+    # 16-bit: IHDR says depth 16 (stream content irrelevant — the
+    # depth gate fires before length validation)
+    with pytest.raises(NotImplementedError):
+        decode_image(_png_bytes(rows, 2, 2, 16, 2, [0]))
+
+
+def test_png_property_random_images_random_filters():
+    """Hypothesis-style sweep without the library overhead: 20 random
+    (shape, channels, per-row filter) draws must all round-trip."""
+    rng = _rng(51)
+    for trial in range(20):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        c = int(rng.integers(1, 5))
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        filters = [int(f) for f in rng.integers(0, 5, size=h)]
+        got = decode_image(_png_from_array(arr, filters))
+        np.testing.assert_array_equal(got, arr, err_msg=f"trial {trial}")
+
+
+# --- G.711 -----------------------------------------------------------------
+
+
+def _ulaw2lin_ref(byte: int) -> int:
+    """Scalar transliteration of the Sun/CCITT reference ulaw2linear."""
+    u = ~byte & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw2lin_ref(byte: int) -> int:
+    """Scalar transliteration of the Sun/CCITT reference alaw2linear."""
+    a = byte ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def test_g711_tables_match_reference_all_256_codes():
+    from flink_hiveorc_spark.functions.multimodal import _g711_table
+
+    ulaw, alaw = _g711_table(7), _g711_table(6)
+    for b in range(256):
+        assert ulaw[b] == _ulaw2lin_ref(b), f"ulaw code {b:#04x}"
+        assert alaw[b] == _alaw2lin_ref(b), f"alaw code {b:#04x}"
+    # spec-pinned landmarks: silence codes and full-scale magnitudes
+    assert ulaw[0xFF] == 0 and alaw[0xD5] == 8
+    assert ulaw[0x80] == 32124 and alaw[0xAA] == 32256
+    assert int(np.abs(ulaw).max()) == 32124
+    assert int(np.abs(alaw).max()) == 32256
+
+
+@pytest.mark.parametrize("fmt_tag", [6, 7])
+def test_g711_wav_roundtrip(fmt_tag):
+    from flink_hiveorc_spark.functions.multimodal import _g711_table
+
+    codes = _rng(60 + fmt_tag).integers(0, 256, size=(300, 2)).astype(np.uint8)
+    got, rate = decode_audio(_wav_bytes(codes, 8000, fmt_tag=fmt_tag))
+    assert rate == 8000 and got.dtype == np.int16
+    np.testing.assert_array_equal(got, _g711_table(fmt_tag)[codes])
+
+
+def test_pcm24_wav_sign_extension():
+    """24-bit PCM: 3-byte little-endian frames serialized by hand
+    (independently of the decoder's assembly), full-scale negative and
+    positive values included."""
+    vals = np.array(
+        [[-(2**23)], [2**23 - 1], [-1], [0], [1], [-123456], [654321]],
+        dtype=np.int32,
+    )
+    body = b"".join(
+        int(v).to_bytes(3, "little", signed=True) for v in vals.ravel()
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+    got, rate = decode_audio(payload)
+    assert rate == 48000
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_png_decompression_bomb_capped():
+    """IDAT inflating past the IHDR-promised size must fail the length
+    check without materializing the full bomb (decompressobj cap)."""
+    bomb = zlib.compress(b"\x00" * 10_000_000)  # ~10 KB compressed
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_image(png)
+
+
+def test_float_wav_roundtrip_exact():
+    f32 = _rng(70).normal(size=(200, 1)).astype("<f4")
+    got, rate = decode_audio(_wav_bytes(f32, 44100, fmt_tag=3))
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, f32)
+    f64 = _rng(71).normal(size=(64, 2)).astype("<f8")
+    got64, _ = decode_audio(_wav_bytes(f64, 48000, fmt_tag=3))
+    assert got64.dtype == np.float64
+    np.testing.assert_array_equal(got64, f64)
+
+
+def test_audio_stats_float_and_g711_clips(spark):
+    """Distributed featurize over the NEW formats: float WAV RMS
+    (float64 accumulation, checked against math.fsum within 1e-9
+    relative) and μ-law RMS (int16 after expansion → exact path)."""
+    import math
+
+    from flink_hiveorc_spark.functions.multimodal import _g711_table, audio_stats
+
+    f32 = _rng(80).normal(scale=0.3, size=(500, 2)).astype("<f4")
+    codes = _rng(81).integers(0, 256, size=(400, 1)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (300, bytearray(_wav_bytes(f32, 16000, fmt_tag=3))),
+            (301, bytearray(_wav_bytes(codes, 8000, fmt_tag=7))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in audio_stats(df).collect()}
+    r = got[300]
+    assert (r["n_frames"], r["n_channels"], r["sample_rate"]) == (500, 2, 16000)
+    expect_sq = math.fsum(float(v) ** 2 for v in f32.astype("float64").ravel())
+    assert r["rms"] == pytest.approx((expect_sq / 1000) ** 0.5, rel=1e-9)
+    r = got[301]
+    lin = _g711_table(7)[codes]
+    sq = sum(int(v) ** 2 for v in lin.ravel())
+    assert r["rms"] == (sq / 400) ** 0.5
+
+
+def test_image_stats_quarantine_routes_failures_not_kills_task(spark):
+    """100 TB posture: quarantine=True turns decode failures into
+    error rows (NULL features, classified error string) while good
+    blobs in the SAME Arrow batch still featurize; default mode still
+    raises (fail-fast contract unchanged)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from flink_hiveorc_spark.functions.multimodal import image_stats
+
+    good = _rng(91).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    rows = [
+        (500, bytearray(_png_from_array(good, [1, 4]))),
+        (501, bytearray(b"P6\n9 9\n255\n" + b"\x00" * 5)),  # truncated: malformed
+        (502, bytearray(b"\xff\xd8\xff\xe0JPEG-ish" + b"\x00" * 16)),  # needs codec
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(1)
+    got = {r["doc_id"]: r for r in image_stats(df, quarantine=True).collect()}
+    assert got[500]["error"] is None and got[500]["height"] == 4
+    assert got[501]["height"] is None and got[501]["error"].startswith("malformed:")
+    if _no_pil():
+        assert got[502]["error"].startswith("unsupported:")
+    with pytest.raises((PythonException, Py4JJavaError)):
+        image_stats(df).collect()  # default stays fail-fast
+
+
+def test_audio_stats_quarantine(spark):
+    from flink_hiveorc_spark.functions.multimodal import audio_stats
+
+    ok = _rng(92).integers(-1000, 1000, size=(32, 1)).astype("<i2")
+    bad = bytearray(_wav_bytes(ok, 8000))
+    struct.pack_into("<H", bad, 22, 0)  # channels=0: malformed
+    df = spark.createDataFrame(
+        [
+            (600, bytearray(_wav_bytes(ok, 8000))),
+            (601, bad),
+            (602, bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 32)),  # MP3: unsupported
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in audio_stats(df, quarantine=True).collect()}
+    assert got[600]["error"] is None and got[600]["n_frames"] == 32
+    assert got[601]["error"].startswith("malformed:")
+    assert got[602]["error"].startswith("unsupported:")
+    assert got[601]["rms"] is None and got[602]["n_frames"] is None
+
+
+def test_image_stats_includes_png(spark):
+    """PNG joins the mixed-format distributed corpus: exact shape and
+    mean through the mapInPandas path."""
+    from flink_hiveorc_spark.functions.multimodal import image_stats
+
+    arr = _rng(90).integers(0, 256, size=(14, 6, 4), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(400, bytearray(_png_from_array(arr, ALL_FILTERS)))],
+        "doc_id long, payload binary",
+    )
+    [r] = image_stats(df).collect()
+    assert (r["height"], r["width"], r["channels"]) == (14, 6, 4)
+    assert r["mean_byte"] == int(arr.sum(dtype="int64")) / arr.size
