@@ -4,17 +4,18 @@ payloads + typed metadata structs, processed with Arrow-batched
 
 Decode status: every format whose byte stream stdlib+numpy can
 honestly own decodes FOR REAL — binary netpbm (P6/P5), 24/32-bit
-BMP, and non-interlaced ≤8-bit PNG (zlib IS stdlib; all five color
-types, all five scanline filters, palette+tRNS, CRC-verified) via
-`decode_image`; integer PCM, IEEE-float, and G.711 μ-law/A-law WAV
-via `decode_audio` — each with a distributed decode→featurize path
-(`image_stats` / `audio_stats`, mapInPandas) pytest-verified
-against independently serialized payloads. What's left genuinely
-needs an entropy codec this container lacks (JPEG/MP3/AAC/16-bit
-or Adam7 PNG): images dispatch to PIL when importable; otherwise
-a clearly-marked NotImplementedError. Everything Spark-side —
-schema, binary columns, metadata structs, batch iteration, output
-schema — is real and oracle-checked regardless.
+BMP, and COMPLETE PNG (zlib IS stdlib; all five color types, all
+five scanline filters, bit depths 1-16, palette+tRNS, Adam7
+interlacing, CRC-verified) via `decode_image`; integer PCM,
+IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio` — each
+with a distributed decode→featurize path (`image_stats` /
+`audio_stats`, mapInPandas) pytest-verified against independently
+serialized payloads. What's left genuinely needs an entropy codec
+this container lacks (JPEG/GIF-LZW/MP3/AAC): images dispatch to
+PIL when importable; otherwise a clearly-marked
+NotImplementedError. Everything Spark-side — schema, binary
+columns, metadata structs, batch iteration, output schema — is
+real and oracle-checked regardless.
 
 100 TB posture: binary payloads ride in their own column so column
 pruning drops them unless the UDF needs them; `mapInPandas` streams
@@ -161,17 +162,70 @@ def _png_unfilter(rows, stride: int, bpp: int):
     return out
 
 
-def _decode_png(data: bytes):
-    """Non-interlaced ≤8-bit PNG in pure stdlib-zlib + numpy.
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Full spec subset: chunk walk with CRC-32 verification, IHDR
-    validation, multi-IDAT concatenation, all five scanline filters,
-    bit depths 1/2/4/8 (grayscale scaled to full 0..255 range, the
-    PIL 'L'-mode convention), color types 0 gray / 2 RGB / 3 palette
-    (PLTE + optional tRNS alpha → RGB(A)) / 4 gray+alpha / 6 RGBA.
-    16-bit and Adam7 interlacing raise NotImplementedError (PIL
-    fallback when importable); everything structurally wrong raises
-    through the caller's ValueError wrapper."""
+
+def _png_read_subimage(raw: bytes, off: int, w: int, h: int, depth: int, channels: int):
+    """Unfilter one (sub-)image of `h` scanlines × `w` pixels starting
+    at byte `off` of the inflated stream; returns (per-sample value
+    array of shape (h, w·channels), bytes consumed). Sub-byte depths
+    unpack MSB-first; 16-bit samples reduce to their high byte (the
+    standard 16→8 conversion — the low byte carries sub-1/257
+    precision no uint8 output can keep)."""
+    import numpy as np
+
+    stride = (w * depth * channels + 7) // 8
+    need = (stride + 1) * h
+    if off + need > len(raw):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected >= {off + need}"
+        )
+    bpp = max(1, depth * channels // 8)
+    recon = _png_unfilter(
+        np.frombuffer(raw, dtype=np.uint8, count=need, offset=off).reshape(
+            h, stride + 1
+        ),
+        stride,
+        bpp,
+    )
+    if depth < 8:
+        bits = np.unpackbits(recon, axis=1)  # MSB-first per spec
+        samples = (
+            bits[:, : (stride * 8 // depth) * depth]
+            .reshape(h, -1, depth)
+            .dot(1 << np.arange(depth - 1, -1, -1))
+            .astype(np.uint8)[:, : w * channels]
+        )
+    elif depth == 16:
+        samples = recon.reshape(h, w * channels, 2)[:, :, 0]  # big-endian high byte
+    else:
+        samples = recon.reshape(h, w * channels)
+    return samples, need
+
+
+def _decode_png(data: bytes):
+    """Complete PNG decode in pure stdlib-zlib + numpy — every color
+    type, bit depth, and interlace mode the spec defines:
+
+    chunk walk with CRC-32 verification, IHDR validation, multi-IDAT
+    concatenation, all five scanline filters, bit depths 1/2/4/8/16
+    (grayscale sub-byte scaled to full 0..255, the PIL 'L'-mode
+    convention; 16-bit reduced to the high byte), color types 0 gray
+    / 2 RGB / 3 palette (PLTE + optional tRNS alpha → RGB(A)) / 4
+    gray+alpha / 6 RGBA, and both interlace methods (Adam7 passes
+    unfiltered independently and scattered by stride into the output
+    raster). Everything structurally wrong raises through the
+    caller's ValueError wrapper. No entropy coding beyond zlib
+    exists in PNG, so nothing here needs a codec."""
     import struct
     import zlib
 
@@ -202,44 +256,43 @@ def _decode_png(data: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0 or w == 0 or h == 0:
         raise ValueError(f"bad IHDR (compression={comp}, filter={filt}, {w}x{h})")
-    if interlace == 1:
-        raise NotImplementedError("Adam7-interlaced PNG needs a codec (PIL)")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError(f"bad IHDR interlace {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
-    if depth == 16:
-        raise NotImplementedError("16-bit PNG needs a codec (PIL)")
-    if depth not in (1, 2, 4, 8) or (depth != 8 and color not in (0, 3)):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth not in (8, 16) and color not in (0, 3))
+        or (depth == 16 and color == 3)
+    ):
         raise ValueError(f"bad PNG bit depth {depth} for color type {color}")
-    stride = (w * depth * channels + 7) // 8
-    expected = (stride + 1) * h
+    # (sub-)image geometry: the whole raster for progressive order, or
+    # the non-empty Adam7 passes (empty passes contribute NO scanlines)
+    geom, expected = [], 0
+    for x0, y0, dx, dy in (((0, 0, 1, 1),) if interlace == 0 else _ADAM7):
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            geom.append((x0, y0, dx, dy, wp, hp))
+            expected += ((wp * depth * channels + 7) // 8 + 1) * hp
     # decompressobj + max_length caps the inflate at expected+1 bytes:
     # a decompression bomb (tiny IDAT, huge stream) fails the length
     # check below instead of materializing executor-memory-sized junk
     raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError(f"PNG pixel stream is {len(raw)}+ bytes, expected {expected}")
-    bpp = max(1, depth * channels // 8)
-    recon = _png_unfilter(
-        np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1), stride, bpp
-    )
-    if depth < 8:
-        bits = np.unpackbits(recon, axis=1)  # MSB-first per spec
-        samples = (
-            bits[:, : (stride * 8 // depth) * depth]
-            .reshape(h, -1, depth)
-            .dot(1 << np.arange(depth - 1, -1, -1))
-            .astype(np.uint8)[:, :w]
-        )
-    else:
-        samples = recon.reshape(h, w * channels)
+    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, wp, hp in geom:
+        sub, used = _png_read_subimage(raw, off, wp, hp, depth, channels)
+        samples[y0::dy, x0::dx] = sub.reshape(hp, wp, channels)
+        off += used
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("paletted PNG missing/odd PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = samples.reshape(h, w)
+        idx = samples[:, :, 0]
         if idx.max(initial=0) >= len(pal):
             raise ValueError("PNG palette index out of range")
         if trns is not None:
@@ -248,13 +301,13 @@ def _decode_png(data: bytes):
             return np.dstack([pal[idx], alpha[idx][:, :, None]])
         return pal[idx]
     if depth < 8:  # grayscale: scale 2^depth-1 → 255 (exact: 255 = 3·5·17)
-        return (samples * (255 // ((1 << depth) - 1)))[:, :, None]
-    return samples.reshape(h, w, channels)
+        return samples * (255 // ((1 << depth) - 1))
+    return samples
 
 
 def _pil_decode(payload: bytes):
-    """Codec-backed fallback for formats/features the native decoders
-    can't own (JPEG, 16-bit/interlaced PNG, ...). Import-gated: the
+    """Codec-backed fallback for entropy-coded formats the native
+    decoders can't own (JPEG, GIF/LZW, ...). Import-gated: the
     swap-in point for a cluster with PIL/cv2 installed."""
     try:
         import io
@@ -262,8 +315,8 @@ def _pil_decode(payload: bytes):
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "compressed-image decoding requires a codec (PIL/cv2) not present "
-            "in this container; PPM/PGM/BMP/≤8-bit-PNG decode natively"
+            "entropy-coded image decoding requires a codec (PIL/cv2) not "
+            "present in this container; PPM/PGM/BMP/PNG decode natively"
         ) from None
     import numpy as np
 
@@ -279,14 +332,14 @@ def decode_image(payload: bytes):
     REAL for every format stdlib+numpy can honestly own: binary
     netpbm (P6 PPM → HxWx3, P5 PGM → HxWx1, 8-bit), uncompressed
     24/32-bit BMP (bottom-up or top-down, row padding handled,
-    BGR(A)→RGB(A)), and non-interlaced ≤8-bit PNG (zlib inflate +
-    all five scanline filters + palette/tRNS, chunk CRCs verified)
-    — no image library, pytest-verified round-trip against
-    independently built pixel arrays. Formats that genuinely need
-    an entropy codec (JPEG, 16-bit/Adam7 PNG, ...) dispatch to PIL
-    when importable and stay a clearly-marked NotImplementedError
-    otherwise (this container has no codec — swap-in point
-    documented).
+    BGR(A)→RGB(A)), and COMPLETE PNG (zlib inflate + all five
+    scanline filters + every bit depth/color type + palette/tRNS +
+    Adam7 interlacing, chunk CRCs verified) — no image library,
+    pytest-verified round-trip against independently built pixel
+    arrays. Formats that genuinely need an entropy codec (JPEG,
+    GIF/LZW, ...) dispatch to PIL when importable and stay a
+    clearly-marked NotImplementedError otherwise (this container
+    has no codec — swap-in point documented).
 
     Error contract (what a DLQ-style caller can rely on):
     NotImplementedError = the FORMAT needs a codec/feature this
@@ -310,9 +363,6 @@ def decode_image(payload: bytes):
     if payload[:8] == _PNG_MAGIC:
         try:
             return _decode_png(payload)
-        except NotImplementedError:
-            # 16-bit / Adam7: a real codec CAN own these — try it.
-            return _pil_decode(payload)
         except Exception as e:
             raise ValueError(f"malformed PNG payload: {e}") from e
     # entropy-coded formats (JPEG/...): only with a real codec

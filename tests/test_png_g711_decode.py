@@ -72,6 +72,20 @@ def _pack_row(samples, depth: int) -> bytes:
     )
 
 
+def _filter_image(scanlines: list, filters: list, bpp: int) -> bytearray:
+    """Filtered stream of one (sub-)image: per-row filter byte + the
+    filtered bytes; the previous-row context starts at zeros (each
+    Adam7 pass is its own image per spec §8.2)."""
+    raw = bytearray()
+    prev = [0] * len(scanlines[0])
+    for y, row in enumerate(scanlines):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _filter_row(f, list(row), prev, bpp)
+        prev = list(row)
+    return raw
+
+
 def _png_bytes(
     scanlines: list,
     w: int,
@@ -85,16 +99,13 @@ def _png_bytes(
 ) -> bytes:
     """Full PNG byte stream: signature, IHDR, optional PLTE/tRNS, the
     IDAT zlib stream split across TWO chunks (exercises multi-IDAT
-    concatenation), IEND."""
+    concatenation), IEND. `scanlines` may be one row list
+    (progressive) or a list of per-pass row lists (Adam7)."""
     bpp = max(1, depth * _CHANNELS[color] // 8)
-    stride = len(scanlines[0])
+    passes = scanlines if isinstance(scanlines[0], list) else [scanlines]
     raw = bytearray()
-    prev = [0] * stride
-    for y, row in enumerate(scanlines):
-        f = filters[y % len(filters)]
-        raw.append(f)
-        raw += _filter_row(f, list(row), prev, bpp)
-        prev = list(row)
+    for p in passes:
+        raw += _filter_image(p, filters, bpp)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
         b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
     )
@@ -113,6 +124,31 @@ def _png_from_array(arr: np.ndarray, filters: list) -> bytes:
     h, w, c = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     return _png_bytes([arr[y].tobytes() for y in range(h)], w, h, 8, color, filters)
+
+
+_ADAM7_GEOM = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_adam7_from_array(arr: np.ndarray, filters: list) -> bytes:
+    """Adam7-interlaced 8-bit PNG: the seven passes extracted by the
+    spec's stride geometry, each serialized as its own sub-image
+    (empty passes omitted entirely)."""
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    passes = []
+    for x0, y0, dx, dy in _ADAM7_GEOM:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            passes.append([sub[y].tobytes() for y in range(sub.shape[0])])
+    return _png_bytes(passes, w, h, 8, color, filters, interlace=1)
 
 
 ALL_FILTERS = [0, 1, 2, 3, 4]
@@ -192,17 +228,41 @@ def test_png_truncated_stream_is_malformed():
         decode_image(png)
 
 
-def test_png_16bit_and_interlaced_need_codec():
-    if not _no_pil():
-        pytest.skip("PIL present on this host; gate untestable")
-    arr = _rng(50).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
-    rows = [arr[y].tobytes() for y in range(2)]
-    with pytest.raises(NotImplementedError):
-        decode_image(_png_bytes(rows, 2, 2, 8, 2, [0], interlace=1))
-    # 16-bit: IHDR says depth 16 (stream content irrelevant — the
-    # depth gate fires before length validation)
-    with pytest.raises(NotImplementedError):
-        decode_image(_png_bytes(rows, 2, 2, 16, 2, [0]))
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: a 13x11 RGB image (every pass non-empty, ragged edge
+    sizes) with all five filters cycling inside each pass."""
+    arr = _rng(50).integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    got = decode_image(_png_adam7_from_array(arr, ALL_FILTERS))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_png_adam7_tiny_images_skip_empty_passes():
+    """w or h < 8 leaves some Adam7 passes with zero pixels — the spec
+    says those contribute NO scanlines. 1x1 is the extreme: only pass
+    1 exists."""
+    for shape in [(1, 1, 1), (2, 3, 4), (5, 2, 3), (3, 9, 2)]:
+        arr = _rng(sum(shape)).integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_image(_png_adam7_from_array(arr, [0, 1, 2, 3, 4]))
+        np.testing.assert_array_equal(got, arr, err_msg=f"shape {shape}")
+
+
+def test_png_16bit_reduces_to_high_byte():
+    """16-bit samples (big-endian) decode to their high byte — the
+    standard 16→8 reduction; filter math runs on the 2-byte lanes
+    (bpp=2·channels), which the Paeth rows exercise."""
+    arr16 = _rng(52).integers(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+    rows = [arr16[y].astype(">u2").tobytes() for y in range(6)]
+    got = decode_image(_png_bytes(rows, 5, 6, 16, 2, ALL_FILTERS))
+    np.testing.assert_array_equal(got, (arr16 >> 8).astype(np.uint8))
+    # gray+alpha 16-bit, Adam7
+    ga16 = _rng(53).integers(0, 65536, size=(9, 4, 2), dtype=np.uint16)
+    passes = []
+    for x0, y0, dx, dy in _ADAM7_GEOM:
+        sub = ga16[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            passes.append([sub[y].astype(">u2").tobytes() for y in range(sub.shape[0])])
+    got = decode_image(_png_bytes(passes, 4, 9, 16, 4, [4, 3], interlace=1))
+    np.testing.assert_array_equal(got, (ga16 >> 8).astype(np.uint8))
 
 
 def test_png_property_random_images_random_filters():
@@ -215,7 +275,8 @@ def test_png_property_random_images_random_filters():
         c = int(rng.integers(1, 5))
         arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
         filters = [int(f) for f in rng.integers(0, 5, size=h)]
-        got = decode_image(_png_from_array(arr, filters))
+        enc = _png_adam7_from_array if trial % 2 else _png_from_array
+        got = decode_image(enc(arr, filters))
         np.testing.assert_array_equal(got, arr, err_msg=f"trial {trial}")
 
 
