@@ -162,6 +162,15 @@ def _png_unfilter(rows, stride: int, bpp: int):
     return out
 
 
+# Decompression-bomb guard (the PIL MAX_IMAGE_PIXELS convention):
+# IHDR dimensions are attacker-controlled, and the output raster is
+# allocated from them BEFORE any pixel data is validated — without a
+# cap, a 10 KB payload claiming 50000×50000 RGBA allocates gigabytes
+# and OOMs the executor instead of raising the quarantine-catchable
+# ValueError. 2^26 ≈ 67M pixels (8192×8192); raise it deliberately
+# for corpora with genuinely larger rasters.
+MAX_IMAGE_PIXELS = 1 << 26
+
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec §8.2
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -276,6 +285,21 @@ def _decode_png(data: bytes):
         if wp > 0 and hp > 0:
             geom.append((x0, y0, dx, dy, wp, hp))
             expected += ((wp * depth * channels + 7) // 8 + 1) * hp
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"PNG {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard; raise the module constant for "
+            "corpora with genuinely larger rasters)"
+        )
+    # DEFLATE's maximum expansion is 1032:1, so IHDR dimensions a real
+    # encoder produced can never need more output than the IDAT bytes
+    # could encode — reject the bomb BEFORE inflating anything
+    idat_len = sum(len(b) for b in idat)
+    if expected > 1032 * idat_len + 4096:
+        raise ValueError(
+            f"IDAT ({idat_len} bytes) cannot encode the {expected}-byte "
+            "pixel stream IHDR claims"
+        )
     # decompressobj + max_length caps the inflate at expected+1 bytes:
     # a decompression bomb (tiny IDAT, huge stream) fails the length
     # check below instead of materializing executor-memory-sized junk
@@ -390,20 +414,21 @@ def _quarantine_error(e: Exception) -> str:
     return f"{kind}: {e}"
 
 
-def _image_stats(
-    batches: Iterator[pd.DataFrame], quarantine: bool = False
+def _stats_batches(
+    batches: Iterator[pd.DataFrame], cols: tuple, featurize, quarantine: bool
 ) -> Iterator[pd.DataFrame]:
-    """REAL decode → feature rows (mapInPandas): per image, shape plus
-    mean pixel byte from the decoded array — the actual
-    resize/embed/feature step's batch shape, exercised end-to-end on
-    genuinely decoded pixels (not the fake). Exact mean: integer pixel
-    sum / count, one final double division."""
-    cols = ("doc_id", "height", "width", "channels", "mean_byte")
+    """Shared decode→featurize iterator for every payload modality:
+    `featurize(payload_bytes)` returns the feature dict keyed by
+    cols[1:]; decode-contract failures (NotImplementedError =
+    unsupported format, ValueError = malformed payload) either
+    propagate (fail-fast default) or become a NULL-feature row with a
+    classified `error` column (quarantine). One implementation holds
+    the quarantine behavior for image/audio/any future modality."""
     for pdf in batches:
         out = {k: [] for k in cols + (("error",) if quarantine else ())}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
-                arr = decode_image(bytes(payload))
+                feats = featurize(bytes(payload))
             except (NotImplementedError, ValueError) as e:
                 if not quarantine:
                     raise
@@ -413,13 +438,38 @@ def _image_stats(
                 out["error"].append(_quarantine_error(e))
                 continue
             out["doc_id"].append(doc_id)
-            out["height"].append(arr.shape[0])
-            out["width"].append(arr.shape[1])
-            out["channels"].append(arr.shape[2])
-            out["mean_byte"].append(int(arr.sum(dtype="int64")) / arr.size)
+            for k in cols[1:]:
+                out[k].append(feats[k])
             if quarantine:
                 out["error"].append(None)
         yield pd.DataFrame(out)
+
+
+def _stats_df(
+    payloads: DataFrame, schema: T.StructType, featurize, quarantine: bool
+) -> DataFrame:
+    cols = tuple(f.name for f in schema.fields)
+    out_schema = (
+        T.StructType(schema.fields + [_ERROR_FIELD]) if quarantine else schema
+    )
+    return payloads.select("doc_id", "payload").mapInPandas(
+        lambda batches: _stats_batches(batches, cols, featurize, quarantine),
+        out_schema,
+    )
+
+
+def _image_features(payload: bytes) -> dict:
+    """REAL decode → features: shape plus mean pixel byte from the
+    decoded array — the actual resize/embed/feature step, exercised
+    end-to-end on genuinely decoded pixels (not the fake). Exact
+    mean: integer pixel sum / count, one final double division."""
+    arr = decode_image(payload)
+    return {
+        "height": arr.shape[0],
+        "width": arr.shape[1],
+        "channels": arr.shape[2],
+        "mean_byte": int(arr.sum(dtype="int64")) / arr.size,
+    }
 
 
 def image_stats(images: DataFrame, quarantine: bool = False) -> DataFrame:
@@ -433,14 +483,7 @@ def image_stats(images: DataFrame, quarantine: bool = False) -> DataFrame:
     'malformed: ...' per the decode contract) — filter them into a
     DLQ table and keep going. Default raises (fail-fast for curated
     inputs)."""
-    schema = (
-        T.StructType(_IMAGE_STATS_SCHEMA.fields + [_ERROR_FIELD])
-        if quarantine
-        else _IMAGE_STATS_SCHEMA
-    )
-    return images.select("doc_id", "payload").mapInPandas(
-        lambda batches: _image_stats(batches, quarantine), schema
-    )
+    return _stats_df(images, _IMAGE_STATS_SCHEMA, _image_features, quarantine)
 
 
 def decode_audio(payload: bytes):
@@ -474,7 +517,14 @@ def decode_audio(payload: bytes):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a declared size past EOF is silent data loss if sliced
+            # short (wrong n_frames/duration/rms with no error) — the
+            # image twin classifies this as malformed; so does audio
+            raise ValueError(f"truncated WAV chunk {cid.decode('latin1')!r}")
         if cid == b"fmt ":
+            if size < 16:  # struct.error is NOT a ValueError — check
+                raise ValueError(f"truncated WAV fmt chunk ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -586,44 +636,37 @@ def _sum_of_squares_exact(samples) -> int:
     )
 
 
-def _audio_stats(
-    batches: Iterator[pd.DataFrame], quarantine: bool = False
-) -> Iterator[pd.DataFrame]:
+def _audio_features(payload: bytes) -> dict:
     """REAL decode → per-clip features: shape, duration, RMS amplitude
-    from the decoded samples — the windowing/embedding step's batch
-    shape on genuinely decoded audio. RMS from an exact integer
-    sum-of-squares, one final sqrt/divide."""
-    cols = ("doc_id", "sample_rate", "n_frames", "n_channels", "duration_s", "rms")
-    for pdf in batches:
-        out = {k: [] for k in cols + (("error",) if quarantine else ())}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            try:
-                samples, rate = decode_audio(bytes(payload))
-            except (NotImplementedError, ValueError) as e:
-                if not quarantine:
-                    raise
-                out["doc_id"].append(doc_id)
-                for k in cols[1:]:
-                    out[k].append(None)
-                out["error"].append(_quarantine_error(e))
-                continue
-            n, ch = samples.shape
-            if samples.dtype.kind == "f":  # IEEE-float WAV: no exact
-                # integer sum exists; float64 accumulation is the
-                # honest best (error ~n·ulp, documented not hidden)
-                x = samples.astype("float64").ravel()
-                sq = float((x * x).sum())
-            else:
-                sq = _sum_of_squares_exact(samples)
-            out["doc_id"].append(doc_id)
-            out["sample_rate"].append(rate)
-            out["n_frames"].append(n)
-            out["n_channels"].append(ch)
-            out["duration_s"].append(n / rate)
-            out["rms"].append((sq / (n * ch)) ** 0.5 if n else 0.0)
-            if quarantine:
-                out["error"].append(None)
-        yield pd.DataFrame(out)
+    from the decoded samples — the windowing/embedding step on
+    genuinely decoded audio. RMS from an exact integer
+    sum-of-squares, one final sqrt/divide; 8-bit PCM is centered
+    (−128) first, because its zero level is 0x80 per spec — raw
+    unsigned squaring would report rms=128 for digital silence and
+    make the feature incomparable across bit depths."""
+    import numpy as np
+
+    samples, rate = decode_audio(payload)
+    n, ch = samples.shape
+    if samples.dtype.kind == "f":  # IEEE-float WAV: no exact integer
+        # sum exists; float64 accumulation is the honest best
+        # (error ~n·ulp, documented not hidden)
+        x = samples.astype("float64").ravel()
+        sq = float((x * x).sum())
+    else:
+        centered = (
+            samples.astype(np.int16) - 128
+            if samples.dtype == np.uint8
+            else samples
+        )
+        sq = _sum_of_squares_exact(centered)
+    return {
+        "sample_rate": rate,
+        "n_frames": n,
+        "n_channels": ch,
+        "duration_s": n / rate,
+        "rms": (sq / (n * ch)) ** 0.5 if n else 0.0,
+    }
 
 
 def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
@@ -631,14 +674,7 @@ def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
     same Arrow-batched mapInPandas shape as image_stats, including the
     opt-in `quarantine=True` error channel (NULL features + `error`
     column instead of a task-killing raise — see image_stats)."""
-    schema = (
-        T.StructType(_AUDIO_STATS_SCHEMA.fields + [_ERROR_FIELD])
-        if quarantine
-        else _AUDIO_STATS_SCHEMA
-    )
-    return clips.select("doc_id", "payload").mapInPandas(
-        lambda batches: _audio_stats(batches, quarantine), schema
-    )
+    return _stats_df(clips, _AUDIO_STATS_SCHEMA, _audio_features, quarantine)
 
 
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -239,8 +239,41 @@ def test_audio_stats_distributed_matches_numpy(spark):
         n, ch = s.shape
         assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (rate, n, ch)
         assert r["duration_s"] == n / rate
-        sq = int((s.astype("int64") ** 2).sum())
+        # 8-bit PCM centers on its 0x80 zero level before squaring
+        lin = s.astype("int64") - 128 if s.dtype == np.uint8 else s.astype("int64")
+        sq = int((lin**2).sum())
         assert r["rms"] == (sq / (n * ch)) ** 0.5
+
+
+def test_wav8_silence_rms_is_zero():
+    """8-bit PCM digital silence is all-0x80 (unsigned zero level);
+    the RMS feature must report 0, not 128 — otherwise the loudness
+    feature is incomparable with the same waveform at 16-bit."""
+    from flink_hiveorc_spark.functions.multimodal import _audio_features
+
+    silence = np.full((64, 1), 0x80, dtype=np.uint8)
+    assert _audio_features(_wav_bytes(silence, 8000))["rms"] == 0.0
+
+
+def test_wav_truncated_chunks_are_malformed():
+    """A fmt chunk shorter than 16 bytes must raise ValueError (not
+    struct.error, which quarantine mode can't catch), and a data
+    chunk whose declared size overruns the payload must raise instead
+    of silently decoding a shorter clip."""
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_audio(short_fmt)
+    samples = _rng(24).integers(-100, 100, size=(8, 1)).astype("<i2")
+    data = bytearray(_wav_bytes(samples, 8000))
+    # data chunk declares 16 more bytes than the payload carries
+    struct.pack_into("<I", data, len(data) - len(samples.tobytes()) - 4, 32)
+    with pytest.raises(ValueError):
+        decode_audio(bytes(data))
 
 
 def test_image_stats_distributed_matches_numpy(spark):

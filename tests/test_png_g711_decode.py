@@ -371,6 +371,34 @@ def test_png_decompression_bomb_capped():
         decode_image(png)
 
 
+def test_png_bomb_ihdr_dimensions_rejected_before_allocation():
+    """IHDR dimensions are attacker-controlled: a tiny payload
+    claiming a gigapixel raster must raise the quarantine-catchable
+    ValueError BEFORE allocating the output array or inflating
+    (MAX_IMAGE_PIXELS guard), and sub-cap dimensions whose pixel
+    stream could not possibly fit the IDAT bytes (DEFLATE max ratio
+    1032:1) must be rejected before inflating too."""
+    tiny_idat = _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+    giga = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 50_000, 50_000, 8, 6, 0, 0, 0))
+        + tiny_idat
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_image(giga)
+    # 4000x4000 RGB = 48 MB pixel stream, under the pixel cap, but a
+    # ~80-byte IDAT cannot encode it at any DEFLATE ratio
+    implausible = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4000, 4000, 8, 2, 0, 0, 0))
+        + tiny_idat
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="cannot encode"):
+        decode_image(implausible)
+
+
 def test_float_wav_roundtrip_exact():
     f32 = _rng(70).normal(size=(200, 1)).astype("<f4")
     got, rate = decode_audio(_wav_bytes(f32, 44100, fmt_tag=3))
