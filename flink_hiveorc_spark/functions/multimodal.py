@@ -4,18 +4,19 @@ payloads + typed metadata structs, processed with Arrow-batched
 
 Decode status: every format whose byte stream stdlib+numpy can
 honestly own decodes FOR REAL — binary netpbm (P6/P5), 24/32-bit
-BMP, and COMPLETE PNG (zlib IS stdlib; all five color types, all
-five scanline filters, bit depths 1-16, palette+tRNS, Adam7
-interlacing, CRC-verified) via `decode_image`; integer PCM,
+BMP, COMPLETE PNG (zlib IS stdlib; all five color types, all five
+scanline filters, bit depths 1-16, palette+tRNS, Adam7
+interlacing, CRC-verified), and GIF (pure-Python LZW, first frame,
+interlace+transparency) via `decode_image`; integer PCM,
 IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio` — each
 with a distributed decode→featurize path (`image_stats` /
 `audio_stats`, mapInPandas) pytest-verified against independently
-serialized payloads. What's left genuinely needs an entropy codec
-this container lacks (JPEG/GIF-LZW/MP3/AAC): images dispatch to
-PIL when importable; otherwise a clearly-marked
-NotImplementedError. Everything Spark-side — schema, binary
-columns, metadata structs, batch iteration, output schema — is
-real and oracle-checked regardless.
+serialized payloads. What's left genuinely needs a transform codec
+this container lacks (JPEG/WebP/MP3/AAC — DCT/MDCT pipelines, not
+just bit-stream work): images dispatch to PIL when importable;
+otherwise a clearly-marked NotImplementedError. Everything
+Spark-side — schema, binary columns, metadata structs, batch
+iteration, output schema — is real and oracle-checked regardless.
 
 100 TB posture: binary payloads ride in their own column so column
 pruning drops them unless the UDF needs them; `mapInPandas` streams
@@ -329,18 +330,173 @@ def _decode_png(data: bytes):
     return samples
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-variant LZW decompression in pure Python (spec appendix F):
+    LSB-first bit packing, clear/end codes, code width growing from
+    min+1 to 12 bits, dictionary frozen at 4096 entries until the
+    next clear. Output is capped at `expected` pixels — the bomb
+    guard analog of the PNG decompressobj max_length."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    buf = nbits = pos = 0
+    prev = None
+    while True:
+        while nbits < width and pos < len(data):
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break  # stream exhausted without an end code: caller length-checks
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code} (table size {len(table)})")
+        out += entry
+        if len(out) >= expected:
+            return out[:expected]  # cap: trailing junk can't balloon memory
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(f"GIF pixel stream is {len(out)} px, expected {expected}")
+    return out
+
+
+def _decode_gif(data: bytes):
+    """First frame of a GIF87a/89a in pure stdlib Python + numpy —
+    LZW is dictionary coding, fully specified in the GIF spec, so no
+    codec library is needed (just slower than a C one).
+
+    Handles global and local color tables, the GIF89a graphic-control
+    transparency index (→ RGBA output; opaque frames → RGB),
+    interlaced row order (4-pass de-interlace), and sub-block
+    reassembly. Animated GIFs decode their FIRST frame (the standard
+    thumbnail/featurize semantics); the frame's own w×h is returned
+    (no compositing onto the logical screen). Structural damage —
+    truncated blocks, out-of-range LZW codes, pixel count mismatch —
+    raises through the caller's ValueError wrapper."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image descriptor")
+        if block == 0x21:  # extension: label + size-prefixed sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else None
+            pos += 2
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                size = data[pos]
+                if size == 0:
+                    pos += 1
+                    break
+                if label == 0xF9 and size >= 4 and data[pos + 1] & 0x01:
+                    transparent = data[pos + 4]  # GCE transparency index
+                pos += 1 + size
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        break
+    else:
+        raise ValueError("GIF has no image descriptor")
+    _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+    pos += 10
+    if w == 0 or h == 0:
+        raise ValueError(f"bad GIF frame size {w}x{h}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"GIF {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
+        )
+    pal = gct
+    if ipacked & 0x80:  # local color table wins
+        n = 2 << (ipacked & 0x07)
+        pal = data[pos : pos + 3 * n]
+        if len(pal) != 3 * n:
+            raise ValueError("truncated local color table")
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF frame has no color table")
+    min_code_size = data[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        size = data[pos]
+        if size == 0:
+            break
+        chunk = data[pos + 1 : pos + 1 + size]
+        if len(chunk) != size:
+            raise ValueError("truncated GIF image sub-block")
+        chunks.append(chunk)
+        pos += 1 + size
+    idx = np.frombuffer(
+        _gif_lzw_decode(b"".join(chunks), min_code_size, w * h), dtype=np.uint8
+    ).reshape(h, w)
+    if ipacked & 0x40:  # interlaced: rows arrive in the four GIF passes
+        order = np.concatenate(
+            [np.arange(o, h, s) for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        deinterlaced = np.empty_like(idx)
+        deinterlaced[order] = idx
+        idx = deinterlaced
+    colors = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= len(colors):
+        raise ValueError("GIF pixel index out of color-table range")
+    if transparent is not None:
+        alpha = np.full(len(colors), 255, dtype=np.uint8)
+        if transparent < len(colors):
+            alpha[transparent] = 0
+        return np.dstack([colors[idx], alpha[idx][:, :, None]])
+    return colors[idx]
+
+
 def _pil_decode(payload: bytes):
-    """Codec-backed fallback for entropy-coded formats the native
-    decoders can't own (JPEG, GIF/LZW, ...). Import-gated: the
-    swap-in point for a cluster with PIL/cv2 installed."""
+    """Codec-backed fallback for transform-coded formats the native
+    decoders can't own (JPEG, WebP, ...). Import-gated: the swap-in
+    point for a cluster with PIL/cv2 installed."""
     try:
         import io
 
         from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "entropy-coded image decoding requires a codec (PIL/cv2) not "
-            "present in this container; PPM/PGM/BMP/PNG decode natively"
+            "transform-coded image decoding requires a codec (PIL/cv2) not "
+            "present in this container; PPM/PGM/BMP/PNG/GIF decode natively"
         ) from None
     import numpy as np
 
@@ -360,10 +516,11 @@ def decode_image(payload: bytes):
     scanline filters + every bit depth/color type + palette/tRNS +
     Adam7 interlacing, chunk CRCs verified) — no image library,
     pytest-verified round-trip against independently built pixel
-    arrays. Formats that genuinely need an entropy codec (JPEG,
-    GIF/LZW, ...) dispatch to PIL when importable and stay a
-    clearly-marked NotImplementedError otherwise (this container
-    has no codec — swap-in point documented).
+    arrays — plus GIF (pure-Python LZW, first frame, interlace and
+    GCE transparency). Formats that genuinely need a transform
+    codec (JPEG, WebP, ...) dispatch to PIL when importable and
+    stay a clearly-marked NotImplementedError otherwise (this
+    container has no codec — swap-in point documented).
 
     Error contract (what a DLQ-style caller can rely on):
     NotImplementedError = the FORMAT needs a codec/feature this
@@ -389,7 +546,12 @@ def decode_image(payload: bytes):
             return _decode_png(payload)
         except Exception as e:
             raise ValueError(f"malformed PNG payload: {e}") from e
-    # entropy-coded formats (JPEG/...): only with a real codec
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif(payload)
+        except Exception as e:
+            raise ValueError(f"malformed GIF payload: {e}") from e
+    # formats needing a transform codec (JPEG/WebP/...): PIL only
     return _pil_decode(payload)
 
 

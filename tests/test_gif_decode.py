@@ -1,0 +1,271 @@
+"""Native GIF decode (functions/multimodal.py::_decode_gif).
+
+Two independent test encoders, written from the GIF spec's
+COMPRESSION side (the decoder implements the decompression side, so a
+shared misunderstanding can't cancel):
+
+- `_lzw_encode_unclear`: the classic "uncompressed GIF" trick — emit
+  a CLEAR code before every literal so the dictionary never grows and
+  the code width never changes. Correct by construction from the spec
+  alone; isolates bit-packing and framing from dictionary logic.
+- `_lzw_encode`: a real LZW encoder (dictionary growth, late width
+  change at next_code == 2^width + 1, table freeze at 4096) that
+  exercises the decoder's KwKwK case and width-growth schedule.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from flink_hiveorc_spark.functions.multimodal import decode_image
+
+from test_image_decode import _rng
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF appendix F byte order)."""
+
+    def __init__(self):
+        self.buf = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.buf |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.buf & 0xFF)
+            self.buf = self.nbits = 0
+        return bytes(self.out)
+
+
+def _lzw_encode_unclear(indices, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+    width = min_code_size + 1
+    for px in indices:
+        bw.write(clear, width)
+        bw.write(int(px), width)
+    bw.write(end, width)
+    return bw.flush()
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+    width = min_code_size + 1
+    bw.write(clear, width)
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    seq = b""
+    for px in indices:
+        cand = seq + bytes([int(px)])
+        if cand in d:
+            seq = cand
+            continue
+        bw.write(d[seq], width)
+        if next_code < 4096:
+            d[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1  # late change, the GIF (non-TIFF) convention
+        seq = bytes([int(px)])
+    if seq:
+        bw.write(d[seq], width)
+    bw.write(end, width)
+    return bw.flush()
+
+
+def _sub_blocks(data: bytes, block: int = 200) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), block):
+        chunk = data[i : i + block]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_bytes(
+    idx: np.ndarray,
+    palette: list,
+    min_code_size: int = None,
+    encoder=_lzw_encode,
+    interlace: bool = False,
+    transparent: int = None,
+    local_palette: bool = False,
+    extra_frame: bool = False,
+) -> bytes:
+    """Full GIF89a stream: header, logical screen descriptor, global
+    (or local) color table, optional GCE transparency, image
+    descriptor, LZW data in sub-blocks, trailer."""
+    h, w = idx.shape
+    nbits = max(1, (len(palette) - 1).bit_length())
+    pal_bytes = bytes(v for rgb in palette for v in rgb)
+    pal_bytes += b"\x00" * (3 * (1 << nbits) - len(pal_bytes))  # pad to 2^n
+    if min_code_size is None:
+        min_code_size = max(2, nbits)
+    out = bytearray(b"GIF89a")
+    gflag = 0 if local_palette else 0x80 | (nbits - 1)
+    out += struct.pack("<HHBBB", w, h, gflag, 0, 0)
+    if not local_palette:
+        out += pal_bytes
+    if transparent is not None:
+        out += b"\x21\xf9\x04" + bytes([0x01, 0, 0, transparent]) + b"\x00"
+    rows = idx
+    if interlace:
+        order = np.concatenate([np.arange(o, h, s) for o, s in _GIF_PASSES])
+        rows = idx[order]  # serialize rows in pass order
+    iflag = (0x80 | (nbits - 1) if local_palette else 0) | (0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflag)
+    if local_palette:
+        out += pal_bytes
+    out += bytes([min_code_size])
+    out += _sub_blocks(encoder(rows.ravel(), min_code_size))
+    if extra_frame:  # animated: a second frame the decoder must ignore
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code_size])
+        out += _sub_blocks(_lzw_encode_unclear(rows.ravel()[::-1], min_code_size))
+    out += b"\x3b"
+    return bytes(out)
+
+
+_PAL8 = [(10 * i % 256, (7 * i + 3) % 256, (13 * i + 1) % 256) for i in range(8)]
+
+
+def test_gif_unclear_trick_roundtrip():
+    """The clear-before-every-literal encoding is valid GIF by spec
+    reading alone — the framing/bit-order baseline."""
+    idx = _rng(100).integers(0, 8, size=(9, 7), dtype=np.uint8)
+    got = decode_image(_gif_bytes(idx, _PAL8, encoder=_lzw_encode_unclear))
+    np.testing.assert_array_equal(got, np.array(_PAL8, dtype=np.uint8)[idx])
+
+
+def test_gif_real_lzw_roundtrip_with_width_growth():
+    """600 pixels with an 8-entry palette crosses the 5→6→7-bit code
+    width boundaries; dictionary growth must stay in lockstep."""
+    idx = _rng(101).integers(0, 8, size=(20, 30), dtype=np.uint8)
+    got = decode_image(_gif_bytes(idx, _PAL8))
+    np.testing.assert_array_equal(got, np.array(_PAL8, dtype=np.uint8)[idx])
+
+
+def test_gif_kwkwk_run():
+    """A constant run triggers the KwKwK case (decoder receives a code
+    equal to its table size) immediately and repeatedly."""
+    idx = np.zeros((5, 40), dtype=np.uint8)
+    idx[2, 5] = 3  # one non-constant pixel keeps the run non-trivial
+    got = decode_image(_gif_bytes(idx, _PAL8))
+    np.testing.assert_array_equal(got, np.array(_PAL8, dtype=np.uint8)[idx])
+
+
+def test_gif_interlaced():
+    idx = _rng(102).integers(0, 8, size=(13, 6), dtype=np.uint8)
+    got = decode_image(_gif_bytes(idx, _PAL8, interlace=True))
+    np.testing.assert_array_equal(got, np.array(_PAL8, dtype=np.uint8)[idx])
+
+
+def test_gif_transparency_gives_rgba():
+    idx = _rng(103).integers(0, 8, size=(4, 4), dtype=np.uint8)
+    got = decode_image(_gif_bytes(idx, _PAL8, transparent=3))
+    pal = np.array(_PAL8, dtype=np.uint8)
+    alpha = np.where(idx == 3, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, np.dstack([pal[idx], alpha[:, :, None]]))
+
+
+def test_gif_local_palette_and_animated_first_frame():
+    idx = _rng(104).integers(0, 8, size=(6, 5), dtype=np.uint8)
+    got = decode_image(_gif_bytes(idx, _PAL8, local_palette=True, extra_frame=True))
+    np.testing.assert_array_equal(got, np.array(_PAL8, dtype=np.uint8)[idx])
+
+
+def test_gif_large_palette_256():
+    pal = [(i, 255 - i, i ^ 0x55) for i in range(256)]
+    idx = _rng(105).integers(0, 256, size=(25, 25), dtype=np.uint8)
+    got = decode_image(_gif_bytes(idx, pal))
+    np.testing.assert_array_equal(got, np.array(pal, dtype=np.uint8)[idx])
+
+
+def test_gif_malformed_rejected():
+    idx = _rng(106).integers(0, 8, size=(4, 4), dtype=np.uint8)
+    ok = _gif_bytes(idx, _PAL8)
+    with pytest.raises(ValueError):  # truncated mid-stream
+        decode_image(ok[: len(ok) // 2])
+    with pytest.raises(ValueError):  # trailer with no image descriptor
+        decode_image(b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3b")
+
+
+def test_gif_bad_lzw_code_rejected():
+    """A code pointing past the table (not the KwKwK slot) is
+    malformed."""
+    bw = _BitWriter()
+    bw.write(4, 3)  # clear (min_code_size 2)
+    bw.write(1, 3)  # literal: table len 6, next valid add slot = 6
+    bw.write(7, 3)  # 7 > len(table)=6 → KwKwK slot is 6; 7 is invalid
+    stream = bw.flush()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 1, 0x80 | 1, 0, 0)
+    out += bytes(v for rgb in _PAL8[:4] for v in rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 1, 0)
+    out += bytes([2])
+    out += bytes([len(stream)]) + stream + b"\x00"
+    out += b"\x3b"
+    with pytest.raises(ValueError):
+        decode_image(bytes(out))
+
+
+def test_gif_pixel_count_mismatch_rejected():
+    """Fewer LZW pixels than w*h is malformed, not silently short."""
+    idx = _rng(107).integers(0, 8, size=(4, 4), dtype=np.uint8)
+    stream = _lzw_encode(idx.ravel()[:10], 3)  # only 10 of 16 pixels
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 2, 0, 0)
+    out += bytes(v for rgb in _PAL8 for v in rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+    out += bytes([3])
+    out += _sub_blocks(stream)
+    out += b"\x3b"
+    with pytest.raises(ValueError):
+        decode_image(bytes(out))
+
+
+def test_gif_bomb_dimensions_rejected():
+    """IHDR-equivalent guard: frame dimensions past MAX_IMAGE_PIXELS
+    raise before any LZW work."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 50000, 50000, 0x80 | 2, 0, 0)
+    out += bytes(v for rgb in _PAL8 for v in rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 50000, 50000, 0)
+    out += bytes([3, 1, 0x00, 0])  # one tiny sub-block, terminator
+    out += b"\x3b"
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_image(bytes(out))
+
+
+def test_gif_property_random_images():
+    """Randomized sweep: palette sizes, shapes, both encoders,
+    interlace on/off — all must round-trip exactly."""
+    rng = _rng(108)
+    for trial in range(15):
+        ncol = int(rng.integers(2, 65))
+        h = int(rng.integers(1, 15))
+        w = int(rng.integers(1, 15))
+        pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(ncol)]
+        idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        enc = _lzw_encode if trial % 2 else _lzw_encode_unclear
+        gif = _gif_bytes(idx, pal, encoder=enc, interlace=bool(trial % 3 == 0))
+        got = decode_image(gif)
+        np.testing.assert_array_equal(
+            got, np.array(pal, dtype=np.uint8)[idx], err_msg=f"trial {trial}"
+        )
