@@ -8,15 +8,18 @@ BMP, COMPLETE PNG (zlib IS stdlib; all five color types, all five
 scanline filters, bit depths 1-16, palette+tRNS, Adam7
 interlacing, CRC-verified), and GIF (pure-Python LZW, first frame,
 interlace+transparency) via `decode_image`; integer PCM,
-IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio` — each
-with a distributed decode→featurize path (`image_stats` /
-`audio_stats`, mapInPandas) pytest-verified against independently
-serialized payloads. What's left genuinely needs a transform codec
-this container lacks (JPEG/WebP/MP3/AAC — DCT/MDCT pipelines, not
-just bit-stream work): images dispatch to PIL when importable;
-otherwise a clearly-marked NotImplementedError. Everything
-Spark-side — schema, binary columns, metadata structs, batch
-iteration, output schema — is real and oracle-checked regardless.
+IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio`;
+uncompressed Y4M video (all standard chroma modes, per-frame luma)
+via `decode_video` — each with a distributed decode→featurize path
+(`image_stats` / `audio_stats` / `video_stats`, one shared
+Arrow-batched mapInPandas wrapper) pytest-verified against
+independently serialized payloads. What's left genuinely needs a
+transform codec this container lacks (JPEG/WebP/MP3/AAC/H.264 —
+DCT/MDCT pipelines, not just bit-stream work): images dispatch to
+PIL when importable; otherwise a clearly-marked
+NotImplementedError. Everything Spark-side — schema, binary
+columns, metadata structs, batch iteration, output schema — is
+real and oracle-checked regardless.
 
 100 TB posture: binary payloads ride in their own column so column
 pruning drops them unless the UDF needs them; `mapInPandas` streams
@@ -854,6 +857,138 @@ def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
     opt-in `quarantine=True` error channel (NULL features + `error`
     column instead of a task-killing raise — see image_stats)."""
     return _stats_df(clips, _AUDIO_STATS_SCHEMA, _audio_features, quarantine)
+
+
+def decode_video(payload: bytes):
+    """Decode a YUV4MPEG2 (.y4m) payload → (luma frames array of
+    shape (n_frames, h, w) uint8, fps float, colorspace str).
+
+    Y4M is the standard UNCOMPRESSED video interchange container
+    (yuv4mpeg, mjpegtools lineage): an ASCII stream header
+    ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<space>\\n`` followed by
+    ``FRAME[ params]\\n`` + raw planar YUV per frame — no entropy
+    coding anywhere, so stdlib+numpy owns it completely. Supported
+    colorspaces: C420* (all the chroma-siting variants share the
+    4:2:0 byte layout), C422, C444, Cmono. The luma plane is
+    returned per frame (chroma is sampling-variant and rarely
+    feature-relevant); frames must be complete or the payload is
+    malformed. Compressed video (MP4/H.264, WebM/VP9, MKV...)
+    raises NotImplementedError — those genuinely need a transform
+    codec; a PyAV/ffmpeg dispatch drops in here on a cluster that
+    has one."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed-video decoding requires a codec (PyAV/ffmpeg) not "
+            "present in this container; uncompressed Y4M decodes natively"
+        )
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    w = h = None
+    fps = 30.0
+    cspace = "420"
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            if int(den) == 0:
+                raise ValueError("Y4M frame rate denominator is 0")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            cspace = val.decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"Y4M {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
+        )
+    if cspace.startswith("420"):
+        frame_bytes = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cspace.startswith("422"):
+        frame_bytes = w * h + 2 * ((w + 1) // 2) * h
+    elif cspace.startswith("444"):
+        frame_bytes = 3 * w * h
+    elif cspace.startswith("mono"):
+        frame_bytes = w * h
+    else:
+        raise NotImplementedError(f"Y4M colorspace C{cspace} not supported")
+    pos, lumas = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad Y4M frame marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        start = fnl + 1
+        if start + frame_bytes > len(payload):
+            raise ValueError(
+                f"truncated Y4M frame {len(lumas)} ({len(payload) - start} of "
+                f"{frame_bytes} bytes)"
+            )
+        lumas.append(
+            np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=start).reshape(
+                h, w
+            )
+        )
+        pos = start + frame_bytes
+    if not lumas:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(lumas), fps, cspace
+
+
+_VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("mean_frame_delta", T.DoubleType()),
+    ]
+)
+
+
+def _video_features(payload: bytes) -> dict:
+    """REAL decode → per-clip features: geometry, duration, mean luma
+    (exposure/black-clip signal), and mean absolute inter-frame luma
+    delta (temporal activity — the standard static-clip/slideshow
+    filter signal). Exact integer sums, final double divisions."""
+    import numpy as np
+
+    frames, fps, _ = decode_video(payload)
+    n, h, w = frames.shape
+    total = int(frames.sum(dtype="int64"))
+    if n > 1:
+        a = frames[1:].astype("int16") - frames[:-1].astype("int16")
+        delta = int(np.abs(a, out=a).sum(dtype="int64")) / ((n - 1) * h * w)
+    else:
+        delta = 0.0
+    return {
+        "n_frames": n,
+        "height": h,
+        "width": w,
+        "fps": fps,
+        "duration_s": n / fps,
+        "mean_luma": total / (n * h * w),
+        "mean_frame_delta": delta,
+    }
+
+
+def video_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
+    """Distributed decode+featurize over (doc_id, payload) Y4M clips —
+    the third modality through the SAME `_stats_df` wrapper as
+    image/audio (Arrow-batched mapInPandas, opt-in quarantine error
+    channel)."""
+    return _stats_df(clips, _VIDEO_STATS_SCHEMA, _video_features, quarantine)
 
 
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

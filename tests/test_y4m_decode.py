@@ -1,0 +1,133 @@
+"""Native Y4M video decode (functions/multimodal.py::decode_video) and
+the video_stats featurizer — the third modality through the shared
+quarantine wrapper. The serializer here writes the YUV4MPEG2 layout
+from the format description independently of the decoder (ASCII
+stream/frame headers, planar frame sizes per chroma mode)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_hiveorc_spark.functions.multimodal import (
+    _video_features,
+    decode_video,
+    video_stats,
+)
+
+from test_image_decode import _rng
+
+
+def _y4m_bytes(
+    lumas: np.ndarray,
+    fps=(30, 1),
+    cspace: str = "420jpeg",
+    frame_param: bool = False,
+    chroma_fill: int = 128,
+) -> bytes:
+    """Y4M stream: one luma plane per frame from `lumas` (n, h, w),
+    chroma planes filled with a constant at the subsampled size."""
+    n, h, w = lumas.shape
+    if cspace.startswith("420"):
+        chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    elif cspace.startswith("422"):
+        chroma = 2 * ((w + 1) // 2) * h
+    elif cspace.startswith("444"):
+        chroma = 2 * w * h
+    elif cspace.startswith("mono"):
+        chroma = 0
+    else:
+        raise AssertionError(cspace)
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cspace}\n".encode()
+    )
+    for i in range(n):
+        out += b"FRAME Xtest\n" if frame_param else b"FRAME\n"
+        out += lumas[i].tobytes() + bytes([chroma_fill]) * chroma
+    return bytes(out)
+
+
+def test_y4m_roundtrip_420():
+    lumas = _rng(200).integers(0, 256, size=(5, 12, 10), dtype=np.uint8)
+    frames, fps, cspace = decode_video(_y4m_bytes(lumas))
+    assert fps == 30.0 and cspace == "420jpeg"
+    np.testing.assert_array_equal(frames, lumas)
+
+
+@pytest.mark.parametrize("cspace", ["422", "444", "mono"])
+def test_y4m_other_colorspaces(cspace):
+    lumas = _rng(201).integers(0, 256, size=(3, 7, 9), dtype=np.uint8)
+    frames, _, got_cs = decode_video(_y4m_bytes(lumas, cspace=cspace))
+    assert got_cs == cspace
+    np.testing.assert_array_equal(frames, lumas)
+
+
+def test_y4m_odd_dimensions_and_frame_params():
+    """Odd w/h exercise the ceil-division chroma plane sizes; FRAME
+    parameter strings must be skipped."""
+    lumas = _rng(202).integers(0, 256, size=(4, 5, 7), dtype=np.uint8)
+    frames, fps, _ = decode_video(
+        _y4m_bytes(lumas, fps=(30000, 1001), frame_param=True)
+    )
+    assert fps == 30000 / 1001
+    np.testing.assert_array_equal(frames, lumas)
+
+
+def test_y4m_malformed_and_unsupported():
+    lumas = _rng(203).integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+    ok = _y4m_bytes(lumas)
+    with pytest.raises(ValueError):  # truncated mid-frame
+        decode_video(ok[:-10])
+    with pytest.raises(ValueError):  # no frames at all
+        decode_video(b"YUV4MPEG2 W4 H4 F30:1 C420\n")
+    with pytest.raises(ValueError):  # missing dimensions
+        decode_video(b"YUV4MPEG2 F30:1\nFRAME\n")
+    with pytest.raises(NotImplementedError):  # compressed container
+        decode_video(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64)  # MP4
+    with pytest.raises(NotImplementedError):  # exotic colorspace
+        decode_video(
+            b"YUV4MPEG2 W2 H2 F30:1 C411\nFRAME\n" + b"\x00" * 16
+        )
+
+
+def test_y4m_bomb_dimensions_rejected():
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_video(b"YUV4MPEG2 W50000 H50000 F30:1 C420\nFRAME\n")
+
+
+def test_video_features_exact():
+    """mean_luma and mean_frame_delta from exact integer sums."""
+    lumas = np.zeros((3, 4, 4), dtype=np.uint8)
+    lumas[1] = 10
+    lumas[2] = 250  # delta 240 across all pixels: exercises >int8 range
+    f = _video_features(_y4m_bytes(lumas, fps=(25, 1)))
+    assert (f["n_frames"], f["height"], f["width"]) == (3, 4, 4)
+    assert f["duration_s"] == 3 / 25
+    assert f["mean_luma"] == (0 + 10 + 250) / 3
+    assert f["mean_frame_delta"] == (10 + 240) / 2
+    single = _video_features(_y4m_bytes(lumas[:1]))
+    assert single["mean_frame_delta"] == 0.0
+
+
+def test_video_stats_distributed_with_quarantine(spark):
+    """Third modality through the shared wrapper: good clip
+    featurized, compressed clip quarantined as unsupported, truncated
+    clip as malformed — same Arrow batch."""
+    lumas = _rng(204).integers(0, 256, size=(6, 8, 8), dtype=np.uint8)
+    good = _y4m_bytes(lumas)
+    df = spark.createDataFrame(
+        [
+            (700, bytearray(good)),
+            (701, bytearray(b"\x1aE\xdf\xa3" + b"\x00" * 32)),  # MKV/EBML magic
+            (702, bytearray(good[:-5])),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in video_stats(df, quarantine=True).collect()}
+    r = got[700]
+    assert r["error"] is None and r["n_frames"] == 6
+    expect = _video_features(good)
+    assert r["mean_luma"] == expect["mean_luma"]
+    assert r["mean_frame_delta"] == expect["mean_frame_delta"]
+    assert got[701]["error"].startswith("unsupported:")
+    assert got[702]["error"].startswith("malformed:")
