@@ -357,7 +357,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray
     next clear. Output is capped at `expected` pixels — the bomb
     guard analog of the PNG decompressobj max_length."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
-    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # base table built ONCE: clear-heavy streams ("uncompressed GIF",
+    # a common encoder strategy) would otherwise rebuild 2^m+2 bytes
+    # objects per pixel
+    base: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base.copy()
     width = min_code_size + 1
     out = bytearray()
     buf = nbits = pos = 0
@@ -373,7 +377,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray
         buf >>= width
         nbits -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = base.copy()
             width = min_code_size + 1
             prev = None
             continue
@@ -868,8 +872,10 @@ def decode_video(payload: bytes):
     ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<space>\\n`` followed by
     ``FRAME[ params]\\n`` + raw planar YUV per frame — no entropy
     coding anywhere, so stdlib+numpy owns it completely. Supported
-    colorspaces: C420* (all the chroma-siting variants share the
-    4:2:0 byte layout), C422, C444, Cmono. The luma plane is
+    colorspaces (matched EXACTLY, so C420p10 ≠ C420 and C444alpha ≠
+    C444): the four 8-bit 4:2:0 chroma-siting variants, C422, C444,
+    C444alpha (4 planes), Cmono; 10/12-bit variants raise
+    NotImplementedError. The luma plane is
     returned per frame (chroma is sampling-variant and rarely
     feature-relevant); frames must be complete or the payload is
     malformed. Compressed video (MP4/H.264, WebM/VP9, MKV...)
@@ -897,25 +903,37 @@ def decode_video(payload: bytes):
             h = int(val)
         elif tag == b"F":
             num, den = val.split(b":")
-            if int(den) == 0:
-                raise ValueError("Y4M frame rate denominator is 0")
+            if int(num) <= 0 or int(den) <= 0:
+                # fps=0 would ZeroDivide duration downstream (escaping
+                # the decode contract); negative is nonsense
+                raise ValueError(f"bad Y4M frame rate {val.decode('latin1')!r}")
             fps = int(num) / int(den)
         elif tag == b"C":
             cspace = val.decode("ascii", "replace")
-    if not w or not h:
-        raise ValueError("Y4M header missing W/H")
+    if w is None or h is None or w <= 0 or h <= 0:
+        # the ASCII header can carry SIGNED ints: W-1 passes a
+        # truthiness check, makes frame_bytes negative, and walks the
+        # frame cursor BACKWARDS — an unkillable infinite loop, not an
+        # exception. Reject explicitly.
+        raise ValueError(f"bad Y4M dimensions W={w} H={h}")
     if w * h > MAX_IMAGE_PIXELS:
         raise ValueError(
             f"Y4M {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
             "(decompression-bomb guard)"
         )
-    if cspace.startswith("420"):
+    # exact colorspace table: startswith would misframe C444alpha as
+    # C444 (classifying a valid file malformed) and 10/12-bit C420p10
+    # as 8-bit C420. The 420 chroma-siting variants genuinely share
+    # one byte layout; nothing else generalizes by prefix.
+    if cspace in ("420", "420jpeg", "420paldv", "420mpeg2"):
         frame_bytes = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
-    elif cspace.startswith("422"):
+    elif cspace == "422":
         frame_bytes = w * h + 2 * ((w + 1) // 2) * h
-    elif cspace.startswith("444"):
+    elif cspace == "444":
         frame_bytes = 3 * w * h
-    elif cspace.startswith("mono"):
+    elif cspace == "444alpha":
+        frame_bytes = 4 * w * h  # Y U V A planes; luma still first
+    elif cspace == "mono":
         frame_bytes = w * h
     else:
         raise NotImplementedError(f"Y4M colorspace C{cspace} not supported")

@@ -30,11 +30,13 @@ def _y4m_bytes(
     n, h, w = lumas.shape
     if cspace.startswith("420"):
         chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
-    elif cspace.startswith("422"):
+    elif cspace == "422":
         chroma = 2 * ((w + 1) // 2) * h
-    elif cspace.startswith("444"):
+    elif cspace == "444":
         chroma = 2 * w * h
-    elif cspace.startswith("mono"):
+    elif cspace == "444alpha":
+        chroma = 3 * w * h  # U, V, and alpha planes after luma
+    elif cspace == "mono":
         chroma = 0
     else:
         raise AssertionError(cspace)
@@ -54,7 +56,7 @@ def test_y4m_roundtrip_420():
     np.testing.assert_array_equal(frames, lumas)
 
 
-@pytest.mark.parametrize("cspace", ["422", "444", "mono"])
+@pytest.mark.parametrize("cspace", ["422", "444", "444alpha", "mono", "420mpeg2"])
 def test_y4m_other_colorspaces(cspace):
     lumas = _rng(201).integers(0, 256, size=(3, 7, 9), dtype=np.uint8)
     frames, _, got_cs = decode_video(_y4m_bytes(lumas, cspace=cspace))
@@ -88,6 +90,27 @@ def test_y4m_malformed_and_unsupported():
         decode_video(
             b"YUV4MPEG2 W2 H2 F30:1 C411\nFRAME\n" + b"\x00" * 16
         )
+    with pytest.raises(NotImplementedError):  # 10-bit is NOT 8-bit C420
+        decode_video(b"YUV4MPEG2 W2 H2 F30:1 C420p10\nFRAME\n" + b"\x00" * 12)
+
+
+def test_y4m_signed_header_fields_rejected():
+    """The ASCII header can carry signed ints: W-1 used to make
+    frame_bytes negative and walk the frame cursor BACKWARDS — an
+    infinite loop, not an exception (unkillable under quarantine).
+    F0:1 used to yield fps=0 and a ZeroDivisionError escaping the
+    decode contract. All must be clean ValueErrors."""
+    for bad in [
+        b"YUV4MPEG2 W-1 H6 F30:1 Cmono\nFRAME\n" + b"\x00" * 6,
+        b"YUV4MPEG2 W4 H-2 F30:1 Cmono\nFRAME\n" + b"\x00" * 8,
+        b"YUV4MPEG2 W0 H4 F30:1 Cmono\nFRAME\n",
+        b"YUV4MPEG2 W2 H2 F0:1 Cmono\nFRAME\n" + b"\x00" * 4,
+        b"YUV4MPEG2 W2 H2 F-30:1 Cmono\nFRAME\n" + b"\x00" * 4,
+        b"YUV4MPEG2 W2 H2 F30:0 Cmono\nFRAME\n" + b"\x00" * 4,
+        b"YUV4MPEG2 W2 Hx F30:1 Cmono\nFRAME\n" + b"\x00" * 4,
+    ]:
+        with pytest.raises(ValueError):
+            decode_video(bad)
 
 
 def test_y4m_bomb_dimensions_rejected():
