@@ -1063,6 +1063,45 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("doc_id", "payload").mapInPandas(_fake_features, FEATURE_SCHEMA)
 
 
+@query(
+    "multimodal_image_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS width,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(sum(byte) AS DOUBLE) / 16 AS mean_byte
+    FROM b
+    GROUP BY doc_id
+    """,
+)
+def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with REAL decode under the oracle: build a deterministic
+    4×4 PGM image per document (header + the 16 md5 digest bytes as
+    pixels — `concat(lit, unhex(md5(text)))`, all JVM-side), then
+    run the genuine decode→featurize path (`image_stats` →
+    `decode_image` → `_decode_pnm` → pixel statistics in
+    mapInPandas). The oracle recomputes the byte mean directly from
+    the hex digest (nibble arithmetic over an UNNEST spine), so the
+    decoder, the Arrow plumbing, AND the feature math are all
+    value-checked externally — not just pytest-verified. Exact
+    compare: sum ≤ 16·255 is integer-exact, one final /16 in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n4 4\n255\n"), F.unhex(F.md5("text"))).alias("payload"),
+    )
+    return image_stats(payloads)
+
+
 _ZSCORE_SCHEMA = T.StructType(
     [
         T.StructField("lang", T.StringType()),
