@@ -846,12 +846,19 @@ def _audio_features(payload: bytes) -> dict:
             else samples
         )
         sq = _sum_of_squares_exact(centered)
+    # math.sqrt, NOT ** 0.5: pow(x, 0.5) is a libm pow call with no
+    # correct-rounding guarantee and diverges from sqrt in the last
+    # ulp (measured: 2/500 digest-payload clips, 1.4e-14), while
+    # sqrt is IEEE-correctly-rounded everywhere — including the
+    # oracle engine
+    import math
+
     return {
         "sample_rate": rate,
         "n_frames": n,
         "n_channels": ch,
         "duration_s": n / rate,
-        "rms": (sq / (n * ch)) ** 0.5 if n else 0.0,
+        "rms": math.sqrt(sq / (n * ch)) if n else 0.0,
     }
 
 
@@ -1100,6 +1107,55 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.concat(F.lit(b"P5\n4 4\n255\n"), F.unhex(F.md5("text"))).alias("payload"),
     )
     return image_stats(payloads)
+
+
+@query(
+    "multimodal_audio_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS DOUBLE) / 8000 AS duration_s,
+           sqrt(CAST(sum((byte - 128) * (byte - 128)) AS DOUBLE) / 16) AS rms
+    FROM b
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_image_decode_stats: a 16-sample
+    8-bit PCM WAV per document (constant RIFF/fmt/data header +
+    the md5 digest bytes, JVM-side concat), decoded by the genuine
+    `audio_stats` → `decode_audio` RIFF walk, RMS from the exact
+    integer sum of squares of the 0x80-centered samples. The oracle
+    recomputes RMS from the hex digest; the sum (≤ 16·128²) is
+    integer-exact, /16 is a power-of-two division, and sqrt is
+    IEEE-correctly-rounded in both engines — bit-equal."""
+    import struct
+
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 52)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", 16)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit(header), F.unhex(F.md5("text"))).alias("payload"),
+    )
+    return audio_stats(payloads)
 
 
 _ZSCORE_SCHEMA = T.StructType(

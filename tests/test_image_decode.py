@@ -12,6 +12,7 @@ misunderstanding can't cancel out.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -242,7 +243,7 @@ def test_audio_stats_distributed_matches_numpy(spark):
         # 8-bit PCM centers on its 0x80 zero level before squaring
         lin = s.astype("int64") - 128 if s.dtype == np.uint8 else s.astype("int64")
         sq = int((lin**2).sum())
-        assert r["rms"] == (sq / (n * ch)) ** 0.5
+        assert r["rms"] == math.sqrt(sq / (n * ch))
 
 
 def test_wav8_silence_rms_is_zero():

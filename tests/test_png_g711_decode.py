@@ -431,11 +431,11 @@ def test_audio_stats_float_and_g711_clips(spark):
     r = got[300]
     assert (r["n_frames"], r["n_channels"], r["sample_rate"]) == (500, 2, 16000)
     expect_sq = math.fsum(float(v) ** 2 for v in f32.astype("float64").ravel())
-    assert r["rms"] == pytest.approx((expect_sq / 1000) ** 0.5, rel=1e-9)
+    assert r["rms"] == pytest.approx(math.sqrt(expect_sq / 1000), rel=1e-9)
     r = got[301]
     lin = _g711_table(7)[codes]
     sq = sum(int(v) ** 2 for v in lin.ravel())
-    assert r["rms"] == (sq / 400) ** 0.5
+    assert r["rms"] == math.sqrt(sq / 400)
 
 
 def test_image_stats_quarantine_routes_failures_not_kills_task(spark):
