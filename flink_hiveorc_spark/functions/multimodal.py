@@ -1158,6 +1158,59 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return audio_stats(payloads)
 
 
+@query(
+    "multimodal_video_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    d AS (
+      SELECT f1.doc_id, abs(f2.byte - f1.byte) AS step
+      FROM b f1 JOIN b f2 ON f2.doc_id = f1.doc_id AND f2.i = f1.i + 8
+      WHERE f1.i < 8
+    )
+    SELECT b.doc_id,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS width,
+           CAST(25 AS DOUBLE) AS fps,
+           CAST(2 AS DOUBLE) / 25 AS duration_s,
+           CAST(sum(b.byte) AS DOUBLE) / 16 AS mean_luma,
+           (SELECT CAST(sum(step) AS DOUBLE) / 8 FROM d
+            WHERE d.doc_id = b.doc_id) AS mean_frame_delta
+    FROM b
+    GROUP BY b.doc_id
+    """,
+)
+def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg of the oracle-checked decode triad: a 2-frame
+    4×2 Cmono Y4M clip per document — frame 1 is the first 8 md5
+    digest bytes, frame 2 the last 8 (`unhex` of each hex half,
+    JVM-side concat) — through the genuine `video_stats` →
+    `decode_video` stream walk. Beyond the byte mean the oracle
+    recomputes the TEMPORAL feature, mean absolute inter-frame
+    delta, via a positional self-join of the byte spine (i ↔ i+8);
+    Σ|Δ| ≤ 8·255 is integer-exact, /8 is a power-of-two division —
+    bit-equal."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"),
+            F.lit(b"FRAME\n"),
+            F.unhex(F.substring(hx, 1, 16)),
+            F.lit(b"FRAME\n"),
+            F.unhex(F.substring(hx, 17, 16)),
+        ).alias("payload"),
+    )
+    return video_stats(payloads)
+
+
 _ZSCORE_SCHEMA = T.StructType(
     [
         T.StructField("lang", T.StringType()),
