@@ -1,0 +1,105 @@
+"""Streaming multimodal featurize with quarantine DLQ
+(streaming/multimodal.py): real decode inside a streaming query,
+bad blobs quarantined not fatal, restart on the same checkpoint
+processes only new files, and the DLQ repair leg re-enters through a
+stream pointed at the quarantine directory."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flink_hiveorc_spark.streaming import multimodal as sm
+
+from test_image_decode import _pgm_bytes, _rng
+
+
+def _write_blobs(spark, src_dir: str, rows: list) -> None:
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def _run(spark, src, out, dlq, ckpt):
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_featurize_quarantine_and_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "features")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    arrs = {
+        i: _rng(300 + i).integers(0, 256, size=(3, 4, 1), dtype=np.uint8)
+        for i in range(5)
+    }
+    # batch A: three good PGMs, one truncated (malformed), one JPEG-ish
+    # (unsupported without a codec)
+    _write_blobs(
+        spark,
+        src,
+        [
+            (0, _pgm_bytes(arrs[0])),
+            (1, _pgm_bytes(arrs[1])),
+            (2, _pgm_bytes(arrs[2])),
+            (100, b"P5\n9 9\n255\n" + b"\x00" * 3),
+            (101, b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 16),
+        ],
+    )
+    _run(spark, src, out, dlq, ckpt)
+    feats = {r["doc_id"]: r for r in sm.read_features(spark, out).collect()}
+    assert set(feats) == {0, 1, 2}
+    for i in (0, 1, 2):
+        assert (feats[i]["height"], feats[i]["width"], feats[i]["channels"]) == (3, 4, 1)
+        assert feats[i]["mean_byte"] == int(arrs[i].sum(dtype="int64")) / arrs[i].size
+    bad = {r["doc_id"]: r for r in sm.read_quarantine(spark, dlq).collect()}
+    assert bad[100]["error"].startswith("malformed:")
+    assert bad[101]["error"].startswith("unsupported:")
+    # quarantine keeps the ORIGINAL payload bytes for the repair leg
+    assert bytes(bad[100]["payload"]) == b"P5\n9 9\n255\n" + b"\x00" * 3
+
+    # batch B arrives; restart on the SAME checkpoint: only new files
+    # process (doc 0-2 would double in the sink if offsets replayed)
+    _write_blobs(spark, src, [(3, _pgm_bytes(arrs[3])), (4, _pgm_bytes(arrs[4]))])
+    _run(spark, src, out, dlq, ckpt)
+    got = sorted(r["doc_id"] for r in sm.read_features(spark, out).collect())
+    assert got == [0, 1, 2, 3, 4]
+    assert sm.read_quarantine(spark, dlq).count() == 2
+
+    # idle restart: a run with nothing new is a no-op
+    _run(spark, src, out, dlq, ckpt)
+    assert sorted(r["doc_id"] for r in sm.read_features(spark, out).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+
+
+def test_streaming_featurize_dlq_repair_leg(spark, tmp_path):
+    """The quarantined payload re-enters through a stream pointed at
+    the DLQ dir: repair (here: rebuild the truncated blob), write to
+    a repair source, featurize with a fresh checkpoint, and the fixed
+    doc lands exactly once."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "features")
+    dlq = str(tmp_path / "dlq")
+    arr = _rng(400).integers(0, 256, size=(2, 2, 1), dtype=np.uint8)
+    _write_blobs(spark, src, [(7, b"P5\n2 2\n255\n" + b"\x00")])  # truncated
+    _run(spark, src, out, dlq, str(tmp_path / "ckpt"))
+    [bad] = sm.read_quarantine(spark, dlq).collect()
+    assert bad["doc_id"] == 7 and bad["error"].startswith("malformed:")
+
+    repair_src = str(tmp_path / "repaired")
+    _write_blobs(spark, repair_src, [(7, _pgm_bytes(arr))])
+    _run(spark, repair_src, out, str(tmp_path / "dlq2"), str(tmp_path / "ckpt2"))
+    feats = {r["doc_id"]: r for r in sm.read_features(spark, out).collect()}
+    assert set(feats) == {7}
+    assert feats[7]["mean_byte"] == int(arr.sum(dtype="int64")) / arr.size
+
+
+def test_streaming_featurize_unknown_modality_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown modality"):
+        sm.start_multimodal_featurize(None, "", "", "", modality="text")
