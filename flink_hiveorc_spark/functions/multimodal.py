@@ -6,8 +6,9 @@ Decode status: every format whose byte stream stdlib+numpy can
 honestly own decodes FOR REAL — binary netpbm (P6/P5), 24/32-bit
 BMP, COMPLETE PNG (zlib IS stdlib; all five color types, all five
 scanline filters, bit depths 1-16, palette+tRNS, Adam7
-interlacing, CRC-verified), and GIF (pure-Python LZW, first frame,
-interlace+transparency) via `decode_image`; integer PCM,
+interlacing, CRC-verified), GIF (pure-Python LZW, first frame,
+interlace+transparency), and baseline TIFF (both byte orders,
+strips, PackBits, palette, bilevel scans) via `decode_image`; integer PCM,
 IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio`;
 uncompressed Y4M video (all standard chroma modes, per-frame luma)
 via `decode_video` — each with a distributed decode→featurize path
@@ -509,6 +510,143 @@ def _decode_gif(data: bytes):
     return colors[idx]
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytearray:
+    """Apple PackBits RLE (TIFF compression 32773): control byte n in
+    0..127 copies n+1 literals, 129..255 (-1..-127 signed) repeats the
+    next byte 257-n times, 128 is a noop. Output capped at `expected`
+    (bomb guard)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += chunk
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: noop
+    return out[:expected]
+
+
+def _decode_tiff(data: bytes):
+    """Baseline TIFF in pure struct+numpy: both byte orders (II/MM),
+    IFD walk with inline-or-offset values, multi-strip assembly,
+    compressions 1 (none) and 32773 (PackBits), bit depths 1 and 8,
+    photometric WhiteIsZero/BlackIsZero/RGB/Palette (16-bit ColorMap
+    reduced to its high byte), 1/3/4 samples per pixel (RGBA via
+    ExtraSamples). First IFD only (multi-page TIFFs decode their
+    first page — the thumbnail/featurize semantics, same as GIF).
+    LZW/CCITT/JPEG compressions raise NotImplementedError (codec
+    territory); structural damage raises through the caller's
+    ValueError wrapper."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd_off = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(data):
+        raise ValueError("truncated TIFF IFD")
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}  # BYTE ASCII SHORT LONG
+
+    def values(entry_off):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, entry_off)
+        size = _SIZES.get(typ)
+        if size is None:  # RATIONAL etc. — not needed for any tag we read
+            return tag, None
+        total = size * cnt
+        off = entry_off + 8 if total <= 4 else struct.unpack_from(bo + "I", data, entry_off + 8)[0]
+        if off + total > len(data):
+            raise ValueError(f"truncated TIFF tag {tag}")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        return tag, list(struct.unpack_from(bo + fmt * cnt, data, off))
+
+    tags = {}
+    for i in range(n_entries):
+        tag, vals = values(ifd_off + 2 + 12 * i)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad TIFF dimensions {w}x{h}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"TIFF {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
+        )
+    compression = tags.get(259, [1])[0]
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a codec; "
+            "none/PackBits decode natively"
+        )
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    photometric = tags.get(262, [1])[0]
+    if len(set(bits)) != 1 or bits[0] not in (1, 8) or (bits[0] == 1 and spp != 1):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} not supported")
+    depth = bits[0]
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF samples-per-pixel {spp} not supported")
+    if len(strip_offs) != len(strip_counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    stride = (w * spp * depth + 7) // 8  # rows are byte-aligned per spec
+    expected = stride * h
+    raw = bytearray()
+    for off, cnt in zip(strip_offs, strip_counts):
+        if off + cnt > len(data):
+            raise ValueError("truncated TIFF strip")
+        strip = data[off : off + cnt]
+        if compression == 32773:
+            raw += _packbits_decode(strip, expected - len(raw))
+        else:
+            raw += strip
+    if len(raw) < expected:
+        raise ValueError(f"TIFF pixel data is {len(raw)} bytes, expected {expected}")
+    arr = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, stride)
+    if depth == 1:
+        bitsarr = np.unpackbits(arr, axis=1)[:, :w]  # MSB-first per spec
+        samples = (bitsarr * 255).astype(np.uint8)
+        if photometric == 0:  # WhiteIsZero: 0 bit = white
+            samples = 255 - samples
+        return samples[:, :, None]
+    samples = arr[:, : w * spp].reshape(h, w, spp)
+    if photometric == 3:  # palette: 16-bit ColorMap, R then G then B planes
+        cmap = tags.get(320)
+        if spp != 1 or not cmap or len(cmap) != 3 * 256:
+            raise ValueError("paletted TIFF missing/odd ColorMap")
+        pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(
+            np.uint8
+        )
+        return pal[samples[:, :, 0]]
+    if photometric == 0 and spp == 1:  # WhiteIsZero grayscale
+        return 255 - samples
+    return samples
+
+
 def _pil_decode(payload: bytes):
     """Codec-backed fallback for transform-coded formats the native
     decoders can't own (JPEG, WebP, ...). Import-gated: the swap-in
@@ -520,7 +658,7 @@ def _pil_decode(payload: bytes):
     except ImportError:
         raise NotImplementedError(
             "transform-coded image decoding requires a codec (PIL/cv2) not "
-            "present in this container; PPM/PGM/BMP/PNG/GIF decode natively"
+            "present in this container; PPM/PGM/BMP/PNG/GIF/TIFF decode natively"
         ) from None
     import numpy as np
 
@@ -541,10 +679,12 @@ def decode_image(payload: bytes):
     Adam7 interlacing, chunk CRCs verified) — no image library,
     pytest-verified round-trip against independently built pixel
     arrays — plus GIF (pure-Python LZW, first frame, interlace and
-    GCE transparency). Formats that genuinely need a transform
-    codec (JPEG, WebP, ...) dispatch to PIL when importable and
-    stay a clearly-marked NotImplementedError otherwise (this
-    container has no codec — swap-in point documented).
+    GCE transparency) and baseline TIFF (II/MM byte orders, strip
+    assembly, PackBits RLE, gray/RGB/RGBA/palette/bilevel). Formats
+    that genuinely need a transform codec (JPEG, WebP, ...)
+    dispatch to PIL when importable and stay a clearly-marked
+    NotImplementedError otherwise (this container has no codec —
+    swap-in point documented).
 
     Error contract (what a DLQ-style caller can rely on):
     NotImplementedError = the FORMAT needs a codec/feature this
@@ -575,6 +715,13 @@ def decode_image(payload: bytes):
             return _decode_gif(payload)
         except Exception as e:
             raise ValueError(f"malformed GIF payload: {e}") from e
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        try:
+            return _decode_tiff(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed TIFF payload: {e}") from e
     # formats needing a transform codec (JPEG/WebP/...): PIL only
     return _pil_decode(payload)
 

@@ -1,0 +1,251 @@
+"""Native baseline-TIFF decode (functions/multimodal.py::_decode_tiff).
+
+The serializer here builds IFDs byte-by-byte from the TIFF 6.0 spec
+(entry layout, inline-vs-offset values, strip tables, both byte
+orders) and the PackBits encoder implements the compression side of
+the RLE — both independent of the decoder."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from flink_hiveorc_spark.functions.multimodal import decode_image
+
+from test_image_decode import _no_pil, _rng
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Spec-side PackBits: greedy runs — repeats of >=2 become repeat
+    packets, everything else literal packets of <=128."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        run = 1
+        while i + run < len(row) and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < len(row)
+            and i - lit < 128
+            and not (i + 1 < len(row) and row[i + 1] == row[i])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def _tiff_bytes(
+    arr: np.ndarray,
+    bo: str = "<",
+    packbits: bool = False,
+    rows_per_strip: int = None,
+    photometric: int = None,
+    palette: np.ndarray = None,
+    bilevel: bool = False,
+) -> bytes:
+    """TIFF from an HxWxC uint8 array (or HxW indices with `palette`,
+    or HxW 0/1 with `bilevel`). Header + strips + IFD at the end."""
+    if palette is not None or bilevel:
+        h, w = arr.shape
+        spp, depth = 1, (1 if bilevel else 8)
+    else:
+        h, w, spp = arr.shape
+        depth = 8
+    rps = rows_per_strip or h
+    if bilevel:
+        rows = [np.packbits(arr[y], bitorder="big").tobytes() for y in range(h)]
+    else:
+        rows = [arr[y].tobytes() for y in range(h)]
+    strips = []
+    for y0 in range(0, h, rps):
+        strip = b"".join(rows[y0 : y0 + rps])
+        strips.append(_packbits_encode(strip) if packbits else strip)
+    # layout: 8-byte header, strip data, [colormap], IFD
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    cmap_off = pos
+    cmap_words = []
+    if palette is not None:
+        # ColorMap: 3*256 SHORTs, R plane then G then B, value<<8
+        for ch in range(3):
+            plane = np.zeros(256, dtype=np.uint16)
+            plane[: len(palette)] = palette[:, ch].astype(np.uint16) << 8
+            cmap_words.extend(int(v) for v in plane)
+        pos += 2 * len(cmap_words)
+    ifd_off = pos
+
+    entries = []  # (tag, type, count, packed-value-or-offset bytes)
+
+    def entry(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        size = {3: 2, 4: 4}[typ]
+        payload = struct.pack(bo + fmt * len(vals), *vals)
+        if len(payload) <= 4:
+            payload = payload + b"\x00" * (4 - len(payload))
+            entries.append(struct.pack(bo + "HHI", tag, typ, len(vals)) + payload)
+        else:
+            entries.append(None)  # patched below with an offset
+            deferred.append((len(entries) - 1, tag, typ, vals, payload))
+
+    deferred = []
+    phot = photometric
+    if phot is None:
+        phot = 3 if palette is not None else (1 if spp == 1 else 2)
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [depth] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [phot])
+    entry(273, 4, strip_offs)
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    if spp == 4:
+        entry(338, 3, [2])  # ExtraSamples: unassociated alpha
+    if palette is not None:
+        entries.append(
+            struct.pack(bo + "HHI", 320, 3, len(cmap_words))
+            + struct.pack(bo + "I", cmap_off)
+        )
+    # resolve deferred (multi-value) entries after the IFD
+    tail_off = ifd_off + 2 + 12 * len(entries) + 4
+    tail = bytearray()
+    for slot, tag, typ, vals, payload in deferred:
+        entries[slot] = struct.pack(bo + "HHI", tag, typ, len(vals)) + struct.pack(
+            bo + "I", tail_off + len(tail)
+        )
+        tail += payload
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    if cmap_words:
+        out += struct.pack(bo + "H" * len(cmap_words), *cmap_words)
+    out += struct.pack(bo + "H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += tail
+    return bytes(out)
+
+
+def test_tiff_rgb_both_endians():
+    arr = _rng(500).integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_tiff_bytes(arr, "<")), arr)
+    np.testing.assert_array_equal(decode_image(_tiff_bytes(arr, ">")), arr)
+
+
+def test_tiff_gray_and_rgba():
+    g = _rng(501).integers(0, 256, size=(4, 9, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_tiff_bytes(g)), g)
+    ga = _rng(502).integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_tiff_bytes(ga)), ga)
+
+
+def test_tiff_multi_strip():
+    arr = _rng(503).integers(0, 256, size=(11, 4, 3), dtype=np.uint8)
+    got = decode_image(_tiff_bytes(arr, rows_per_strip=3))  # 4 strips, last short
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_tiff_packbits_roundtrip():
+    # long runs + noise: exercises repeat packets, literal packets,
+    # and the 128-length packet cap
+    arr = np.zeros((8, 70, 1), dtype=np.uint8)
+    arr[2:5, 10:40] = 200
+    arr[6] = _rng(504).integers(0, 256, size=(70, 1), dtype=np.uint8)
+    got = decode_image(_tiff_bytes(arr, packbits=True, rows_per_strip=2))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_tiff_white_is_zero_inverts():
+    g = _rng(505).integers(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    got = decode_image(_tiff_bytes(g, photometric=0))
+    np.testing.assert_array_equal(got, 255 - g)
+
+
+def test_tiff_palette():
+    pal = np.array(
+        [(9 * i % 256, (5 * i + 1) % 256, (11 * i + 7) % 256) for i in range(40)],
+        dtype=np.uint8,
+    )
+    idx = _rng(506).integers(0, 40, size=(7, 6), dtype=np.uint8)
+    got = decode_image(_tiff_bytes(idx, palette=pal))
+    np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_tiff_bilevel_scan():
+    """1-bit fax-style scan: MSB-first packed rows, byte-aligned; both
+    photometric polarities."""
+    bits = _rng(507).integers(0, 2, size=(5, 19), dtype=np.uint8)
+    got = decode_image(_tiff_bytes(bits, bilevel=True, photometric=1))
+    np.testing.assert_array_equal(got, (bits * 255)[:, :, None])
+    got0 = decode_image(_tiff_bytes(bits, bilevel=True, photometric=0))
+    np.testing.assert_array_equal(got0, (255 - bits * 255)[:, :, None])
+
+
+def test_tiff_lzw_needs_codec():
+    if not _no_pil():
+        pytest.skip("PIL present on this host; gate untestable")
+    arr = _rng(508).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    data = bytearray(_tiff_bytes(arr))
+    # compression tag (259) value: find its entry and set to 5 (LZW)
+    ifd_off = struct.unpack_from("<I", data, 4)[0]
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", data, off)[0]
+        if tag == 259:
+            struct.pack_into("<H", data, off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(data))
+
+
+def test_tiff_malformed_rejected():
+    arr = _rng(509).integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    ok = _tiff_bytes(arr)
+    with pytest.raises(ValueError):  # strip data cut off
+        decode_image(ok[:20])
+    data = bytearray(ok)
+    struct.pack_into("<I", data, 4, len(ok) + 100)  # IFD offset past EOF
+    with pytest.raises(ValueError):
+        decode_image(bytes(data))
+
+
+def test_tiff_bomb_dimensions_rejected():
+    arr = _rng(510).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    data = bytearray(_tiff_bytes(arr))
+    ifd_off = struct.unpack_from("<I", data, 4)[0]
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", data, off)[0]
+        if tag in (256, 257):
+            struct.pack_into("<I", data, off + 8, 60000)
+    with pytest.raises(ValueError, match="MAX_IMAGE_PIXELS"):
+        decode_image(bytes(data))
+
+
+def test_tiff_property_random():
+    rng = _rng(511)
+    for trial in range(12):
+        h = int(rng.integers(1, 10))
+        w = int(rng.integers(1, 10))
+        c = int(rng.integers(1, 4))
+        c = {1: 1, 2: 3, 3: 4}[c]
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        bo = "<" if trial % 2 else ">"
+        pb = trial % 3 == 0
+        rps = int(rng.integers(1, h + 1))
+        got = decode_image(_tiff_bytes(arr, bo=bo, packbits=pb, rows_per_strip=rps))
+        np.testing.assert_array_equal(got, arr, err_msg=f"trial {trial}")
