@@ -8,7 +8,8 @@ BMP, COMPLETE PNG (zlib IS stdlib; all five color types, all five
 scanline filters, bit depths 1-16, palette+tRNS, Adam7
 interlacing, CRC-verified), GIF (pure-Python LZW, first frame,
 interlace+transparency), and baseline TIFF (both byte orders,
-strips, PackBits, palette, bilevel scans) via `decode_image`; integer PCM,
+strips, PackBits AND LZW+predictor, palette, bilevel scans) via
+`decode_image`; integer PCM,
 IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio`;
 uncompressed Y4M video (all standard chroma modes, per-frame luma)
 via `decode_video` — each with a distributed decode→featurize path
@@ -535,6 +536,58 @@ def _packbits_decode(data: bytes, expected: int) -> bytearray:
     return out[:expected]
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytearray:
+    """TIFF-variant LZW (spec §13): 8-bit codes, MSB-first bit
+    packing (GIF is LSB-first), clear=256/end=257, and the
+    'EarlyChange' convention — the code width grows one code EARLIER
+    than GIF's schedule (at table size 2^width − 1, because the
+    encoder counts the entry it is about to create). Output capped
+    at `expected` (bomb guard)."""
+    clear, end = 256, 257
+    base: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = base.copy()
+    width = 9
+    out = bytearray()
+    buf = nbits = pos = 0
+    prev = None
+    while True:
+        while nbits < width and pos < len(data):
+            buf = (buf << 8) | data[pos]  # MSB-first: append at the low end
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        buf &= (1 << nbits) - 1
+        if code == clear:
+            table = base.copy()
+            width = 9
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad TIFF-LZW code {code} (table size {len(table)})")
+        out += entry
+        if len(out) >= expected:
+            return out[:expected]
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF-LZW stream is {len(out)} bytes, expected {expected}"
+        )
+    return out
+
+
 def _decode_tiff(data: bytes):
     """Baseline TIFF in pure struct+numpy: both byte orders (II/MM),
     IFD walk with inline-or-offset values, multi-strip assembly,
@@ -598,10 +651,10 @@ def _decode_tiff(data: bytes):
             "(decompression-bomb guard)"
         )
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec; "
-            "none/PackBits decode natively"
+            "none/LZW/PackBits decode natively"
         )
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1] * spp)
@@ -615,13 +668,23 @@ def _decode_tiff(data: bytes):
         raise ValueError("TIFF strip offset/count tables disagree")
     stride = (w * spp * depth + 7) // 8  # rows are byte-aligned per spec
     expected = stride * h
+    rps = tags.get(278, [h])[0]
+    if rps <= 0:
+        raise ValueError(f"bad TIFF RowsPerStrip {rps}")
     raw = bytearray()
-    for off, cnt in zip(strip_offs, strip_counts):
+    for k, (off, cnt) in enumerate(zip(strip_offs, strip_counts)):
         if off + cnt > len(data):
             raise ValueError("truncated TIFF strip")
         strip = data[off : off + cnt]
+        # each strip holds its own whole rows: share = rows-in-strip ×
+        # stride (the LZW stream per strip ends exactly there)
+        share = min(rps, h - k * rps) * stride
+        if share <= 0:
+            raise ValueError("more TIFF strips than rows")
         if compression == 32773:
-            raw += _packbits_decode(strip, expected - len(raw))
+            raw += _packbits_decode(strip, share)
+        elif compression == 5:
+            raw += _tiff_lzw_decode(strip, share)
         else:
             raw += strip
     if len(raw) < expected:
@@ -634,6 +697,15 @@ def _decode_tiff(data: bytes):
             samples = 255 - samples
         return samples[:, :, None]
     samples = arr[:, : w * spp].reshape(h, w, spp)
+    predictor = tags.get(317, [1])[0]
+    if predictor == 2:  # horizontal differencing: stored = px − left,
+        # per channel per row; undo with a per-row cumulative sum mod
+        # 256 (vectorized over the whole raster)
+        samples = (np.cumsum(samples.astype(np.int64), axis=1) % 256).astype(
+            np.uint8
+        )
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if photometric == 3:  # palette: 16-bit ColorMap, R then G then B planes
         cmap = tags.get(320)
         if spp != 1 or not cmap or len(cmap) != 3 * 256:
@@ -680,7 +752,9 @@ def decode_image(payload: bytes):
     pytest-verified round-trip against independently built pixel
     arrays — plus GIF (pure-Python LZW, first frame, interlace and
     GCE transparency) and baseline TIFF (II/MM byte orders, strip
-    assembly, PackBits RLE, gray/RGB/RGBA/palette/bilevel). Formats
+    assembly, PackBits RLE, LZW with the EarlyChange schedule and
+    horizontal-differencing predictor, gray/RGB/RGBA/palette/
+    bilevel). Formats
     that genuinely need a transform codec (JPEG, WebP, ...)
     dispatch to PIL when importable and stay a clearly-marked
     NotImplementedError otherwise (this container has no codec —

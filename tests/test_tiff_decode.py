@@ -41,10 +41,65 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+class _MSBBitWriter:
+    """MSB-first bit packer (TIFF §13 byte order — GIF's mirror)."""
+
+    def __init__(self):
+        self.buf = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.buf = (self.buf << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append((self.buf >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.buf << (8 - self.nbits)) & 0xFF)
+            self.buf = self.nbits = 0
+        return bytes(self.out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor: clear=256/end=257, MSB-first, and
+    the EarlyChange width schedule — the encoder grows when its next
+    free code reaches 2^width (one code earlier than GIF's 2^width+1;
+    the decoder, one entry behind, fires at table size 2^width−1 —
+    the 511/1023/2047 slots the PDF LZWDecode spec names)."""
+    bw = _MSBBitWriter()
+    width = 9
+    d = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bw.write(256, width)  # clear
+    seq = b""
+    for byte in data:
+        cand = seq + bytes([byte])
+        if cand in d:
+            seq = cand
+            continue
+        bw.write(d[seq], width)
+        if next_code < 4094:
+            d[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:  # EarlyChange
+                width += 1
+        seq = bytes([byte])
+    if seq:
+        bw.write(d[seq], width)
+    bw.write(257, width)  # EOI
+    return bw.flush()
+
+
 def _tiff_bytes(
     arr: np.ndarray,
     bo: str = "<",
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
     rows_per_strip: int = None,
     photometric: int = None,
     palette: np.ndarray = None,
@@ -59,14 +114,27 @@ def _tiff_bytes(
         h, w, spp = arr.shape
         depth = 8
     rps = rows_per_strip or h
+    stored = arr
+    if predictor == 2:
+        # horizontal differencing, per channel per row, scalar loop
+        # (the decoder undoes it with a vectorized cumsum)
+        flat = arr.reshape(h, -1).astype(int)
+        diff = flat.copy()
+        for x in range(spp, flat.shape[1]):
+            diff[:, x] = (flat[:, x] - flat[:, x - spp]) % 256
+        stored = diff.astype(np.uint8).reshape(arr.shape)
     if bilevel:
-        rows = [np.packbits(arr[y], bitorder="big").tobytes() for y in range(h)]
+        rows = [np.packbits(stored[y], bitorder="big").tobytes() for y in range(h)]
     else:
-        rows = [arr[y].tobytes() for y in range(h)]
+        rows = [stored[y].tobytes() for y in range(h)]
     strips = []
     for y0 in range(0, h, rps):
         strip = b"".join(rows[y0 : y0 + rps])
-        strips.append(_packbits_encode(strip) if packbits else strip)
+        if packbits:
+            strip = _packbits_encode(strip)
+        elif lzw:
+            strip = _tiff_lzw_encode(strip)
+        strips.append(strip)
     # layout: 8-byte header, strip data, [colormap], IFD
     pos = 8
     strip_offs = []
@@ -104,12 +172,14 @@ def _tiff_bytes(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [depth] * spp)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [32773 if packbits else (5 if lzw else 1)])
     entry(262, 3, [phot])
     entry(273, 4, strip_offs)
     entry(277, 3, [spp])
     entry(278, 4, [rps])
     entry(279, 4, [len(s) for s in strips])
+    if predictor != 1:
+        entry(317, 3, [predictor])
     if spp == 4:
         entry(338, 3, [2])  # ExtraSamples: unassociated alpha
     if palette is not None:
@@ -194,19 +264,42 @@ def test_tiff_bilevel_scan():
     np.testing.assert_array_equal(got0, (255 - bits * 255)[:, :, None])
 
 
-def test_tiff_lzw_needs_codec():
+def test_tiff_lzw_roundtrip_with_width_growth():
+    """40x40 RGB noise = 4800 mostly-incompressible bytes: the LZW
+    dictionary crosses the 511 and 1023 EarlyChange boundaries, so an
+    encoder/decoder width-schedule mismatch cannot survive this."""
+    arr = _rng(508).integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_tiff_bytes(arr, lzw=True)), arr)
+    # multi-strip: each strip is an independent LZW stream
+    got = decode_image(_tiff_bytes(arr, lzw=True, rows_per_strip=7, bo=">"))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_tiff_lzw_with_horizontal_predictor():
+    """Predictor 2 (the standard LZW companion): serializer differences
+    per channel scalar-wise, decoder undoes with a vectorized cumsum."""
+    base = np.add.outer(np.arange(9), 3 * np.arange(11)) % 256
+    arr = np.stack([base, (base * 2) % 256, (base + 7) % 256], axis=2).astype(np.uint8)
+    got = decode_image(_tiff_bytes(arr, lzw=True, predictor=2))
+    np.testing.assert_array_equal(got, arr)
+    gray = _rng(512).integers(0, 256, size=(5, 30, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_image(_tiff_bytes(gray, lzw=True, predictor=2)), gray
+    )
+
+
+def test_tiff_jpeg_compression_needs_codec():
     if not _no_pil():
         pytest.skip("PIL present on this host; gate untestable")
-    arr = _rng(508).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    arr = _rng(513).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
     data = bytearray(_tiff_bytes(arr))
-    # compression tag (259) value: find its entry and set to 5 (LZW)
     ifd_off = struct.unpack_from("<I", data, 4)[0]
     (n,) = struct.unpack_from("<H", data, ifd_off)
     for i in range(n):
         off = ifd_off + 2 + 12 * i
         tag = struct.unpack_from("<H", data, off)[0]
         if tag == 259:
-            struct.pack_into("<H", data, off + 8, 5)
+            struct.pack_into("<H", data, off + 8, 7)  # new-style JPEG
     with pytest.raises(NotImplementedError):
         decode_image(bytes(data))
 
