@@ -8,8 +8,8 @@ BMP, COMPLETE PNG (zlib IS stdlib; all five color types, all five
 scanline filters, bit depths 1-16, palette+tRNS, Adam7
 interlacing, CRC-verified), GIF (pure-Python LZW, first frame,
 interlace+transparency), and baseline TIFF (both byte orders,
-strips, PackBits AND LZW+predictor, palette, bilevel scans) via
-`decode_image`; integer PCM,
+strips, PackBits/LZW+predictor/Deflate, palette, bilevel scans)
+via `decode_image`; integer PCM,
 IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio`;
 uncompressed Y4M video (all standard chroma modes, per-frame luma)
 via `decode_video` — each with a distributed decode→featurize path
@@ -651,10 +651,10 @@ def _decode_tiff(data: bytes):
             "(decompression-bomb guard)"
         )
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec; "
-            "none/LZW/PackBits decode natively"
+            "none/LZW/Deflate/PackBits decode natively"
         )
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1] * spp)
@@ -685,6 +685,15 @@ def _decode_tiff(data: bytes):
             raw += _packbits_decode(strip, share)
         elif compression == 5:
             raw += _tiff_lzw_decode(strip, share)
+        elif compression in (8, 32946):  # Adobe/old Deflate: zlib per strip
+            import zlib
+
+            piece = zlib.decompressobj().decompress(strip, share + 1)
+            if len(piece) != share:
+                raise ValueError(
+                    f"TIFF Deflate strip is {len(piece)}+ bytes, expected {share}"
+                )
+            raw += piece
         else:
             raw += strip
     if len(raw) < expected:
@@ -753,8 +762,8 @@ def decode_image(payload: bytes):
     arrays — plus GIF (pure-Python LZW, first frame, interlace and
     GCE transparency) and baseline TIFF (II/MM byte orders, strip
     assembly, PackBits RLE, LZW with the EarlyChange schedule and
-    horizontal-differencing predictor, gray/RGB/RGBA/palette/
-    bilevel). Formats
+    horizontal-differencing predictor, Adobe Deflate,
+    gray/RGB/RGBA/palette/bilevel). Formats
     that genuinely need a transform codec (JPEG, WebP, ...)
     dispatch to PIL when importable and stay a clearly-marked
     NotImplementedError otherwise (this container has no codec —
@@ -900,6 +909,8 @@ def decode_audio(payload: bytes):
     REAL for every WAV flavor stdlib+numpy can honestly own — pure
     struct/numpy chunk walking, no audio library, pytest-verified
     round-trip against independently serialized waveforms:
+    - WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwrapped to the SubFormat
+      GUID's real format — multichannel/high-bit WAVs in the wild;
     - format 1 integer PCM, 8/16/24/32-bit, any channel count (8-bit
       is unsigned per spec → uint8; 16/32 signed little-endian;
       24-bit 3-byte frames sign-extended → int32);
@@ -933,6 +944,16 @@ def decode_audio(payload: bytes):
             if size < 16:  # struct.error is NOT a ValueError — check
                 raise ValueError(f"truncated WAV fmt chunk ({size} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the real
+                # format is the first two bytes of the SubFormat GUID
+                # at offset 24 (cbSize≥22) — how multichannel and
+                # high-bit-depth WAVs actually ship
+                if size < 26:
+                    raise ValueError(
+                        f"truncated WAVE_FORMAT_EXTENSIBLE fmt chunk ({size} bytes)"
+                    )
+                sub = struct.unpack_from("<H", body, 24)[0]
+                fmt = (sub,) + fmt[1:]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even offsets

@@ -221,6 +221,43 @@ def test_unsupported_wav_and_mp3_rejected():
         decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3 frame sync
 
 
+def test_wav_extensible_format():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real format hides in the
+    SubFormat GUID's first two bytes — how multichannel/high-bit WAVs
+    actually ship. 6-channel 24-bit PCM and stereo float32."""
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    def _extensible(samples, rate, sub_fmt, bits):
+        n, ch = samples.shape
+        data = samples.tobytes() if bits != 24 else b"".join(
+            int(v).to_bytes(3, "little", signed=True) for v in samples.ravel()
+        )
+        guid = struct.pack("<H", sub_fmt) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits,
+            22, bits, (1 << ch) - 1,
+        ) + guid
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    pcm24 = _rng(25).integers(-(2**23), 2**23, size=(50, 6)).astype(np.int32)
+    got, rate = decode_audio(_extensible(pcm24, 48000, 1, 24))
+    assert rate == 48000 and got.shape == (50, 6)
+    np.testing.assert_array_equal(got, pcm24)
+    f32 = _rng(26).normal(size=(40, 2)).astype("<f4")
+    got, _ = decode_audio(_extensible(f32, 44100, 3, 32))
+    np.testing.assert_array_equal(got, f32)
+    # truncated extension: malformed, not struct.error
+    bad = bytearray(_extensible(pcm24, 48000, 1, 24))
+    struct.pack_into("<I", bad, 16, 18)  # fmt size lies: too short for GUID
+    with pytest.raises(ValueError):
+        decode_audio(bytes(bad))
+
+
 def test_audio_stats_distributed_matches_numpy(spark):
     from flink_hiveorc_spark.functions.multimodal import audio_stats
 

@@ -99,6 +99,7 @@ def _tiff_bytes(
     bo: str = "<",
     packbits: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
     rows_per_strip: int = None,
     photometric: int = None,
@@ -134,6 +135,10 @@ def _tiff_bytes(
             strip = _packbits_encode(strip)
         elif lzw:
             strip = _tiff_lzw_encode(strip)
+        elif deflate:
+            import zlib
+
+            strip = zlib.compress(strip)
         strips.append(strip)
     # layout: 8-byte header, strip data, [colormap], IFD
     pos = 8
@@ -172,7 +177,7 @@ def _tiff_bytes(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [depth] * spp)
-    entry(259, 3, [32773 if packbits else (5 if lzw else 1)])
+    entry(259, 3, [32773 if packbits else (5 if lzw else (8 if deflate else 1))])
     entry(262, 3, [phot])
     entry(273, 4, strip_offs)
     entry(277, 3, [spp])
@@ -286,6 +291,15 @@ def test_tiff_lzw_with_horizontal_predictor():
     np.testing.assert_array_equal(
         decode_image(_tiff_bytes(gray, lzw=True, predictor=2)), gray
     )
+
+
+def test_tiff_deflate_roundtrip():
+    """Adobe Deflate (compression 8): per-strip zlib streams, with and
+    without the predictor."""
+    arr = _rng(514).integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_tiff_bytes(arr, deflate=True)), arr)
+    got = decode_image(_tiff_bytes(arr, deflate=True, predictor=2, rows_per_strip=5))
+    np.testing.assert_array_equal(got, arr)
 
 
 def test_tiff_jpeg_compression_needs_codec():
