@@ -591,13 +591,18 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytearray:
 def _decode_tiff(data: bytes):
     """Baseline TIFF in pure struct+numpy: both byte orders (II/MM),
     IFD walk with inline-or-offset values, multi-strip assembly,
-    compressions 1 (none) and 32773 (PackBits), bit depths 1 and 8,
-    photometric WhiteIsZero/BlackIsZero/RGB/Palette (16-bit ColorMap
-    reduced to its high byte), 1/3/4 samples per pixel (RGBA via
-    ExtraSamples). First IFD only (multi-page TIFFs decode their
-    first page — the thumbnail/featurize semantics, same as GIF).
-    LZW/CCITT/JPEG compressions raise NotImplementedError (codec
-    territory); structural damage raises through the caller's
+    compressions 1 (none), 5 (LZW, EarlyChange + optional
+    horizontal-differencing predictor), 8/32946 (Deflate), and
+    32773 (PackBits); bit depths 1 and 8; photometric
+    WhiteIsZero/BlackIsZero/RGB/Palette (16-bit ColorMap reduced to
+    its high byte, 8-bit-valued ColorMaps — a known writer bug —
+    used as-is); FillOrder 2 (LSB-first rows) honored; 1/3/4
+    samples per pixel (RGBA via ExtraSamples). First IFD only
+    (multi-page TIFFs decode their first page — the
+    thumbnail/featurize semantics, same as GIF). CCITT/JPEG
+    compressions, CMYK/YCbCr photometrics, tiled layout, and planar
+    configuration raise NotImplementedError (unsupported features,
+    not damage); structural damage raises through the caller's
     ValueError wrapper."""
     import struct
 
@@ -636,6 +641,14 @@ def _decode_tiff(data: bytes):
         tag, vals = values(ifd_off + 2 + 12 * i)
         if vals is not None:
             tags[tag] = vals
+    if 322 in tags or 324 in tags or 325 in tags:  # TileWidth/Offsets
+        raise NotImplementedError(
+            "tiled TIFF layout not supported (strips only)"
+        )
+    if tags.get(284, [1])[0] != 1:  # PlanarConfiguration
+        raise NotImplementedError(
+            "planar-configuration TIFF not supported (chunky only)"
+        )
     try:
         w = tags[256][0]
         h = tags[257][0]
@@ -659,6 +672,13 @@ def _decode_tiff(data: bytes):
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1] * spp)
     photometric = tags.get(262, [1])[0]
+    if photometric not in (0, 1, 2, 3):
+        # CMYK (5) / YCbCr (6) / CIELab (8): samples exist but mean
+        # something else — decoding them as RGB would be silently
+        # wrong, the worst failure class. Unsupported, not malformed.
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} not supported (gray/RGB/palette only)"
+        )
     if len(set(bits)) != 1 or bits[0] not in (1, 8) or (bits[0] == 1 and spp != 1):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} not supported")
     depth = bits[0]
@@ -699,8 +719,25 @@ def _decode_tiff(data: bytes):
     if len(raw) < expected:
         raise ValueError(f"TIFF pixel data is {len(raw)} bytes, expected {expected}")
     arr = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, stride)
+
+    def palette_lookup(idx):
+        """ColorMap: 3·2^depth SHORTs, R plane then G then B. Spec
+        values are value<<8; a well-known writer bug stores plain
+        8-bit values — detected (max ≤ 255) and used as-is, the
+        libtiff/PIL compensation."""
+        cmap = tags.get(320)
+        n = 1 << depth
+        if not cmap or len(cmap) != 3 * n:
+            raise ValueError("paletted TIFF missing/odd ColorMap")
+        pal16 = np.array(cmap, dtype=np.uint16).reshape(3, n).T
+        pal = (pal16 if pal16.max(initial=0) <= 255 else pal16 >> 8).astype(np.uint8)
+        return pal[idx]
+
     if depth == 1:
-        bitsarr = np.unpackbits(arr, axis=1)[:, :w]  # MSB-first per spec
+        bitorder = "little" if tags.get(266, [1])[0] == 2 else "big"  # FillOrder
+        bitsarr = np.unpackbits(arr, axis=1, bitorder=bitorder)[:, :w]
+        if photometric == 3:  # 1-bit paletted: bits ARE palette indices
+            return palette_lookup(bitsarr)
         samples = (bitsarr * 255).astype(np.uint8)
         if photometric == 0:  # WhiteIsZero: 0 bit = white
             samples = 255 - samples
@@ -715,14 +752,10 @@ def _decode_tiff(data: bytes):
         )
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
-    if photometric == 3:  # palette: 16-bit ColorMap, R then G then B planes
-        cmap = tags.get(320)
-        if spp != 1 or not cmap or len(cmap) != 3 * 256:
-            raise ValueError("paletted TIFF missing/odd ColorMap")
-        pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(
-            np.uint8
-        )
-        return pal[samples[:, :, 0]]
+    if photometric == 3:
+        if spp != 1:
+            raise ValueError(f"paletted TIFF with {spp} samples per pixel")
+        return palette_lookup(samples[:, :, 0])
     if photometric == 0 and spp == 1:  # WhiteIsZero grayscale
         return 255 - samples
     return samples

@@ -105,9 +105,15 @@ def _tiff_bytes(
     photometric: int = None,
     palette: np.ndarray = None,
     bilevel: bool = False,
+    fill_order: int = 1,
+    colormap_8bit: bool = False,
+    palette_bilevel: np.ndarray = None,
 ) -> bytes:
     """TIFF from an HxWxC uint8 array (or HxW indices with `palette`,
     or HxW 0/1 with `bilevel`). Header + strips + IFD at the end."""
+    if palette_bilevel is not None:
+        bilevel = True
+        palette = palette_bilevel
     if palette is not None or bilevel:
         h, w = arr.shape
         spp, depth = 1, (1 if bilevel else 8)
@@ -125,7 +131,8 @@ def _tiff_bytes(
             diff[:, x] = (flat[:, x] - flat[:, x - spp]) % 256
         stored = diff.astype(np.uint8).reshape(arr.shape)
     if bilevel:
-        rows = [np.packbits(stored[y], bitorder="big").tobytes() for y in range(h)]
+        order = "little" if fill_order == 2 else "big"
+        rows = [np.packbits(stored[y], bitorder=order).tobytes() for y in range(h)]
     else:
         rows = [stored[y].tobytes() for y in range(h)]
     strips = []
@@ -149,10 +156,13 @@ def _tiff_bytes(
     cmap_off = pos
     cmap_words = []
     if palette is not None:
-        # ColorMap: 3*256 SHORTs, R plane then G then B, value<<8
+        # ColorMap: 3*2^depth SHORTs, R plane then G then B; spec says
+        # value<<8, colormap_8bit mimics the raw-8-bit writer bug
+        shift = 0 if colormap_8bit else 8
+        nslots = 1 << depth
         for ch in range(3):
-            plane = np.zeros(256, dtype=np.uint16)
-            plane[: len(palette)] = palette[:, ch].astype(np.uint16) << 8
+            plane = np.zeros(nslots, dtype=np.uint16)
+            plane[: len(palette)] = palette[:, ch].astype(np.uint16) << shift
             cmap_words.extend(int(v) for v in plane)
         pos += 2 * len(cmap_words)
     ifd_off = pos
@@ -185,6 +195,8 @@ def _tiff_bytes(
     entry(279, 4, [len(s) for s in strips])
     if predictor != 1:
         entry(317, 3, [predictor])
+    if fill_order != 1:
+        entry(266, 3, [fill_order])
     if spp == 4:
         entry(338, 3, [2])  # ExtraSamples: unassociated alpha
     if palette is not None:
@@ -316,6 +328,71 @@ def test_tiff_jpeg_compression_needs_codec():
             struct.pack_into("<H", data, off + 8, 7)  # new-style JPEG
     with pytest.raises(NotImplementedError):
         decode_image(bytes(data))
+
+
+def _patch_tag(data: bytes, tag: int, new_tag: int = None, new_value: int = None) -> bytes:
+    """Rewrite an IFD entry's tag id and/or inline value (LE only)."""
+    out = bytearray(data)
+    ifd_off = struct.unpack_from("<I", out, 4)[0]
+    (n,) = struct.unpack_from("<H", out, ifd_off)
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", out, off)[0] == tag:
+            if new_tag is not None:
+                struct.pack_into("<H", out, off, new_tag)
+            if new_value is not None:
+                typ = struct.unpack_from("<H", out, off + 2)[0]
+                struct.pack_into("<H" if typ == 3 else "<I", out, off + 8, new_value)
+    return bytes(out)
+
+
+def test_tiff_unsupported_features_classified_not_misdecoded():
+    """CMYK/YCbCr photometrics, tiled layout, and planar configuration
+    are valid TIFF features this decoder doesn't own — they must raise
+    NotImplementedError (quarantine class 'unsupported'), never decode
+    raw samples as RGB (silently wrong) or raise ValueError
+    ('malformed' — a lie about a valid file)."""
+    arr = _rng(520).integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    ok = _tiff_bytes(arr)
+    for phot in (5, 6, 8):  # CMYK, YCbCr, CIELab
+        with pytest.raises(NotImplementedError):
+            decode_image(_patch_tag(ok, 262, new_value=phot))
+    # tiled: StripOffsets/ByteCounts renamed to TileOffsets/ByteCounts
+    tiled = _patch_tag(_patch_tag(ok, 273, new_tag=324), 279, new_tag=325)
+    with pytest.raises(NotImplementedError):
+        decode_image(tiled)
+    # planar configuration 2: ExtraSamples tag rewritten to tag 284=2
+    planar = _patch_tag(ok, 338, new_tag=284, new_value=2)
+    with pytest.raises(NotImplementedError):
+        decode_image(planar)
+
+
+def test_tiff_bilevel_palette_uses_colormap():
+    """A 1-bit paletted TIFF maps bits through the 2-entry ColorMap —
+    previously the bilevel branch returned 0/255 gray and silently
+    ignored the palette."""
+    bits = _rng(521).integers(0, 2, size=(3, 10), dtype=np.uint8)
+    pal = np.array([(200, 10, 30), (5, 120, 250)], dtype=np.uint8)
+    data = _tiff_bytes(bits, bilevel=True, palette_bilevel=pal)
+    np.testing.assert_array_equal(decode_image(data), pal[bits])
+
+
+def test_tiff_fill_order_lsb():
+    """FillOrder=2 packs row bits low-order-first; bits must not come
+    out mirrored."""
+    bits = _rng(522).integers(0, 2, size=(4, 11), dtype=np.uint8)
+    data = _tiff_bytes(bits, bilevel=True, photometric=1, fill_order=2)
+    np.testing.assert_array_equal(decode_image(data), (bits * 255)[:, :, None])
+
+
+def test_tiff_8bit_valued_colormap_compensated():
+    """Some writers store ColorMap values in 0..255 instead of
+    value<<8 (known bug libtiff/PIL compensate for); max<=255 means
+    use as-is, not >>8 into near-black."""
+    pal = np.array([(10 + i, 20 + i, 30 + i) for i in range(16)], dtype=np.uint8)
+    idx = _rng(523).integers(0, 16, size=(5, 5), dtype=np.uint8)
+    data = _tiff_bytes(idx, palette=pal, colormap_8bit=True)
+    np.testing.assert_array_equal(decode_image(data), pal[idx])
 
 
 def test_tiff_malformed_rejected():
