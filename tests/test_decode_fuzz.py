@@ -1,0 +1,92 @@
+"""Decode-contract fuzz: every decoder, fed random garbage and
+bit-flipped valid payloads, must return a decoded result or raise
+exactly NotImplementedError/ValueError — never a raw struct.error /
+IndexError / ZeroDivisionError (which would escape quarantine mode
+and kill a Spark task) and never hang. This is the property the
+streaming DLQ promise rests on; deterministic rng, no hypothesis
+overhead."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_hiveorc_spark.functions.multimodal import (
+    decode_audio,
+    decode_image,
+    decode_video,
+)
+
+from test_gif_decode import _PAL8, _gif_bytes
+from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
+from test_png_g711_decode import ALL_FILTERS, _png_from_array
+from test_tiff_decode import _tiff_bytes
+from test_y4m_decode import _y4m_bytes
+
+_CONTRACT = (NotImplementedError, ValueError)
+
+
+def _assert_contract(decode, payload: bytes, ctx: str) -> None:
+    try:
+        decode(payload)
+    except _CONTRACT:
+        pass
+    except Exception as e:  # noqa: BLE001 — the point of the test
+        pytest.fail(f"{ctx}: {type(e).__name__} escaped the contract: {e!r}")
+
+
+def _valid_payloads():
+    rng = _rng(600)
+    img3 = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    img1 = rng.integers(0, 256, size=(4, 7, 1), dtype=np.uint8)
+    gif_idx = rng.integers(0, 8, size=(5, 6), dtype=np.uint8)
+    wav = rng.integers(-1000, 1000, size=(40, 2)).astype("<i2")
+    lumas = rng.integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+    return [
+        (decode_image, "ppm", _ppm_bytes(img3)),
+        (decode_image, "pgm", _pgm_bytes(img1)),
+        (decode_image, "bmp", _bmp_bytes(img3)),
+        (decode_image, "png", _png_from_array(img3, ALL_FILTERS)),
+        (decode_image, "gif", _gif_bytes(gif_idx, _PAL8)),
+        (decode_image, "tiff", _tiff_bytes(img3, lzw=True, predictor=2)),
+        (decode_audio, "wav", _wav_bytes(wav, 16000)),
+        (decode_video, "y4m", _y4m_bytes(lumas)),
+    ]
+
+
+def test_fuzz_mutated_valid_payloads():
+    """300 single/multi-byte corruptions of each valid payload: every
+    one must decode or raise a contract error."""
+    rng = _rng(601)
+    for decode, name, payload in _valid_payloads():
+        base = bytearray(payload)
+        for trial in range(300):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, len(data)))
+                data[pos] = int(rng.integers(0, 256))
+            _assert_contract(decode, bytes(data), f"{name} mutation {trial}")
+
+
+def test_fuzz_truncations():
+    """Every prefix-truncation point of each valid payload."""
+    for decode, name, payload in _valid_payloads():
+        step = max(1, len(payload) // 120)
+        for cut in range(0, len(payload), step):
+            _assert_contract(decode, payload[:cut], f"{name} truncated@{cut}")
+
+
+def test_fuzz_random_bytes_with_magic_prefixes():
+    """Random tails behind every magic the dispatchers route on."""
+    rng = _rng(602)
+    magics = [
+        b"P5\n", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+        b"II\x2a\x00", b"MM\x00\x2a", b"RIFF", b"YUV4MPEG2", b"",
+    ]
+    for magic in magics:
+        for trial in range(40):
+            tail = bytes(rng.integers(0, 256, size=int(rng.integers(0, 200)), dtype=np.uint8))
+            payload = magic + tail
+            _assert_contract(decode_image, payload, f"image magic {magic!r} {trial}")
+            _assert_contract(decode_audio, payload, f"audio magic {magic!r} {trial}")
+            _assert_contract(decode_video, payload, f"video magic {magic!r} {trial}")
