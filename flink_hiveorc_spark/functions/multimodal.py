@@ -1291,6 +1291,72 @@ def video_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(clips, _VIDEO_STATS_SCHEMA, _video_features, quarantine)
 
 
+_FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def video_frame_sample(
+    clips: DataFrame, every_n: int = 1, quarantine: bool = False
+) -> DataFrame:
+    """REAL one→many frame sampling: each (doc_id, payload) Y4M clip
+    fans out to one row per every_n-th luma frame, re-encoded as a
+    P5 PGM payload — so the output column IS an image column and
+    composes directly with `image_stats` (video → frames → image
+    featurize, the standard video-corpus pipeline). `frame_idx` is
+    the ORIGINAL frame index (0, n, 2n, ...), preserving temporal
+    addressing for frame-level dedup/captioning joins.
+
+    The frame manifest (`multimodal_frame_manifest`) proved the
+    fan-out SHAPE with a deterministic fake chunker; this is the
+    same shape on genuinely decoded video. Quarantine mode mirrors
+    the stats featurizers: a rejected clip becomes ONE row with
+    NULL frame fields and the classified error.
+
+    100 TB posture: map-only (no shuffle); output rows carry
+    frame-sized payloads, so size `every_n` to the downstream
+    budget — the fan-out multiplies bytes, not just rows."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    schema = (
+        T.StructType(_FRAME_SAMPLE_SCHEMA.fields + [_ERROR_FIELD])
+        if quarantine
+        else _FRAME_SAMPLE_SCHEMA
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "payload")}
+            if quarantine:
+                out["error"] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames, _, _ = decode_video(bytes(payload))
+                except (NotImplementedError, ValueError) as e:
+                    if not quarantine:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(None)
+                    out["payload"].append(None)
+                    out["error"].append(_quarantine_error(e))
+                    continue
+                _, fh, fw = frames.shape
+                header = f"P5\n{fw} {fh}\n255\n".encode()
+                for idx in range(0, len(frames), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["payload"].append(header + frames[idx].tobytes())
+                    if quarantine:
+                        out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return clips.select("doc_id", "payload").mapInPandas(gen, schema)
+
+
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic feature extraction over binary payloads: byte
     length, first-4-bytes hex, md5 digest. Stands in for a real

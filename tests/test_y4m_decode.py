@@ -132,6 +132,61 @@ def test_video_features_exact():
     assert single["mean_frame_delta"] == 0.0
 
 
+def test_video_frame_sample_composes_with_image_stats(spark):
+    """The cross-modality pipeline: Y4M clips fan out to per-frame PGM
+    payloads (one→many, original frame indices preserved) that the
+    IMAGE featurizer consumes directly — per-frame means must equal
+    numpy on the source lumas."""
+    from pyspark.sql import functions as F
+
+    from flink_hiveorc_spark.functions.multimodal import (
+        image_stats,
+        video_frame_sample,
+    )
+
+    lumas = _rng(210).integers(0, 256, size=(7, 5, 6), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(800, bytearray(_y4m_bytes(lumas)))], "doc_id long, payload binary"
+    )
+    frames = video_frame_sample(df, every_n=3)
+    rows = {r["frame_idx"]: r for r in frames.collect()}
+    assert sorted(rows) == [0, 3, 6]
+    feats = {
+        r["doc_id"]: r
+        for r in image_stats(
+            frames.select(F.col("frame_idx").alias("doc_id"), "payload")
+        ).collect()
+    }
+    for idx in (0, 3, 6):
+        r = feats[idx]
+        assert (r["height"], r["width"], r["channels"]) == (5, 6, 1)
+        assert r["mean_byte"] == int(lumas[idx].sum(dtype="int64")) / lumas[idx].size
+
+
+def test_video_frame_sample_quarantine_one_row_per_bad_clip(spark):
+    from flink_hiveorc_spark.functions.multimodal import video_frame_sample
+
+    lumas = _rng(211).integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (900, bytearray(_y4m_bytes(lumas))),
+            (901, bytearray(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 16)),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = video_frame_sample(df, quarantine=True).collect()
+    good = [r for r in got if r["doc_id"] == 900]
+    bad = [r for r in got if r["doc_id"] == 901]
+    assert len(good) == 2 and all(r["error"] is None for r in good)
+    assert len(bad) == 1 and bad[0]["error"].startswith("unsupported:")
+    assert bad[0]["frame_idx"] is None and bad[0]["payload"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_sample(df, every_n=0)
+
+
 def test_video_stats_distributed_with_quarantine(spark):
     """Third modality through the shared wrapper: good clip
     featurized, compressed clip quarantined as unsupported, truncated
