@@ -1,0 +1,109 @@
+"""Distributed decode-throughput probe: generate a mixed-format blob
+corpus (PNG all-filters / GIF / TIFF-LZW / PGM images; PCM + G.711
+WAV audio), run the REAL image_stats / audio_stats mapInPandas paths
+on local[N], and report rows/s and MB/s at 1x and 8x corpus scale —
+the scaling evidence for the decode stack (map-only plans: the ratio
+should track corpus size, not blow up).
+
+Reuses the pytest serializers (written independently of the
+decoders) so the probe corpus is the same spec-grounded bytes the
+round-trip tests verify. Usage:
+
+    python tools/decode_throughput_probe.py [n_blobs_per_format]
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from test_gif_decode import _PAL8, _gif_bytes  # noqa: E402
+from test_image_decode import _pgm_bytes, _wav_bytes  # noqa: E402
+from test_png_g711_decode import ALL_FILTERS, _png_from_array  # noqa: E402
+from test_tiff_decode import _tiff_bytes  # noqa: E402
+
+from flink_hiveorc_spark.functions.multimodal import (  # noqa: E402
+    audio_stats,
+    image_stats,
+)
+from flink_hiveorc_spark.session import get_spark  # noqa: E402
+
+
+def _corpus(n_per_format: int):
+    rng = np.random.default_rng(7)
+    images, audio = [], []
+    for i in range(n_per_format):
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        images.append(_png_from_array(img, ALL_FILTERS))
+        idx = rng.integers(0, 8, size=(64, 64), dtype=np.uint8)
+        images.append(_gif_bytes(idx, _PAL8))
+        images.append(_tiff_bytes(img, lzw=True, predictor=2))
+        images.append(_pgm_bytes(img[:, :, :1]))
+        pcm = rng.integers(-32768, 32768, size=(8000, 1)).astype("<i2")
+        audio.append(_wav_bytes(pcm, 16000))
+        codes = rng.integers(0, 256, size=(8000, 1)).astype(np.uint8)
+        audio.append(_wav_bytes(codes, 8000, fmt_tag=7))
+    return images, audio
+
+
+def _time(df_builder, frame):
+    t = time.perf_counter()
+    n = df_builder(frame).count()
+    return n, time.perf_counter() - t
+
+
+def main() -> None:
+    n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 250
+    spark = get_spark("decode-probe", cpus=32, shuffle_partitions=32)
+    images, audio = _corpus(n_per)
+    out = {"n_per_format": n_per, "scales": {}}
+    for scale in (1, 8):
+        img_rows = [(i, bytearray(p)) for i in range(scale) for p in images]
+        aud_rows = [(i, bytearray(p)) for i in range(scale) for p in audio]
+        img_df = spark.createDataFrame(
+            img_rows, "doc_id long, payload binary"
+        ).repartition(64).cache()
+        aud_df = spark.createDataFrame(
+            aud_rows, "doc_id long, payload binary"
+        ).repartition(64).cache()
+        img_df.count(), aud_df.count()  # materialize cache out of the timer
+        img_mb = sum(len(p) for p in images) * scale / 1e6
+        aud_mb = sum(len(p) for p in audio) * scale / 1e6
+        n_i, t_i = _time(image_stats, img_df)
+        n_a, t_a = _time(audio_stats, aud_df)
+        out["scales"][f"{scale}x"] = {
+            "image": {
+                "rows": n_i,
+                "sec": round(t_i, 2),
+                "rows_per_s": round(n_i / t_i),
+                "mb_per_s": round(img_mb / t_i, 1),
+            },
+            "audio": {
+                "rows": n_a,
+                "sec": round(t_a, 2),
+                "rows_per_s": round(n_a / t_a),
+                "mb_per_s": round(aud_mb / t_a, 1),
+            },
+        }
+        img_df.unpersist(), aud_df.unpersist()
+    s1 = out["scales"]["1x"]
+    s8 = out["scales"]["8x"]
+    out["scale_ratio"] = {
+        "image": round(s8["image"]["sec"] / s1["image"]["sec"], 2),
+        "audio": round(s8["audio"]["sec"] / s1["audio"]["sec"], 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
