@@ -1,0 +1,154 @@
+"""WebDataset-style tar-shard I/O (L5 × shard packing).
+
+WebDataset is the de-facto packaging for multimodal training
+corpora: a dataset is a set of ``.tar`` shards; each SAMPLE is a
+group of adjacent members sharing a key — ``000017.jpg`` +
+``000017.txt`` + ``000017.json`` — and loaders stream shards
+sequentially. This module provides both directions with stdlib
+``tarfile`` only:
+
+- ``write_tar_shards``: one tar per shard id via ``applyInPandas``
+  (one task per shard — write parallelism scales with shard count,
+  the same posture as sinks/shards.py), members sorted by (key,
+  ext) so samples are adjacent per the WebDataset contract, and
+  BYTE-DETERMINISTIC output (fixed mtime/uid/gid/mode, USTAR
+  format): the same input always produces the same tar md5, so the
+  returned manifest checksum is reproducible evidence, not a
+  timestamp lottery.
+- ``read_tar_shards``: Spark's built-in ``binaryFile`` source scans
+  the shard files (one row per tar, whole-file content), and an
+  Arrow ``mapInPandas`` expands members into (shard, key, ext,
+  payload) rows.
+- ``group_samples``: groupBy (shard, key) → ``map<ext, binary>`` —
+  the sample dict a training loader sees.
+
+100 TB posture: shards are the parallelism unit in BOTH directions
+(a real deployment sizes them ~100 MB-1 GB, one task each); the
+binaryFile scan holds one shard per task in memory — bound
+``spark.sql.files.maxPartitionBytes`` has no effect on binaryFile
+(whole files), so shard SIZE is the knob. Member payloads prune
+away unless the plan touches them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_WRITE_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("tar_md5", T.StringType()),
+    ]
+)
+
+
+def write_tar_shards(members: DataFrame, out_dir: str) -> DataFrame:
+    """Write (shard_id, key, ext, payload) member rows as one
+    ``shard-<id>.tar`` per shard id; returns the write manifest
+    (ACTION-style: the returned frame must be consumed to drive the
+    write — it IS the job). Deterministic bytes; tmp→rename commit
+    so readers never see a partial tar."""
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["shard_id"].iloc[0])
+        rows = sorted(
+            zip(pdf["key"], pdf["ext"], pdf["payload"]),
+            key=lambda r: (str(r[0]), str(r[1])),
+        )
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+            for key, ext, payload in rows:
+                data = bytes(payload)
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0  # determinism: no wall-clock in the bytes
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(data))
+        blob = buf.getvalue()
+        path = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic publish
+        return pd.DataFrame(
+            {
+                "shard_id": [shard_id],
+                "path": [path],
+                "n_samples": [len({str(k) for k, _, _ in rows})],
+                "n_members": [len(rows)],
+                "n_bytes": [len(blob)],
+                "tar_md5": [hashlib.md5(blob).hexdigest()],
+            }
+        )
+
+    return members.groupBy("shard_id").applyInPandas(
+        write_shard, _WRITE_MANIFEST_SCHEMA
+    )
+
+
+def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan ``.tar`` shards with the built-in binaryFile source and
+    expand members: one row per member, (shard, key, ext, payload).
+    The WebDataset key is the basename up to the FIRST dot (so
+    ``x.seg.png`` → key ``x``, ext ``seg.png``)."""
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("shard", "key", "ext", "payload")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    tar = tarfile.open(fileobj=io.BytesIO(bytes(content)), mode="r:")
+                except tarfile.TarError as e:
+                    raise ValueError(f"malformed tar shard {path}: {e}") from e
+                with tar:
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        name = os.path.basename(info.name)
+                        key, _, ext = name.partition(".")
+                        member = tar.extractfile(info)
+                        out["shard"].append(os.path.basename(str(path)))
+                        out["key"].append(key)
+                        out["ext"].append(ext)
+                        out["payload"].append(member.read() if member else b"")
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("path", "content").mapInPandas(expand, _MEMBER_SCHEMA)
+
+
+def group_samples(members: DataFrame) -> DataFrame:
+    """WebDataset samples: (shard, key) → map<ext, payload> plus the
+    member count — the per-sample dict a training loader consumes."""
+    return members.groupBy("shard", "key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("ext", "payload")))
+        ).alias("sample"),
+        F.count("*").alias("n_members"),
+    )
