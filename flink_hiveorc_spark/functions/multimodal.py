@@ -877,6 +877,12 @@ def _stats_batches(
         out = {k: [] for k in cols + (("error",) if quarantine else ())}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
+                if payload is None:
+                    # bytes(None) is a TypeError — outside the
+                    # contract, so a NULL payload (outer join,
+                    # pre-quarantined upstream) would escape the
+                    # quarantine catch and kill the task
+                    raise ValueError("null payload")
                 feats = featurize(bytes(payload))
             except (NotImplementedError, ValueError) as e:
                 if not quarantine:
@@ -1335,6 +1341,8 @@ def video_frame_sample(
                 out["error"] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     frames, _, _ = decode_video(bytes(payload))
                 except (NotImplementedError, ValueError) as e:
                     if not quarantine:

@@ -74,9 +74,12 @@ def write_tar_shards(members: DataFrame, out_dir: str) -> DataFrame:
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
+        # payload participates in the sort key: duplicate (key, ext)
+        # rows would otherwise keep their nondeterministic
+        # post-shuffle order and break the tar_md5 determinism claim
         rows = sorted(
             zip(pdf["key"], pdf["ext"], pdf["payload"]),
-            key=lambda r: (str(r[0]), str(r[1])),
+            key=lambda r: (str(r[0]), str(r[1]), bytes(r[2])),
         )
         buf = io.BytesIO()
         with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
@@ -116,39 +119,83 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     """Scan ``.tar`` shards with the built-in binaryFile source and
     expand members: one row per member, (shard, key, ext, payload).
     The WebDataset key is the basename up to the FIRST dot (so
-    ``x.seg.png`` → key ``x``, ext ``seg.png``)."""
+    ``x.seg.png`` → key ``x``, ext ``seg.png``).
+
+    Damage detection: a member whose data is cut short length-fails
+    loudly (tarfile alone returns SHORT data silently). A tar
+    truncated exactly at a 512-block boundary reads as a valid
+    shorter archive — only the write manifest (``tar_md5`` /
+    ``n_members``) can catch that class; diff against it for full
+    integrity, the same posture as sinks/shards.py verify_shards."""
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("shard", "key", "ext", "payload")}
+            # one yield PER TAR: binaryFile can pack several shards
+            # into one batch, and accumulating all their members in
+            # one dict would double peak memory beyond the
+            # one-shard-per-task posture
             for path, content in zip(pdf["path"], pdf["content"]):
+                out = {k: [] for k in ("shard", "key", "ext", "payload")}
                 try:
-                    tar = tarfile.open(fileobj=io.BytesIO(bytes(content)), mode="r:")
+                    # iteration and extractfile().read() raise lazily
+                    # on truncated archives — the whole walk stays
+                    # inside the malformed-tar contract, not just open
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content)), mode="r:"
+                    ) as tar:
+                        for info in tar:
+                            if not info.isfile():
+                                continue
+                            name = os.path.basename(info.name)
+                            key, _, ext = name.partition(".")
+                            member = tar.extractfile(info)
+                            data = member.read() if member else b""
+                            if len(data) != info.size:
+                                # tarfile returns SHORT data for a
+                                # member cut by truncation — silent
+                                # loss unless length-checked here
+                                raise ValueError(
+                                    f"malformed tar shard {path}: member "
+                                    f"{info.name} is {len(data)} of "
+                                    f"{info.size} bytes"
+                                )
+                            out["shard"].append(os.path.basename(str(path)))
+                            out["key"].append(key)
+                            out["ext"].append(ext)
+                            out["payload"].append(data)
                 except tarfile.TarError as e:
                     raise ValueError(f"malformed tar shard {path}: {e}") from e
-                with tar:
-                    for info in tar:
-                        if not info.isfile():
-                            continue
-                        name = os.path.basename(info.name)
-                        key, _, ext = name.partition(".")
-                        member = tar.extractfile(info)
-                        out["shard"].append(os.path.basename(str(path)))
-                        out["key"].append(key)
-                        out["ext"].append(ext)
-                        out["payload"].append(member.read() if member else b"")
-            yield pd.DataFrame(out)
+                yield pd.DataFrame(out)
 
-    files = spark.read.format("binaryFile").load(path_glob)
+    files = (
+        spark.read.format("binaryFile")
+        # exclude in-flight/leftover `.tmp-<pid>` files from crashed
+        # write attempts — the atomic-publish guarantee for
+        # directory-level readers
+        .option("pathGlobFilter", "*.tar")
+        .load(path_glob)
+    )
     return files.select("path", "content").mapInPandas(expand, _MEMBER_SCHEMA)
 
 
 def group_samples(members: DataFrame) -> DataFrame:
     """WebDataset samples: (shard, key) → map<ext, payload> plus the
-    member count — the per-sample dict a training loader consumes."""
-    return members.groupBy("shard", "key").agg(
+    member count — the per-sample dict a training loader consumes.
+
+    Collision policy: externally-produced tars can hold members that
+    collapse to the same (key, ext) after basename stripping (e.g.
+    ``a/0001.txt`` + ``b/0001.txt``); a naive map_from_entries would
+    kill the job with DUPLICATED_MAP_KEY. Duplicates resolve
+    DETERMINISTICALLY to the lexicographically greatest payload, and
+    stay DETECTABLE: ``n_members`` counts raw members, so
+    ``n_members > size(sample)`` flags every collapsed sample."""
+    uniq = members.groupBy("shard", "key", "ext").agg(
+        F.max("payload").alias("payload"),
+        F.count("*").alias("n_dup"),
+    )
+    return uniq.groupBy("shard", "key").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("ext", "payload")))
         ).alias("sample"),
-        F.count("*").alias("n_members"),
+        F.sum("n_dup").alias("n_members"),
     )

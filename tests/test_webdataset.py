@@ -129,15 +129,126 @@ def test_webdataset_malformed_tar_rejected(spark, tmp_path):
         wd.read_tar_shards(spark, str(bad_dir)).collect()
 
 
-def test_webdataset_dotted_ext_key_split():
+def _raw_tar(path, names_payloads):
+    with tarfile.open(path, "w") as tar:
+        for name, payload in names_payloads:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+
+
+def test_webdataset_dotted_ext_key_split(spark, tmp_path):
     """Key is the basename up to the FIRST dot: x.seg.png → ('x',
-    'seg.png') — the WebDataset convention for multi-part
-    extensions."""
-    buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w") as tar:
-        info = tarfile.TarInfo("0001.seg.png")
-        info.size = 3
-        tar.addfile(info, io.BytesIO(b"abc"))
-    name = "0001.seg.png"
-    key, _, ext = name.partition(".")
-    assert (key, ext) == ("0001", "seg.png")
+    'seg.png') — asserted THROUGH read_tar_shards, not on a local
+    re-derivation."""
+    d = tmp_path / "dotted"
+    d.mkdir()
+    _raw_tar(str(d / "shard-000000.tar"), [("0001.seg.png", b"abc")])
+    [r] = wd.read_tar_shards(spark, str(d)).collect()
+    assert (r["key"], r["ext"], bytes(r["payload"])) == ("0001", "seg.png", b"abc")
+
+
+def test_webdataset_truncated_mid_member_is_contract_error(spark, tmp_path):
+    """tarfile opens a truncated archive lazily and raises ReadError
+    during ITERATION — the malformed-tar ValueError contract must
+    cover the whole walk, not just open()."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    rows, _ = _member_rows()
+    df = spark.createDataFrame(
+        rows, "shard_id long, key string, ext string, payload binary"
+    )
+    out = tmp_path / "trunc"
+    wd.write_tar_shards(df, str(out)).collect()
+    p = out / "shard-000000.tar"
+    blob = p.read_bytes()
+    # cut INSIDE the first member's data region (512-byte header + 5
+    # bytes of an 11+-byte payload): a multiple-of-512 cut would drop
+    # whole members silently, which only a manifest can catch — the
+    # contract here covers the partial-member case
+    p.write_bytes(blob[:517])
+    (out / "shard-000001.tar").unlink()
+    with pytest.raises((PythonException, Py4JJavaError), match="malformed tar shard"):
+        wd.read_tar_shards(spark, str(out)).collect()
+
+
+def test_webdataset_tmp_files_excluded_from_reads(spark, tmp_path):
+    """A crashed write attempt leaves `.tmp-<pid>` files behind; the
+    pathGlobFilter keeps directory-level readers on committed shards
+    only (the atomic-publish guarantee)."""
+    rows, _ = _member_rows()
+    df = spark.createDataFrame(
+        rows, "shard_id long, key string, ext string, payload binary"
+    )
+    out = tmp_path / "withtmp"
+    wd.write_tar_shards(df, str(out)).collect()
+    (out / "shard-000099.tar.tmp-12345").write_bytes(b"\x01" * 600)
+    members = wd.read_tar_shards(spark, str(out))
+    assert members.count() == 24  # the partial tmp tar is invisible
+    assert set(r["shard"] for r in members.select("shard").distinct().collect()) == {
+        "shard-000000.tar",
+        "shard-000001.tar",
+    }
+
+
+def test_webdataset_duplicate_members_collapse_deterministically(spark, tmp_path):
+    """Members collapsing to one (key, ext) after basename stripping
+    must not kill grouping with DUPLICATED_MAP_KEY: the greatest
+    payload wins deterministically and n_members > size(sample)
+    flags the collision."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "dups"
+    d.mkdir()
+    _raw_tar(
+        str(d / "shard-000000.tar"),
+        [("a/0001.txt", b"alpha"), ("b/0001.txt", b"beta"), ("0001.json", b"{}")],
+    )
+    members = wd.read_tar_shards(spark, str(d))
+    [s] = wd.group_samples(members).collect()
+    assert s["n_members"] == 3
+    assert set(s["sample"]) == {"txt", "json"}  # size(sample)=2 < 3: detectable
+    assert bytes(s["sample"]["txt"]) == b"beta"  # lexicographically greatest
+
+
+def test_webdataset_determinism_with_duplicate_key_ext(spark, tmp_path):
+    """Duplicate (key, ext) rows with different payloads: the tar sort
+    includes the payload, so shuffling partitioning still yields the
+    same tar md5."""
+    rows = [
+        (0, "0001", "txt", bytearray(b"zzz")),
+        (0, "0001", "txt", bytearray(b"aaa")),
+        (0, "0002", "txt", bytearray(b"mid")),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard_id long, key string, ext string, payload binary"
+    )
+    m1 = [r["tar_md5"] for r in wd.write_tar_shards(df, str(tmp_path / "d1")).collect()]
+    m2 = [
+        r["tar_md5"]
+        for r in wd.write_tar_shards(df.repartition(5), str(tmp_path / "d2")).collect()
+    ]
+    assert m1 == m2
+
+
+def test_null_payload_quarantines_not_typeerror(spark):
+    """A NULL payload row (outer join, pre-quarantined upstream) must
+    land in the error channel as 'malformed: null payload', not
+    escape as a raw TypeError."""
+    from flink_hiveorc_spark.functions.multimodal import (
+        image_stats,
+        video_frame_sample,
+    )
+
+    arr = _rng(800).integers(0, 256, size=(2, 2, 1), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_pgm_bytes(arr))), (2, None)], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in image_stats(df, quarantine=True).collect()}
+    assert got[1]["error"] is None
+    assert got[2]["error"] == "malformed: null payload"
+    vgot = video_frame_sample(df, quarantine=True).collect()
+    assert all(
+        r["error"] == "malformed: null payload" for r in vgot if r["doc_id"] == 2
+    )
