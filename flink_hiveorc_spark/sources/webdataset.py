@@ -128,45 +128,6 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
     ``n_members``) can catch that class; diff against it for full
     integrity, the same posture as sinks/shards.py verify_shards."""
 
-    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # one yield PER TAR: binaryFile can pack several shards
-            # into one batch, and accumulating all their members in
-            # one dict would double peak memory beyond the
-            # one-shard-per-task posture
-            for path, content in zip(pdf["path"], pdf["content"]):
-                out = {k: [] for k in ("shard", "key", "ext", "payload")}
-                try:
-                    # iteration and extractfile().read() raise lazily
-                    # on truncated archives — the whole walk stays
-                    # inside the malformed-tar contract, not just open
-                    with tarfile.open(
-                        fileobj=io.BytesIO(bytes(content)), mode="r:"
-                    ) as tar:
-                        for info in tar:
-                            if not info.isfile():
-                                continue
-                            name = os.path.basename(info.name)
-                            key, _, ext = name.partition(".")
-                            member = tar.extractfile(info)
-                            data = member.read() if member else b""
-                            if len(data) != info.size:
-                                # tarfile returns SHORT data for a
-                                # member cut by truncation — silent
-                                # loss unless length-checked here
-                                raise ValueError(
-                                    f"malformed tar shard {path}: member "
-                                    f"{info.name} is {len(data)} of "
-                                    f"{info.size} bytes"
-                                )
-                            out["shard"].append(os.path.basename(str(path)))
-                            out["key"].append(key)
-                            out["ext"].append(ext)
-                            out["payload"].append(data)
-                except tarfile.TarError as e:
-                    raise ValueError(f"malformed tar shard {path}: {e}") from e
-                yield pd.DataFrame(out)
-
     files = (
         spark.read.format("binaryFile")
         # exclude in-flight/leftover `.tmp-<pid>` files from crashed
@@ -175,7 +136,82 @@ def read_tar_shards(spark: SparkSession, path_glob: str) -> DataFrame:
         .option("pathGlobFilter", "*.tar")
         .load(path_glob)
     )
-    return files.select("path", "content").mapInPandas(expand, _MEMBER_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _expand_tar_batches, _MEMBER_SCHEMA
+    )
+
+
+def _expand_tar_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Shared member expansion for the batch and streaming readers."""
+    for pdf in batches:
+        # one yield PER TAR: binaryFile can pack several shards
+        # into one batch, and accumulating all their members in
+        # one dict would double peak memory beyond the
+        # one-shard-per-task posture
+        for path, content in zip(pdf["path"], pdf["content"]):
+            out = {k: [] for k in ("shard", "key", "ext", "payload")}
+            try:
+                # iteration and extractfile().read() raise lazily
+                # on truncated archives — the whole walk stays
+                # inside the malformed-tar contract, not just open
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:"
+                ) as tar:
+                    for info in tar:
+                        if not info.isfile():
+                            continue
+                        name = os.path.basename(info.name)
+                        key, _, ext = name.partition(".")
+                        member = tar.extractfile(info)
+                        data = member.read() if member else b""
+                        if len(data) != info.size:
+                            # tarfile returns SHORT data for a
+                            # member cut by truncation — silent
+                            # loss unless length-checked here
+                            raise ValueError(
+                                f"malformed tar shard {path}: member "
+                                f"{info.name} is {len(data)} of "
+                                f"{info.size} bytes"
+                            )
+                        out["shard"].append(os.path.basename(str(path)))
+                        out["key"].append(key)
+                        out["ext"].append(ext)
+                        out["payload"].append(data)
+            except tarfile.TarError as e:
+                raise ValueError(f"malformed tar shard {path}: {e}") from e
+            yield pd.DataFrame(out)
+
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_tar_shards(spark: SparkSession, src_dir: str) -> DataFrame:
+    """STREAMING shard ingestion: tar shards arriving in `src_dir`
+    over time expand into member rows incrementally — binaryFile as
+    a file-stream source (schema must be explicit on the streaming
+    side), with the same `.tar`-only glob (in-flight `.tmp-*` files
+    invisible) and the same Arrow member expansion as the batch
+    reader. File-level exactly-once comes from the checkpointed file
+    log: a shard is processed exactly once per checkpoint lineage,
+    which composes with foreachBatch sinks exactly like
+    streaming/multimodal.start_multimodal_featurize.
+
+    100 TB posture: one task per shard per micro-batch; ingest
+    parallelism = shards per trigger."""
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.tar")
+        .load(src_dir)
+    )
+    return files.select("path", "content").mapInPandas(
+        _expand_tar_batches, _MEMBER_SCHEMA
+    )
 
 
 def group_samples(members: DataFrame) -> DataFrame:

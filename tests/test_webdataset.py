@@ -232,6 +232,57 @@ def test_webdataset_determinism_with_duplicate_key_ext(spark, tmp_path):
     assert m1 == m2
 
 
+def test_webdataset_streaming_ingest_exactly_once(spark, tmp_path):
+    """Shards arriving over time featurize incrementally: shard A
+    processes in run 1; shard B added; a restart on the same
+    checkpoint processes ONLY B (file-level exactly-once from the
+    checkpointed file log); an idle restart is a no-op. The sink is
+    the composed real-decode featurize (pgm members → image_stats)."""
+    from pyspark.sql import functions as F
+
+    from flink_hiveorc_spark.functions.multimodal import image_stats
+
+    rows, arrs = _member_rows()
+    df = spark.createDataFrame(
+        rows, "shard_id long, key string, ext string, payload binary"
+    )
+    src = tmp_path / "arriving"
+    out = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+    wd.write_tar_shards(df.filter("shard_id = 0"), str(src)).collect()
+
+    def run_once():
+        members = wd.stream_tar_shards(spark, str(src))
+        pgms = members.filter(F.col("ext") == "pgm").select(
+            F.expr("cast(key as long)").alias("doc_id"), "payload"
+        )
+        q = (
+            image_stats(pgms)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [0, 1, 2, 3]  # shard-0 keys 000000..000003
+
+    wd.write_tar_shards(df.filter("shard_id = 1"), str(src)).collect()
+    run_once()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [0, 1, 2, 3, 10000, 10001, 10002, 10003]
+    for key, arr in arrs.items():
+        r = got[int(key)]
+        assert r["mean_byte"] == int(arr.sum(dtype="int64")) / arr.size
+
+    run_once()  # idle: nothing new, nothing duplicated
+    assert spark.read.parquet(out).count() == 8
+
+
 def test_null_payload_quarantines_not_typeerror(spark):
     """A NULL payload row (outer join, pre-quarantined upstream) must
     land in the error channel as 'malformed: null payload', not
