@@ -77,6 +77,10 @@ HEADLINE = [
     "events_pattern_cep",
     "sim_mmr_rerank",
     "join_interval_overlap",
+    # round 8 addition (r7 verdict #7b): the native decode stack's
+    # per-core throughput constant, tracked round-over-round like
+    # every other headline number (map-only, 0-exchange plan)
+    "multimodal_image_decode_stats",
 ]
 
 

@@ -253,7 +253,10 @@ def _decode_png(data: bytes):
     (grayscale sub-byte scaled to full 0..255, the PIL 'L'-mode
     convention; 16-bit reduced to the high byte), color types 0 gray
     / 2 RGB / 3 palette (PLTE + optional tRNS alpha → RGB(A)) / 4
-    gray+alpha / 6 RGBA, and both interlace methods (Adam7 passes
+    gray+alpha / 6 RGBA — tRNS honored for types 0/2 too (key-color
+    pixels → alpha 0; at depth 16 the key is matched on its high
+    byte, the module's reduction convention) — and both interlace
+    methods (Adam7 passes
     unfiltered independently and scattered by stride into the output
     raster). Everything structurally wrong raises through the
     caller's ValueError wrapper. No entropy coding beyond zlib
@@ -347,6 +350,30 @@ def _decode_png(data: bytes):
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             return np.dstack([pal[idx], alpha[idx][:, :, None]])
         return pal[idx]
+    if trns is not None and color in (0, 2):
+        # tRNS for gray (one 2-byte key) / RGB (3×2-byte key), spec
+        # 11.3.2: pixels whose RAW samples equal the key become fully
+        # transparent. Comparison happens pre-scaling; at depth 16 the
+        # key's high byte is compared — consistent with the module's
+        # documented high-byte reduction convention.
+        n_fields = 1 if color == 0 else 3
+        if len(trns) != 2 * n_fields:
+            raise ValueError(
+                f"bad tRNS length {len(trns)} for PNG color type {color}"
+            )
+        key = np.array(
+            struct.unpack(f">{n_fields}H", trns), dtype=np.uint16
+        )
+        key = (
+            key >> 8 if depth == 16 else key & ((1 << depth) - 1)
+        ).astype(np.uint8)
+        alpha = np.where(
+            (samples == key.reshape(1, 1, n_fields)).all(axis=2), 0, 255
+        ).astype(np.uint8)
+        base = (
+            samples * (255 // ((1 << depth) - 1)) if depth < 8 else samples
+        )
+        return np.dstack([base, alpha])
     if depth < 8:  # grayscale: scale 2^depth-1 → 255 (exact: 255 = 3·5·17)
         return samples * (255 // ((1 << depth) - 1))
     return samples
@@ -715,7 +742,15 @@ def _decode_tiff(data: bytes):
                 )
             raw += piece
         else:
-            raw += strip
+            # uncompressed strips must be trimmed to their row share,
+            # mirroring the compressed branches: word-aligning writers
+            # pad StripByteCounts, and appending the padding would
+            # shift every later strip — silently wrong pixels
+            if len(strip) < share:
+                raise ValueError(
+                    f"TIFF strip {k} is {len(strip)} bytes, expected {share}"
+                )
+            raw += strip[:share]
     if len(raw) < expected:
         raise ValueError(f"TIFF pixel data is {len(raw)} bytes, expected {expected}")
     arr = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, stride)
@@ -1019,6 +1054,16 @@ def decode_audio(payload: bytes):
         # frame math and 0 Hz the duration downstream
         raise ValueError(f"malformed WAV fmt chunk (channels={n_ch}, rate={rate})")
     frame_bytes = n_ch * bits // 8
+    if len(data) % frame_bytes:
+        # a trailing partial frame means the data chunk was cut (or
+        # the fmt header lies about channels/width); flooring it would
+        # report wrong n_frames/duration with no error — the same
+        # silent-data-loss class the truncated-chunk check above exists
+        # to catch, so classify it malformed too
+        raise ValueError(
+            f"WAV data chunk is {len(data)} bytes, not a multiple of the "
+            f"{frame_bytes}-byte frame (trailing partial frame)"
+        )
     n_frames = len(data) // frame_bytes
     if bits == 24:  # 3-byte little-endian two's complement → int32
         b = np.frombuffer(data, dtype=np.uint8, count=n_frames * n_ch * 3)

@@ -65,12 +65,41 @@ _WRITE_MANIFEST_SCHEMA = T.StructType(
 )
 
 
+class _Md5Tee:
+    """Write-only file wrapper that md5s and counts bytes as they
+    stream through to the underlying file — the incremental checksum
+    for the disk-streaming shard writer (no whole-tar buffer ever
+    exists)."""
+
+    def __init__(self, fh):
+        self._fh = fh
+        self.md5 = hashlib.md5()
+        self.n_bytes = 0
+
+    def write(self, b) -> int:
+        self._fh.write(b)
+        self.md5.update(b)
+        self.n_bytes += len(b)
+        return len(b)
+
+    def tell(self) -> int:
+        # tarfile reads the start offset at open; writes are strictly
+        # sequential so position == bytes written
+        return self.n_bytes
+
+
 def write_tar_shards(members: DataFrame, out_dir: str) -> DataFrame:
     """Write (shard_id, key, ext, payload) member rows as one
     ``shard-<id>.tar`` per shard id; returns the write manifest
     (ACTION-style: the returned frame must be consumed to drive the
     write — it IS the job). Deterministic bytes; tmp→rename commit
-    so readers never see a partial tar."""
+    so readers never see a partial tar.
+
+    Memory bound: members stream through ``tarfile`` straight onto
+    disk with the md5 folded in incrementally, so per-task peak
+    memory is O(largest member) + the Arrow batch — INDEPENDENT of
+    shard size (a fat video shard no longer buffers 2× its bytes in
+    the Python worker)."""
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
@@ -81,23 +110,40 @@ def write_tar_shards(members: DataFrame, out_dir: str) -> DataFrame:
             zip(pdf["key"], pdf["ext"], pdf["payload"]),
             key=lambda r: (str(r[0]), str(r[1]), bytes(r[2])),
         )
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
-            for key, ext, payload in rows:
-                data = bytes(payload)
-                info = tarfile.TarInfo(name=f"{key}.{ext}")
-                info.size = len(data)
-                info.mtime = 0  # determinism: no wall-clock in the bytes
-                info.uid = info.gid = 0
-                info.uname = info.gname = ""
-                info.mode = 0o644
-                tar.addfile(info, io.BytesIO(data))
-        blob = buf.getvalue()
-        path = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
         os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"shard-{shard_id:06d}.tar")
         tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
+        try:
+            with open(tmp, "wb") as f:
+                tee = _Md5Tee(f)
+                with tarfile.open(
+                    fileobj=tee, mode="w", format=tarfile.USTAR_FORMAT
+                ) as tar:
+                    for key, ext, payload in rows:
+                        name = f"{key}.{ext}"
+                        if len(name.encode("utf-8", "surrogateescape")) > 100:
+                            # USTAR caps member names at 100 bytes; fail
+                            # with the contract error instead of letting
+                            # tarfile raise opaquely inside the executor
+                            raise ValueError(
+                                f"WebDataset member name {name!r} exceeds "
+                                "the 100-byte USTAR limit — shorten the "
+                                "key/ext or repack with shorter keys"
+                            )
+                        data = bytes(payload)
+                        info = tarfile.TarInfo(name=name)
+                        info.size = len(data)
+                        info.mtime = 0  # determinism: no wall-clock
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        info.mode = 0o644
+                        tar.addfile(info, io.BytesIO(data))
+        except BaseException:
+            try:
+                os.remove(tmp)  # no half-written litter on failure
+            except OSError:
+                pass
+            raise
         os.replace(tmp, path)  # atomic publish
         return pd.DataFrame(
             {
@@ -105,8 +151,8 @@ def write_tar_shards(members: DataFrame, out_dir: str) -> DataFrame:
                 "path": [path],
                 "n_samples": [len({str(k) for k, _, _ in rows})],
                 "n_members": [len(rows)],
-                "n_bytes": [len(blob)],
-                "tar_md5": [hashlib.md5(blob).hexdigest()],
+                "n_bytes": [tee.n_bytes],
+                "tar_md5": [tee.md5.hexdigest()],
             }
         )
 

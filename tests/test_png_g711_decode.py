@@ -498,3 +498,103 @@ def test_image_stats_includes_png(spark):
     [r] = image_stats(df).collect()
     assert (r["height"], r["width"], r["channels"]) == (14, 6, 4)
     assert r["mean_byte"] == int(arr.sum(dtype="int64")) / arr.size
+
+
+def test_png_gray_trns_key_becomes_alpha():
+    """Type-0 tRNS (ADVICE r7 #2): pixels whose raw gray sample equals
+    the 2-byte key decode transparent — output gains an alpha channel
+    (gray+alpha shape), previously the chunk was silently ignored."""
+    vals = np.array([[10, 20, 10], [30, 10, 40]], dtype=np.uint8)
+    png = _png_bytes(
+        [vals[y].tobytes() for y in range(2)], 3, 2, 8, 0, [0, 1],
+        trns=struct.pack(">H", 10),
+    )
+    got = decode_image(png)
+    assert got.shape == (2, 3, 2)
+    np.testing.assert_array_equal(got[:, :, 0], vals)
+    np.testing.assert_array_equal(
+        got[:, :, 1], np.where(vals == 10, 0, 255).astype(np.uint8)
+    )
+
+
+def test_png_rgb_trns_key_becomes_alpha():
+    """Type-2 tRNS: only pixels matching ALL THREE 16-bit key fields
+    go transparent; everything else keeps alpha 255."""
+    arr = _rng(54).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    key = tuple(int(v) for v in arr[2, 3])
+    arr[4, 1] = key  # a second pixel matching the key
+    png = _png_bytes(
+        [arr[y].tobytes() for y in range(5)], 7, 5, 8, 2, ALL_FILTERS,
+        trns=struct.pack(">3H", *key),
+    )
+    got = decode_image(png)
+    assert got.shape == (5, 7, 4)
+    np.testing.assert_array_equal(got[:, :, :3], arr)
+    match = (arr == np.array(key, dtype=np.uint8)).all(axis=2)
+    np.testing.assert_array_equal(
+        got[:, :, 3], np.where(match, 0, 255).astype(np.uint8)
+    )
+
+
+def test_png_subbyte_gray_trns_compared_pre_scaling():
+    """The tRNS key lives in the RAW depth-bit sample space; matching
+    must happen before the 0..255 scaling (key 3 at depth 2 means raw
+    3, i.e. scaled 255 — not scaled 3)."""
+    vals = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    png = _png_bytes(
+        [_pack_row(vals[y], 2) for y in range(2)], 4, 2, 2, 0, [0],
+        trns=struct.pack(">H", 3),
+    )
+    got = decode_image(png)
+    np.testing.assert_array_equal(got[:, :, 0], (vals * 85).astype(np.uint8))
+    np.testing.assert_array_equal(
+        got[:, :, 1], np.where(vals == 3, 0, 255).astype(np.uint8)
+    )
+
+
+def test_png_16bit_trns_matches_on_high_byte():
+    """At depth 16 the module keeps only the high byte, so the tRNS
+    key is matched on ITS high byte — documented convention: samples
+    sharing the key's high byte all go transparent."""
+    arr16 = np.array([[0x1234, 0x12FF, 0x3456]], dtype=np.uint16)
+    png = _png_bytes(
+        [arr16[0].astype(">u2").tobytes()], 3, 1, 16, 0, [0],
+        trns=struct.pack(">H", 0x1234),
+    )
+    got = decode_image(png)
+    np.testing.assert_array_equal(got[:, :, 0], (arr16 >> 8).astype(np.uint8))
+    np.testing.assert_array_equal(
+        got[:, :, 1], np.array([[0, 0, 255]], dtype=np.uint8)
+    )
+
+
+def test_png_bad_trns_length_rejected():
+    """A tRNS body whose length doesn't fit the color type is
+    malformed → ValueError, not a misdecode."""
+    arr = _rng(55).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    png = _png_bytes(
+        [arr[y].tobytes() for y in range(2)], 2, 2, 8, 2, [0],
+        trns=b"\x00\x01\x02",
+    )
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_image(png)
+
+
+def test_wav_trailing_partial_frame_rejected():
+    """ADVICE r7 #3: a data chunk that isn't a whole number of frames
+    was silently floored (wrong n_frames/duration); now classified
+    malformed like the truncated-chunk case above it."""
+    from flink_hiveorc_spark.functions.multimodal import decode_audio
+
+    samples = _rng(56).integers(-32768, 32768, size=(100, 2)).astype("<i2")
+    good = _wav_bytes(samples, 8000)
+    # chop one byte off the data payload and shrink both size fields
+    bad = bytearray(good[:-1])
+    struct.pack_into("<I", bad, 4, len(bad) - 8)  # RIFF size
+    data_off = bytes(bad).rindex(b"data")
+    struct.pack_into("<I", bad, data_off + 4, len(samples.tobytes()) - 1)
+    with pytest.raises(ValueError, match="frame"):
+        decode_audio(bytes(bad))
+    # sanity: the untouched twin still decodes
+    got, rate = decode_audio(good)
+    np.testing.assert_array_equal(got, samples)

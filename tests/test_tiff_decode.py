@@ -108,6 +108,7 @@ def _tiff_bytes(
     fill_order: int = 1,
     colormap_8bit: bool = False,
     palette_bilevel: np.ndarray = None,
+    strip_pad: int = 0,
 ) -> bytes:
     """TIFF from an HxWxC uint8 array (or HxW indices with `palette`,
     or HxW 0/1 with `bilevel`). Header + strips + IFD at the end."""
@@ -146,7 +147,10 @@ def _tiff_bytes(
             import zlib
 
             strip = zlib.compress(strip)
-        strips.append(strip)
+        # strip_pad mimics word-aligning writers whose StripByteCounts
+        # include trailing padding bytes (legal for compression=1: the
+        # reader must trim each strip to its row share)
+        strips.append(strip + b"\xab" * strip_pad)
     # layout: 8-byte header, strip data, [colormap], IFD
     pos = 8
     strip_offs = []
@@ -433,3 +437,26 @@ def test_tiff_property_random():
         rps = int(rng.integers(1, h + 1))
         got = decode_image(_tiff_bytes(arr, bo=bo, packbits=pb, rows_per_strip=rps))
         np.testing.assert_array_equal(got, arr, err_msg=f"trial {trial}")
+
+
+def test_tiff_padded_uncompressed_strips_trimmed():
+    """Word-aligning writers pad compression=1 strips and report the
+    padded length in StripByteCounts; each strip must be trimmed to
+    its row share or every later strip shifts and the raster decodes
+    silently wrong (ADVICE r7 #1 — reproduced before the fix: 0xAB
+    junk bytes appeared mid-raster with no error)."""
+    arr = _rng(512).integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    for pad in (1, 2, 7):
+        got = decode_image(_tiff_bytes(arr, rows_per_strip=2, strip_pad=pad))
+        np.testing.assert_array_equal(got, arr, err_msg=f"pad={pad}")
+
+
+def test_tiff_short_uncompressed_strip_rejected():
+    """A compression=1 strip SHORTER than its row share is malformed
+    (truncated data), not silently zero-filled — classified ValueError
+    like the compressed branches."""
+    arr = _rng(513).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = _tiff_bytes(arr)  # single strip, inline StripByteCounts
+    short = _patch_tag(data, 279, new_value=4 * 4 * 3 - 5)
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_image(short)
