@@ -949,6 +949,199 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webdataset_export_verify",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, source, text,
+             CAST(floor((sum(n_tokens) OVER (
+                     PARTITION BY lang, source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
+      FROM sized
+    ),
+    ids AS (
+      SELECT *,
+             CAST(dense_rank() OVER (ORDER BY lang, source, shard_idx) - 1
+                  AS BIGINT) AS shard_id
+      FROM packed
+    ),
+    members AS (
+      SELECT shard_id, lang, source, 'txt' AS ext, text AS payload FROM ids
+      UNION ALL
+      SELECT shard_id, lang, source, 'json' AS ext,
+             '{{"lang":"' || lang || '","source":"' || source || '"}}'
+               AS payload
+      FROM ids
+    )
+    SELECT shard_id, lang, source,
+           CAST(count(*) FILTER (WHERE ext = 'txt') AS BIGINT) AS n_docs,
+           count(*) AS n_members,
+           CAST(sum(strlen(payload)) AS BIGINT) AS payload_bytes,
+           CAST(sum(CAST(('0x' || substr(md5(payload), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_checksum,
+           CAST(1 AS BIGINT) AS tar_ok
+    FROM members
+    GROUP BY shard_id, lang, source
+    """,
+)
+def webdataset_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5×L4h e2e (r7 verdict #7a): the WebDataset EXPORT composed
+    with the packing pipeline as ONE oracle-checkable manifest query —
+    assign_shard_idx → dense shard ids → two members per document
+    (``<key>.txt`` text + ``<key>.json`` metadata) →
+    sources/webdataset.write_tar_shards → verify by manifest diff,
+    the multimodal twin of sinks/shards.py::verify_shards.
+
+    What the oracle checks directly (pure functions of the corpus):
+    per-shard doc/member counts, payload byte totals, and the
+    order-free content checksum (sum of 32-bit md5 prefixes).
+    What only Spark can check — and folds into ``tar_ok`` (1 iff ALL
+    hold; the oracle expects literal 1): the tars read BACK with
+    exactly the expected members/bytes/checksums, each tar file's
+    whole-file md5 equals the write manifest's streamed ``tar_md5``,
+    and its on-disk size equals the manifest's ``n_bytes``. A write
+    bug, a read bug, or a checksum drift flips ``tar_ok`` or the
+    counts and fails the external hash gate.
+
+    Scale: assignment is the two-pass distributed prefix sum and
+    materializes ONCE as a parquet member manifest (the artifact a
+    real packing job persists anyway) — the tar write and the
+    expected-side verification both read the persisted assignment
+    instead of recomputing the prefix sum; the dense-id window runs
+    on the DISTINCT shard-key table (O(shards) rows); every
+    verification join is per-shard (broadcast); the tar write/read
+    are one task per shard. Everything lands in a fresh temp dir per
+    call and the manifest collect is O(shards)."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", "source", "text",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    packed = assign_shard_idx(sized)
+    # dense shard ids: window over the DISTINCT key table (shard
+    # count rows, not corpus rows) — the single-partition sort is on
+    # O(shards) data, then broadcast back
+    keys = packed.select("lang", "source", "shard_idx").distinct()
+    ids = keys.withColumn(
+        "shard_id",
+        (F.row_number().over(Window.orderBy("lang", "source", "shard_idx")) - 1
+         ).cast("bigint"),
+    )
+    with_id = packed.join(F.broadcast(ids), ["lang", "source", "shard_idx"])
+    meta_json = F.concat(
+        F.lit('{"lang":"'), F.col("lang"),
+        F.lit('","source":"'), F.col("source"), F.lit('"}'),
+    )
+    key_col = F.lpad(F.col("doc_id").cast("string"), 12, "0")
+    members = (
+        with_id.select(
+            "shard_id", "lang", "source",
+            key_col.alias("key"), F.lit("txt").alias("ext"),
+            F.col("text").alias("payload_str"),
+        )
+        .unionByName(
+            with_id.select(
+                "shard_id", "lang", "source",
+                key_col.alias("key"), F.lit("json").alias("ext"),
+                meta_json.alias("payload_str"),
+            )
+        )
+        .withColumn("payload", F.encode("payload_str", "UTF-8"))
+        .drop("payload_str")
+    )
+
+    from flink_hiveorc_spark.sources.webdataset import (
+        _WRITE_MANIFEST_SCHEMA,
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    import os as _os
+
+    root = tempfile.mkdtemp(prefix="fhs_wds_export_")
+    out_dir = f"{root}/shards"
+    # pre-create: an EMPTY corpus writes no tars, but the read side
+    # still needs an (empty) directory to scan
+    _os.makedirs(out_dir, exist_ok=True)
+    # materialize the member assignment ONCE; both the tar write and
+    # the expected-side aggregate read it back (one prefix-sum pass,
+    # not two)
+    members.write.parquet(f"{root}/members")
+    persisted = spark.read.parquet(f"{root}/members")
+    chk = F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("bigint")
+    expected = persisted.groupBy("shard_id", "lang", "source").agg(
+        F.sum(F.when(F.col("ext") == "txt", 1).otherwise(0)).alias("n_docs"),
+        F.count("*").alias("n_members"),
+        F.sum(F.octet_length("payload")).alias("payload_bytes"),
+        F.sum(chk).alias("content_checksum"),
+    )
+    # the manifest IS the write job; collect is O(shards) rows
+    manifest_rows = write_tar_shards(
+        persisted.select("shard_id", "key", "ext", "payload"), out_dir
+    ).collect()
+    # explicit schema: an EMPTY corpus yields zero manifest rows, and
+    # schema inference cannot run on an empty row list
+    manifest = spark.createDataFrame(
+        manifest_rows, schema=_WRITE_MANIFEST_SCHEMA
+    ).select(
+        "shard_id",
+        F.col("n_samples").alias("m_samples"),
+        F.col("n_members").alias("m_members"),
+        "n_bytes",
+        "tar_md5",
+    )
+
+    shard_no = F.regexp_extract("shard", r"shard-(\d+)\.tar", 1).cast("bigint")
+    readback = (
+        read_tar_shards(spark, out_dir)
+        .groupBy(shard_no.alias("shard_id"))
+        .agg(
+            F.count("*").alias("rb_members"),
+            F.sum(F.octet_length("payload")).alias("rb_bytes"),
+            F.sum(chk).alias("rb_checksum"),
+        )
+    )
+    file_no = F.regexp_extract("path", r"shard-(\d+)\.tar", 1).cast("bigint")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out_dir)
+        .select(
+            file_no.alias("shard_id"),
+            F.md5("content").alias("file_md5"),
+            F.col("length").alias("file_len"),
+        )
+    )
+    joined = (
+        expected.join(F.broadcast(manifest), "shard_id")
+        .join(F.broadcast(readback), "shard_id")
+        .join(F.broadcast(files), "shard_id")
+    )
+    tar_ok = (
+        (F.col("m_samples") == F.col("n_docs"))
+        & (F.col("m_members") == F.col("n_members"))
+        & (F.col("n_members") == F.col("rb_members"))
+        & (F.col("payload_bytes") == F.col("rb_bytes"))
+        & (F.col("content_checksum") == F.col("rb_checksum"))
+        & (F.col("tar_md5") == F.col("file_md5"))
+        & (F.col("n_bytes") == F.col("file_len"))
+    )
+    return joined.select(
+        "shard_id", "lang", "source", "n_docs",
+        F.col("n_members").alias("n_members"),
+        "payload_bytes", "content_checksum",
+        F.when(tar_ok, 1).otherwise(0).cast("bigint").alias("tar_ok"),
+    )
+
+
+@query(
     "events_hourly_concurrency",
     oracle=f"""
     WITH ordered AS (

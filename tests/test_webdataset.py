@@ -356,3 +356,17 @@ def test_webdataset_long_member_name_contract_error(spark, tmp_path):
         wd.write_tar_shards(df, out).collect()
     leftovers = [n for n in os.listdir(out) if ".tmp-" in n]
     assert leftovers == []
+
+
+def test_webdataset_export_verify_all_shards_ok(spark):
+    """The registry's e2e export query (assign_shard_idx →
+    write_tar_shards → read-back + manifest diff): every shard must
+    verify (tar_ok=1) and member counts must be exactly 2 per doc."""
+    from flink_hiveorc_spark.registry import QUERIES
+
+    rows = QUERIES["webdataset_export_verify"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    assert all(r["tar_ok"] == 1 for r in rows)
+    assert all(r["n_members"] == 2 * r["n_docs"] for r in rows)
