@@ -19,7 +19,7 @@ from flink_hiveorc_spark.functions.multimodal import (
 
 from test_gif_decode import _PAL8, _gif_bytes
 from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
-from test_png_g711_decode import ALL_FILTERS, _png_from_array
+from test_png_g711_decode import ALL_FILTERS, _png_bytes, _png_from_array
 from test_tiff_decode import _tiff_bytes
 from test_y4m_decode import _y4m_bytes
 
@@ -42,13 +42,31 @@ def _valid_payloads():
     gif_idx = rng.integers(0, 8, size=(5, 6), dtype=np.uint8)
     wav = rng.integers(-1000, 1000, size=(40, 2)).astype("<i2")
     lumas = rng.integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+    import struct
+
     return [
         (decode_image, "ppm", _ppm_bytes(img3)),
         (decode_image, "pgm", _pgm_bytes(img1)),
         (decode_image, "bmp", _bmp_bytes(img3)),
         (decode_image, "png", _png_from_array(img3, ALL_FILTERS)),
+        # type-0 tRNS: the r8 gray/RGB transparency-key branch joins
+        # the corpus so its length/shape checks get fuzzed too
+        (
+            decode_image,
+            "png_trns",
+            _png_bytes(
+                [img1[y, :, 0].tobytes() for y in range(4)], 7, 4, 8, 0,
+                [0, 2], trns=struct.pack(">H", int(img1[0, 0, 0])),
+            ),
+        ),
         (decode_image, "gif", _gif_bytes(gif_idx, _PAL8)),
         (decode_image, "tiff", _tiff_bytes(img3, lzw=True, predictor=2)),
+        # padded uncompressed strips: the r8 trim branch under fuzz
+        (
+            decode_image,
+            "tiff_padded",
+            _tiff_bytes(img3, rows_per_strip=2, strip_pad=2),
+        ),
         (decode_audio, "wav", _wav_bytes(wav, 16000)),
         (decode_video, "y4m", _y4m_bytes(lumas)),
     ]
