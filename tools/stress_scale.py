@@ -124,6 +124,13 @@ PROBE = [
     # the output one row per customer — dup-insensitive plan probe
     # for the new width_bucket + prefix-sum shape).
     "window_percent_rank_spend",
+    # round 8: the native-decode headline entry (map-only; per-core
+    # constant × corpus size, expect near-linear) and the tar-export
+    # e2e (replicated doc_ids are byte-identical with equal token
+    # counts, so tie order cannot change shard-boundary offsets —
+    # counts and tar verification stay deterministic).
+    "multimodal_image_decode_stats",
+    "webdataset_export_verify",
 ]
 
 
