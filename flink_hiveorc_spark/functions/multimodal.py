@@ -364,12 +364,16 @@ def _decode_png(data: bytes):
         key = np.array(
             struct.unpack(f">{n_fields}H", trns), dtype=np.uint16
         )
-        key = (
-            key >> 8 if depth == 16 else key & ((1 << depth) - 1)
-        ).astype(np.uint8)
-        alpha = np.where(
-            (samples == key.reshape(1, 1, n_fields)).all(axis=2), 0, 255
-        ).astype(np.uint8)
+        if depth < 16 and bool((key > (1 << depth) - 1).any()):
+            # spec: upper key bits are zero at depth < 16. A key
+            # outside the sample range can match NOTHING (libpng/PIL
+            # behavior) — masking it instead would invent false
+            # transparency on a malformed file
+            matched = np.zeros(samples.shape[:2], dtype=bool)
+        else:
+            key8 = (key >> 8 if depth == 16 else key).astype(np.uint8)
+            matched = (samples == key8.reshape(1, 1, n_fields)).all(axis=2)
+        alpha = np.where(matched, 0, 255).astype(np.uint8)
         base = (
             samples * (255 // ((1 << depth) - 1)) if depth < 8 else samples
         )

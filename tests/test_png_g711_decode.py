@@ -598,3 +598,19 @@ def test_wav_trailing_partial_frame_rejected():
     # sanity: the untouched twin still decodes
     got, rate = decode_audio(good)
     np.testing.assert_array_equal(got, samples)
+
+
+def test_png_out_of_range_trns_key_matches_nothing():
+    """Spec says tRNS key bits above the depth are zero; a malformed
+    key outside the sample range must match NOTHING (libpng/PIL
+    behavior) — masking it down would invent false transparency."""
+    vals = np.array([[0x45, 0x46], [0x47, 0x45]], dtype=np.uint8)
+    png = _png_bytes(
+        [vals[y].tobytes() for y in range(2)], 2, 2, 8, 0, [0],
+        trns=struct.pack(">H", 0x0145),  # low byte collides with 0x45
+    )
+    got = decode_image(png)
+    np.testing.assert_array_equal(got[:, :, 0], vals)
+    np.testing.assert_array_equal(
+        got[:, :, 1], np.full((2, 2), 255, dtype=np.uint8)
+    )
