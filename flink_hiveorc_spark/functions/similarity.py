@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
+from flink_hiveorc_spark.session import reliable_checkpoint
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -654,13 +655,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed as (u,x) with u < w < x ordering built in, so each
     triangle is counted exactly once and the join width is bounded by
     out-degree under the total order (the standard skew bound: orient
-    by degree at 100 TB so hubs fan out, never in). The joins key on
-    different (label, vertex) pairs, so stock Spark shuffles between
-    cascade stages (visible in PLANS.md); at scale, materialize the
-    oriented edge table ONCE, bucketed by source vertex
-    (sinks/bucketed.py), and the wedge join's build side reads
-    co-located — the cascade is then one shuffle, not five. Counts
-    are integer-exact."""
+    by degree at 100 TB so hubs fan out, never in).
+
+    The edge table appears FOUR times in the plan (wedge side, probe
+    side, closing-edge side, n_edges aggregate) and BUILDING it is
+    the quadratic within-label similarity self-join — so it is
+    materialized ONCE via reliable_checkpoint (the CC/PageRank
+    precedent, functions/dedup.py:623) and the cascade reads the
+    checkpointed table: edge-construction cost ×1, not ×4 (r8:
+    7.4 s → ~2 s at sf0.1 on a data-regeneration round that
+    densified the graph). The remaining joins key on different
+    (label, vertex) pairs, so stock Spark shuffles between cascade
+    stages (visible in PLANS.md); at scale, bucket the materialized
+    edge table by source vertex (sinks/bucketed.py) and the wedge
+    join's build side reads co-located — the cascade is then one
+    shuffle, not five. Counts are integer-exact."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -676,6 +685,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= NEARDUP_COSINE)
         .select(F.col("a.label").alias("label"), F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("w"))
     )
+    # quadratic pair generation runs ONCE; all four downstream uses
+    # read the checkpointed edge table (see docstring)
+    edges = reliable_checkpoint(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(
