@@ -448,8 +448,25 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = cand.join(ha, "doc_a").join(hb, "doc_b")
     n_shared = F.size(F.array_intersect("h_a", "h_b"))
     jac = n_shared.cast("double") / (F.size("h_a") + F.size("h_b") - n_shared)
-    return paired.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    # SEVEN registered queries consume this pair table (connected
+    # components, both PageRank variants, LPA, k-core, both canonical
+    # selections, the accuracy report); without materialization each
+    # one re-runs the whole MinHash→band→verify pipeline. The lazy
+    # persist makes the pair table compute-once per session —
+    # CacheManager dedupes every consumer's identical subtree onto one
+    # entry (the shingle-table/triangle-edge posture), and plan-only
+    # consumers never trigger the build. The cached table is the
+    # verified near-dup PAIR set — tiny relative to the corpus — so at
+    # 100 TB this is exactly the artifact you'd materialize once and
+    # feed to the whole graph-analytics suite (MEMORY_AND_DISK spills
+    # it if a dense corpus makes it big; a multi-job deployment would
+    # write it to parquet at the same point in the DAG).
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        paired.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
