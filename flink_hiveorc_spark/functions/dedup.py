@@ -508,10 +508,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "b")
         .agg(F.sum(F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")).alias("s"))
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).alias(
-            "simhash"
+    # Lazily persisted: dedup_simhash_pairs blocks and pairs these same
+    # fingerprints (one cache entry per session, the LSH-pair-table
+    # posture); the fingerprint table is one int64 per doc — the
+    # explode-32-bits vote aggregate, the expensive part, runs once.
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")
+            ).alias("simhash")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
