@@ -46,6 +46,8 @@ EAGER_CONSUMERS = [
     ("dedup_minhash_lsh_pairs", "graph_label_propagation"),
     ("dedup_minhash_lsh_pairs", "graph_kcore_peel"),
     ("dedup_minhash_lsh_pairs", "dedup_canonical_longest"),
+    ("dedup_minhash_lsh_pairs", "graph_pagerank_two_rounds"),
+    ("dedup_minhash_lsh_pairs", "graph_pagerank_deep"),
     ("sim_neardup_pairs_cosine", "dedup_semantic_canonical"),
 ]
 
