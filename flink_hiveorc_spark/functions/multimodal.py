@@ -981,33 +981,48 @@ def image_stats(images: DataFrame, quarantine: bool = False) -> DataFrame:
 
 
 def decode_audio(payload: bytes):
-    """Decode a WAV payload → (samples array of shape
+    """Decode a WAV / AIFF(-C) / AU payload → (samples array of shape
     (n_frames, n_channels), sample_rate_hz).
 
-    REAL for every WAV flavor stdlib+numpy can honestly own — pure
-    struct/numpy chunk walking, no audio library, pytest-verified
+    REAL for every entropy-free flavor stdlib+numpy can honestly own —
+    pure struct/numpy chunk walking, no audio library, pytest-verified
     round-trip against independently serialized waveforms:
-    - WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwrapped to the SubFormat
+    - WAV: WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwrapped to the SubFormat
       GUID's real format — multichannel/high-bit WAVs in the wild;
-    - format 1 integer PCM, 8/16/24/32-bit, any channel count (8-bit
+      format 1 integer PCM, 8/16/24/32-bit, any channel count (8-bit
       is unsigned per spec → uint8; 16/32 signed little-endian;
-      24-bit 3-byte frames sign-extended → int32);
-    - format 3 IEEE float, 32/64-bit (returned as float32/float64);
-    - formats 6/7 G.711 A-law/μ-law (8-bit log-companded; expanded
+      24-bit 3-byte frames sign-extended → int32); format 3 IEEE
+      float, 32/64-bit; formats 6/7 G.711 A-law/μ-law (expanded
       through the ITU G.711 decode tables → int16 linear).
+    - AIFF / AIFF-C: big-endian signed PCM 8/16/24/32 (compression
+      NONE/twos), 'sowt' (little-endian 16-bit, how Macs actually
+      shipped AIFC), fl32/fl64 IEEE float, ulaw/alaw G.711; the COMM
+      sample rate is the 80-bit IEEE extended float the format
+      mandates, parsed natively.
+    - AU (Sun/NeXT .snd): encodings 1 (μ-law), 2/3/4/5 (signed
+      big-endian PCM 8/16/24/32), 6/7 (IEEE float 32/64), 27 (A-law).
     Genuinely-compressed formats (MP3, AAC, ADPCM...) raise a
     clearly-marked NotImplementedError — this container has no
     audio codec; a torchaudio/soundfile dispatch drops in here on a
     cluster that has one."""
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return _decode_au(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed-audio decoding requires a codec not present in this "
+            "container; uncompressed PCM WAV/AIFF/AU decodes natively"
+        )
+    return _decode_wav(payload)
+
+
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE chunk walk (see decode_audio for the format matrix)."""
     import struct
 
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError(
-            "compressed-audio decoding requires a codec not present in this "
-            "container; uncompressed PCM WAV decodes natively"
-        )
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -1078,6 +1093,170 @@ def decode_audio(payload: bytes):
     samples = np.frombuffer(data, dtype=supported[(audio_format, bits)], count=n_frames * n_ch)
     if audio_format in (6, 7):
         samples = _g711_table(audio_format)[samples]  # log-companded → int16
+    return samples.reshape(n_frames, n_ch), rate
+
+
+def _parse_f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF COMM sampleRate): 1 sign +
+    15 exponent bits, then a 64-bit mantissa with an EXPLICIT integer
+    bit. value = (-1)^s · m · 2^(e − 16383 − 63)."""
+    import struct
+
+    if len(b) != 10:
+        raise ValueError(f"AIFF sample rate field is {len(b)} bytes, not 10")
+    se, m = struct.unpack(">HQ", b)
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0x7FFF:
+        raise ValueError("AIFF sample rate is infinity/NaN")
+    if exp > 16500:
+        # 2.0**(exp-16446) would OverflowError (not a contract error);
+        # any such rate is absurd for audio — classify it malformed
+        raise ValueError(f"AIFF sample rate exponent {exp} out of range")
+    if m == 0:
+        return 0.0
+    return sign * m * 2.0 ** (exp - 16383 - 63)
+
+
+def _decode_aiff(payload: bytes):
+    """AIFF / AIFF-C IFF chunk walk: COMM (channels, frames, bits,
+    80-bit-float rate, AIFC compression tag) + SSND (offset/blockSize
+    header, then big-endian signed PCM). See decode_audio for the
+    supported compression matrix; genuinely-compressed AIFC variants
+    (IMA4, MACE...) raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # same silent-data-loss class as the WAV truncated-chunk
+            # check: a declared size past EOF is malformed, not short
+            raise ValueError(f"truncated AIFF chunk {cid.decode('latin1')!r}")
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # IFF chunks pad to even offsets
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if len(comm) < 18:
+        raise ValueError(f"truncated AIFF COMM chunk ({len(comm)} bytes)")
+    n_ch, n_frames, bits = struct.unpack_from(">hIh", comm, 0)
+    rate_f = _parse_f80(comm[8:18])
+    comp = b"NONE"
+    if payload[8:12] == b"AIFC":
+        if len(comm) < 22:
+            raise ValueError(f"truncated AIFC COMM chunk ({len(comm)} bytes)")
+        comp = comm[18:22]
+    if n_ch < 1 or rate_f < 1 or bits < 1:
+        raise ValueError(
+            f"malformed AIFF COMM chunk (channels={n_ch}, rate={rate_f}, "
+            f"bits={bits})"
+        )
+    rate = int(round(rate_f))
+    comp = comp.upper()
+    if comp in (b"ULAW", b"ALAW"):
+        sample_bytes = 1  # 8-bit log-companded codes regardless of COMM bits
+    elif comp in (b"FL32", b"FL64"):
+        sample_bytes = 4 if comp == b"FL32" else 8
+    elif comp in (b"NONE", b"TWOS", b"SOWT"):
+        if bits > 32:
+            raise NotImplementedError(f"AIFF sampleSize {bits} unsupported")
+        sample_bytes = (bits + 7) // 8
+    else:
+        raise NotImplementedError(
+            f"AIFC compression {comp.decode('latin1')!r} requires a codec "
+            "not present in this container"
+        )
+    if len(ssnd) < 8:
+        raise ValueError(f"truncated AIFF SSND chunk ({len(ssnd)} bytes)")
+    offset, _block = struct.unpack_from(">II", ssnd, 0)
+    sound = ssnd[8 + offset :]
+    frame_bytes = n_ch * sample_bytes
+    if len(sound) < n_frames * frame_bytes:
+        raise ValueError(
+            f"AIFF SSND holds {len(sound)} bytes but COMM declares "
+            f"{n_frames} frames of {frame_bytes} bytes"
+        )
+    sound = sound[: n_frames * frame_bytes]
+    if comp in (b"ULAW", b"ALAW"):
+        codes = np.frombuffer(sound, dtype=np.uint8)
+        samples = _g711_table(7 if comp == b"ULAW" else 6)[codes]
+    elif comp in (b"FL32", b"FL64"):
+        dt = ">f4" if comp == b"FL32" else ">f8"
+        samples = np.frombuffer(sound, dtype=dt).astype(dt[1:])
+    elif sample_bytes == 3:  # 24-bit big-endian two's complement
+        b = np.frombuffer(sound, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        vals = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        samples = vals - ((vals & 0x800000) << 1)
+    else:
+        dt = ("<" if comp == b"SOWT" else ">") + f"i{sample_bytes}"
+        samples = np.frombuffer(sound, dtype=dt).astype(f"i{sample_bytes}")
+    return samples.reshape(n_frames, n_ch), rate
+
+
+# AU encoding → (bytes per sample, numpy dtype or None for 24-bit/G.711)
+_AU_ENCODINGS = {
+    1: (1, None),  # G.711 μ-law
+    2: (1, "i1"),
+    3: (2, ">i2"),
+    4: (3, None),  # 24-bit packed big-endian
+    5: (4, ">i4"),
+    6: (4, ">f4"),
+    7: (8, ">f8"),
+    27: (1, None),  # G.711 A-law
+}
+
+
+def _decode_au(payload: bytes):
+    """Sun/NeXT .snd: 24-byte big-endian header (magic, data offset,
+    data size, encoding, rate, channels), then raw samples. See
+    decode_audio for the encoding matrix; compressed encodings
+    (ADPCM 23-26...) raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 24:
+        raise ValueError(f"truncated AU header ({len(payload)} bytes)")
+    _, off, size, enc, rate, n_ch = struct.unpack_from(">6I", payload, 0)
+    if enc not in _AU_ENCODINGS:
+        raise NotImplementedError(
+            f"AU encoding {enc} requires a codec not present in this container"
+        )
+    if off < 24 or n_ch < 1 or rate < 1:
+        raise ValueError(
+            f"malformed AU header (offset={off}, channels={n_ch}, rate={rate})"
+        )
+    data = payload[off:]
+    if size != 0xFFFFFFFF:  # all-ones means "unknown, read to EOF"
+        if len(data) < size:
+            raise ValueError(
+                f"AU header declares {size} data bytes but {len(data)} remain"
+            )
+        data = data[:size]
+    sample_bytes, dt = _AU_ENCODINGS[enc]
+    frame_bytes = n_ch * sample_bytes
+    if len(data) % frame_bytes:
+        raise ValueError(
+            f"AU data is {len(data)} bytes, not a multiple of the "
+            f"{frame_bytes}-byte frame (trailing partial frame)"
+        )
+    n_frames = len(data) // frame_bytes
+    if enc in (1, 27):
+        codes = np.frombuffer(data, dtype=np.uint8)
+        samples = _g711_table(7 if enc == 1 else 6)[codes]
+    elif enc == 4:  # 24-bit big-endian two's complement
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        vals = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        samples = vals - ((vals & 0x800000) << 1)
+    else:
+        samples = np.frombuffer(data, dtype=dt).astype(dt.lstrip(">"))
     return samples.reshape(n_frames, n_ch), rate
 
 

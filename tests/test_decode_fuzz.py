@@ -20,6 +20,7 @@ from flink_hiveorc_spark.functions.multimodal import (
 from test_gif_decode import _PAL8, _gif_bytes
 from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
 from test_png_g711_decode import ALL_FILTERS, _png_bytes, _png_from_array
+from test_aiff_au_decode import _aiff_bytes, _au_bytes
 from test_tiff_decode import _tiff_bytes
 from test_y4m_decode import _y4m_bytes
 
@@ -68,6 +69,9 @@ def _valid_payloads():
             _tiff_bytes(img3, rows_per_strip=2, strip_pad=2),
         ),
         (decode_audio, "wav", _wav_bytes(wav, 16000)),
+        (decode_audio, "aiff", _aiff_bytes(wav.astype(">i2"), 16000)),
+        (decode_audio, "aifc_sowt", _aiff_bytes(wav, 16000, comp=b"sowt")),
+        (decode_audio, "au", _au_bytes(wav.astype(">i2"), 16000, encoding=3)),
         (decode_video, "y4m", _y4m_bytes(lumas)),
     ]
 
@@ -100,6 +104,7 @@ def test_fuzz_random_bytes_with_magic_prefixes():
     magics = [
         b"P5\n", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
         b"II\x2a\x00", b"MM\x00\x2a", b"RIFF", b"YUV4MPEG2", b"",
+        b"FORM", b".snd",
     ]
     for magic in magics:
         for trial in range(40):
