@@ -53,12 +53,12 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _parse_pnm_header(data: bytes) -> tuple[list[int], int]:
-    """Parse the P5/P6 netpbm header: three ASCII integers (width,
-    height, maxval) separated by whitespace, '#' comments allowed.
-    Returns ([w, h, maxval], offset_of_first_pixel_byte)."""
+def _parse_pnm_header(data: bytes, n_fields: int = 3) -> tuple[list[int], int]:
+    """Parse the netpbm header: `n_fields` ASCII integers (width,
+    height[, maxval]) separated by whitespace, '#' comments allowed.
+    Returns ([w, h(, maxval)], offset_of_first_pixel_byte)."""
     pos, vals = 2, []
-    while len(vals) < 3:
+    while len(vals) < n_fields:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
         if data[pos : pos + 1] == b"#":
@@ -69,19 +69,218 @@ def _parse_pnm_header(data: bytes) -> tuple[list[int], int]:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         vals.append(int(data[start:pos]))
-    return vals, pos + 1  # exactly ONE whitespace byte after maxval
+    return vals, pos + 1  # exactly ONE whitespace byte after the last field
 
 
 def _decode_pnm(data: bytes):
+    """Complete netpbm: binary P4 (packed bilevel) / P5 (gray) /
+    P6 (RGB) and ASCII P1/P2/P3 twins. Bilevel follows the PBM spec's
+    ink convention (1 = black) and widens to 0/255 grayscale so
+    mean_byte stays comparable across formats."""
     import numpy as np
 
-    channels = 3 if data[:2] == b"P6" else 1
+    kind = data[:2]
+    if kind in (b"P1", b"P4"):  # bilevel: no maxval field
+        (w, h), off = _parse_pnm_header(data, n_fields=2)
+        if w < 1 or h < 1:
+            raise ValueError(f"bad PBM dimensions {w}x{h}")
+        if kind == b"P4":  # packed MSB-first, rows padded to byte edges
+            stride = (w + 7) // 8
+            raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+            bits = np.unpackbits(raw.reshape(h, stride), axis=1)[:, :w]
+        else:  # ASCII: digits MAY pack without whitespace ("0110\n")
+            digits = b"".join(data[off - 1 :].split())
+            if len(digits) < w * h:
+                raise ValueError("truncated P1 pixel data")
+            arr = np.frombuffer(digits[: w * h], dtype=np.uint8)
+            if not np.isin(arr, (0x30, 0x31)).all():
+                raise ValueError("P1 pixel value out of range")
+            bits = (arr - 0x30).reshape(h, w)
+        return ((1 - bits) * 255).astype(np.uint8).reshape(h, w, 1)
+    channels = 3 if kind in (b"P3", b"P6") else 1
     (w, h, maxval), off = _parse_pnm_header(data)
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm not supported")
+    if w < 1 or h < 1 or maxval < 1:
+        raise ValueError(f"bad netpbm header {w}x{h} maxval={maxval}")
     n = w * h * channels
-    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    if kind in (b"P2", b"P3"):  # ASCII sample tokens
+        toks = data[off - 1 :].split()
+        if len(toks) < n:
+            raise ValueError(f"truncated {kind.decode('latin1')} pixel data")
+        px = np.array([int(t) for t in toks[:n]], dtype=np.int64)
+        if px.min(initial=0) < 0 or px.max(initial=0) > maxval:
+            raise ValueError("ASCII netpbm sample out of range")
+        px = px.astype(np.uint8)
+    else:
+        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
     return px.reshape(h, w, channels)
+
+
+def _decode_qoi(data: bytes):
+    """QOI (Quite OK Image, qoiformat.org spec 1.0): byte-oriented
+    ops — RGB/RGBA literals, 6-bit index into a 64-slot seen-pixel
+    hash, 2-bit channel diffs, luma diffs, runs — no entropy coder,
+    so it decodes natively. Returns HxWx3 or HxWx4 uint8."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 22:
+        raise ValueError(f"truncated QOI header ({len(data)} bytes)")
+    w, h = struct.unpack_from(">II", data, 4)
+    channels, colorspace = data[12], data[13]
+    if channels not in (3, 4) or colorspace > 1:
+        raise ValueError(
+            f"bad QOI header (channels={channels}, colorspace={colorspace})"
+        )
+    if w < 1 or h < 1:
+        raise ValueError(f"bad QOI dimensions {w}x{h}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(f"QOI dimensions {w}x{h} exceed the decode guard")
+    n_px = w * h
+    out = np.empty((n_px, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    end = len(data) - 8  # 8-byte end marker
+    while i < n_px:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        op = data[pos]
+        pos += 1
+        if op == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > end:
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > end:
+                raise ValueError("truncated QOI_OP_RGBA")
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif op >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[op & 0x3F]
+        elif op >> 6 == 1:  # QOI_OP_DIFF (bias 2)
+            r = (r + ((op >> 4) & 3) - 2) & 0xFF
+            g = (g + ((op >> 2) & 3) - 2) & 0xFF
+            b = (b + (op & 3) - 2) & 0xFF
+        elif op >> 6 == 2:  # QOI_OP_LUMA (bias 32 / 8)
+            if pos + 1 > end:
+                raise ValueError("truncated QOI_OP_LUMA")
+            dg = (op & 0x3F) - 32
+            rb = data[pos]
+            pos += 1
+            r = (r + dg - 8 + ((rb >> 4) & 0x0F)) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg - 8 + (rb & 0x0F)) & 0xFF
+        else:  # QOI_OP_RUN (bias -1); 0xFE/0xFF already taken above
+            run = (op & 0x3F) + 1
+            if i + run > n_px:
+                raise ValueError("QOI run overflows the pixel count")
+            out[i : i + run] = (r, g, b, a)
+            i += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[i] = (r, g, b, a)
+        i += 1
+    if data[end:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker")
+    img = out.reshape(h, w, 4)
+    return img[:, :, :3].copy() if channels == 3 else img
+
+
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def _decode_tga(data: bytes):
+    """TGA (Truevision Targa 2.0): uncompressed and RLE truecolor /
+    grayscale / color-mapped, 8/24/32-bit pixels, both row orders.
+    TGA has NO header magic — this decoder requires the TGA 2.0
+    footer signature, which is also how the dispatcher routes here
+    (a signature-less legacy TGA is indistinguishable from noise in
+    a magic-dispatch architecture, so it stays PIL-gated)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 18 + 26:
+        raise ValueError(f"truncated TGA ({len(data)} bytes)")
+    id_len, cmap_type, img_type = data[0], data[1], data[2]
+    cmap_first, cmap_len, cmap_bits = struct.unpack_from("<HHB", data, 3)
+    w, h = struct.unpack_from("<HH", data, 12)
+    depth, desc = data[16], data[17]
+    rle = bool(img_type & 8)
+    base_type = img_type & ~8
+    if base_type not in (1, 2, 3):
+        raise NotImplementedError(f"TGA image type {img_type} unsupported")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad TGA dimensions {w}x{h}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(f"TGA dimensions {w}x{h} exceed the decode guard")
+    if base_type == 1:
+        if cmap_type != 1 or depth != 8 or cmap_bits not in (24, 32):
+            raise NotImplementedError(
+                f"TGA color map variant unsupported (cmap_type={cmap_type}, "
+                f"depth={depth}, cmap_bits={cmap_bits})"
+            )
+    elif base_type == 2 and depth not in (24, 32):
+        raise NotImplementedError(f"{depth}-bit truecolor TGA unsupported")
+    elif base_type == 3 and depth != 8:
+        raise NotImplementedError(f"{depth}-bit grayscale TGA unsupported")
+    px_bytes = depth // 8
+    pos = 18 + id_len
+    cmap = None
+    if cmap_type == 1:
+        entry_bytes = cmap_bits // 8
+        cmap_size = cmap_len * entry_bytes
+        raw_cmap = data[pos : pos + cmap_size]
+        if len(raw_cmap) != cmap_size:
+            raise ValueError("truncated TGA color map")
+        cmap = np.frombuffer(raw_cmap, dtype=np.uint8).reshape(cmap_len, entry_bytes)
+        pos += cmap_size
+    n_bytes = w * h * px_bytes
+    if rle:
+        out = bytearray()
+        end = len(data) - 26  # footer block
+        while len(out) < n_bytes:
+            if pos >= end:
+                raise ValueError("truncated TGA RLE stream")
+            packet = data[pos]
+            pos += 1
+            count = (packet & 0x7F) + 1
+            if packet & 0x80:  # run: one pixel repeated
+                px = data[pos : pos + px_bytes]
+                if len(px) != px_bytes:
+                    raise ValueError("truncated TGA RLE run pixel")
+                pos += px_bytes
+                out += px * count
+            else:  # raw: count literal pixels
+                chunk = data[pos : pos + count * px_bytes]
+                if len(chunk) != count * px_bytes:
+                    raise ValueError("truncated TGA raw packet")
+                pos += count * px_bytes
+                out += chunk
+        if len(out) > n_bytes:
+            raise ValueError("TGA RLE packet crosses the image boundary")
+        raw = bytes(out)
+    else:
+        raw = data[pos : pos + n_bytes]
+        if len(raw) != n_bytes:
+            raise ValueError("truncated TGA pixel data")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, px_bytes)
+    if not desc & 0x20:  # bit 5 clear = bottom-up row order
+        px = px[::-1]
+    if base_type == 1:
+        idx = px.reshape(h, w).astype(np.int64) - cmap_first
+        if idx.min() < 0 or idx.max() >= len(cmap):
+            raise ValueError("TGA color-map index out of range")
+        px = cmap[idx]  # (h, w, entry_bytes) BGR(A)
+    if px.shape[2] == 1:
+        return px.copy()
+    if px.shape[2] == 3:
+        return px[:, :, [2, 1, 0]].copy()  # BGR → RGB
+    return px[:, :, [2, 1, 0, 3]].copy()  # BGRA → RGBA
 
 
 def _decode_bmp(data: bytes):
@@ -824,19 +1023,21 @@ def _pil_decode(payload: bytes):
 def decode_image(payload: bytes):
     """Decode an image payload → HxWxC uint8 numpy array.
 
-    REAL for every format stdlib+numpy can honestly own: binary
-    netpbm (P6 PPM → HxWx3, P5 PGM → HxWx1, 8-bit), uncompressed
-    24/32-bit BMP (bottom-up or top-down, row padding handled,
-    BGR(A)→RGB(A)), and COMPLETE PNG (zlib inflate + all five
-    scanline filters + every bit depth/color type + palette/tRNS +
-    Adam7 interlacing, chunk CRCs verified) — no image library,
-    pytest-verified round-trip against independently built pixel
-    arrays — plus GIF (pure-Python LZW, first frame, interlace and
-    GCE transparency) and baseline TIFF (II/MM byte orders, strip
+    REAL for every format stdlib+numpy can honestly own: complete
+    netpbm (P1-P4 bilevel/ASCII + P5 PGM → HxWx1, P3/P6 PPM → HxWx3,
+    8-bit), uncompressed 24/32-bit BMP (bottom-up or top-down, row
+    padding handled, BGR(A)→RGB(A)), and COMPLETE PNG (zlib inflate +
+    all five scanline filters + every bit depth/color type +
+    palette/tRNS + Adam7 interlacing, chunk CRCs verified) — no image
+    library, pytest-verified round-trip against independently built
+    pixel arrays — plus GIF (pure-Python LZW, first frame, interlace
+    and GCE transparency), baseline TIFF (II/MM byte orders, strip
     assembly, PackBits RLE, LZW with the EarlyChange schedule and
     horizontal-differencing predictor, Adobe Deflate,
-    gray/RGB/RGBA/palette/bilevel). Formats
-    that genuinely need a transform codec (JPEG, WebP, ...)
+    gray/RGB/RGBA/palette/bilevel), QOI (the full spec-1.0 op set),
+    and TGA 2.0 (uncompressed + RLE truecolor/gray/color-mapped,
+    routed by the footer signature since TGA has no header magic).
+    Formats that genuinely need a transform codec (JPEG, WebP, ...)
     dispatch to PIL when importable and stay a clearly-marked
     NotImplementedError otherwise (this container has no codec —
     swap-in point documented).
@@ -846,7 +1047,7 @@ def decode_image(payload: bytes):
     build lacks; ValueError = the payload claims a supported format
     but is malformed (truncated body, corrupt header, undecodable
     by PIL). Nothing else escapes."""
-    if payload[:2] in (b"P5", b"P6"):
+    if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         try:
             return _decode_pnm(payload)
         except NotImplementedError:
@@ -877,6 +1078,20 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed TIFF payload: {e}") from e
+    if payload[:4] == b"qoif":
+        try:
+            return _decode_qoi(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed QOI payload: {e}") from e
+    if payload[-18:] == _TGA_FOOTER:
+        try:
+            return _decode_tga(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed TGA payload: {e}") from e
     # formats needing a transform codec (JPEG/WebP/...): PIL only
     return _pil_decode(payload)
 

@@ -21,6 +21,7 @@ from test_gif_decode import _PAL8, _gif_bytes
 from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
 from test_png_g711_decode import ALL_FILTERS, _png_bytes, _png_from_array
 from test_aiff_au_decode import _aiff_bytes, _au_bytes
+from test_qoi_tga_pnm_decode import _qoi_bytes, _tga_bytes
 from test_tiff_decode import _tiff_bytes
 from test_y4m_decode import _y4m_bytes
 
@@ -61,6 +62,13 @@ def _valid_payloads():
             ),
         ),
         (decode_image, "gif", _gif_bytes(gif_idx, _PAL8)),
+        (decode_image, "qoi", _qoi_bytes(img3)),
+        (decode_image, "tga_rle", _tga_bytes(img3, rle=True)),
+        (
+            decode_image,
+            "pbm_p4",
+            b"P4\n7 4\n" + np.packbits(img1[:, :, 0] > 127, axis=1).tobytes(),
+        ),
         (decode_image, "tiff", _tiff_bytes(img3, lzw=True, predictor=2)),
         # padded uncompressed strips: the r8 trim branch under fuzz
         (
@@ -104,7 +112,7 @@ def test_fuzz_random_bytes_with_magic_prefixes():
     magics = [
         b"P5\n", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
         b"II\x2a\x00", b"MM\x00\x2a", b"RIFF", b"YUV4MPEG2", b"",
-        b"FORM", b".snd",
+        b"FORM", b".snd", b"qoif", b"P1\n", b"P3\n", b"P4\n",
     ]
     for magic in magics:
         for trial in range(40):
