@@ -190,6 +190,27 @@ def _decode_qoi(data: bytes):
     return img[:, :, :3].copy() if channels == 3 else img
 
 
+def _decode_farbfeld(data: bytes):
+    """farbfeld (suckless.org): 8-byte magic, u32 BE width/height,
+    then RGBA with 16 bits per channel big-endian. Samples reduce to
+    their high byte — the module's 16-bit convention (PNG depth-16
+    does the same)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 16:
+        raise ValueError(f"truncated farbfeld header ({len(data)} bytes)")
+    w, h = struct.unpack_from(">II", data, 8)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad farbfeld dimensions {w}x{h}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(f"farbfeld dimensions {w}x{h} exceed the decode guard")
+    n = w * h * 4 * 2
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=16)
+    return px.reshape(h, w, 4, 2)[:, :, :, 0].copy()  # BE high byte
+
+
 _TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
 
 
@@ -1085,6 +1106,13 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed QOI payload: {e}") from e
+    if payload[:8] == b"farbfeld":
+        try:
+            return _decode_farbfeld(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed farbfeld payload: {e}") from e
     if payload[-18:] == _TGA_FOOTER:
         try:
             return _decode_tga(payload)
@@ -1216,6 +1244,9 @@ def decode_audio(payload: bytes):
       mandates, parsed natively.
     - AU (Sun/NeXT .snd): encodings 1 (μ-law), 2/3/4/5 (signed
       big-endian PCM 8/16/24/32), 6/7 (IEEE float 32/64), 27 (A-law).
+    - CAF (Apple Core Audio Format): LPCM at 8/16/24/32-bit signed
+      integer and 32/64-bit float, both endians per the desc flag
+      bits, unsized read-to-EOF data chunks handled.
     Genuinely-compressed formats (MP3, AAC, ADPCM...) raise a
     clearly-marked NotImplementedError — this container has no
     audio codec; a torchaudio/soundfile dispatch drops in here on a
@@ -1224,6 +1255,8 @@ def decode_audio(payload: bytes):
         return _decode_aiff(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
+    if payload[:4] == b"caff":
+        return _decode_caf(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "compressed-audio decoding requires a codec not present in this "
@@ -1412,6 +1445,85 @@ def _decode_aiff(payload: bytes):
     else:
         dt = ("<" if comp == b"SOWT" else ">") + f"i{sample_bytes}"
         samples = np.frombuffer(sound, dtype=dt).astype(f"i{sample_bytes}")
+    return samples.reshape(n_frames, n_ch), rate
+
+
+def _decode_caf(payload: bytes):
+    """Apple CAF container, LPCM only: 'caff' header, then 4cc + i64
+    BE sized chunks — 'desc' (f64 sample rate, format 4cc, flag bits
+    0=float/1=little-endian, layout fields) and 'data' (u32 edit
+    count + samples). Integer LPCM is SIGNED at every width (8-bit
+    included, unlike WAV); a 'data' size of -1 means read-to-EOF (how
+    streaming writers leave it). Compressed CAF payloads ('aac ',
+    'alac', ...) raise NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8:
+        raise ValueError(f"truncated CAF header ({len(payload)} bytes)")
+    pos, desc, data = 8, None, None
+    while pos + 12 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        size = struct.unpack_from(">q", payload, pos + 4)[0]
+        pos += 12
+        if size == -1:  # audio-data chunk may be unsized: rest of file
+            if ctype != b"data":
+                raise ValueError(f"unsized CAF chunk {ctype.decode('latin1')!r}")
+            size = len(payload) - pos
+        if size < 0 or pos + size > len(payload):
+            raise ValueError(f"truncated CAF chunk {ctype.decode('latin1')!r}")
+        body = payload[pos : pos + size]
+        if ctype == b"desc":
+            desc = body
+        elif ctype == b"data":
+            data = body
+        pos += size
+    if desc is None or data is None:
+        raise ValueError("CAF missing desc/data chunk")
+    if len(desc) < 32:
+        raise ValueError(f"truncated CAF desc chunk ({len(desc)} bytes)")
+    rate_f, fmt_id, flags, _bpp, _fpp, n_ch, bits = struct.unpack(
+        ">d4sIIIII", desc[:32]
+    )
+    if fmt_id != b"lpcm":
+        raise NotImplementedError(
+            f"CAF format {fmt_id.decode('latin1')!r} requires a codec not "
+            "present in this container"
+        )
+    if n_ch < 1 or not (1 <= rate_f <= 1e9):  # also rejects NaN/inf —
+        # int(round(inf)) would OverflowError past the contract
+        raise ValueError(
+            f"malformed CAF desc (channels={n_ch}, rate={rate_f})"
+        )
+    is_float = bool(flags & 1)
+    endian = "<" if flags & 2 else ">"
+    if is_float and bits not in (32, 64):
+        raise ValueError(f"CAF float LPCM with {bits} bits")
+    if not is_float and bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"CAF integer LPCM {bits}-bit unsupported")
+    if len(data) < 4:
+        raise ValueError("truncated CAF data chunk")
+    sound = data[4:]  # u32 edit count precedes the samples
+    frame_bytes = n_ch * bits // 8
+    if len(sound) % frame_bytes:
+        raise ValueError(
+            f"CAF data is {len(sound)} bytes, not a multiple of the "
+            f"{frame_bytes}-byte frame (trailing partial frame)"
+        )
+    n_frames = len(sound) // frame_bytes
+    rate = int(round(rate_f))
+    if bits == 24:
+        b = np.frombuffer(sound, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        if endian == "<":
+            vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        else:
+            vals = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        samples = vals - ((vals & 0x800000) << 1)
+        return samples.reshape(n_frames, n_ch), rate
+    kind = "f" if is_float else "i"
+    dt = f"{endian}{kind}{bits // 8}"
+    samples = np.frombuffer(sound, dtype=dt).astype(f"{kind}{bits // 8}")
     return samples.reshape(n_frames, n_ch), rate
 
 

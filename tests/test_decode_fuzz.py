@@ -21,6 +21,7 @@ from test_gif_decode import _PAL8, _gif_bytes
 from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
 from test_png_g711_decode import ALL_FILTERS, _png_bytes, _png_from_array
 from test_aiff_au_decode import _aiff_bytes, _au_bytes
+from test_farbfeld_caf_decode import _caf_bytes, _farbfeld_bytes
 from test_qoi_tga_pnm_decode import _qoi_bytes, _tga_bytes
 from test_tiff_decode import _tiff_bytes
 from test_y4m_decode import _y4m_bytes
@@ -80,6 +81,12 @@ def _valid_payloads():
         (decode_audio, "aiff", _aiff_bytes(wav.astype(">i2"), 16000)),
         (decode_audio, "aifc_sowt", _aiff_bytes(wav, 16000, comp=b"sowt")),
         (decode_audio, "au", _au_bytes(wav.astype(">i2"), 16000, encoding=3)),
+        (decode_audio, "caf", _caf_bytes(wav.astype(">i2"), 16000.0)),
+        (
+            decode_image,
+            "farbfeld",
+            _farbfeld_bytes((img3.astype(np.uint16) * 257)[:, :, [0, 1, 2, 0]]),
+        ),
         (decode_video, "y4m", _y4m_bytes(lumas)),
     ]
 
@@ -113,6 +120,7 @@ def test_fuzz_random_bytes_with_magic_prefixes():
         b"P5\n", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
         b"II\x2a\x00", b"MM\x00\x2a", b"RIFF", b"YUV4MPEG2", b"",
         b"FORM", b".snd", b"qoif", b"P1\n", b"P3\n", b"P4\n",
+        b"caff", b"farbfeld",
     ]
     for magic in magics:
         for trial in range(40):
