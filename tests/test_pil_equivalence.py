@@ -276,3 +276,28 @@ def test_equiv_pnm():
     _check(_ppm_bytes(rgb), rgb)
     g = _rng(932).integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
     _check(_pgm_bytes(g), g)
+
+
+# ------------------------------------------------------ TGA (late r8)
+
+
+def test_equiv_tga_truecolor_and_gray():
+    """PIL reads footer-signed TGA 2.0; RLE and both row orders are
+    part of its surface, so the new native TGA path joins the armed
+    contract."""
+    from test_qoi_tga_pnm_decode import _tga_bytes
+
+    rgb = _rng(940).integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    _check(_tga_bytes(rgb), rgb)
+    _check(_tga_bytes(rgb, top_down=False), rgb)
+    _check(_tga_bytes(rgb, rle=True), rgb)
+    g = _rng(941).integers(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    _check(_tga_bytes(g), g)
+
+
+def test_equiv_tga_rgba():
+    from test_qoi_tga_pnm_decode import _tga_bytes
+
+    rgba = _rng(942).integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    _check(_tga_bytes(rgba), rgba)
+    _check(_tga_bytes(rgba, rle=True, top_down=False), rgba)
