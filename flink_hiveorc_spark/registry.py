@@ -32,12 +32,25 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a named query, optionally with its DuckDB oracle SQL."""
+    """Register a named query, optionally with its DuckDB oracle SQL.
+
+    Every registration re-rotates the registry (cheap: sort over ≤ a
+    few hundred names against process-cached counts). This keeps the
+    least-externally-checked-first invariant REGARDLESS of import
+    order: if the process's first import is a functions module rather
+    than this package, `_load_all` hits that module mid-import
+    (circular) and its queries register only after the module body
+    resumes — with a single end-of-load rotation those stragglers
+    appended UNSORTED at the registry tail, silently mis-aiming the
+    driver's 50-slot correctness window for any direct-module
+    consumer (caught by tests/test_registry_rotation.py failing under
+    exactly that import order)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        _rotate_registry()
         return fn
 
     return deco
@@ -133,8 +146,19 @@ def _checked_counts() -> Counter:
     return counts
 
 
+_COUNTS_CACHE: Counter | None = None
+
+
 def _rotate_registry() -> None:
-    counts = _checked_counts()
+    # Counts are cached for the process lifetime: rotation now runs per
+    # registration (hundreds of times at import), and the CORRECTNESS
+    # artifacts it reads only change between driver rounds, never
+    # within a process. _checked_counts() itself stays uncached so
+    # tests and tools always read fresh files.
+    global _COUNTS_CACHE
+    if _COUNTS_CACHE is None:
+        _COUNTS_CACHE = _checked_counts()
+    counts = _COUNTS_CACHE
     original_index = {name: i for i, name in enumerate(QUERIES)}
 
     def sort_key(name: str):

@@ -59,3 +59,29 @@ def test_never_checked_backlog_fits_the_window():
         f"{len(never)} never-checked queries exceed the driver's 50-slot "
         f"window; the overflow will stay externally unverified this round"
     )
+
+
+def test_rotation_survives_functions_module_first_import():
+    """If the process's FIRST package import is a functions module
+    (how the decode test modules import, and how a library user might),
+    `_load_all` hits that module mid-import and its queries register
+    after the load-time rotation — the per-registration re-rotation in
+    the @query decorator must still leave the invariant intact.
+    Subprocess so the import order is pinned regardless of which tests
+    ran before."""
+    import subprocess
+    import sys
+
+    code = (
+        "import flink_hiveorc_spark.functions.multimodal\n"
+        "from flink_hiveorc_spark.registry import QUERIES, _checked_counts\n"
+        "c = _checked_counts()\n"
+        "seen = [c.get(n, 0) for n in QUERIES]\n"
+        "assert seen == sorted(seen), 'rotation broken under circular import'\n"
+        "print('OK', len(seen))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.startswith("OK")
