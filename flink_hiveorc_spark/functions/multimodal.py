@@ -3,14 +3,16 @@ payloads + typed metadata structs, processed with Arrow-batched
 `mapInPandas`.
 
 Decode status: every format whose byte stream stdlib+numpy can
-honestly own decodes FOR REAL — binary netpbm (P6/P5), 24/32-bit
+honestly own decodes FOR REAL — complete netpbm (P1-P6), 24/32-bit
 BMP, COMPLETE PNG (zlib IS stdlib; all five color types, all five
 scanline filters, bit depths 1-16, palette+tRNS, Adam7
 interlacing, CRC-verified), GIF (pure-Python LZW, first frame,
-interlace+transparency), and baseline TIFF (both byte orders,
-strips, PackBits/LZW+predictor/Deflate, palette, bilevel scans)
-via `decode_image`; integer PCM,
-IEEE-float, and G.711 μ-law/A-law WAV via `decode_audio`;
+interlace+transparency), baseline TIFF (both byte orders,
+strips, PackBits/LZW+predictor/Deflate, palette, bilevel scans),
+QOI (full 1.0 op set), TGA 2.0 (footer-signed; uncompressed + RLE),
+and farbfeld via `decode_image`; WAV (integer PCM, IEEE-float,
+G.711 μ-law/A-law, EXTENSIBLE), AIFF/AIFF-C, Sun AU, and Apple CAF
+LPCM via `decode_audio`;
 uncompressed Y4M video (all standard chroma modes, per-frame luma)
 via `decode_video` — each with a distributed decode→featurize path
 (`image_stats` / `audio_stats` / `video_stats`, one shared
@@ -1699,7 +1701,8 @@ def _audio_features(payload: bytes) -> dict:
 
 
 def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
-    """Distributed decode+featurize over (doc_id, payload) WAV clips;
+    """Distributed decode+featurize over (doc_id, payload) audio clips
+    (WAV/AIFF/AU/CAF — see decode_audio);
     same Arrow-batched mapInPandas shape as image_stats, including the
     opt-in `quarantine=True` error channel (NULL features + `error`
     column instead of a task-killing raise — see image_stats)."""
