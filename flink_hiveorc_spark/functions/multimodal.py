@@ -1709,9 +1709,144 @@ def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(clips, _AUDIO_STATS_SCHEMA, _audio_features, quarantine)
 
 
+def _avi_chunks(data: bytes, pos: int, end: int):
+    """Iterate RIFF chunks as (fourcc, body_start, body_size); LISTs
+    yield their list-type as fourcc with the body EXCLUDING it, so
+    callers can recurse. Sizes are validated against the buffer — a
+    declared size past EOF is malformed, not silently short."""
+    import struct
+
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated AVI chunk {fourcc.decode('latin1')!r}"
+            )
+        yield fourcc, body, size
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+
+
+def _decode_avi(payload: bytes):
+    """Uncompressed AVI: RIFF('AVI ') → LIST hdrl (avih + per-stream
+    LIST strl: strh/strf) → LIST movi ('00db'/'00dc' frame chunks,
+    'rec ' groups descended). Streams supported without a codec:
+    BI_RGB device-independent bitmaps at 24/32 bpp (bottom-up rows
+    padded to 4 bytes; luma derived as the exact-integer BT.601 sum
+    (299R+587G+114B+500)//1000, documented since AVI RGB has no Y
+    plane to return) and planar 4:2:0 fourccs I420/IYUV/YV12 (the Y
+    plane returned as-is — YV12 differs from I420 only in chroma
+    order). Compressed fourccs (MJPG/XVID/H264...) raise
+    NotImplementedError; fps comes from strh dwRate/dwScale with the
+    avih frame interval as fallback, zero/negative classified
+    malformed."""
+    import struct
+
+    import numpy as np
+
+    strh = strf = None
+    fps = None
+    movi = None
+    for fourcc, body, size in _avi_chunks(payload, 12, len(payload)):
+        if fourcc == b"LIST":
+            ltype = payload[body : body + 4]
+            if ltype == b"hdrl":
+                for f2, b2, s2 in _avi_chunks(payload, body + 4, body + size):
+                    if f2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
+                        sh = sf = None
+                        for f3, b3, s3 in _avi_chunks(payload, b2 + 4, b2 + s2):
+                            if f3 == b"strh":
+                                sh = payload[b3 : b3 + s3]
+                            elif f3 == b"strf":
+                                sf = payload[b3 : b3 + s3]
+                        if sh is not None and sh[:4] == b"vids" and strh is None:
+                            strh, strf = sh, sf
+            elif ltype == b"movi":
+                movi = (body + 4, body + size)
+    if strh is None or strf is None:
+        raise ValueError("AVI has no video stream header (strh/strf)")
+    if movi is None:
+        raise ValueError("AVI has no movi list")
+    if len(strh) >= 28:
+        scale, rate = struct.unpack_from("<II", strh, 20)
+        if scale and rate:
+            fps = rate / scale
+    if fps is None or fps <= 0:
+        raise ValueError("AVI video stream has no usable frame rate")
+    if len(strf) < 40:
+        raise ValueError(f"truncated AVI BITMAPINFOHEADER ({len(strf)} bytes)")
+    w, h_signed = struct.unpack_from("<ii", strf, 4)
+    bpp = struct.unpack_from("<H", strf, 14)[0]
+    compression = strf[16:20]
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad AVI dimensions {w}x{h_signed}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"AVI {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
+        )
+    comp_int = struct.unpack("<I", compression)[0]
+    if comp_int == 0:  # BI_RGB
+        if bpp not in (24, 32):
+            raise NotImplementedError(f"{bpp}-bit BI_RGB AVI unsupported")
+        cspace = f"rgb{bpp}"
+        stride = (w * bpp // 8 + 3) & ~3
+        frame_bytes = stride * h
+    elif compression in (b"I420", b"IYUV", b"YV12"):
+        cspace = compression.decode("ascii").lower()
+        frame_bytes = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    else:
+        raise NotImplementedError(
+            f"AVI fourcc {compression.decode('latin1')!r} requires a codec "
+            "not present in this container"
+        )
+    lumas = []
+
+    def eat(pos: int, end: int) -> None:
+        for fourcc, body, size in _avi_chunks(payload, pos, end):
+            if fourcc == b"LIST" and payload[body : body + 4] == b"rec ":
+                eat(body + 4, body + size)
+                continue
+            if fourcc not in (b"00db", b"00dc"):
+                continue  # other streams ('01wb' audio), 'JUNK', indexes
+            if size < frame_bytes:
+                raise ValueError(
+                    f"truncated AVI frame {len(lumas)} ({size} of "
+                    f"{frame_bytes} bytes)"
+                )
+            if comp_int == 0:
+                nch = bpp // 8
+                rows = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * h, offset=body
+                ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+                if not top_down:
+                    rows = rows[::-1]
+                b16 = rows.astype(np.int32)
+                # DIB byte order is BGR(A); exact-integer BT.601 luma
+                y = (
+                    299 * b16[:, :, 2] + 587 * b16[:, :, 1] + 114 * b16[:, :, 0] + 500
+                ) // 1000
+                lumas.append(y.astype(np.uint8))
+            else:
+                lumas.append(
+                    np.frombuffer(
+                        payload, dtype=np.uint8, count=w * h, offset=body
+                    ).reshape(h, w)
+                )
+
+    eat(*movi)
+    if not lumas:
+        raise ValueError("AVI movi list has no video frames")
+    return np.stack(lumas), fps, cspace
+
+
 def decode_video(payload: bytes):
-    """Decode a YUV4MPEG2 (.y4m) payload → (luma frames array of
-    shape (n_frames, h, w) uint8, fps float, colorspace str).
+    """Decode a YUV4MPEG2 (.y4m) or uncompressed AVI payload → (luma
+    frames array of shape (n_frames, h, w) uint8, fps float,
+    colorspace str).
 
     Y4M is the standard UNCOMPRESSED video interchange container
     (yuv4mpeg, mjpegtools lineage): an ASCII stream header
