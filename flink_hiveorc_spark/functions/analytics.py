@@ -1057,87 +1057,93 @@ def webdataset_export_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     root = tempfile.mkdtemp(prefix="fhs_wds_export_")
-    out_dir = f"{root}/shards"
-    # pre-create: an EMPTY corpus writes no tars, but the read side
-    # still needs an (empty) directory to scan
-    _os.makedirs(out_dir, exist_ok=True)
-    # materialize the member assignment ONCE; both the tar write and
-    # the expected-side aggregate read it back (one prefix-sum pass,
-    # not two)
-    members.write.parquet(f"{root}/members")
-    persisted = spark.read.parquet(f"{root}/members")
-    chk = F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("bigint")
-    expected = persisted.groupBy("shard_id", "lang", "source").agg(
-        F.sum(F.when(F.col("ext") == "txt", 1).otherwise(0)).alias("n_docs"),
-        F.count("*").alias("n_members"),
-        F.sum(F.octet_length("payload")).alias("payload_bytes"),
-        F.sum(chk).alias("content_checksum"),
-    )
-    # the manifest IS the write job; collect is O(shards) rows
-    manifest_rows = write_tar_shards(
-        persisted.select("shard_id", "key", "ext", "payload"), out_dir
-    ).collect()
-    # explicit schema: an EMPTY corpus yields zero manifest rows, and
-    # schema inference cannot run on an empty row list
-    manifest = spark.createDataFrame(
-        manifest_rows, schema=WRITE_MANIFEST_SCHEMA
-    ).select(
-        "shard_id",
-        F.col("n_samples").alias("m_samples"),
-        F.col("n_members").alias("m_members"),
-        "n_bytes",
-        "tar_md5",
-    )
+    # try/finally from mkdtemp onward: a failure anywhere (parquet
+    # write, tar export, readback, joins) must not leak a temp dir
+    # holding a full corpus copy — the "no residue" claim above holds
+    # on the error path too
+    try:
+        out_dir = f"{root}/shards"
+        # pre-create: an EMPTY corpus writes no tars, but the read side
+        # still needs an (empty) directory to scan
+        _os.makedirs(out_dir, exist_ok=True)
+        # materialize the member assignment ONCE; both the tar write and
+        # the expected-side aggregate read it back (one prefix-sum pass,
+        # not two)
+        members.write.parquet(f"{root}/members")
+        persisted = spark.read.parquet(f"{root}/members")
+        chk = F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("bigint")
+        expected = persisted.groupBy("shard_id", "lang", "source").agg(
+            F.sum(F.when(F.col("ext") == "txt", 1).otherwise(0)).alias("n_docs"),
+            F.count("*").alias("n_members"),
+            F.sum(F.octet_length("payload")).alias("payload_bytes"),
+            F.sum(chk).alias("content_checksum"),
+        )
+        # the manifest IS the write job; collect is O(shards) rows
+        manifest_rows = write_tar_shards(
+            persisted.select("shard_id", "key", "ext", "payload"), out_dir
+        ).collect()
+        # explicit schema: an EMPTY corpus yields zero manifest rows, and
+        # schema inference cannot run on an empty row list
+        manifest = spark.createDataFrame(
+            manifest_rows, schema=WRITE_MANIFEST_SCHEMA
+        ).select(
+            "shard_id",
+            F.col("n_samples").alias("m_samples"),
+            F.col("n_members").alias("m_members"),
+            "n_bytes",
+            "tar_md5",
+        )
 
-    shard_no = F.regexp_extract("shard", r"shard-(\d+)\.tar", 1).cast("bigint")
-    readback = (
-        read_tar_shards(spark, out_dir)
-        .groupBy(shard_no.alias("shard_id"))
-        .agg(
-            F.count("*").alias("rb_members"),
-            F.sum(F.octet_length("payload")).alias("rb_bytes"),
-            F.sum(chk).alias("rb_checksum"),
+        shard_no = F.regexp_extract("shard", r"shard-(\d+)\.tar", 1).cast("bigint")
+        readback = (
+            read_tar_shards(spark, out_dir)
+            .groupBy(shard_no.alias("shard_id"))
+            .agg(
+                F.count("*").alias("rb_members"),
+                F.sum(F.octet_length("payload")).alias("rb_bytes"),
+                F.sum(chk).alias("rb_checksum"),
+            )
         )
-    )
-    file_no = F.regexp_extract("path", r"shard-(\d+)\.tar", 1).cast("bigint")
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
-        .load(out_dir)
-        .select(
-            file_no.alias("shard_id"),
-            F.md5("content").alias("file_md5"),
-            F.col("length").alias("file_len"),
+        file_no = F.regexp_extract("path", r"shard-(\d+)\.tar", 1).cast("bigint")
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tar")
+            .load(out_dir)
+            .select(
+                file_no.alias("shard_id"),
+                F.md5("content").alias("file_md5"),
+                F.col("length").alias("file_len"),
+            )
         )
-    )
-    joined = (
-        expected.join(F.broadcast(manifest), "shard_id")
-        .join(F.broadcast(readback), "shard_id")
-        .join(F.broadcast(files), "shard_id")
-    )
-    tar_ok = (
-        (F.col("m_samples") == F.col("n_docs"))
-        & (F.col("m_members") == F.col("n_members"))
-        & (F.col("n_members") == F.col("rb_members"))
-        & (F.col("payload_bytes") == F.col("rb_bytes"))
-        & (F.col("content_checksum") == F.col("rb_checksum"))
-        & (F.col("tar_md5") == F.col("file_md5"))
-        & (F.col("n_bytes") == F.col("file_len"))
-    )
-    result_schema = (
-        "shard_id bigint, lang string, source string, n_docs bigint, "
-        "n_members bigint, payload_bytes bigint, content_checksum bigint, "
-        "tar_ok bigint"
-    )
-    # collect (O(shards) rows) and LOCALIZE so the temp dir can be
-    # removed NOW — the returned frame must not depend on the files
-    rows = joined.select(
-        "shard_id", "lang", "source", "n_docs",
-        F.col("n_members").alias("n_members"),
-        "payload_bytes", "content_checksum",
-        F.when(tar_ok, 1).otherwise(0).cast("bigint").alias("tar_ok"),
-    ).collect()
-    shutil.rmtree(root, ignore_errors=True)
+        joined = (
+            expected.join(F.broadcast(manifest), "shard_id")
+            .join(F.broadcast(readback), "shard_id")
+            .join(F.broadcast(files), "shard_id")
+        )
+        tar_ok = (
+            (F.col("m_samples") == F.col("n_docs"))
+            & (F.col("m_members") == F.col("n_members"))
+            & (F.col("n_members") == F.col("rb_members"))
+            & (F.col("payload_bytes") == F.col("rb_bytes"))
+            & (F.col("content_checksum") == F.col("rb_checksum"))
+            & (F.col("tar_md5") == F.col("file_md5"))
+            & (F.col("n_bytes") == F.col("file_len"))
+        )
+        result_schema = (
+            "shard_id bigint, lang string, source string, n_docs bigint, "
+            "n_members bigint, payload_bytes bigint, content_checksum bigint, "
+            "tar_ok bigint"
+        )
+        # collect (O(shards) rows) and LOCALIZE so the temp dir can be
+        # removed NOW — the returned frame must not depend on the files
+        rows = joined.select(
+            "shard_id", "lang", "source", "n_docs",
+            F.col("n_members").alias("n_members"),
+            "payload_bytes", "content_checksum",
+            F.when(tar_ok, 1).otherwise(0).cast("bigint").alias("tar_ok"),
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema=result_schema)
 
 

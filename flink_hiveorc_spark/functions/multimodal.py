@@ -294,6 +294,8 @@ def _decode_tga(data: bytes):
     px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, px_bytes)
     if not desc & 0x20:  # bit 5 clear = bottom-up row order
         px = px[::-1]
+    if desc & 0x10:  # bit 4 set = right-to-left pixel order
+        px = px[:, ::-1]
     if base_type == 1:
         idx = px.reshape(h, w).astype(np.int64) - cmap_first
         if idx.min() < 0 or idx.max() >= len(cmap):
@@ -428,13 +430,23 @@ _ADAM7 = (
 )
 
 
-def _png_read_subimage(raw: bytes, off: int, w: int, h: int, depth: int, channels: int):
+def _png_read_subimage(
+    raw: bytes,
+    off: int,
+    w: int,
+    h: int,
+    depth: int,
+    channels: int,
+    full16: bool = False,
+):
     """Unfilter one (sub-)image of `h` scanlines × `w` pixels starting
     at byte `off` of the inflated stream; returns (per-sample value
     array of shape (h, w·channels), bytes consumed). Sub-byte depths
     unpack MSB-first; 16-bit samples reduce to their high byte (the
     standard 16→8 conversion — the low byte carries sub-1/257
-    precision no uint8 output can keep)."""
+    precision no uint8 output can keep) unless `full16`, which keeps
+    the uint16 samples — the tRNS key match must see all 16 bits
+    (spec 11.3.2 compares raw samples; libpng/PIL agree)."""
     import numpy as np
 
     stride = (w * depth * channels + 7) // 8
@@ -460,7 +472,11 @@ def _png_read_subimage(raw: bytes, off: int, w: int, h: int, depth: int, channel
             .astype(np.uint8)[:, : w * channels]
         )
     elif depth == 16:
-        samples = recon.reshape(h, w * channels, 2)[:, :, 0]  # big-endian high byte
+        pairs = recon.reshape(h, w * channels, 2)
+        if full16:
+            samples = (pairs[:, :, 0].astype(np.uint16) << 8) | pairs[:, :, 1]
+        else:
+            samples = pairs[:, :, 0]  # big-endian high byte
     else:
         samples = recon.reshape(h, w * channels)
     return samples, need
@@ -554,12 +570,23 @@ def _decode_png(data: bytes):
     raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError(f"PNG pixel stream is {len(raw)}+ bytes, expected {expected}")
-    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    # depth-16 gray/RGB with a tRNS key needs the FULL 16-bit samples
+    # for the key match (spec 11.3.2 compares raw samples; a high-byte
+    # match would falsely blank every pixel sharing only the key's
+    # high bytes); the output samples still reduce to the high byte
+    keep16 = depth == 16 and trns is not None and color in (0, 2)
+    samples = np.zeros((h, w, channels), dtype=np.uint16 if keep16 else np.uint8)
     off = 0
     for x0, y0, dx, dy, wp, hp in geom:
-        sub, used = _png_read_subimage(raw, off, wp, hp, depth, channels)
+        sub, used = _png_read_subimage(
+            raw, off, wp, hp, depth, channels, full16=keep16
+        )
         samples[y0::dy, x0::dx] = sub.reshape(hp, wp, channels)
         off += used
+    samples16 = None
+    if keep16:
+        samples16 = samples
+        samples = (samples >> 8).astype(np.uint8)
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("paletted PNG missing/odd PLTE")
@@ -575,9 +602,10 @@ def _decode_png(data: bytes):
     if trns is not None and color in (0, 2):
         # tRNS for gray (one 2-byte key) / RGB (3×2-byte key), spec
         # 11.3.2: pixels whose RAW samples equal the key become fully
-        # transparent. Comparison happens pre-scaling; at depth 16 the
-        # key's high byte is compared — consistent with the module's
-        # documented high-byte reduction convention.
+        # transparent. Comparison happens pre-scaling on the raw
+        # samples — at depth 16 against the full 16-bit values
+        # (libpng/PIL semantics), only the OUTPUT reduces to the high
+        # byte.
         n_fields = 1 if color == 0 else 3
         if len(trns) != 2 * n_fields:
             raise ValueError(
@@ -592,8 +620,10 @@ def _decode_png(data: bytes):
             # behavior) — masking it instead would invent false
             # transparency on a malformed file
             matched = np.zeros(samples.shape[:2], dtype=bool)
+        elif depth == 16:
+            matched = (samples16 == key.reshape(1, 1, n_fields)).all(axis=2)
         else:
-            key8 = (key >> 8 if depth == 16 else key).astype(np.uint8)
+            key8 = key.astype(np.uint8)
             matched = (samples == key8.reshape(1, 1, n_fields)).all(axis=2)
         alpha = np.where(matched, 0, 255).astype(np.uint8)
         base = (
@@ -1238,21 +1268,25 @@ def decode_audio(payload: bytes):
       is unsigned per spec → uint8; 16/32 signed little-endian;
       24-bit 3-byte frames sign-extended → int32); format 3 IEEE
       float, 32/64-bit; formats 6/7 G.711 A-law/μ-law (expanded
-      through the ITU G.711 decode tables → int16 linear).
+      through the ITU G.711 decode tables → int16 linear); formats
+      2/0x11 Microsoft/IMA ADPCM (fixed-table delta prediction, not
+      entropy coding — block-parallel native expansion, 'fact'-chunk
+      final-block trim).
     - AIFF / AIFF-C: big-endian signed PCM 8/16/24/32 (compression
       NONE/twos), 'sowt' (little-endian 16-bit, how Macs actually
-      shipped AIFC), fl32/fl64 IEEE float, ulaw/alaw G.711; the COMM
-      sample rate is the 80-bit IEEE extended float the format
-      mandates, parsed natively.
+      shipped AIFC), fl32/fl64 IEEE float, ulaw/alaw G.711, 'ima4'
+      QuickTime IMA ADPCM (34-byte self-contained packets → 64
+      samples); the COMM sample rate is the 80-bit IEEE extended
+      float the format mandates, parsed natively.
     - AU (Sun/NeXT .snd): encodings 1 (μ-law), 2/3/4/5 (signed
       big-endian PCM 8/16/24/32), 6/7 (IEEE float 32/64), 27 (A-law).
     - CAF (Apple Core Audio Format): LPCM at 8/16/24/32-bit signed
       integer and 32/64-bit float, both endians per the desc flag
       bits, unsized read-to-EOF data chunks handled.
-    Genuinely-compressed formats (MP3, AAC, ADPCM...) raise a
-    clearly-marked NotImplementedError — this container has no
-    audio codec; a torchaudio/soundfile dispatch drops in here on a
-    cluster that has one."""
+    Genuinely entropy-coded formats (MP3, AAC, FLAC, Vorbis...)
+    raise a clearly-marked NotImplementedError — those need a
+    transform codec this container lacks; a torchaudio/soundfile
+    dispatch drops in here on a cluster that has one."""
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return _decode_aiff(payload)
     if payload[:4] == b".snd":
@@ -1274,6 +1308,7 @@ def _decode_wav(payload: bytes):
     import numpy as np
 
     pos, fmt, data = 12, None, None
+    fmt_body, fact, was_extensible = None, None, False
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -1286,6 +1321,7 @@ def _decode_wav(payload: bytes):
         if cid == b"fmt ":
             if size < 16:  # struct.error is NOT a ValueError — check
                 raise ValueError(f"truncated WAV fmt chunk ({size} bytes)")
+            fmt_body = body
             fmt = struct.unpack_from("<HHIIHH", body, 0)
             if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the real
                 # format is the first two bytes of the SubFormat GUID
@@ -1297,12 +1333,28 @@ def _decode_wav(payload: bytes):
                     )
                 sub = struct.unpack_from("<H", body, 24)[0]
                 fmt = (sub,) + fmt[1:]
+                was_extensible = True
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            # per-channel sample-frame count — authoritative for
+            # block-coded formats whose final block carries padding
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format in (0x0002, 0x0011):
+        # Microsoft / IMA ADPCM: fixed-table delta prediction (NOT
+        # entropy coding) — decoded natively below
+        if was_extensible:
+            # the 22-byte EXTENSIBLE extension cannot carry the ADPCM
+            # coefficient/samples-per-block fields; no real encoder
+            # emits this wrapping
+            raise NotImplementedError(
+                "ADPCM inside WAVE_FORMAT_EXTENSIBLE unsupported"
+            )
+        return _decode_adpcm_wav(audio_format, fmt_body, data, fact)
     supported = {
         (1, 8): np.dtype(np.uint8),
         (1, 16): np.dtype("<i2"),
@@ -1346,6 +1398,278 @@ def _decode_wav(payload: bytes):
     return samples.reshape(n_frames, n_ch), rate
 
 
+# IMA ADPCM reference constants (IMA Digital Audio Focus Group
+# "Recommended Practices for Enhancing Digital Audio Compatibility",
+# the same tables every DVI/IMA implementation ships): 89-entry step
+# table and the 16-entry step-index adjustment.
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+# Microsoft ADPCM adaptation table (the MS "ADPCM" WAVE format
+# specification's AdaptationTable) — scales iDelta after each nibble.
+_MS_ADAPT_TABLE = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ima_expand(nibbles, predictor, index):
+    """Sequential IMA ADPCM expansion — the reference algorithm: per
+    nibble, diff = step/8 (+step/4 if bit0)(+step/2 if bit1)(+step if
+    bit2), sign from bit3, predictor clamped to int16, step index
+    moved by the adjust table and clamped to [0, 88] — vectorized
+    across streams: `nibbles` is (n_streams, n_samples) uint8,
+    `predictor`/`index` are (n_streams,) initial states. The python
+    loop runs over SAMPLE POSITIONS ONLY; every block×channel stream
+    advances in lockstep as one numpy vector, so cost is
+    O(samples_per_block) iterations regardless of corpus size —
+    blocks/packets are self-contained by design, which is exactly
+    what makes the format decodable in parallel at 100 TB."""
+    import numpy as np
+
+    step_t = np.asarray(_IMA_STEP_TABLE, dtype=np.int32)
+    adj_t = np.asarray(_IMA_INDEX_ADJUST, dtype=np.int32)
+    predictor = predictor.astype(np.int32).copy()
+    index = index.astype(np.int32).copy()
+    out = np.empty(nibbles.shape, dtype=np.int16)
+    for s in range(nibbles.shape[1]):
+        n = nibbles[:, s].astype(np.int32)
+        step = step_t[index]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        predictor = predictor + np.where(n & 8, -diff, diff)
+        np.clip(predictor, -32768, 32767, out=predictor)
+        index = np.clip(index + adj_t[n], 0, 88)
+        out[:, s] = predictor
+    return out
+
+
+def _ms_adpcm_expand(nibbles, coefs, s1, s2, delta):
+    """Microsoft ADPCM expansion (the MS WAVE spec's pseudo-code):
+    predictor = trunc((sample1·coeff1 + sample2·coeff2) / 256) +
+    signed_nibble · iDelta, clamped to int16; iDelta rescaled by the
+    adaptation table with a floor of 16. Integer division truncates
+    toward zero (the spec's C `/ 256`), implemented as
+    sign·(|x| >> 8). Same stream-vectorized shape as _ima_expand."""
+    import numpy as np
+
+    adapt = np.asarray(_MS_ADAPT_TABLE, dtype=np.int64)
+    c1 = coefs[:, 0].astype(np.int64)
+    c2 = coefs[:, 1].astype(np.int64)
+    s1 = s1.astype(np.int64).copy()
+    s2 = s2.astype(np.int64).copy()
+    delta = delta.astype(np.int64).copy()
+    out = np.empty(nibbles.shape, dtype=np.int16)
+    for i in range(nibbles.shape[1]):
+        raw = nibbles[:, i].astype(np.int64)
+        signed = raw - ((raw & 8) << 1)  # 4-bit two's complement
+        base = s1 * c1 + s2 * c2
+        pred = np.sign(base) * (np.abs(base) >> 8) + signed * delta
+        np.clip(pred, -32768, 32767, out=pred)
+        s2 = s1
+        s1 = pred
+        t = adapt[raw] * delta
+        delta = np.maximum(16, np.sign(t) * (np.abs(t) >> 8))
+        out[:, i] = pred
+    return out
+
+
+def _decode_adpcm_wav(tag: int, fmt_body: bytes, data: bytes, fact):
+    """WAV IMA/DVI (0x0011) and Microsoft (0x0002) ADPCM → (int16
+    samples (n_frames, n_ch), rate). Fixed-table delta prediction is
+    NOT entropy coding — stdlib+numpy owns it exactly like G.711.
+
+    Block layout (both formats pad the stream to whole nBlockAlign
+    blocks; every block header carries the complete predictor state,
+    so blocks decode independently/in parallel):
+    - IMA: per channel a 4-byte header (int16 initial sample, step
+      index, reserved), then 4-byte-per-channel groups of
+      low-nibble-first codes; wSamplesPerBlock counts the header
+      sample plus expanded nibbles.
+    - MS: per channel uint8 coefficient-pair index, int16 iDelta,
+      int16 sample1, int16 sample2 (sample2 is the OLDER sample and
+      is emitted first), then high-nibble-first codes alternating
+      channels per nibble; the coefficient pairs come from the fmt
+      extension's aCoef table.
+    The 'fact' chunk's per-channel frame count trims final-block
+    padding."""
+    import struct
+
+    import numpy as np
+
+    _, n_ch, rate, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt_body, 0
+    )
+    # bits first: a non-4-bit "ADPCM" header is an unsupported-format
+    # classification (codec contract), regardless of how much of the
+    # ADPCM fmt extension the chunk carries
+    if bits != 4:
+        raise NotImplementedError(
+            f"{bits}-bit ADPCM unsupported (both WAV ADPCM formats are 4-bit)"
+        )
+    if len(fmt_body) < 20:
+        raise ValueError(f"truncated ADPCM fmt chunk ({len(fmt_body)} bytes)")
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"malformed WAV fmt chunk (channels={n_ch}, rate={rate})")
+    spb = struct.unpack_from("<H", fmt_body, 18)[0]
+    if block_align < 1 or len(data) % block_align:
+        raise ValueError(
+            f"ADPCM data is {len(data)} bytes, not a multiple of the "
+            f"{block_align}-byte block (trailing partial block)"
+        )
+    n_blocks = len(data) // block_align
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
+    if tag == 0x0011:
+        header_bytes = 4 * n_ch
+        if block_align <= header_bytes or (block_align - header_bytes) % (4 * n_ch):
+            raise ValueError(
+                f"IMA ADPCM nBlockAlign {block_align} invalid for "
+                f"{n_ch} channel(s)"
+            )
+        avail = (block_align - header_bytes) // (4 * n_ch) * 8 + 1
+        if not 1 <= spb <= avail:
+            raise ValueError(
+                f"IMA ADPCM wSamplesPerBlock {spb} outside 1..{avail}"
+            )
+        hdr = arr[:, :header_bytes].reshape(n_blocks, n_ch, 4).astype(np.int32)
+        predictor = hdr[:, :, 0] | (hdr[:, :, 1] << 8)
+        predictor -= (predictor & 0x8000) << 1  # sign-extend int16
+        index = hdr[:, :, 2]
+        if int(index.max(initial=0)) > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        body = arr[:, header_bytes:].reshape(n_blocks, -1, n_ch, 4)
+        # low nibble first within each byte (the IMA WAV order)
+        nib = np.stack([body & 0x0F, body >> 4], axis=-1).reshape(
+            n_blocks, body.shape[1], n_ch, 8
+        )
+        nib = nib.transpose(0, 2, 1, 3).reshape(n_blocks * n_ch, -1)
+        expanded = _ima_expand(
+            nib[:, : spb - 1], predictor.reshape(-1), index.reshape(-1)
+        ).reshape(n_blocks, n_ch, spb - 1)
+        block_samples = np.concatenate(
+            [predictor.astype(np.int16)[:, :, None], expanded], axis=2
+        )
+    else:  # 0x0002 Microsoft ADPCM
+        header_bytes = 7 * n_ch
+        if len(fmt_body) < 22:
+            raise ValueError(
+                f"truncated MS ADPCM fmt chunk ({len(fmt_body)} bytes)"
+            )
+        n_coef = struct.unpack_from("<H", fmt_body, 20)[0]
+        if n_coef < 1 or len(fmt_body) < 22 + 4 * n_coef:
+            raise ValueError(
+                f"MS ADPCM fmt declares {n_coef} coefficient pairs in a "
+                f"{len(fmt_body)}-byte chunk"
+            )
+        coefs = (
+            np.frombuffer(fmt_body, dtype="<i2", count=2 * n_coef, offset=22)
+            .reshape(n_coef, 2)
+            .astype(np.int64)
+        )
+        nib_total = (block_align - header_bytes) * 2
+        if block_align <= header_bytes or nib_total % n_ch:
+            raise ValueError(
+                f"MS ADPCM nBlockAlign {block_align} invalid for "
+                f"{n_ch} channel(s)"
+            )
+        avail = nib_total // n_ch + 2
+        if not 2 <= spb <= avail:
+            raise ValueError(
+                f"MS ADPCM wSamplesPerBlock {spb} outside 2..{avail}"
+            )
+        bpred = arr[:, :n_ch].astype(np.int64)
+        if int(bpred.max(initial=0)) >= n_coef:
+            raise ValueError("MS ADPCM predictor index out of range")
+        h = arr[:, n_ch:header_bytes].astype(np.int32).reshape(
+            n_blocks, 3, n_ch, 2
+        )
+        vals = h[..., 0] | (h[..., 1] << 8)
+        vals -= (vals & 0x8000) << 1  # sign-extend int16
+        idelta, s1, s2 = vals[:, 0], vals[:, 1], vals[:, 2]
+        body = arr[:, header_bytes:]
+        # high nibble first (the MS order), alternating channels
+        nib = np.stack([body >> 4, body & 0x0F], axis=-1).reshape(n_blocks, -1)
+        per_ch = (
+            nib.reshape(n_blocks, -1, n_ch)
+            .transpose(0, 2, 1)
+            .reshape(n_blocks * n_ch, -1)
+        )
+        expanded = _ms_adpcm_expand(
+            per_ch[:, : spb - 2],
+            coefs[bpred.reshape(-1)],
+            s1.reshape(-1),
+            s2.reshape(-1),
+            idelta.reshape(-1),
+        ).reshape(n_blocks, n_ch, spb - 2)
+        block_samples = np.concatenate(
+            [
+                s2.astype(np.int16)[:, :, None],
+                s1.astype(np.int16)[:, :, None],
+                expanded,
+            ],
+            axis=2,
+        )
+    samples = block_samples.transpose(0, 2, 1).reshape(-1, n_ch)
+    if fact is not None:
+        if fact > len(samples):
+            raise ValueError(
+                f"WAV fact declares {fact} frames but the ADPCM blocks "
+                f"hold only {len(samples)}"
+            )
+        samples = samples[:fact]
+    return samples, rate
+
+
+def _decode_ima4(sound: bytes, n_ch: int, n_frames: int, rate: int):
+    """AIFF-C 'ima4' (Apple QuickTime IMA): 34-byte packets per
+    channel — a 2-byte big-endian state header (top 9 bits: the
+    predictor's high bits, sign-extended; low 7 bits: step index) +
+    32 bytes of low-nibble-first IMA codes → exactly 64 samples (the
+    header state is NOT emitted as a sample, unlike WAV IMA). Packets
+    are channel-interleaved and self-contained, so the whole stream
+    decodes as one vectorized sample-position loop over
+    packets×channels. COMM numSampleFrames trims the final packet's
+    padding."""
+    import numpy as np
+
+    pkt_frame = 34 * n_ch
+    if len(sound) % pkt_frame:
+        raise ValueError(
+            f"AIFC ima4 SSND is {len(sound)} bytes, not a multiple of the "
+            f"{pkt_frame}-byte packet frame"
+        )
+    n_pkts = len(sound) // pkt_frame
+    avail = n_pkts * 64
+    if n_frames > avail:
+        raise ValueError(
+            f"AIFC ima4 SSND holds {avail} frames but COMM declares {n_frames}"
+        )
+    arr = np.frombuffer(sound, dtype=np.uint8).reshape(n_pkts, n_ch, 34)
+    h = (arr[:, :, 0].astype(np.int32) << 8) | arr[:, :, 1]
+    predictor = h & 0xFF80
+    predictor -= (predictor & 0x8000) << 1  # sign-extend
+    index = h & 0x7F
+    if int(index.max(initial=0)) > 88:
+        raise ValueError("AIFC ima4 step index out of range")
+    body = arr[:, :, 2:]
+    nib = np.stack([body & 0x0F, body >> 4], axis=-1).reshape(n_pkts * n_ch, 64)
+    samples = _ima_expand(nib, predictor.reshape(-1), index.reshape(-1))
+    frames = samples.reshape(n_pkts, n_ch, 64).transpose(0, 2, 1).reshape(-1, n_ch)
+    return frames[:n_frames], rate
+
+
 def _parse_f80(b: bytes) -> float:
     """80-bit IEEE 754 extended float (AIFF COMM sampleRate): 1 sign +
     15 exponent bits, then a 64-bit mantissa with an EXPLICIT integer
@@ -1372,8 +1696,9 @@ def _decode_aiff(payload: bytes):
     """AIFF / AIFF-C IFF chunk walk: COMM (channels, frames, bits,
     80-bit-float rate, AIFC compression tag) + SSND (offset/blockSize
     header, then big-endian signed PCM). See decode_audio for the
-    supported compression matrix; genuinely-compressed AIFC variants
-    (IMA4, MACE...) raise NotImplementedError."""
+    supported compression matrix ('ima4' included via _decode_ima4);
+    genuinely entropy-coded AIFC variants (MACE, QDM2...) raise
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -1418,6 +1743,8 @@ def _decode_aiff(payload: bytes):
         if bits > 32:
             raise NotImplementedError(f"AIFF sampleSize {bits} unsupported")
         sample_bytes = (bits + 7) // 8
+    elif comp == b"IMA4":
+        sample_bytes = None  # packetized: handled right after SSND parse
     else:
         raise NotImplementedError(
             f"AIFC compression {comp.decode('latin1')!r} requires a codec "
@@ -1427,6 +1754,8 @@ def _decode_aiff(payload: bytes):
         raise ValueError(f"truncated AIFF SSND chunk ({len(ssnd)} bytes)")
     offset, _block = struct.unpack_from(">II", ssnd, 0)
     sound = ssnd[8 + offset :]
+    if comp == b"IMA4":
+        return _decode_ima4(sound, n_ch, n_frames, rate)
     frame_bytes = n_ch * sample_bytes
     if len(sound) < n_frames * frame_bytes:
         raise ValueError(
@@ -1865,10 +2194,13 @@ def decode_video(payload: bytes):
     has one."""
     import numpy as np
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi(payload)
     if not payload.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
             "compressed-video decoding requires a codec (PyAV/ffmpeg) not "
-            "present in this container; uncompressed Y4M decodes natively"
+            "present in this container; uncompressed Y4M and BI_RGB/"
+            "I420/YV12 AVI decode natively"
         )
     nl = payload.find(b"\n")
     if nl < 0:

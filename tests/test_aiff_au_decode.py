@@ -191,9 +191,13 @@ def test_aiff_short_ssnd_is_malformed():
 
 
 def test_aifc_compressed_variant_not_implemented():
+    """MACE is genuinely entropy-coded → codec-gated. (ima4 used to be
+    the example here until r9 made it a REAL native decode — a PCM
+    body under comp='ima4' is now malformed, covered in
+    test_adpcm_decode.py.)"""
     s = np.zeros((10, 1), dtype=">i2")
     with pytest.raises(NotImplementedError):
-        decode_audio(_aiff_bytes(s, 8000, comp=b"ima4"))
+        decode_audio(_aiff_bytes(s, 8000, comp=b"MAC3"))
 
 
 def test_aiff_missing_comm_is_malformed():

@@ -23,6 +23,8 @@ from test_png_g711_decode import ALL_FILTERS, _png_bytes, _png_from_array
 from test_aiff_au_decode import _aiff_bytes, _au_bytes
 from test_farbfeld_caf_decode import _caf_bytes, _farbfeld_bytes
 from test_qoi_tga_pnm_decode import _qoi_bytes, _tga_bytes
+from test_adpcm_decode import _ima4_bytes, _ima_wav_bytes, _ms_wav_bytes, _smooth
+from test_avi_decode import _BI_RGB, _avi_bytes, _rgb_frame, _yuv420_frame
 from test_tiff_decode import _tiff_bytes
 from test_y4m_decode import _y4m_bytes
 
@@ -82,12 +84,28 @@ def _valid_payloads():
         (decode_audio, "aifc_sowt", _aiff_bytes(wav, 16000, comp=b"sowt")),
         (decode_audio, "au", _au_bytes(wav.astype(">i2"), 16000, encoding=3)),
         (decode_audio, "caf", _caf_bytes(wav.astype(">i2"), 16000.0)),
+        (decode_audio, "wav_ima_adpcm", _ima_wav_bytes(_smooth(610, 70, 2), 16000)[0]),
+        (decode_audio, "wav_ms_adpcm", _ms_wav_bytes(_smooth(611, 70, 1), 16000)[0]),
+        (decode_audio, "aifc_ima4", _ima4_bytes(_smooth(612, 70, 2), 16000)[0]),
         (
             decode_image,
             "farbfeld",
             _farbfeld_bytes((img3.astype(np.uint16) * 257)[:, :, [0, 1, 2, 0]]),
         ),
         (decode_video, "y4m", _y4m_bytes(lumas)),
+        (
+            decode_video,
+            "avi_rgb",
+            _avi_bytes(
+                [_rgb_frame(f, 24, False) for f in lumas[..., None].repeat(3, -1)],
+                4, 4, 24, _BI_RGB, rec_groups=True, audio_chunks=True,
+            ),
+        ),
+        (
+            decode_video,
+            "avi_i420",
+            _avi_bytes([_yuv420_frame(f) for f in lumas], 4, 4, 12, b"I420"),
+        ),
     ]
 
 
@@ -120,7 +138,8 @@ def test_fuzz_random_bytes_with_magic_prefixes():
         b"P5\n", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
         b"II\x2a\x00", b"MM\x00\x2a", b"RIFF", b"YUV4MPEG2", b"",
         b"FORM", b".snd", b"qoif", b"P1\n", b"P3\n", b"P4\n",
-        b"caff", b"farbfeld",
+        b"caff", b"farbfeld", b"RIFF\x00\x00\x00\x00AVI ",
+        b"RIFF\xff\xff\xff\xffAVI LIST",
     ]
     for magic in magics:
         for trial in range(40):

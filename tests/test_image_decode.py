@@ -210,7 +210,13 @@ def test_unsupported_wav_and_mp3_rejected():
 
     samples = _rng(22).integers(-100, 100, size=(8, 1)).astype("<i2")
     data = bytearray(_wav_bytes(samples, 8000))
-    struct.pack_into("<H", data, 20, 2)  # format 2 = MS ADPCM
+    struct.pack_into("<H", data, 20, 0x55)  # format 0x55 = MPEG layer 3
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(data))
+    data = bytearray(_wav_bytes(samples, 8000))
+    # format 2 (MS ADPCM) decodes natively since r9 — but only at 4
+    # bits; a 16-bit "ADPCM" header is still codec-contract territory
+    struct.pack_into("<H", data, 20, 2)
     with pytest.raises(NotImplementedError):
         decode_audio(bytes(data))
     data = bytearray(_wav_bytes(samples, 8000))

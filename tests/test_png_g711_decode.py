@@ -552,19 +552,45 @@ def test_png_subbyte_gray_trns_compared_pre_scaling():
     )
 
 
-def test_png_16bit_trns_matches_on_high_byte():
-    """At depth 16 the module keeps only the high byte, so the tRNS
-    key is matched on ITS high byte — documented convention: samples
-    sharing the key's high byte all go transparent."""
-    arr16 = np.array([[0x1234, 0x12FF, 0x3456]], dtype=np.uint16)
+def test_png_16bit_trns_matches_full_samples():
+    """At depth 16 the tRNS key compares against the FULL 16-bit raw
+    samples (spec 11.3.2; libpng/PIL agree) even though the OUTPUT
+    reduces to the high byte — a pixel sharing only the key's high
+    byte (0x12FF vs key 0x1234) must stay opaque (ADVICE r8: the
+    high-byte match falsely blanked it)."""
+    arr16 = np.array([[0x1234, 0x12FF, 0x3456, 0x1234]], dtype=np.uint16)
     png = _png_bytes(
-        [arr16[0].astype(">u2").tobytes()], 3, 1, 16, 0, [0],
+        [arr16[0].astype(">u2").tobytes()], 4, 1, 16, 0, [0],
         trns=struct.pack(">H", 0x1234),
     )
     got = decode_image(png)
     np.testing.assert_array_equal(got[:, :, 0], (arr16 >> 8).astype(np.uint8))
     np.testing.assert_array_equal(
-        got[:, :, 1], np.array([[0, 0, 255]], dtype=np.uint8)
+        got[:, :, 1], np.array([[0, 255, 255, 0]], dtype=np.uint8)
+    )
+
+
+def test_png_16bit_rgb_trns_matches_full_samples():
+    """Type-2 at depth 16: all three 16-bit fields must match exactly;
+    a pixel agreeing with the key in every HIGH byte but one LOW byte
+    stays opaque."""
+    key = (0x1234, 0x5678, 0x9ABC)
+    arr16 = np.array(
+        [
+            [key, (0x1235, 0x5678, 0x9ABC), (0x1234, 0x56FF, 0x9ABC)],
+            [(0x1111, 0x2222, 0x3333), key, (0x12FF, 0x78FF, 0xBCFF)],
+        ],
+        dtype=np.uint16,
+    )
+    png = _png_bytes(
+        [arr16[y].astype(">u2").tobytes() for y in range(2)], 3, 2, 16, 2, [0, 1],
+        trns=struct.pack(">3H", *key),
+    )
+    got = decode_image(png)
+    assert got.shape == (2, 3, 4)
+    np.testing.assert_array_equal(got[:, :, :3], (arr16 >> 8).astype(np.uint8))
+    np.testing.assert_array_equal(
+        got[:, :, 3], np.array([[0, 255, 255], [255, 0, 255]], dtype=np.uint8)
     )
 
 

@@ -151,6 +151,7 @@ def _tga_bytes(
     top_down: bool = True,
     cmap: np.ndarray | None = None,
     id_field: bytes = b"",
+    right_to_left: bool = False,
 ) -> bytes:
     """TGA 2.0 from an HxWxC array (C=1 gray, 3 RGB, 4 RGBA) or, with
     `cmap`, an HxW index array + Nx3/Nx4 RGB(A) palette. Pixels are
@@ -176,7 +177,7 @@ def _tga_bytes(
         cmap_type = 0
     if rle:
         img_type |= 8
-    desc = 0x20 if top_down else 0
+    desc = (0x20 if top_down else 0) | (0x10 if right_to_left else 0)
     hdr = (
         bytes([len(id_field), cmap_type, img_type])
         + cmap_spec
@@ -184,6 +185,8 @@ def _tga_bytes(
         + bytes([desc])
     )
     rows = pix if top_down else pix[::-1]
+    if right_to_left:  # descriptor bit 4: pixels stored right-to-left
+        rows = rows[:, ::-1]
     flat = rows.astype(np.uint8).reshape(-1, pix.shape[2])
     if rle:
         body = bytearray()
@@ -230,6 +233,20 @@ def test_tga_rgba_bottomup_roundtrip():
 def test_tga_gray_roundtrip():
     img = _rng(62).integers(0, 256, size=(6, 6, 1), dtype=np.uint8)
     got = decode_image(_tga_bytes(img))
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("top_down", [True, False])
+@pytest.mark.parametrize("rle", [False, True])
+def test_tga_right_to_left_roundtrip(top_down, rle):
+    """Descriptor bit 4 (ADVICE r8): right-to-left pixel order must
+    un-mirror on decode — previously the bit was silently ignored and
+    every row came back reversed. Crossed with both row orders and
+    RLE (packets are laid down in the mirrored on-disk order)."""
+    img = _rng(63).integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    got = decode_image(
+        _tga_bytes(img, rle=rle, top_down=top_down, right_to_left=True)
+    )
     np.testing.assert_array_equal(got, img)
 
 
