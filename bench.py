@@ -112,17 +112,30 @@ def _make_ivf_search(spark, sf_dir: str):
 
     return run
 
-# Fixed-work calibration: 800M-row modular-hash sum, 32 even splits,
-# zero I/O, one codegen'd stage. Identical plan every invocation —
-# any round-to-round drift in its timing measures the HOST, not the
-# repo.
+# Fixed-work calibration: modular-hash sum over spark.range, 32 even
+# splits, zero I/O, one codegen'd stage. Identical plan every
+# invocation — any round-to-round drift in its timing measures the
+# HOST, not the repo.
+#
+# VERDICT r8 #3: the r6-r8 probe (800M rows, ~0.2 s) was short enough
+# that scheduler/GC granularity put ±20% on even a median-of-3,
+# inverting the normalized trend vs the raw one. r9 runs the probe at
+# 4× the work (~0.8 s — noise amortizes; 8 probe runs cost ~6 s
+# against a 105 s idle-wait budget) and records the min..max spread so
+# a noisy calibration is self-evident in the artifact. _CALIB_UNIT
+# keeps the NORMALIZED figures in the same units as r6-r8: times are
+# divided by (sec_before / _CALIB_UNIT), i.e. by the equivalent
+# 800M-row probe cost, so normalized_total stays comparable
+# round-over-round across the probe change.
 _CALIB_SQL = "sum((id * 2654435761) % 1000003) AS s"
+_CALIB_ROWS = 3_200_000_000
+_CALIB_UNIT = 4.0  # this probe's work as a multiple of the r6-r8 probe
 
 
 def _calib_once(spark) -> float:
     t0 = time.monotonic()
     (
-        spark.range(0, 800_000_000, 1, 32)
+        spark.range(0, _CALIB_ROWS, 1, 32)
         .selectExpr(_CALIB_SQL)
         .write.format("noop")
         .mode("overwrite")
@@ -131,10 +144,12 @@ def _calib_once(spark) -> float:
     return time.monotonic() - t0
 
 
-def _calibrate(spark) -> float:
-    """Median of 3 after one discarded JIT-warm run."""
+def _calibrate(spark) -> tuple[float, float, float]:
+    """(median, min, max) of 3 probes after one discarded JIT-warm
+    run — the spread makes a noisy calibration visible in-artifact."""
     _calib_once(spark)
-    return round(sorted(_calib_once(spark) for _ in range(3))[1], 3)
+    runs = sorted(round(_calib_once(spark), 3) for _ in range(3))
+    return runs[1], runs[0], runs[2]
 
 
 def _loadavg() -> float | None:
@@ -277,7 +292,7 @@ def main() -> None:
             else:
                 QUERIES[name](spark, warm).write.format("noop").mode("overwrite").save()
 
-    calib_before = _calibrate(spark)
+    calib_before, cb_lo, cb_hi = _calibrate(spark)
 
     # median-of-3: each query runs three times and the MIDDLE run is
     # recorded — robust to one-off GC pauses / ambient host load in
@@ -298,7 +313,7 @@ def main() -> None:
         timings[name] = round(runs[1], 3)
         timings_min[name] = round(runs[0], 3)
 
-    calib_after = _calibrate(spark)
+    calib_after, ca_lo, ca_hi = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
     sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -307,9 +322,12 @@ def main() -> None:
     except ValueError:
         sf = sf_str
     calibration = {
-        "work": "range(800e6).sum((id*2654435761)%1000003), 32 splits, noop sink",
+        "work": "range(3.2e9).sum((id*2654435761)%1000003), 32 splits, noop sink",
         "sec_before": calib_before,
         "sec_after": calib_after,
+        "spread_before": [cb_lo, cb_hi],
+        "spread_after": [ca_lo, ca_hi],
+        "unit_work_multiple": _CALIB_UNIT,
     }
     loadavg = {"start": load_start, "end": _loadavg(), "idle_wait_sec": idle_wait_sec}
     # Calibration-NORMALIZED record (VERDICT r6 #1: r6's zero-code-change
@@ -321,7 +339,10 @@ def main() -> None:
     # normalized number while pure host drift cancels out. sec_before is
     # the divisor (taken closest to idle, before any query heat); a
     # sec_after >> sec_before run is flagged by the raw fields anyway.
-    norm = lambda t: round(t / calib_before, 3) if calib_before else None  # noqa: E731
+    # Divided by _CALIB_UNIT so the r9+ longer probe reports in the
+    # same normalized units as the r6-r8 artifacts.
+    unit_cost = calib_before / _CALIB_UNIT
+    norm = lambda t: round(t / unit_cost, 3) if unit_cost else None  # noqa: E731
     timings_norm = {name: norm(t) for name, t in timings.items()}
     diagnostics = {
         "record": "bench_diagnostics",

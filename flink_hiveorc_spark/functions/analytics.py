@@ -1780,3 +1780,154 @@ def agg_entropy_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 8).alias("entropy_nats"),
         F.round(h / F.log(F.col("n_sources").cast("double")), 8).alias("norm_entropy"),
     )
+
+
+@query(
+    "compaction_service_verify",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(sum((o_orderkey * 2654435761) % 1000003) AS BIGINT)
+             AS key_checksum,
+           CAST(1 AS BIGINT) AS compact_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def compaction_service_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 e2e (r8 verdict #7): the small-file COMPACTION SERVICE
+    (sinks/compaction.py) as one oracle-checked query — the
+    sinks-side analog of webdataset_export_verify. The orders table
+    is landed as three micro-batches of small ORC files (a
+    hand-authored `_spark_metadata` manifest per batch, the file-sink
+    layout the compactor consumes), then: minor run over batches 0-1
+    → incremental batch 2 → landing-tail read → major fold → no-op
+    convergence re-run, with crash debris (a data-bearing `__tmp` run
+    dir) planted to prove the manifest protocol keeps it invisible.
+
+    What the oracle checks directly (pure functions of orders): the
+    per-status counts, key range, and the order-free multiplicative-
+    hash checksum of the SERVING table after the major fold — if
+    compaction dropped, duplicated, or corrupted any row anywhere in
+    the landing→run→manifest→read chain, these diverge. What only
+    Spark can check — folded into ``compact_ok`` (1 iff ALL hold; the
+    oracle expects literal 1): minor-run commit/coverage, the
+    tail-inclusive read completing the not-yet-compacted suffix, the
+    major fold retiring runs to exactly one, the convergence re-run
+    committing nothing, and the serving file count SHRINKING below
+    the landing file count (the metric compaction exists for).
+
+    Scale: every compaction input is the NEW batches' files only
+    (incremental, cost ∝ ingest since last run); the major is the
+    deliberate full rewrite; verification aggregates are one hash-agg
+    per side. Temp dir try/finally — no residue on any path."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from glob import glob as _glob
+
+    from flink_hiveorc_spark.sinks.compaction import (
+        compact_streaming_sink,
+        data_file_count,
+        read_compacted,
+    )
+
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = _tempfile.mkdtemp(prefix="fhs_compaction_verify_")
+    try:
+        landing = f"{root}/landing"
+        serving = f"{root}/serving"
+        _os.makedirs(landing, exist_ok=True)
+
+        def _list_files():
+            return {
+                p
+                for p in _glob(f"{landing}/**/*.orc", recursive=True)
+                if "_spark_metadata" not in p
+            }
+
+        meta = f"{landing}/_spark_metadata"
+        _os.makedirs(meta, exist_ok=True)
+        seen: set = set()
+
+        def _land_batch(i: int) -> None:
+            (
+                ord_df.filter(F.col("o_orderkey") % 3 == i)
+                .repartition(4)
+                .write.format("orc")
+                .mode("append")
+                .partitionBy("o_orderstatus")
+                .save(landing)
+            )
+            new = sorted(_list_files() - seen)
+            seen.update(new)
+            import json as _json
+
+            with open(f"{meta}/{i}", "w") as fh:
+                fh.write("v1\n")
+                for p in new:
+                    fh.write(_json.dumps({"path": "file:" + p, "action": "add"}) + "\n")
+
+        _land_batch(0)
+        _land_batch(1)
+        n01 = ord_df.filter(F.col("o_orderkey") % 3 < 2).count()
+        n_total = ord_df.count()
+
+        # crash debris: a data-bearing tmp run dir the protocol must ignore
+        debris = f"{serving}/run-0000000099-0099__tmp"
+        _os.makedirs(debris, exist_ok=True)
+        _shutil.copy(next(iter(seen)), f"{debris}/part-junk.orc")
+
+        rep1 = compact_streaming_sink(
+            spark, landing, serving, "o_orderstatus", fmt="orc"
+        )
+        ok = rep1["committed"] and rep1["through"] == 1 and len(rep1["runs"]) == 1
+        ok = ok and read_compacted(
+            spark, landing, serving, fmt="orc", include_landing_tail=False
+        ).count() == n01
+
+        _land_batch(2)
+        ok = ok and read_compacted(spark, landing, serving, fmt="orc").count() == n_total
+
+        rep2 = compact_streaming_sink(
+            spark, landing, serving, "o_orderstatus", fmt="orc", major=True
+        )
+        ok = ok and rep2["committed"] and len(rep2["runs"]) == 1
+        ok = ok and rep2["gen"] == rep1["gen"] + 1
+        serving_df = read_compacted(
+            spark, landing, serving, fmt="orc", include_landing_tail=False
+        )
+        # convergence: nothing new → the re-run must commit nothing
+        rep3 = compact_streaming_sink(
+            spark, landing, serving, "o_orderstatus", fmt="orc"
+        )
+        ok = ok and not rep3["committed"]
+        ok = ok and data_file_count(serving) < data_file_count(landing)
+
+        # collect (O(statuses) rows) and LOCALIZE so the temp dir can
+        # be removed now — the returned frame must not depend on it
+        chk = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1000003)
+        rows = (
+            serving_df.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum(chk).alias("key_checksum"),
+                F.lit(1 if ok else 0).cast("bigint").alias("compact_ok"),
+            )
+            .collect()
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "status string, n_orders bigint, min_key bigint, max_key bigint, "
+            "key_checksum bigint, compact_ok bigint"
+        ),
+    )

@@ -8,14 +8,49 @@ growth, and must always carry the driver-required envelope keys.
 
 import json
 
-from bench import HEADLINE, TAIL_BUDGET, compose_summary_line
+from bench import (
+    _CALIB_ROWS,
+    _CALIB_UNIT,
+    HEADLINE,
+    TAIL_BUDGET,
+    compose_summary_line,
+)
 
 CAL = {
-    "work": "range(800e6).sum((id*2654435761)%1000003), 32 splits, noop sink",
-    "sec_before": 0.181,
-    "sec_after": 0.169,
+    "work": "range(3.2e9).sum((id*2654435761)%1000003), 32 splits, noop sink",
+    "sec_before": 0.724,
+    "sec_after": 0.691,
+    "spread_before": [0.701, 0.755],
+    "spread_after": [0.688, 0.733],
+    "unit_work_multiple": 4.0,
 }
 LOAD = {"start": 31.25, "end": 30.88}
+
+
+def test_calibration_probe_scale_pinned():
+    """VERDICT r8 #3: the ~0.2 s r6-r8 probe put ±20% on the
+    normalized trend; the r9 probe is 4× the work and the unit
+    multiple must match the row count so normalized figures stay in
+    r6-r8 units (divide by sec_before/_CALIB_UNIT ≡ the 800M-row
+    probe cost)."""
+    assert _CALIB_ROWS == 3_200_000_000
+    assert _CALIB_UNIT == _CALIB_ROWS / 800_000_000
+
+
+def test_calibrate_returns_median_and_spread():
+    """_calibrate must report (median, min, max) of three probes —
+    the spread is what makes a noisy calibration self-evident in the
+    BENCH artifact."""
+    import bench
+
+    canned = iter([9.9, 0.3, 0.1, 0.2])  # first value = discarded warm run
+    orig = bench._calib_once
+    bench._calib_once = lambda spark: next(canned)
+    try:
+        med, lo, hi = bench._calibrate(spark=None)
+    finally:
+        bench._calib_once = orig
+    assert (med, lo, hi) == (0.2, 0.1, 0.3)
 
 
 def _line(timings, **kw):
