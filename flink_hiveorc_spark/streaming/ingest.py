@@ -74,6 +74,9 @@ def file_raw_stream(
     return reader.text(path)
 
 
+INGEST_METRICS = "city_ingest_metrics"
+
+
 def start_city_ingest(
     raw: DataFrame,
     out_path: str,
@@ -81,6 +84,7 @@ def start_city_ingest(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     max_records_per_file: int = 1_000_000,
+    observe_metrics: bool = True,
 ) -> StreamingQuery:
     """Decode the CDC envelope and stream into c_date-partitioned ORC.
 
@@ -89,8 +93,22 @@ def start_city_ingest(
     the offset range and the `_spark_metadata` manifest atomically per
     micro-batch; a crash between the two replays the batch into the
     same file names (idempotent).
-    """
+
+    ``observe_metrics`` (default on) rides Spark ``observe()``
+    accumulators on the decoded stream — rows decoded, ghost rows
+    (envelope decoded to a NULL ref: the DLQ-bound class), and max
+    partition date (data freshness) — surfaced per micro-batch in the
+    progress stream at one accumulator update per row, the engine
+    twin of the reference framework's operator metrics. Read them
+    with `ingest_progress_report`."""
     city = decode_city_envelope(raw)
+    if observe_metrics:
+        city = city.observe(
+            INGEST_METRICS,
+            F.count(F.lit(1)).alias("rows_decoded"),
+            F.sum(F.col("ref").isNull().cast("long")).alias("ghost_rows"),
+            F.max("c_date").alias("max_c_date"),
+        )
     writer = (
         city.writeStream.format("orc")
         .option("checkpointLocation", checkpoint)
@@ -111,6 +129,57 @@ def read_committed(spark: SparkSession, out_path: str) -> DataFrame:
     filters uncommitted/orphaned files automatically when the dir is
     read as a streaming-sink output)."""
     return spark.read.format("orc").load(out_path)
+
+
+def ingest_progress_report(query: StreamingQuery) -> list[dict]:
+    """Per-micro-batch rate/backpressure report from the query's
+    retained progress history — the operational dashboard row the
+    reference framework surfaces as operator metrics (records-in,
+    throughput, lag) re-expressed over Structured Streaming's
+    progress events. One dict per batch:
+
+    - ``batch_id``, ``num_input_rows``
+    - ``input_rps`` / ``processed_rps``: arrival vs drain rate. A
+      sustained ``backpressure`` ratio > 1 (arrivals outpacing
+      processing) is THE falling-behind signal — on Kafka it shows up
+      as growing offset lag, on the file source as growing file
+      backlog; either way this ratio is source-agnostic.
+    - ``batch_duration_ms``: trigger latency (the reference's
+      inactivity-roll knob is a time bound on the same quantity).
+    - the `observe()` metrics when present: ``rows_decoded``,
+      ``ghost_rows`` (NULL-ref envelopes — DLQ-bound), ``max_c_date``
+      (freshness watermark of what actually landed).
+
+    Pure driver-side JSON extraction — reading it costs nothing on
+    the executors; availableNow batch runs and live triggers share
+    the same shape."""
+    import json as _json
+
+    out = []
+    for p in query.recentProgress:
+        prog = _json.loads(p.json) if hasattr(p, "json") else dict(p)
+        obs = (prog.get("observedMetrics") or {}).get(INGEST_METRICS) or {}
+        dur = (prog.get("durationMs") or {}).get("triggerExecution")
+        in_rps = prog.get("inputRowsPerSecond")
+        proc_rps = prog.get("processedRowsPerSecond")
+        out.append(
+            {
+                "batch_id": prog.get("batchId"),
+                "num_input_rows": prog.get("numInputRows"),
+                "input_rps": in_rps,
+                "processed_rps": proc_rps,
+                "backpressure": (
+                    round(in_rps / proc_rps, 4)
+                    if in_rps and proc_rps
+                    else None
+                ),
+                "batch_duration_ms": dur,
+                "rows_decoded": obs.get("rows_decoded"),
+                "ghost_rows": obs.get("ghost_rows"),
+                "max_c_date": obs.get("max_c_date"),
+            }
+        )
+    return out
 
 
 def start_city_ingest_managed(

@@ -663,3 +663,64 @@ def test_streaming_ingest_with_dlq_quarantines_bad_lines(spark, tmp_path):
     assert stages["totally broken"] == "outer_envelope"
     # Original lines preserved verbatim -> replayable after a fix.
     assert all(isinstance(k, str) and k for k in stages)
+
+
+def test_ingest_progress_report_rates_and_observed_metrics(spark, tmp_path):
+    """r8 verdict #7: streaming-rate/backpressure observability. Three
+    input files at one file per trigger → three micro-batches; the
+    report must account for every input row, carry positive drain
+    rates and batch durations, and the observe() accumulators must
+    count decoded rows and classify ghost rows (malformed envelopes
+    that decode to NULL ref) per batch — all without a second scan."""
+    import json as _json
+
+    from flink_hiveorc_spark.streaming.ingest import ingest_progress_report
+
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_events(src, 0, 40)
+    _write_events(src, 40, 70)
+    # third file: 10 good rows + 3 malformed lines (ghost-row class)
+    _write_events(src, 70, 80)
+    with open(src / "batch_70_80.txt", "a") as f:
+        f.write("this is not json\n")
+        f.write(_json.dumps({"value": "also not an envelope"}) + "\n")
+        f.write(_json.dumps({"wrong": "shape"}) + "\n")
+
+    q = start_city_ingest(
+        file_raw_stream(spark, str(src), max_files_per_trigger=1),
+        out, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    report = ingest_progress_report(q)
+
+    rows = [r for r in report if (r["num_input_rows"] or 0) > 0]
+    assert len(rows) == 3
+    assert [r["batch_id"] for r in rows] == sorted(r["batch_id"] for r in rows)
+    assert sum(r["num_input_rows"] for r in rows) == 83
+    assert sum(r["rows_decoded"] for r in rows) == 83
+    assert sum(r["ghost_rows"] for r in rows) == 3
+    for r in rows:
+        assert r["processed_rps"] > 0
+        assert r["batch_duration_ms"] > 0
+        assert r["max_c_date"] is not None
+    # the ghost rows land in the batch that carried the bad file
+    bad_batch = [r for r in rows if r["ghost_rows"] == 3]
+    assert len(bad_batch) == 1 and bad_batch[0]["rows_decoded"] == 13
+
+
+def test_ingest_observe_metrics_optional(spark, tmp_path):
+    """observe_metrics=False keeps the plan clean; the report still
+    carries rates with NULL observed fields."""
+    from flink_hiveorc_spark.streaming.ingest import ingest_progress_report
+
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_events(src, 0, 25)
+    q = start_city_ingest(
+        file_raw_stream(spark, str(src)), out, ckpt,
+        available_now=True, observe_metrics=False,
+    )
+    q.awaitTermination(120)
+    report = [r for r in ingest_progress_report(q) if (r["num_input_rows"] or 0) > 0]
+    assert report and report[0]["num_input_rows"] == 25
+    assert report[0]["rows_decoded"] is None
+    assert read_committed(spark, out).count() == 25
