@@ -308,27 +308,213 @@ def _decode_tga(data: bytes):
     return px[:, :, [2, 1, 0, 3]].copy()  # BGRA → RGBA
 
 
+def _bmp_rle_decode(stream: bytes, w: int, h: int, four_bit: bool):
+    """RLE8/RLE4 (MS BMP spec): encoded runs, absolute mode (padded to
+    even byte counts; RLE4 packs two hi-first nibbles per byte), and
+    the three escapes (0=end of line, 1=end of bitmap, 2=delta skip).
+    Rows are bottom-up by spec (top-down RLE is invalid). Pixels never
+    written (short lines, delta-skipped spans) default to palette
+    index 0 — the Windows behavior. Returns an (h, w) index array in
+    BOTTOM-UP storage order (caller flips)."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(stream)
+    while pos + 2 <= n:
+        count, val = stream[pos], stream[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run
+            if y >= h or x + count > w:
+                raise ValueError(f"BMP RLE run crosses the row boundary at ({x},{y})")
+            if four_bit:
+                pair = np.tile(
+                    np.array([val >> 4, val & 0x0F], dtype=np.uint8),
+                    (count + 1) // 2,
+                )[:count]
+                out[y, x : x + count] = pair
+            else:
+                out[y, x : x + count] = val
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta: skip right/up
+            if pos + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            dx, dy = stream[pos], stream[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError(f"BMP RLE delta skips outside the bitmap ({x},{y})")
+        else:  # absolute mode: val literal pixels
+            if y >= h or x + val > w:
+                raise ValueError(f"BMP RLE absolute run crosses the row at ({x},{y})")
+            nbytes = ((val + 1) // 2 + 1) & ~1 if four_bit else (val + 1) & ~1
+            chunk = stream[pos : pos + nbytes]
+            if len(chunk) != nbytes:
+                raise ValueError("truncated BMP RLE absolute block")
+            pos += nbytes
+            b = np.frombuffer(chunk, dtype=np.uint8)
+            if four_bit:
+                px = np.stack([b >> 4, b & 0x0F], axis=-1).reshape(-1)[:val]
+            else:
+                px = b[:val]
+            out[y, x : x + val] = px
+            x += val
+    raise ValueError("BMP RLE stream ended without an end-of-bitmap escape")
+
+
+def _mask_to_shift_width(mask: int) -> tuple[int, int]:
+    """A BI_BITFIELDS channel mask → (shift, bit width); masks must be
+    contiguous (every DIB Windows writes is)."""
+    if mask == 0:
+        return 0, 0
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    if (mask >> shift) != (1 << width) - 1:
+        raise ValueError(f"non-contiguous BMP channel mask {mask:#x}")
+    return shift, width
+
+
 def _decode_bmp(data: bytes):
+    """BMP (Windows DIB), BITMAPINFOHEADER and the V4/V5 extensions —
+    decoded natively in full: nothing in the classic BMP family is
+    entropy-coded (fixed layouts + run-length only), so stdlib+numpy
+    owns all of it:
+
+    - 24/32-bit BI_RGB BGR(A), bottom-up or top-down (32-bit's 4th
+      byte returned as alpha — the de-facto BGRA convention)
+    - 1/4/8-bit paletted (BGRX color table; biClrUsed=0 means the
+      full 2^bpp table) → RGB through the palette
+    - RLE8/RLE4 (biCompression 1/2) — runs, absolute mode, EOL/EOF/
+      delta escapes, unwritten pixels defaulting to index 0; RLE is
+      bottom-up only per spec (a top-down RLE header is malformed)
+    - 16-bit BI_RGB (the spec's implicit 555 layout) and
+      BI_BITFIELDS (3) at 16/32 bpp with arbitrary CONTIGUOUS masks
+      (555/565 and alpha-bearing 8888 as Windows writes them);
+      sub-8-bit channels scale by exact integer rounding
+      v8 = (v·255 + m//2) // m over the channel max m; an alpha mask
+      of 0 yields RGB, nonzero yields RGBA.
+    OS/2 BITMAPCOREHEADER (12-byte header) raises NotImplementedError.
+    """
     import struct
 
     import numpy as np
 
+    if len(data) < 54:
+        raise ValueError(f"truncated BMP header ({len(data)} bytes)")
     pix_off = struct.unpack_from("<I", data, 10)[0]
-    w, h = struct.unpack_from("<ii", data, 18)
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"OS/2 BITMAPCOREHEADER ({hdr_size} bytes) unsupported"
+        )
+    w, h_signed = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
-        raise NotImplementedError(
-            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, compression={compression})"
+    clr_used = struct.unpack_from("<I", data, 46)[0]
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"BMP {w}x{h} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
         )
+
+    def _palette() -> "np.ndarray":
+        n_colors = clr_used or (1 << bpp)
+        if n_colors > 1 << bpp:
+            raise ValueError(f"BMP biClrUsed {clr_used} exceeds 2^{bpp}")
+        off = 14 + hdr_size
+        raw = data[off : off + 4 * n_colors]
+        if len(raw) != 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        # BGRX quads → RGB
+        return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+
+    if compression in (1, 2):  # RLE8 / RLE4
+        if bpp != (8 if compression == 1 else 4):
+            raise ValueError(f"BMP RLE{8 if compression == 1 else 4} with bpp={bpp}")
+        if top_down:
+            raise ValueError("top-down RLE BMP is invalid per spec")
+        pal = _palette()
+        idx = _bmp_rle_decode(data[pix_off:], w, h, four_bit=compression == 2)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP RLE palette index out of range")
+        return pal[idx][::-1]  # RLE storage is bottom-up
+
+    if compression == 3:  # BI_BITFIELDS
+        if bpp not in (16, 32):
+            raise NotImplementedError(f"BI_BITFIELDS at bpp={bpp} unsupported")
+        # masks: 3 DWORDs right after the 40-byte header (hdr 40), or
+        # the V4/V5 in-header fields — the SAME byte offsets either way
+        rm, gm, bm = struct.unpack_from("<III", data, 54)
+        am = struct.unpack_from("<I", data, 66)[0] if hdr_size >= 56 else 0
+        masks = [rm, gm, bm] + ([am] if am else [])
+    elif compression == 0 and bpp == 16:
+        masks = [0x7C00, 0x03E0, 0x001F]  # the spec's implicit 555
+    elif compression != 0:
+        raise NotImplementedError(
+            f"BMP biCompression={compression} requires a decoder this "
+            "container lacks (JPEG/PNG-embedded DIB)"
+        )
+    else:
+        masks = None
+
+    if bpp in (1, 4, 8) and compression == 0:
+        pal = _palette()
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        elif bpp == 4:
+            nib = np.stack([rows >> 4, rows & 0x0F], axis=-1).reshape(h, -1)
+            idx = nib[:, :w]
+        else:
+            idx = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+        return px[::-1] if not top_down else px
+
+    if bpp == 16 or (bpp == 32 and masks is not None):
+        itemsize = bpp // 8
+        stride = (w * itemsize + 3) & ~3
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)[:, : w * itemsize]
+        vals = (
+            rows.reshape(h, w, itemsize)
+            .astype(np.uint32)
+            .dot(np.array([1 << (8 * i) for i in range(itemsize)], dtype=np.uint32))
+        )
+        chans = []
+        for mask in masks:
+            shift, width = _mask_to_shift_width(mask)
+            m = (1 << width) - 1
+            v = (vals >> np.uint32(shift)) & np.uint32(m)
+            chans.append(
+                ((v * 255 + m // 2) // m).astype(np.uint8)
+                if m
+                else np.zeros_like(v, dtype=np.uint8)
+            )
+        px = np.stack(chans, axis=-1)
+        return px[::-1] if not top_down else px
+
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} unsupported")
     nch = bpp // 8
-    flip = h > 0  # positive height = bottom-up row order
-    h = abs(h)
     stride = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * h, offset=pix_off
     ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
-    if flip:
+    if not top_down:
         rows = rows[::-1]
     return rows[:, :, [2, 1, 0]] if nch == 3 else rows[:, :, [2, 1, 0, 3]]  # BGR(A)→RGB(A)
 

@@ -25,6 +25,12 @@ from test_farbfeld_caf_decode import _caf_bytes, _farbfeld_bytes
 from test_qoi_tga_pnm_decode import _qoi_bytes, _tga_bytes
 from test_adpcm_decode import _ima4_bytes, _ima_wav_bytes, _ms_wav_bytes, _smooth
 from test_avi_decode import _BI_RGB, _avi_bytes, _rgb_frame, _yuv420_frame
+from test_bmp_extended_decode import (
+    _bmp_container,
+    _pal_blob,
+    _paletted_bmp,
+    _rle8_encode,
+)
 from test_tiff_decode import _tiff_bytes
 from test_y4m_decode import _y4m_bytes
 
@@ -53,6 +59,26 @@ def _valid_payloads():
         (decode_image, "ppm", _ppm_bytes(img3)),
         (decode_image, "pgm", _pgm_bytes(img1)),
         (decode_image, "bmp", _bmp_bytes(img3)),
+        (
+            decode_image,
+            "bmp_pal4",
+            _paletted_bmp(
+                rng.integers(0, 16, size=(5, 9), dtype=np.uint8),
+                rng.integers(0, 256, size=(16, 3), dtype=np.uint8),
+                4,
+            ),
+        ),
+        (
+            decode_image,
+            "bmp_rle8",
+            _bmp_container(
+                8, 6, 8, 1,
+                _rle8_encode(rng.integers(0, 4, size=(6, 8), dtype=np.uint8)),
+                pal_blob=_pal_blob(
+                    rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+                ),
+            ),
+        ),
         (decode_image, "png", _png_from_array(img3, ALL_FILTERS)),
         # type-0 tRNS: the r8 gray/RGB transparency-key branch joins
         # the corpus so its length/shape checks get fuzzed too

@@ -110,10 +110,19 @@ def test_compressed_without_codec_raises_not_implemented():
         decode_image(jpeg_magic)
 
 
-def test_rle_bmp_rejected_not_garbled():
+def test_rle_bmp_with_wrong_bpp_and_jpeg_dib_rejected():
+    """RLE8 decodes natively since r9 — but only at bpp 8: a 24-bit
+    header claiming RLE8 is malformed (ValueError), and a
+    JPEG-embedded DIB (BI_JPEG=4) still needs a codec
+    (NotImplementedError). Full RLE coverage lives in
+    test_bmp_extended_decode.py."""
     arr = _rng(5).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
     data = bytearray(_bmp_bytes(arr))
-    struct.pack_into("<I", data, 30, 1)  # compression = BI_RLE8
+    struct.pack_into("<I", data, 30, 1)  # compression = BI_RLE8, bpp 24
+    with pytest.raises(ValueError):
+        decode_image(bytes(data))
+    data = bytearray(_bmp_bytes(arr))
+    struct.pack_into("<I", data, 30, 4)  # BI_JPEG
     with pytest.raises(NotImplementedError):
         decode_image(bytes(data))
 

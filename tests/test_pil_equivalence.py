@@ -278,6 +278,59 @@ def test_equiv_pnm():
     _check(_pgm_bytes(g), g)
 
 
+# ------------------------------------------------- BMP widened (r9)
+
+
+def test_equiv_bmp_paletted():
+    """Paletted BMPs are squarely in PIL's surface — armed leg on."""
+    from test_bmp_extended_decode import _paletted_bmp
+
+    rng = _rng(933)
+    for bpp, ncolors in ((8, 256), (4, 16), (1, 2)):
+        pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncolors, size=(6, 11), dtype=np.uint8)
+        _check(_paletted_bmp(idx, pal, bpp), pal[idx])
+
+
+def test_equiv_bmp_rle8():
+    from test_bmp_extended_decode import (
+        _bmp_container,
+        _pal_blob,
+        _rle8_encode,
+    )
+
+    rng = _rng(934)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, size=(7, 10), dtype=np.uint8)
+    payload = _bmp_container(10, 7, 8, 1, _rle8_encode(idx), pal_blob=_pal_blob(pal))
+    _check(payload, pal[idx])
+
+
+def test_equiv_bmp_16bit_native_only():
+    """16-bit 555/565 stays native-only: PIL's raw BGR;15/16 decoder
+    expands sub-8-bit channels by BIT REPLICATION ((v<<3)|(v>>2) =
+    floor), while this module scales by exact integer ROUNDING
+    ((v·255 + m//2)//m) — they differ by 1 for some codes (e.g.
+    5-bit 30 → 246 vs 247). We refuse to codify the floor variant;
+    the native ground truth is the rounding one."""
+    from test_bmp_extended_decode import _bmp_container, _scale
+
+    rng = _rng(935)
+    r5 = rng.integers(0, 32, size=(4, 5), dtype=np.uint16)
+    g5 = rng.integers(0, 32, size=(4, 5), dtype=np.uint16)
+    b5 = rng.integers(0, 32, size=(4, 5), dtype=np.uint16)
+    vals = (r5 << 10) | (g5 << 5) | b5
+    stride = (5 * 2 + 3) & ~3
+    data = b"".join(
+        row.astype("<u2").tobytes().ljust(stride, b"\x00") for row in vals[::-1]
+    )
+    _check(
+        _bmp_container(5, 4, 16, 0, data),
+        np.stack([_scale(r5, 5), _scale(g5, 5), _scale(b5, 5)], axis=-1),
+        pil_leg=False,
+    )
+
+
 # ------------------------------------------------------ TGA (late r8)
 
 
