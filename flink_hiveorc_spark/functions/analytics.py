@@ -1931,3 +1931,95 @@ def compaction_service_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_checksum bigint, compact_ok bigint"
         ),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(t_us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.t_us) AS t2, min(s1.t1) AS t1
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.t_us > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.t_us) AS t3, min(s2.t2) AS t2
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.t_us > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_viewed,
+           (SELECT count(*) FROM s2) AS n_clicked,
+           (SELECT count(*) FROM s3) AS n_purchased,
+           (SELECT CAST(sum(t2 - t1) AS BIGINT) FROM s2)
+             AS sum_view_to_click_us,
+           (SELECT CAST(sum(t3 - t2) AS BIGINT) FROM s3)
+             AS sum_click_to_purchase_us
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4o: ordered FUNNEL analysis — view → click → purchase, each
+    step strictly AFTER the user's first occurrence of the previous
+    step (the product-analytics conversion query: how many users
+    advance, and how much dwell time each hop costs). Distinct from
+    the CEP automaton (events_pattern_cep matches contiguous
+    patterns); a funnel tolerates arbitrary interleaved events
+    between steps.
+
+    Semantics: per user, t1 = first 'view'; t2 = first 'click' with
+    t > t1; t3 = first 'purchase' with t > t2. Counts per stage plus
+    exact integer µs dwell sums (averages are one trailing division
+    away and deliberately left to the consumer — keeping the record
+    exact-int keeps it engine-portable).
+
+    Scale: each stage filters its event type FIRST (predicate reaches
+    the scan), min-aggregates per user (map-side partial shrinks the
+    shuffle to one row per user), then joins user-level tables on
+    user_id — never event×event. Three user_id shuffles total; the
+    final three 1-row aggregates broadcast-cross-join into one row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("t_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("t_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t3"), F.min("t2").alias("t2"))
+    )
+    a = s1.agg(F.count("*").alias("n_viewed"))
+    b = s2.agg(
+        F.count("*").alias("n_clicked"),
+        F.sum(F.col("t2") - F.col("t1")).alias("sum_view_to_click_us"),
+    )
+    c = s3.agg(
+        F.count("*").alias("n_purchased"),
+        F.sum(F.col("t3") - F.col("t2")).alias("sum_click_to_purchase_us"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_viewed", "n_clicked", "n_purchased",
+            "sum_view_to_click_us", "sum_click_to_purchase_us",
+        )
+    )

@@ -548,3 +548,58 @@ def pipeline_observed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(kept & langs)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "curation_priority_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(n_chars * 281474976710656 //
+                  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) + 1) AS BIGINT) AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, priority
+    FROM keyed
+    ORDER BY priority DESC, doc_id
+    LIMIT 200
+    """,
+)
+def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6e: weighted sampling WITHOUT replacement via priority
+    sampling (Duffield/Lund/Thorup): each document gets priority
+    w/u with weight w = n_chars and u a uniform derived from a salt
+    of the document's own id; the k highest priorities are the
+    sample. Inclusion probability is proportional to weight in
+    expectation — the standard way a mixing pipeline takes a
+    quality- or length-weighted subsample reproducibly.
+
+    EXACT integer arithmetic end to end (cross-engine hash-stable):
+    u = first 48 md5 bits of the doc_id string + 1 (never zero), and
+    priority = (w << 48) div u — no ln/pow float keys (the
+    Efraimidis-Spirakis u^(1/w) formulation is order-equivalent but
+    a last-ulp float divergence could flip the k-th boundary between
+    engines). w·2^48 ≤ n_chars·2^48 ≪ 2^63. Ties broken by doc_id.
+
+    Scale: one map to compute priorities, then a global top-k —
+    Spark plans orderBy+limit as TakeOrdered (per-partition heap of
+    k, single O(k) merge at the driver), no full sort, no shuffle of
+    the corpus. Deterministic under any partitioning (2-cpu gate)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        + F.lit(1).cast("bigint")
+    )
+    keyed = d.select(
+        "doc_id", "lang", "source", "n_chars", u.alias("u")
+    ).withColumn(
+        "priority", F.expr("n_chars * 281474976710656 div u").cast("bigint")
+    )
+    return (
+        keyed.orderBy(F.col("priority").desc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "lang", "source", "n_chars", "priority")
+    )
