@@ -2718,6 +2718,48 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return audio_stats(payloads)
 
 
+def _avi_clip_segments() -> tuple[bytes, bytes, bytes]:
+    """Constant byte segments of a 2-frame 4×2 I420 25-fps AVI
+    (RIFF('AVI ') → hdrl{avih, strl{strh,strf}} → movi with two
+    12-byte '00db' frames): splice an 8-byte luma plane after
+    `prefix` and another between `mid` and `suffix` to get a complete
+    container. Every size is fixed, so the container is three
+    literals + two digest halves — the same JVM-side concat shape as
+    the Y4M leg."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    w, h, n = 4, 2, 2
+    avih = struct.pack("<14I", 40000, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"\x00" * 4 + struct.pack("<IHHI", 0, 0, 0, 0)
+        + struct.pack("<II", 1, 25)  # dwScale, dwRate → 25 fps
+        + struct.pack("<IIIiI", 0, n, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 12, b"I420", 0, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    chroma = b"\x80" * 4  # 2×2 U + V planes at 4:2:0 for a 4×2 frame
+    frame_hdr = b"00db" + struct.pack("<I", 12)
+    movi_len = 4 + 2 * (8 + 12)  # 'movi' + two (hdr+frame) pairs
+    movi_open = b"LIST" + struct.pack("<I", movi_len) + b"movi"
+    riff_body_len = 4 + len(hdrl) + 8 + movi_len  # 'AVI ' + hdrl + movi chunk
+    prefix = (
+        b"RIFF" + struct.pack("<I", riff_body_len) + b"AVI "
+        + hdrl + movi_open + frame_hdr
+    )
+    return prefix, chroma + frame_hdr, chroma
+
+
 @query(
     "multimodal_video_decode_stats",
     oracle="""
@@ -2748,25 +2790,38 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video leg of the oracle-checked decode triad: a 2-frame
-    4×2 Cmono Y4M clip per document — frame 1 is the first 8 md5
+    4×2 25-fps clip per document — frame 1 is the first 8 md5
     digest bytes, frame 2 the last 8 (`unhex` of each hex half,
     JVM-side concat) — through the genuine `video_stats` →
-    `decode_video` stream walk. Beyond the byte mean the oracle
-    recomputes the TEMPORAL feature, mean absolute inter-frame
-    delta, via a positional self-join of the byte spine (i ↔ i+8);
-    Σ|Δ| ≤ 8·255 is integer-exact, /8 is a power-of-two division —
-    bit-equal."""
+    `decode_video` stream walk. Even doc_ids ship as Cmono Y4M,
+    odd doc_ids as I420 AVI (r9: the AVI dispatch under the SAME
+    external hash gate — both containers carry identical luma
+    planes, so one oracle covers both decoders; a luma/geometry/fps
+    divergence in either path flips the hash). Beyond the byte mean
+    the oracle recomputes the TEMPORAL feature, mean absolute
+    inter-frame delta, via a positional self-join of the byte spine
+    (i ↔ i+8); Σ|Δ| ≤ 8·255 is integer-exact, /8 is a power-of-two
+    division — bit-equal."""
     docs = load_table(spark, sf_dir, "documents")
     hx = F.md5("text")
+    avi_pre, avi_mid, avi_suf = _avi_clip_segments()
+    y4m = F.concat(
+        F.lit(b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"),
+        F.lit(b"FRAME\n"),
+        F.unhex(F.substring(hx, 1, 16)),
+        F.lit(b"FRAME\n"),
+        F.unhex(F.substring(hx, 17, 16)),
+    )
+    avi = F.concat(
+        F.lit(avi_pre),
+        F.unhex(F.substring(hx, 1, 16)),
+        F.lit(avi_mid),
+        F.unhex(F.substring(hx, 17, 16)),
+        F.lit(avi_suf),
+    )
     payloads = docs.select(
         "doc_id",
-        F.concat(
-            F.lit(b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"),
-            F.lit(b"FRAME\n"),
-            F.unhex(F.substring(hx, 1, 16)),
-            F.lit(b"FRAME\n"),
-            F.unhex(F.substring(hx, 17, 16)),
-        ).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, y4m).otherwise(avi).alias("payload"),
     )
     return video_stats(payloads)
 
