@@ -1872,8 +1872,17 @@ def compaction_service_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in new:
                     fh.write(_json.dumps({"path": "file:" + p, "action": "add"}) + "\n")
 
+        result_schema = (
+            "status string, n_orders bigint, min_key bigint, max_key bigint, "
+            "key_checksum bigint, compact_ok bigint"
+        )
         _land_batch(0)
         _land_batch(1)
+        if not seen:
+            # empty corpus: the landing sink wrote no files, so there
+            # is nothing to compact and nothing to verify — zero
+            # groups, exactly what the oracle returns
+            return spark.createDataFrame([], schema=result_schema)
         n01 = ord_df.filter(F.col("o_orderkey") % 3 < 2).count()
         n_total = ord_df.count()
 
@@ -1924,13 +1933,7 @@ def compaction_service_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        schema=(
-            "status string, n_orders bigint, min_key bigint, max_key bigint, "
-            "key_checksum bigint, compact_ok bigint"
-        ),
-    )
+    return spark.createDataFrame(rows, schema=result_schema)
 
 
 @query(
