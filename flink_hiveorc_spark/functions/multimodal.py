@@ -2718,6 +2718,69 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return audio_stats(payloads)
 
 
+@query(
+    "multimodal_adpcm_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 4 * j + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4 * j + 2, 1)) - 1)
+           + ((strpos('0123456789abcdef', substr(hx, 4 * j + 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 4 * j + 4, 1)) - 1)) * 256
+             AS v
+      FROM p, UNNEST(range(0, 8)) AS t(j)
+    ),
+    sx AS (
+      SELECT doc_id, v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END) AS x
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8 AS DOUBLE) / 8000 AS duration_s,
+           sqrt(CAST(sum(x * x) AS DOUBLE) / 8) AS rms
+    FROM sx
+    GROUP BY doc_id
+    """,
+)
+def multimodal_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADPCM leg of the decode triad (r9): an IMA ADPCM WAV per
+    document whose eight 8-byte blocks each carry wSamplesPerBlock=1
+    — the block HEADER stores its one int16 sample verbatim and the
+    nibble payload is never consumed, so the normally-lossy codec
+    path is exercised LOSSLESSLY end to end (chunk walk, fmt
+    extension parse, block split, header state extraction, the
+    vectorized expansion machinery with a zero-length nibble slice)
+    and the oracle can recompute the exact samples: the md5 digest
+    read as eight little-endian int16s. Same exactness posture as
+    the audio leg: integer sum of squares (≤ 8·32768²), /8
+    power-of-two, IEEE-correctly-rounded sqrt in both engines."""
+    import struct
+
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, 8000, 8000, 8, 4, 2, 1)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 64)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 64)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    z6 = b"\x00" * 6  # step index 0, reserved 0, 4 unconsumed nibble bytes
+    parts = [F.lit(header)]
+    for j in range(8):
+        parts.append(F.unhex(F.substring(hx, 4 * j + 1, 4)))
+        parts.append(F.lit(z6))
+    payloads = docs.select("doc_id", F.concat(*parts).alias("payload"))
+    return audio_stats(payloads)
+
+
 def _avi_clip_segments() -> tuple[bytes, bytes, bytes]:
     """Constant byte segments of a 2-frame 4×2 I420 25-fps AVI
     (RIFF('AVI ') → hdrl{avih, strl{strh,strf}} → movi with two
