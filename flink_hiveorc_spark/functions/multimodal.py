@@ -925,7 +925,28 @@ def _decode_gif(data: bytes):
         break
     else:
         raise ValueError("GIF has no image descriptor")
-    _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+    _left, _top, w, h, idx, colors, pos = _gif_image_block(data, pos, gct)
+    if transparent is not None:
+        alpha = np.full(len(colors), 255, dtype=np.uint8)
+        if transparent < len(colors):
+            alpha[transparent] = 0
+        return np.dstack([colors[idx], alpha[idx][:, :, None]])
+    return colors[idx]
+
+
+def _gif_image_block(data: bytes, pos: int, gct):
+    """Parse one image block (descriptor 0x2C at `pos`): returns
+    (left, top, w, h, index array (h, w), colors (n, 3), pos after
+    the block terminator). Handles local color tables, interlacing,
+    sub-block reassembly, and range validation — shared by the
+    first-frame decoder and the animation compositor."""
+    import struct
+
+    import numpy as np
+
+    if pos + 10 > len(data):
+        raise ValueError("truncated GIF image descriptor")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
     pos += 10
     if w == 0 or h == 0:
         raise ValueError(f"bad GIF frame size {w}x{h}")
@@ -943,6 +964,8 @@ def _decode_gif(data: bytes):
         pos += 3 * n
     if pal is None:
         raise ValueError("GIF frame has no color table")
+    if pos >= len(data):
+        raise ValueError("truncated GIF image data")
     min_code_size = data[pos]
     pos += 1
     if not 2 <= min_code_size <= 8:
@@ -953,6 +976,7 @@ def _decode_gif(data: bytes):
             raise ValueError("truncated GIF image data")
         size = data[pos]
         if size == 0:
+            pos += 1
             break
         chunk = data[pos + 1 : pos + 1 + size]
         if len(chunk) != size:
@@ -972,12 +996,107 @@ def _decode_gif(data: bytes):
     colors = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
     if int(idx.max(initial=0)) >= len(colors):
         raise ValueError("GIF pixel index out of color-table range")
-    if transparent is not None:
-        alpha = np.full(len(colors), 255, dtype=np.uint8)
-        if transparent < len(colors):
-            alpha[transparent] = 0
-        return np.dstack([colors[idx], alpha[idx][:, :, None]])
-    return colors[idx]
+    return left, top, w, h, idx, colors, pos
+
+
+def decode_gif_frames(data: bytes):
+    """Full animated-GIF decode → (frames array (n, H, W, 4) uint8
+    RGBA composited on the logical screen, delays list in
+    centiseconds — one per frame, 0 when no GCE set one).
+
+    Compositing per GIF89a + the universal renderer conventions:
+    the canvas starts fully transparent; each frame draws its
+    rectangle (transparent-index pixels leave the canvas unchanged),
+    the snapshot after drawing IS that frame; then disposal runs —
+    0/1 leave the canvas, 2 clears the frame's rectangle back to
+    transparent (the browser convention; no renderer actually paints
+    the background color), 3 restores the canvas as it was before
+    the frame drew. Each GCE applies to exactly one following image
+    block. A frame rectangle outside the logical screen, or a
+    missing trailer mid-stream, is malformed."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError(f"bad GIF logical screen {sw}x{sh}")
+    if sw * sh > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"GIF screen {sw}x{sh} exceeds MAX_IMAGE_PIXELS={MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
+        )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    frames, delays = [], []
+    transparent, disposal, delay = None, 0, 0
+    saw_trailer = False
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if block == 0x21:  # extension
+            label = data[pos + 1] if pos + 1 < len(data) else None
+            pos += 2
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                size = data[pos]
+                if size == 0:
+                    pos += 1
+                    break
+                if pos + 1 + size > len(data):
+                    raise ValueError("truncated GIF extension sub-block")
+                if label == 0xF9 and size >= 4:
+                    flags = data[pos + 1]
+                    disposal = (flags >> 2) & 0x07
+                    delay = data[pos + 2] | (data[pos + 3] << 8)
+                    transparent = data[pos + 4] if flags & 0x01 else None
+                pos += 1 + size
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, w, h, idx, colors, pos = _gif_image_block(data, pos, gct)
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"GIF frame {w}x{h}@({left},{top}) exceeds the "
+                f"{sw}x{sh} logical screen"
+            )
+        prev = canvas.copy() if disposal == 3 else None
+        rgba = np.dstack(
+            [colors[idx], np.full((h, w, 1), 255, dtype=np.uint8)]
+        )
+        region = canvas[top : top + h, left : left + w]
+        if transparent is None:
+            region[:] = rgba
+        else:
+            mask = idx != transparent
+            region[mask] = rgba[mask]
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = 0
+        elif disposal == 3:
+            canvas = prev
+        transparent, disposal, delay = None, 0, 0
+    if not frames:
+        raise ValueError("GIF has no image descriptor")
+    if not saw_trailer:
+        # a stream cut after a complete frame would otherwise decode
+        # SILENTLY short — the same silent-data-loss class the chunk
+        # walkers reject everywhere else
+        raise ValueError("GIF stream ended without a trailer")
+    return np.stack(frames), delays
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytearray:
@@ -2574,6 +2693,67 @@ def video_frame_sample(
             yield pd.DataFrame(out)
 
     return clips.select("doc_id", "payload").mapInPandas(gen, schema)
+
+
+def gif_frame_sample(
+    gifs: DataFrame, every_n: int = 1, quarantine: bool = False
+) -> DataFrame:
+    """Animated-GIF analog of `video_frame_sample`: each (doc_id,
+    payload) GIF fans out to one row per every_n-th COMPOSITED frame
+    (decode_gif_frames — full disposal/transparency semantics on the
+    logical screen), re-encoded as a P6 PPM of the canvas RGB
+    channels (pixels never painted carry black — the canvas starts
+    transparent) so the output composes directly with `image_stats`.
+    `frame_idx` is the original frame index; single-frame GIFs yield
+    exactly one row, so the operator is safe to run over a mixed
+    still/animated column. Quarantine mode mirrors the featurizers:
+    one NULL row with the classified error per rejected payload.
+
+    100 TB posture: map-only, no shuffle; the fan-out multiplies
+    BYTES (each row carries a full logical-screen frame), so size
+    every_n to the downstream budget."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    schema = (
+        T.StructType(_FRAME_SAMPLE_SCHEMA.fields + [_ERROR_FIELD])
+        if quarantine
+        else _FRAME_SAMPLE_SCHEMA
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "payload")}
+            if quarantine:
+                out["error"] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    raw = bytes(payload)
+                    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "gif_frame_sample requires a GIF payload"
+                        )
+                    frames, _ = decode_gif_frames(raw)
+                except (NotImplementedError, ValueError) as e:
+                    if not quarantine:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(None)
+                    out["payload"].append(None)
+                    out["error"].append(_quarantine_error(e))
+                    continue
+                _, fh, fw, _ = frames.shape
+                header = f"P6\n{fw} {fh}\n255\n".encode()
+                for idx in range(0, len(frames), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["payload"].append(header + frames[idx][:, :, :3].tobytes())
+                    if quarantine:
+                        out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return gifs.select("doc_id", "payload").mapInPandas(gen, schema)
 
 
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

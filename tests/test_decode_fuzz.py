@@ -13,11 +13,12 @@ import pytest
 
 from flink_hiveorc_spark.functions.multimodal import (
     decode_audio,
+    decode_gif_frames,
     decode_image,
     decode_video,
 )
 
-from test_gif_decode import _PAL8, _gif_bytes
+from test_gif_decode import _PAL8, _gif_anim_bytes, _gif_bytes
 from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
 from test_png_g711_decode import ALL_FILTERS, _png_bytes, _png_from_array
 from test_aiff_au_decode import _aiff_bytes, _au_bytes
@@ -91,6 +92,24 @@ def _valid_payloads():
             ),
         ),
         (decode_image, "gif", _gif_bytes(gif_idx, _PAL8)),
+        (
+            decode_gif_frames,
+            "gif_anim",
+            _gif_anim_bytes(
+                (6, 5),
+                [
+                    {"idx": gif_idx, "delay": 5},
+                    {
+                        "idx": gif_idx[:3, :4],
+                        "left": 1,
+                        "top": 1,
+                        "transparent": 3,
+                        "disposal": 2,
+                    },
+                ],
+                _PAL8,
+            ),
+        ),
         (decode_image, "qoi", _qoi_bytes(img3)),
         (decode_image, "tga_rle", _tga_bytes(img3, rle=True)),
         (

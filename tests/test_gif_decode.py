@@ -269,3 +269,216 @@ def test_gif_property_random_images():
         np.testing.assert_array_equal(
             got, np.array(pal, dtype=np.uint8)[idx], err_msg=f"trial {trial}"
         )
+
+
+# ----------------------------------------------- animation (r9)
+
+
+def _gif_anim_bytes(screen, frames, palette) -> bytes:
+    """Animated GIF89a: logical screen + global color table, then per
+    frame an optional GCE (disposal bits 2-4, transparency bit 0,
+    little-endian centisecond delay) and an image block at
+    (left, top), optionally with a local palette or interlacing."""
+    W, H = screen
+    nbits = max(1, (len(palette) - 1).bit_length())
+    pal_bytes = bytes(v for rgb in palette for v in rgb)
+    pal_bytes += b"\x00" * (3 * (1 << nbits) - len(pal_bytes))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | (nbits - 1), 0, 0)
+    out += pal_bytes
+    for f in frames:
+        idx = f["idx"]
+        h, w = idx.shape
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        delay = f.get("delay", 0)
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            [flags, delay & 0xFF, delay >> 8, transparent or 0]
+        ) + b"\x00"
+        local = f.get("palette")
+        lbits = nbits
+        if local is not None:
+            lbits = max(1, (len(local) - 1).bit_length())
+            lpal = bytes(v for rgb in local for v in rgb)
+            lpal += b"\x00" * (3 * (1 << lbits) - len(lpal))
+        interlace = f.get("interlace", False)
+        rows = idx
+        if interlace:
+            order = np.concatenate([np.arange(o, h, s) for o, s in _GIF_PASSES])
+            rows = idx[order]
+        iflag = (0x80 | (lbits - 1) if local is not None else 0) | (
+            0x40 if interlace else 0
+        )
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), w, h, iflag
+        )
+        if local is not None:
+            out += lpal
+        mcs = max(2, lbits)
+        out += bytes([mcs])
+        out += _sub_blocks(_lzw_encode(rows.ravel(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _rgba(pal, idx):
+    """Opaque RGBA of palette[idx]."""
+    pal = np.asarray(pal, dtype=np.uint8)
+    return np.dstack(
+        [pal[idx], np.full(idx.shape + (1,), 255, dtype=np.uint8)]
+    )
+
+
+def test_gif_frames_full_opaque_and_delays():
+    from flink_hiveorc_spark.functions.multimodal import decode_gif_frames
+
+    rng = np.random.default_rng(80)
+    idxs = [rng.integers(0, 8, size=(4, 6), dtype=np.uint8) for _ in range(3)]
+    payload = _gif_anim_bytes(
+        (6, 4),
+        [{"idx": i, "delay": 7 + k} for k, i in enumerate(idxs)],
+        _PAL8,
+    )
+    frames, delays = decode_gif_frames(payload)
+    assert frames.shape == (3, 4, 6, 4) and delays == [7, 8, 9]
+    for k in range(3):
+        np.testing.assert_array_equal(frames[k], _rgba(_PAL8, idxs[k]))
+
+
+def test_gif_frames_subrect_transparency_and_disposals():
+    """The compositing matrix in one stream: frame2 is a sub-rect
+    with a transparent index (canvas shows through), disposal 3 on
+    frame2 restores frame1's canvas for frame3, and disposal 2 on
+    frame3 clears its rect before frame4."""
+    from flink_hiveorc_spark.functions.multimodal import decode_gif_frames
+
+    rng = np.random.default_rng(81)
+    base = rng.integers(0, 8, size=(5, 7), dtype=np.uint8)
+    patch = rng.integers(0, 8, size=(2, 3), dtype=np.uint8)
+    patch[0, 1] = 7  # the transparent index
+    f3 = rng.integers(0, 7, size=(3, 3), dtype=np.uint8)
+    f4 = rng.integers(0, 7, size=(1, 2), dtype=np.uint8)
+    payload = _gif_anim_bytes(
+        (7, 5),
+        [
+            {"idx": base},
+            {"idx": patch, "left": 2, "top": 1, "transparent": 7, "disposal": 3},
+            {"idx": f3, "left": 4, "top": 2, "disposal": 2},
+            {"idx": f4, "left": 0, "top": 0},
+        ],
+        _PAL8,
+    )
+    frames, _ = decode_gif_frames(payload)
+    e1 = _rgba(_PAL8, base)
+    np.testing.assert_array_equal(frames[0], e1)
+    # frame 2: patch over base, transparent pixel keeps base
+    e2 = e1.copy()
+    sub = _rgba(_PAL8, patch)
+    m = patch != 7
+    e2[1:3, 2:5][m] = sub[m]
+    np.testing.assert_array_equal(frames[1], e2)
+    # frame 3: disposal 3 restored frame1's canvas, then f3 draws
+    e3 = e1.copy()
+    e3[2:5, 4:7] = _rgba(_PAL8, f3)
+    np.testing.assert_array_equal(frames[2], e3)
+    # frame 4: disposal 2 cleared f3's rect to transparent black
+    e4 = e1.copy()
+    e4[2:5, 4:7] = 0
+    e4[0:1, 0:2] = _rgba(_PAL8, f4)
+    np.testing.assert_array_equal(frames[3], e4)
+
+
+def test_gif_frames_local_palette_and_interlace():
+    from flink_hiveorc_spark.functions.multimodal import decode_gif_frames
+
+    rng = np.random.default_rng(82)
+    base = rng.integers(0, 8, size=(9, 5), dtype=np.uint8)
+    local = [(i * 17 % 256, i * 29 % 256, i * 41 % 256) for i in range(4)]
+    patch = rng.integers(0, 4, size=(9, 5), dtype=np.uint8)
+    payload = _gif_anim_bytes(
+        (5, 9),
+        [{"idx": base, "interlace": True}, {"idx": patch, "palette": local}],
+        _PAL8,
+    )
+    frames, _ = decode_gif_frames(payload)
+    np.testing.assert_array_equal(frames[0], _rgba(_PAL8, base))
+    np.testing.assert_array_equal(frames[1], _rgba(local, patch))
+
+
+def test_gif_frames_single_frame_matches_first_frame_decoder():
+    from flink_hiveorc_spark.functions.multimodal import (
+        decode_gif_frames,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(83)
+    idx = rng.integers(0, 8, size=(6, 6), dtype=np.uint8)
+    payload = _gif_bytes(idx, _PAL8)
+    frames, delays = decode_gif_frames(payload)
+    assert frames.shape[0] == 1 and delays == [0]
+    np.testing.assert_array_equal(frames[0, :, :, :3], decode_image(payload))
+    assert (frames[0, :, :, 3] == 255).all()
+
+
+def test_gif_frames_rect_outside_screen_malformed():
+    import pytest
+
+    from flink_hiveorc_spark.functions.multimodal import decode_gif_frames
+
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    payload = _gif_anim_bytes((4, 4), [{"idx": idx, "left": 2, "top": 2}], _PAL8)
+    with pytest.raises(ValueError, match="logical screen"):
+        decode_gif_frames(payload)
+
+
+def test_gif_frame_sample_composes_with_image_stats(spark):
+    """Animated GIF → composited frames → P6 payloads the IMAGE
+    featurizer consumes; per-frame means must equal numpy on the
+    composited canvases. Quarantine classifies non-GIF payloads."""
+    from pyspark.sql import functions as F
+
+    from flink_hiveorc_spark.functions.multimodal import (
+        decode_gif_frames,
+        gif_frame_sample,
+        image_stats,
+    )
+
+    rng = np.random.default_rng(84)
+    idxs = [rng.integers(0, 8, size=(4, 5), dtype=np.uint8) for _ in range(5)]
+    payload = _gif_anim_bytes((5, 4), [{"idx": i} for i in idxs], _PAL8)
+    expect, _ = decode_gif_frames(payload)
+    df = spark.createDataFrame(
+        [
+            (600, bytearray(payload)),
+            (601, bytearray(b"\x89PNG\r\n\x1a\nnot a gif")),
+            (602, bytearray(payload[:30])),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = gif_frame_sample(df, every_n=2, quarantine=True).collect()
+    good = {r["frame_idx"]: r for r in rows if r["doc_id"] == 600}
+    assert sorted(good) == [0, 2, 4]
+    assert all(r["error"] is None for r in good.values())
+    assert {r["doc_id"]: r["error"][:12] for r in rows if r["doc_id"] != 600} == {
+        601: "unsupported:",
+        602: "malformed: t",
+    }
+    feats = {
+        r["doc_id"]: r
+        for r in image_stats(
+            spark.createDataFrame(
+                [(i, bytearray(bytes(good[i]["payload"]))) for i in good],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    for i in (0, 2, 4):
+        rgb = expect[i][:, :, :3]
+        assert (feats[i]["height"], feats[i]["width"], feats[i]["channels"]) == (4, 5, 3)
+        assert feats[i]["mean_byte"] == int(rgb.sum(dtype="int64")) / rgb.size
+
+    import pytest
+
+    with pytest.raises(ValueError, match="every_n"):
+        gif_frame_sample(df, every_n=0)

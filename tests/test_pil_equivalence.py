@@ -354,3 +354,40 @@ def test_equiv_tga_rgba():
     rgba = _rng(942).integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
     _check(_tga_bytes(rgba), rgba)
     _check(_tga_bytes(rgba, rle=True, top_down=False), rgba)
+
+
+# ------------------------------------------- GIF animation (r9)
+
+
+def test_equiv_gif_animation_full_opaque_frames():
+    """Armed leg for the animation compositor on its portable subset
+    (full-screen opaque frames — no disposal/transparency ambiguity
+    between renderers): every PIL seek(k).convert('RGBA') must equal
+    the composited canvas."""
+    import numpy as np
+
+    from flink_hiveorc_spark.functions.multimodal import decode_gif_frames
+    from test_gif_decode import _PAL8, _gif_anim_bytes
+
+    rng = _rng(945)
+    idxs = [rng.integers(0, 8, size=(5, 7), dtype=np.uint8) for _ in range(3)]
+    payload = _gif_anim_bytes(
+        (7, 5), [{"idx": i, "delay": 4} for i in idxs], _PAL8
+    )
+    frames, delays = decode_gif_frames(payload)
+    pal = np.asarray(_PAL8, dtype=np.uint8)
+    for k in range(3):
+        np.testing.assert_array_equal(frames[k, :, :, :3], pal[idxs[k]])
+        assert (frames[k, :, :, 3] == 255).all()
+    assert delays == [4, 4, 4]
+    if not HAS_PIL:
+        return
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(payload))
+    assert getattr(im, "n_frames", 1) == 3
+    for k in range(3):
+        im.seek(k)
+        np.testing.assert_array_equal(
+            np.asarray(im.convert("RGBA")), frames[k]
+        )
