@@ -1937,7 +1937,7 @@ def compaction_service_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_funnel_conversion",
+    "events_funnel_dwell_times",
     oracle="""
     WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
@@ -1967,14 +1967,17 @@ def compaction_service_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_click_to_purchase_us
     """,
 )
-def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4o: ordered FUNNEL analysis — view → click → purchase, each
-    step strictly AFTER the user's first occurrence of the previous
-    step (the product-analytics conversion query: how many users
-    advance, and how much dwell time each hop costs). Distinct from
-    the CEP automaton (events_pattern_cep matches contiguous
-    patterns); a funnel tolerates arbitrary interleaved events
-    between steps.
+def events_funnel_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4o: step-CHAINED funnel with dwell times — view → click →
+    purchase where each step is the first occurrence strictly AFTER
+    the previous step's chosen time. Distinct from
+    events_funnel_conversion, which compares each type's GLOBAL first
+    occurrence: a user whose first click precedes their first view
+    but who clicks again afterwards advances here and not there —
+    the chained semantics is what time-to-convert measurement needs,
+    and this variant reports the dwell sums. Also distinct from the
+    CEP automaton (events_pattern_cep matches contiguous patterns);
+    a funnel tolerates arbitrary interleaved events between steps.
 
     Semantics: per user, t1 = first 'view'; t2 = first 'click' with
     t > t1; t3 = first 'purchase' with t > t2. Counts per stage plus

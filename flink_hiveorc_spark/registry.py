@@ -47,6 +47,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     exactly that import order)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        existing = QUERIES.get(name)
+        if existing is not None and (
+            getattr(existing, "__module__", None) != fn.__module__
+            or getattr(existing, "__qualname__", None) != fn.__qualname__
+        ):
+            # A silent dict overwrite would REPLACE an (often
+            # externally-verified) query with an unrelated one and
+            # nothing downstream would notice — the name still
+            # resolves, the oracle still runs, only the semantics
+            # changed (nearly shipped in r9: a new funnel query
+            # reusing an r3-era name). Same-function re-registration
+            # (module reload in tests) stays allowed.
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{existing.__module__}.{existing.__qualname__}; "
+                f"refusing to replace it with {fn.__module__}.{fn.__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -85,3 +85,27 @@ def test_rotation_survives_functions_module_first_import():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.startswith("OK")
+
+
+def test_duplicate_query_name_rejected():
+    """r9: a new @query reusing an existing name must raise, not
+    silently replace the (externally-verified) original — a collision
+    actually happened this round (a second events_funnel_conversion)
+    and only a registry-size diff caught it. Same-function
+    re-registration (module reload) stays allowed."""
+    import pytest
+
+    from flink_hiveorc_spark import registry
+
+    name = next(iter(registry.QUERIES))
+    original = registry.QUERIES[name]
+
+    with pytest.raises(ValueError, match="already registered"):
+        @registry.query(name)
+        def some_other_function(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    assert registry.QUERIES[name] is original
+    # same module+qualname (reload semantics) is not a collision
+    clone = registry.query(name)(original)
+    assert clone is original
