@@ -1,7 +1,9 @@
 """Distributed decode-throughput probe: generate a mixed-format blob
-corpus (PNG all-filters / GIF / TIFF-LZW / PGM images; PCM + G.711
-WAV audio), run the REAL image_stats / audio_stats mapInPandas paths
-on local[N], and report rows/s and MB/s at 1x and 8x corpus scale —
+corpus (PNG all-filters / GIF / TIFF-LZW / PGM / paletted-BMP /
+RLE8-BMP images; PCM + G.711 + IMA/MS-ADPCM WAV + AIFC-ima4 audio;
+Y4M + I420/RGB-AVI video; animated GIFs through the frame sampler),
+run the REAL image/audio/video_stats + gif_frame_sample mapInPandas
+paths on local[N], and report rows/s and MB/s at 1x and 8x scale —
 the scaling evidence for the decode stack (map-only plans: the ratio
 should track corpus size, not blow up).
 
@@ -26,21 +28,42 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from test_gif_decode import _PAL8, _gif_bytes  # noqa: E402
+from test_adpcm_decode import (  # noqa: E402
+    _ima4_bytes,
+    _ima_wav_bytes,
+    _ms_wav_bytes,
+    _smooth,
+)
+from test_avi_decode import (  # noqa: E402
+    _BI_RGB,
+    _avi_bytes,
+    _rgb_frame,
+    _yuv420_frame,
+)
+from test_bmp_extended_decode import (  # noqa: E402
+    _bmp_container,
+    _pal_blob,
+    _paletted_bmp,
+    _rle8_encode,
+)
+from test_gif_decode import _PAL8, _gif_anim_bytes, _gif_bytes  # noqa: E402
 from test_image_decode import _pgm_bytes, _wav_bytes  # noqa: E402
+from test_y4m_decode import _y4m_bytes  # noqa: E402
 from test_png_g711_decode import ALL_FILTERS, _png_from_array  # noqa: E402
 from test_tiff_decode import _tiff_bytes  # noqa: E402
 
 from flink_hiveorc_spark.functions.multimodal import (  # noqa: E402
     audio_stats,
+    gif_frame_sample,
     image_stats,
+    video_stats,
 )
 from flink_hiveorc_spark.session import get_spark  # noqa: E402
 
 
 def _corpus(n_per_format: int):
     rng = np.random.default_rng(7)
-    images, audio = [], []
+    images, audio, video, anim = [], [], [], []
     for i in range(n_per_format):
         img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
         images.append(_png_from_array(img, ALL_FILTERS))
@@ -52,7 +75,37 @@ def _corpus(n_per_format: int):
         audio.append(_wav_bytes(pcm, 16000))
         codes = rng.integers(0, 256, size=(8000, 1)).astype(np.uint8)
         audio.append(_wav_bytes(codes, 8000, fmt_tag=7))
-    return images, audio
+        # r9 formats
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        pidx = rng.integers(0, 8, size=(64, 64), dtype=np.uint8)
+        images.append(_paletted_bmp(pidx, pal, 8))
+        images.append(
+            _bmp_container(64, 64, 8, 1, _rle8_encode(pidx), pal_blob=_pal_blob(pal))
+        )
+        wave = _smooth(1000 + i, 8000, 1)
+        audio.append(_ima_wav_bytes(wave, 8000)[0])
+        audio.append(_ms_wav_bytes(wave, 8000)[0])
+        audio.append(_ima4_bytes(wave, 8000)[0])
+        lumas = rng.integers(0, 256, size=(8, 48, 64), dtype=np.uint8)
+        video.append(_y4m_bytes(lumas))
+        video.append(
+            _avi_bytes([_yuv420_frame(f) for f in lumas], 64, 48, 12, b"I420")
+        )
+        rgb = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+        video.append(
+            _avi_bytes([_rgb_frame(f, 24, False) for f in rgb], 32, 32, 24, _BI_RGB)
+        )
+        anim.append(
+            _gif_anim_bytes(
+                (64, 48),
+                [
+                    {"idx": rng.integers(0, 8, size=(48, 64), dtype=np.uint8)}
+                    for _ in range(4)
+                ],
+                _PAL8,
+            )
+        )
+    return images, audio, video, anim
 
 
 def _time(df_builder, frame):
@@ -64,22 +117,35 @@ def _time(df_builder, frame):
 def main() -> None:
     n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     spark = get_spark("decode-probe", cpus=32, shuffle_partitions=32)
-    images, audio = _corpus(n_per)
+    images, audio, video, anim = _corpus(n_per)
     out = {"n_per_format": n_per, "scales": {}}
     for scale in (1, 8):
         img_rows = [(i, bytearray(p)) for i in range(scale) for p in images]
         aud_rows = [(i, bytearray(p)) for i in range(scale) for p in audio]
+        vid_rows = [(i, bytearray(p)) for i in range(scale) for p in video]
+        gif_rows = [(i, bytearray(p)) for i in range(scale) for p in anim]
         img_df = spark.createDataFrame(
             img_rows, "doc_id long, payload binary"
         ).repartition(64).cache()
         aud_df = spark.createDataFrame(
             aud_rows, "doc_id long, payload binary"
         ).repartition(64).cache()
+        vid_df = spark.createDataFrame(
+            vid_rows, "doc_id long, payload binary"
+        ).repartition(64).cache()
+        gif_df = spark.createDataFrame(
+            gif_rows, "doc_id long, payload binary"
+        ).repartition(64).cache()
         img_df.count(), aud_df.count()  # materialize cache out of the timer
+        vid_df.count(), gif_df.count()
         img_mb = sum(len(p) for p in images) * scale / 1e6
         aud_mb = sum(len(p) for p in audio) * scale / 1e6
+        vid_mb = sum(len(p) for p in video) * scale / 1e6
+        gif_mb = sum(len(p) for p in anim) * scale / 1e6
         n_i, t_i = _time(image_stats, img_df)
         n_a, t_a = _time(audio_stats, aud_df)
+        n_v, t_v = _time(video_stats, vid_df)
+        n_g, t_g = _time(lambda df: gif_frame_sample(df, every_n=2), gif_df)
         out["scales"][f"{scale}x"] = {
             "image": {
                 "rows": n_i,
@@ -93,13 +159,30 @@ def main() -> None:
                 "rows_per_s": round(n_a / t_a),
                 "mb_per_s": round(aud_mb / t_a, 1),
             },
+            "video": {
+                "rows": n_v,
+                "sec": round(t_v, 2),
+                "rows_per_s": round(n_v / t_v),
+                "mb_per_s": round(vid_mb / t_v, 1),
+            },
+            "gif_anim_frames": {
+                "rows": n_g,
+                "sec": round(t_g, 2),
+                "rows_per_s": round(n_g / t_g),
+                "mb_per_s": round(gif_mb / t_g, 1),
+            },
         }
         img_df.unpersist(), aud_df.unpersist()
+        vid_df.unpersist(), gif_df.unpersist()
     s1 = out["scales"]["1x"]
     s8 = out["scales"]["8x"]
     out["scale_ratio"] = {
         "image": round(s8["image"]["sec"] / s1["image"]["sec"], 2),
         "audio": round(s8["audio"]["sec"] / s1["audio"]["sec"], 2),
+        "video": round(s8["video"]["sec"] / s1["video"]["sec"], 2),
+        "gif_anim_frames": round(
+            s8["gif_anim_frames"]["sec"] / s1["gif_anim_frames"]["sec"], 2
+        ),
     }
     print(json.dumps(out))
     spark.stop()
