@@ -555,7 +555,7 @@ def pipeline_observed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT doc_id, lang, source, n_chars,
-             CAST(n_chars * 281474976710656 //
+             CAST(least(n_chars, 32767) * 281474976710656 //
                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
                         AS BIGINT) + 1) AS BIGINT) AS priority
       FROM documents
@@ -580,7 +580,10 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority = (w << 48) div u — no ln/pow float keys (the
     Efraimidis-Spirakis u^(1/w) formulation is order-equivalent but
     a last-ulp float divergence could flip the k-th boundary between
-    engines). w·2^48 ≤ n_chars·2^48 ≪ 2^63. Ties broken by doc_id.
+    engines). The weight caps at 32767 so w·2^48 < 2^63 for ANY
+    document (a megabyte doc would otherwise overflow int64 —
+    silently wrapping in Spark, erroring in DuckDB). Ties broken by
+    doc_id.
 
     Scale: one map to compute priorities, then a global top-k —
     Spark plans orderBy+limit as TakeOrdered (per-partition heap of
@@ -596,7 +599,12 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id", "lang", "source", "n_chars", u.alias("u")
     ).withColumn(
-        "priority", F.expr("n_chars * 281474976710656 div u").cast("bigint")
+        # weight capped at 32767: w·2^48 must stay under 2^63 — a
+        # megabyte document would otherwise overflow int64 (silently
+        # wrapping in Spark, erroring in the oracle engine); beyond
+        # ~32 KB the length signal is saturated anyway
+        "priority",
+        F.expr("least(n_chars, 32767) * 281474976710656 div u").cast("bigint"),
     )
     return (
         keyed.orderBy(F.col("priority").desc(), "doc_id")
