@@ -372,3 +372,74 @@ def test_adpcm_audio_stats_distributed_with_quarantine(spark):
         assert r["error"] is None
         assert r["n_frames"] == len(rec) and r["n_channels"] == 2
     assert got[4]["error"].startswith("malformed:")
+
+
+# ------------------------------------------------ hypothesis property
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+    from hypothesis.extra.numpy import arrays
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        wave=arrays(
+            np.int16,
+            hst.tuples(
+                hst.integers(min_value=1, max_value=120),
+                hst.integers(min_value=1, max_value=3),
+            ),
+            elements=hst.integers(min_value=-32768, max_value=32767),
+        ),
+        groups=hst.integers(min_value=1, max_value=3),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_property_ima_wav_decode_equals_scalar_reconstruction(wave, groups):
+        """For ANY int16 waveform (any length/channel count, any
+        block size), the vectorized decoder must equal the scalar
+        encoder's own reconstruction exactly — the shrinking version
+        of the seeded round-trip pins."""
+        payload, recon = _ima_wav_bytes(wave, 8000, groups=groups)
+        got, rate = decode_audio(payload)
+        assert rate == 8000
+        np.testing.assert_array_equal(got, recon)
+
+    @given(
+        wave=arrays(
+            np.int16,
+            hst.tuples(
+                hst.integers(min_value=2, max_value=100),
+                hst.integers(min_value=1, max_value=2),
+            ),
+            elements=hst.integers(min_value=-32768, max_value=32767),
+        ),
+        bpred=hst.integers(min_value=0, max_value=6),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_property_ms_wav_decode_equals_scalar_reconstruction(wave, bpred):
+        payload, recon = _ms_wav_bytes(wave, 8000, bpred=bpred)
+        got, _ = decode_audio(payload)
+        np.testing.assert_array_equal(got, recon)
+
+    @given(
+        wave=arrays(
+            np.int16,
+            hst.tuples(
+                hst.integers(min_value=1, max_value=200),
+                hst.integers(min_value=1, max_value=2),
+            ),
+            elements=hst.integers(min_value=-32768, max_value=32767),
+        ),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_property_ima4_decode_equals_scalar_reconstruction(wave):
+        payload, recon = _ima4_bytes(wave, 22050)
+        got, rate = decode_audio(payload)
+        assert rate == 22050
+        np.testing.assert_array_equal(got, recon)
