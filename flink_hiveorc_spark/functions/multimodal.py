@@ -1178,20 +1178,22 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytearray:
 
 def _decode_tiff(data: bytes):
     """Baseline TIFF in pure struct+numpy: both byte orders (II/MM),
-    IFD walk with inline-or-offset values, multi-strip assembly,
-    compressions 1 (none), 5 (LZW, EarlyChange + optional
-    horizontal-differencing predictor), 8/32946 (Deflate), and
-    32773 (PackBits); bit depths 1 and 8; photometric
-    WhiteIsZero/BlackIsZero/RGB/Palette (16-bit ColorMap reduced to
-    its high byte, 8-bit-valued ColorMaps — a known writer bug —
-    used as-is); FillOrder 2 (LSB-first rows) honored; 1/3/4
-    samples per pixel (RGBA via ExtraSamples). First IFD only
-    (multi-page TIFFs decode their first page — the
+    IFD walk with inline-or-offset values, multi-strip assembly AND
+    tiled layout (spec §15: full-size edge-padded tiles trimmed
+    after assembly, the horizontal predictor reset at each tile's
+    left edge — 8-bit tiles, every strip codec), compressions 1
+    (none), 5 (LZW, EarlyChange + optional horizontal-differencing
+    predictor), 8/32946 (Deflate), and 32773 (PackBits); bit depths
+    1 and 8; photometric WhiteIsZero/BlackIsZero/RGB/Palette (16-bit
+    ColorMap reduced to its high byte, 8-bit-valued ColorMaps — a
+    known writer bug — used as-is); FillOrder 2 (LSB-first rows)
+    honored; 1/3/4 samples per pixel (RGBA via ExtraSamples). First
+    IFD only (multi-page TIFFs decode their first page — the
     thumbnail/featurize semantics, same as GIF). CCITT/JPEG
-    compressions, CMYK/YCbCr photometrics, tiled layout, and planar
-    configuration raise NotImplementedError (unsupported features,
-    not damage); structural damage raises through the caller's
-    ValueError wrapper."""
+    compressions, CMYK/YCbCr photometrics, sub-byte tiled layouts,
+    and planar configuration raise NotImplementedError (unsupported
+    features, not damage); structural damage raises through the
+    caller's ValueError wrapper."""
     import struct
 
     import numpy as np
@@ -1229,10 +1231,7 @@ def _decode_tiff(data: bytes):
         tag, vals = values(ifd_off + 2 + 12 * i)
         if vals is not None:
             tags[tag] = vals
-    if 322 in tags or 324 in tags or 325 in tags:  # TileWidth/Offsets
-        raise NotImplementedError(
-            "tiled TIFF layout not supported (strips only)"
-        )
+    tiled = any(t in tags for t in (322, 323, 324, 325))
     if tags.get(284, [1])[0] != 1:  # PlanarConfiguration
         raise NotImplementedError(
             "planar-configuration TIFF not supported (chunky only)"
@@ -1240,8 +1239,6 @@ def _decode_tiff(data: bytes):
     try:
         w = tags[256][0]
         h = tags[257][0]
-        strip_offs = tags[273]
-        strip_counts = tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
     if w <= 0 or h <= 0:
@@ -1272,49 +1269,9 @@ def _decode_tiff(data: bytes):
     depth = bits[0]
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF samples-per-pixel {spp} not supported")
-    if len(strip_offs) != len(strip_counts):
-        raise ValueError("TIFF strip offset/count tables disagree")
-    stride = (w * spp * depth + 7) // 8  # rows are byte-aligned per spec
-    expected = stride * h
-    rps = tags.get(278, [h])[0]
-    if rps <= 0:
-        raise ValueError(f"bad TIFF RowsPerStrip {rps}")
-    raw = bytearray()
-    for k, (off, cnt) in enumerate(zip(strip_offs, strip_counts)):
-        if off + cnt > len(data):
-            raise ValueError("truncated TIFF strip")
-        strip = data[off : off + cnt]
-        # each strip holds its own whole rows: share = rows-in-strip ×
-        # stride (the LZW stream per strip ends exactly there)
-        share = min(rps, h - k * rps) * stride
-        if share <= 0:
-            raise ValueError("more TIFF strips than rows")
-        if compression == 32773:
-            raw += _packbits_decode(strip, share)
-        elif compression == 5:
-            raw += _tiff_lzw_decode(strip, share)
-        elif compression in (8, 32946):  # Adobe/old Deflate: zlib per strip
-            import zlib
-
-            piece = zlib.decompressobj().decompress(strip, share + 1)
-            if len(piece) != share:
-                raise ValueError(
-                    f"TIFF Deflate strip is {len(piece)}+ bytes, expected {share}"
-                )
-            raw += piece
-        else:
-            # uncompressed strips must be trimmed to their row share,
-            # mirroring the compressed branches: word-aligning writers
-            # pad StripByteCounts, and appending the padding would
-            # shift every later strip — silently wrong pixels
-            if len(strip) < share:
-                raise ValueError(
-                    f"TIFF strip {k} is {len(strip)} bytes, expected {share}"
-                )
-            raw += strip[:share]
-    if len(raw) < expected:
-        raise ValueError(f"TIFF pixel data is {len(raw)} bytes, expected {expected}")
-    arr = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, stride)
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
 
     def palette_lookup(idx):
         """ColorMap: 3·2^depth SHORTs, R plane then G then B. Spec
@@ -1329,6 +1286,109 @@ def _decode_tiff(data: bytes):
         pal = (pal16 if pal16.max(initial=0) <= 255 else pal16 >> 8).astype(np.uint8)
         return pal[idx]
 
+    def _decode_segment(seg: bytes, share: int, what: str):
+        """One strip/tile through the shared codec set, validated to
+        its exact pixel share."""
+        if compression == 32773:
+            piece = bytes(_packbits_decode(seg, share))
+        elif compression == 5:
+            piece = bytes(_tiff_lzw_decode(seg, share))
+        elif compression in (8, 32946):  # Adobe/old Deflate: zlib per segment
+            import zlib
+
+            piece = zlib.decompressobj().decompress(seg, share + 1)
+            if len(piece) != share:
+                raise ValueError(
+                    f"TIFF Deflate {what} is {len(piece)}+ bytes, expected {share}"
+                )
+        else:
+            # uncompressed segments must be trimmed to their share:
+            # word-aligning writers pad the byte counts, and appending
+            # the padding would shift every later segment
+            piece = seg
+        if len(piece) < share:
+            raise ValueError(
+                f"TIFF {what} is {len(piece)} bytes, expected {share}"
+            )
+        return piece[:share]
+
+    if tiled:
+        # Tile layout (spec §15): the raster is a grid of FULL-SIZE
+        # tiles (right/bottom edge tiles are padded, trimmed after
+        # assembly); each tile compresses independently with the same
+        # codec set as strips, and the horizontal predictor resets at
+        # every tile's left edge — undone per tile BEFORE placement.
+        if depth != 8:
+            raise NotImplementedError(
+                "tiled TIFF supported at 8-bit depth only"
+            )
+        for t in (322, 323, 324, 325):
+            if t not in tags:
+                raise ValueError(
+                    "tiled TIFF missing TileWidth/Length/Offsets/ByteCounts"
+                )
+        tw, th = tags[322][0], tags[323][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError(f"bad TIFF tile size {tw}x{th}")
+        offs, cnts = tags[324], tags[325]
+        across, down = -(-w // tw), -(-h // th)
+        if len(offs) != across * down or len(cnts) != len(offs):
+            raise ValueError(
+                f"TIFF tile tables hold {len(offs)}/{len(cnts)} entries "
+                f"for a {across}x{down} grid"
+            )
+        if across * tw * down * th > 4 * MAX_IMAGE_PIXELS:
+            # grossly oversized tile dims vs the raster: bomb guard on
+            # the PADDED canvas, not just the trimmed raster
+            raise ValueError("TIFF tile grid exceeds the bomb guard")
+        tile_bytes = tw * th * spp
+        canvas = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        for t, (off, cnt) in enumerate(zip(offs, cnts)):
+            if off + cnt > len(data):
+                raise ValueError("truncated TIFF tile")
+            piece = _decode_segment(data[off : off + cnt], tile_bytes, f"tile {t}")
+            tile = np.frombuffer(piece, dtype=np.uint8).reshape(th, tw, spp)
+            if predictor == 2:
+                tile = (np.cumsum(tile.astype(np.int64), axis=1) % 256).astype(
+                    np.uint8
+                )
+            ty, tx = divmod(t, across)
+            canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        samples = canvas[:h, :w]
+        if photometric == 3:
+            if spp != 1:
+                raise ValueError(f"paletted TIFF with {spp} samples per pixel")
+            return palette_lookup(samples[:, :, 0])
+        if photometric == 0 and spp == 1:  # WhiteIsZero grayscale
+            return 255 - samples
+        return samples
+
+    try:
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    if len(strip_offs) != len(strip_counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    stride = (w * spp * depth + 7) // 8  # rows are byte-aligned per spec
+    expected = stride * h
+    rps = tags.get(278, [h])[0]
+    if rps <= 0:
+        raise ValueError(f"bad TIFF RowsPerStrip {rps}")
+    raw = bytearray()
+    for k, (off, cnt) in enumerate(zip(strip_offs, strip_counts)):
+        if off + cnt > len(data):
+            raise ValueError("truncated TIFF strip")
+        # each strip holds its own whole rows: share = rows-in-strip ×
+        # stride (the LZW stream per strip ends exactly there)
+        share = min(rps, h - k * rps) * stride
+        if share <= 0:
+            raise ValueError("more TIFF strips than rows")
+        raw += _decode_segment(data[off : off + cnt], share, f"strip {k}")
+    if len(raw) < expected:
+        raise ValueError(f"TIFF pixel data is {len(raw)} bytes, expected {expected}")
+    arr = np.frombuffer(bytes(raw[:expected]), dtype=np.uint8).reshape(h, stride)
+
     if depth == 1:
         bitorder = "little" if tags.get(266, [1])[0] == 2 else "big"  # FillOrder
         bitsarr = np.unpackbits(arr, axis=1, bitorder=bitorder)[:, :w]
@@ -1339,15 +1399,13 @@ def _decode_tiff(data: bytes):
             samples = 255 - samples
         return samples[:, :, None]
     samples = arr[:, : w * spp].reshape(h, w, spp)
-    predictor = tags.get(317, [1])[0]
     if predictor == 2:  # horizontal differencing: stored = px − left,
         # per channel per row; undo with a per-row cumulative sum mod
-        # 256 (vectorized over the whole raster)
+        # 256 (vectorized over the whole raster — strips hold whole
+        # raster rows, so per-raster-row equals per-strip-row)
         samples = (np.cumsum(samples.astype(np.int64), axis=1) % 256).astype(
             np.uint8
         )
-    elif predictor != 1:
-        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if photometric == 3:
         if spp != 1:
             raise ValueError(f"paletted TIFF with {spp} samples per pixel")

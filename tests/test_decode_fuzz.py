@@ -32,7 +32,7 @@ from test_bmp_extended_decode import (
     _paletted_bmp,
     _rle8_encode,
 )
-from test_tiff_decode import _tiff_bytes
+from test_tiff_decode import _tiff_bytes, _tiff_tiled_bytes
 from test_y4m_decode import _y4m_bytes
 
 _CONTRACT = (NotImplementedError, ValueError)
@@ -123,6 +123,14 @@ def _valid_payloads():
             decode_image,
             "tiff_padded",
             _tiff_bytes(img3, rows_per_strip=2, strip_pad=2),
+        ),
+        (
+            decode_image,
+            "tiff_tiled",
+            _tiff_tiled_bytes(
+                rng.integers(0, 256, size=(18, 20, 3), dtype=np.uint8),
+                16, 16, lzw=True, predictor=2,
+            ),
         ),
         (decode_audio, "wav", _wav_bytes(wav, 16000)),
         (decode_audio, "aiff", _aiff_bytes(wav.astype(">i2"), 16000)),

@@ -356,6 +356,21 @@ def test_equiv_tga_rgba():
     _check(_tga_bytes(rgba, rle=True, top_down=False), rgba)
 
 
+# --------------------------------------------- tiled TIFF (r9)
+
+
+def test_equiv_tiff_tiled():
+    """PIL/libtiff read tiled TIFFs; both codecs and the per-tile
+    predictor reset join the armed contract."""
+    from test_tiff_decode import _tiff_tiled_bytes
+
+    arr = _rng(944).integers(0, 256, size=(20, 35, 3), dtype=np.uint8)
+    _check(_tiff_tiled_bytes(arr, 16, 16), arr)
+    _check(_tiff_tiled_bytes(arr, 16, 16, lzw=True, predictor=2), arr)
+    g = _rng(946).integers(0, 256, size=(17, 18, 1), dtype=np.uint8)
+    _check(_tiff_tiled_bytes(g, 16, 16, packbits=True), g)
+
+
 # ------------------------------------------- GIF animation (r9)
 
 

@@ -351,20 +351,28 @@ def _patch_tag(data: bytes, tag: int, new_tag: int = None, new_value: int = None
 
 
 def test_tiff_unsupported_features_classified_not_misdecoded():
-    """CMYK/YCbCr photometrics, tiled layout, and planar configuration
-    are valid TIFF features this decoder doesn't own — they must raise
-    NotImplementedError (quarantine class 'unsupported'), never decode
-    raw samples as RGB (silently wrong) or raise ValueError
-    ('malformed' — a lie about a valid file)."""
+    """CMYK/YCbCr photometrics, planar configuration, and sub-byte
+    tiled layouts are valid TIFF features this decoder doesn't own —
+    they must raise NotImplementedError (quarantine class
+    'unsupported'), never decode raw samples as RGB (silently wrong).
+    Tiled 8-bit layouts decode natively since r9, so a tile-tagged
+    file MISSING TileWidth/Length is now the malformed class."""
     arr = _rng(520).integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
     ok = _tiff_bytes(arr)
     for phot in (5, 6, 8):  # CMYK, YCbCr, CIELab
         with pytest.raises(NotImplementedError):
             decode_image(_patch_tag(ok, 262, new_value=phot))
-    # tiled: StripOffsets/ByteCounts renamed to TileOffsets/ByteCounts
+    # strip tags renamed to tile tags WITHOUT TileWidth/Length: a
+    # tiled file with no tile geometry is structurally damaged
     tiled = _patch_tag(_patch_tag(ok, 273, new_tag=324), 279, new_tag=325)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="TileWidth"):
         decode_image(tiled)
+    # 1-bit tiled stays codec-contract territory
+    bits = _rng(522).integers(0, 2, size=(4, 8), dtype=np.uint8)
+    bil = _tiff_bytes(bits, bilevel=True)
+    bil_tiled = _patch_tag(_patch_tag(bil, 273, new_tag=324), 279, new_tag=325)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_image(bil_tiled)
     # planar configuration 2: ExtraSamples tag rewritten to tag 284=2
     planar = _patch_tag(ok, 338, new_tag=284, new_value=2)
     with pytest.raises(NotImplementedError):
@@ -460,3 +468,178 @@ def test_tiff_short_uncompressed_strip_rejected():
     short = _patch_tag(data, 279, new_value=4 * 4 * 3 - 5)
     with pytest.raises(ValueError, match="TIFF"):
         decode_image(short)
+
+
+# --------------------------------------------------- tiled layout (r9)
+
+
+def _tiff_tiled_bytes(
+    arr: np.ndarray,
+    tile_w: int,
+    tile_h: int,
+    bo: str = "<",
+    lzw: bool = False,
+    packbits: bool = False,
+    deflate: bool = False,
+    predictor: int = 1,
+    palette: np.ndarray = None,
+) -> bytes:
+    """Tiled TIFF per spec §15, written independently of the decoder:
+    the raster as a grid of FULL-SIZE tiles (edge tiles zero-padded),
+    each tile compressed on its own with the predictor applied within
+    the tile (it resets at every tile's left edge), tags
+    TileWidth/TileLength/TileOffsets/TileByteCounts instead of the
+    strip tags."""
+    if palette is not None:
+        h, w = arr.shape
+        spp = 1
+    else:
+        h, w, spp = arr.shape
+    across, down = -(-w // tile_w), -(-h // tile_h)
+    px = arr.reshape(h, w, spp)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = np.zeros((tile_h, tile_w, spp), dtype=np.uint8)
+            sub = px[ty * tile_h : (ty + 1) * tile_h, tx * tile_w : (tx + 1) * tile_w]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            if predictor == 2:
+                flat = tile.reshape(tile_h, -1).astype(int)
+                diff = flat.copy()
+                for x in range(spp, flat.shape[1]):
+                    diff[:, x] = (flat[:, x] - flat[:, x - spp]) % 256
+                tile = diff.astype(np.uint8).reshape(tile.shape)
+            seg = tile.tobytes()
+            if packbits:
+                seg = _packbits_encode(seg)
+            elif lzw:
+                seg = _tiff_lzw_encode(seg)
+            elif deflate:
+                import zlib
+
+                seg = zlib.compress(seg)
+            tiles.append(seg)
+    pos = 8
+    tile_offs = []
+    for s in tiles:
+        tile_offs.append(pos)
+        pos += len(s)
+    cmap_words = []
+    cmap_off = pos
+    if palette is not None:
+        for ch in range(3):
+            plane = np.zeros(256, dtype=np.uint16)
+            plane[: len(palette)] = palette[:, ch].astype(np.uint16) << 8
+            cmap_words.extend(int(v) for v in plane)
+        pos += 2 * len(cmap_words)
+    ifd_off = pos
+
+    entries = []
+    deferred = []
+
+    def entry(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(bo + fmt * len(vals), *vals)
+        if len(payload) <= 4:
+            payload = payload + b"\x00" * (4 - len(payload))
+            entries.append(struct.pack(bo + "HHI", tag, typ, len(vals)) + payload)
+        else:
+            entries.append(None)
+            deferred.append((len(entries) - 1, tag, typ, vals, payload))
+
+    phot = 3 if palette is not None else (1 if spp == 1 else 2)
+    comp = 32773 if packbits else (5 if lzw else (8 if deflate else 1))
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp])
+    entry(262, 3, [phot])
+    entry(277, 3, [spp])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if spp == 4:
+        entry(338, 3, [2])
+    if palette is not None:
+        entry(320, 3, cmap_words) if len(cmap_words) * 2 <= 4 else entries.append(
+            struct.pack(bo + "HHII", 320, 3, len(cmap_words), cmap_off)
+        )
+    entry(322, 3, [tile_w])
+    entry(323, 3, [tile_h])
+    entry(324, 4, tile_offs)
+    entry(325, 4, [len(s) for s in tiles])
+    # resolve deferred (value blocks after the IFD)
+    tail_off = ifd_off + 2 + 12 * len(entries) + 4
+    tail = b""
+    for slot, tag, typ, vals, payload in deferred:
+        entries[slot] = struct.pack(bo + "HHII", tag, typ, len(vals), tail_off + len(tail))
+        tail += payload
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    for s in tiles:
+        out += s
+    for v in cmap_words:
+        out += struct.pack(bo + "H", v)
+    out += struct.pack(bo + "H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(bo + "I", 0)
+    out += tail
+    return bytes(out)
+
+
+def test_tiff_tiled_rgb_edge_padding():
+    """20x35 RGB with 16x16 tiles: a 3x2 grid whose right/bottom
+    tiles carry padding the decoder must trim."""
+    arr = _rng(85).integers(0, 256, size=(20, 35, 3), dtype=np.uint8)
+    got = decode_image(_tiff_tiled_bytes(arr, 16, 16))
+    np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_tiff_tiled_lzw_predictor_resets_per_tile(bo):
+    """The key tiled-predictor semantic: horizontal differencing
+    resets at every tile's left edge — a decoder running one cumsum
+    across the assembled raster would corrupt every tile after the
+    first column of tiles."""
+    arr = _rng(86).integers(0, 256, size=(18, 40, 3), dtype=np.uint8)
+    got = decode_image(
+        _tiff_tiled_bytes(arr, 16, 16, bo=bo, lzw=True, predictor=2)
+    )
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_tiff_tiled_gray_packbits_and_rgba_deflate():
+    g = _rng(87).integers(0, 256, size=(17, 33, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_image(_tiff_tiled_bytes(g, 16, 16, packbits=True)), g
+    )
+    rgba = _rng(88).integers(0, 256, size=(16, 20, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_image(_tiff_tiled_bytes(rgba, 16, 16, deflate=True)), rgba
+    )
+
+
+def test_tiff_tiled_palette():
+    pal = _rng(89).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = _rng(90).integers(0, 16, size=(19, 21), dtype=np.uint8)
+    got = decode_image(_tiff_tiled_bytes(idx, 16, 16, palette=pal))
+    np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_tiff_tiled_malformed_and_unsupported():
+    arr = _rng(91).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    ok = _tiff_tiled_bytes(arr, 16, 16)
+    # wrong tile-table length for the grid
+    bad = bytearray(_tiff_tiled_bytes(arr, 8, 8))  # 2x2 grid, 4 tiles
+    # patch TileWidth to 16 so the grid claims 1x1 but 4 offsets exist
+    i = bad.find(struct.pack("<HHI", 322, 3, 1))
+    struct.pack_into("<H", bad, i + 8, 16)
+    i = bad.find(struct.pack("<HHI", 323, 3, 1))
+    struct.pack_into("<H", bad, i + 8, 16)
+    with pytest.raises(ValueError, match="grid"):
+        decode_image(bytes(bad))
+    # truncated tile data
+    with pytest.raises(ValueError):
+        decode_image(ok[:40])
+    # sanity: the untouched payload still decodes
+    np.testing.assert_array_equal(decode_image(ok), arr)
