@@ -604,6 +604,12 @@ def _png_unfilter(rows, stride: int, bpp: int):
 # for corpora with genuinely larger rasters.
 MAX_IMAGE_PIXELS = 1 << 26
 
+# Animated-GIF total-output guard: the compositor materializes one
+# full logical-screen RGBA canvas per frame, so the amplification
+# bound is frames × screen pixels, not any single frame's size.
+# 4× the still-image guard ≈ 1 GiB of RGBA output.
+MAX_GIF_TOTAL_PIXELS = 4 * (1 << 26)
+
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec §8.2
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -1013,7 +1019,15 @@ def decode_gif_frames(data: bytes):
     the background color), 3 restores the canvas as it was before
     the frame drew. Each GCE applies to exactly one following image
     block. A frame rectangle outside the logical screen, or a
-    missing trailer mid-stream, is malformed."""
+    missing trailer mid-stream, is malformed.
+
+    Bomb guard: every composited frame is a full logical-screen RGBA
+    copy, so the TOTAL output is n_frames × screen pixels — a tiny
+    LZW payload with thousands of 1×1 frame rectangles would amplify
+    unboundedly even though each single frame passes MAX_IMAGE_PIXELS.
+    Decoding raises ValueError once the cumulative output would
+    exceed MAX_GIF_TOTAL_PIXELS (quarantine-catchable, unlike the
+    MemoryError it prevents)."""
     import struct
 
     import numpy as np
@@ -1071,6 +1085,12 @@ def decode_gif_frames(data: bytes):
             raise ValueError(
                 f"GIF frame {w}x{h}@({left},{top}) exceeds the "
                 f"{sw}x{sh} logical screen"
+            )
+        if (len(frames) + 1) * sw * sh > MAX_GIF_TOTAL_PIXELS:
+            raise ValueError(
+                f"GIF animation output ({len(frames) + 1} frames of "
+                f"{sw}x{sh}) exceeds MAX_GIF_TOTAL_PIXELS="
+                f"{MAX_GIF_TOTAL_PIXELS} (decompression-bomb guard)"
             )
         prev = canvas.copy() if disposal == 3 else None
         rgba = np.dstack(
@@ -1867,7 +1887,11 @@ def _decode_adpcm_wav(tag: int, fmt_body: bytes, data: bytes, fact):
       channels per nibble; the coefficient pairs come from the fmt
       extension's aCoef table.
     The 'fact' chunk's per-channel frame count trims final-block
-    padding."""
+    padding. A SHORT final block (whole state header + whole nibble
+    groups) is accepted when a fact chunk bounds the frame count —
+    how ffmpeg and many encoders actually ship streams whose length
+    isn't a block multiple; without a fact chunk it stays classified
+    malformed (indistinguishable from a cut stream)."""
     import struct
 
     import numpy as np
@@ -1887,11 +1911,49 @@ def _decode_adpcm_wav(tag: int, fmt_body: bytes, data: bytes, fact):
     if n_ch < 1 or rate < 1:
         raise ValueError(f"malformed WAV fmt chunk (channels={n_ch}, rate={rate})")
     spb = struct.unpack_from("<H", fmt_body, 18)[0]
-    if block_align < 1 or len(data) % block_align:
-        raise ValueError(
-            f"ADPCM data is {len(data)} bytes, not a multiple of the "
-            f"{block_align}-byte block (trailing partial block)"
+    if block_align < 1:
+        raise ValueError(f"ADPCM nBlockAlign {block_align} invalid")
+    rem = len(data) % block_align
+    if rem:
+        # Common encoders emit a SHORT final block, with the fact
+        # chunk carrying the real frame count. Accept it when (a) a
+        # fact chunk bounds the frames, (b) the tail still holds the
+        # complete per-channel state header plus whole nibble groups,
+        # and (c) fact fits inside what the tail actually carries —
+        # then zero-pad to a whole block (the padding decodes junk
+        # samples that the fact trim provably discards). Without a
+        # fact chunk a partial block is indistinguishable from a cut
+        # stream, and flooring it would silently report wrong
+        # n_frames/duration — that stays malformed.
+        hdr_b = (4 if tag == 0x0011 else 7) * n_ch
+        if fact is None:
+            raise ValueError(
+                f"ADPCM data is {len(data)} bytes, not a multiple of the "
+                f"{block_align}-byte block, and no fact chunk bounds the "
+                "frame count (trailing partial block)"
+            )
+        group_ok = (
+            (rem - hdr_b) % (4 * n_ch) == 0
+            if tag == 0x0011
+            else ((rem - hdr_b) * 2) % n_ch == 0
         )
+        if rem < hdr_b or not group_ok:
+            raise ValueError(
+                f"ADPCM trailing block of {rem} bytes is not a state "
+                f"header plus whole nibble groups for {n_ch} channel(s)"
+            )
+        if tag == 0x0011:
+            tail_avail = (rem - hdr_b) // (4 * n_ch) * 8 + 1
+        else:
+            tail_avail = (rem - hdr_b) * 2 // n_ch + 2
+        full_avail = (len(data) // block_align) * spb
+        if fact > full_avail + min(tail_avail, spb):
+            raise ValueError(
+                f"WAV fact declares {fact} frames but the ADPCM blocks "
+                f"(final block partial) hold only "
+                f"{full_avail + min(tail_avail, spb)}"
+            )
+        data = data + b"\x00" * (block_align - rem)
     n_blocks = len(data) // block_align
     arr = np.frombuffer(data, dtype=np.uint8).reshape(n_blocks, block_align)
     if tag == 0x0011:
@@ -2753,6 +2815,24 @@ def video_frame_sample(
     return clips.select("doc_id", "payload").mapInPandas(gen, schema)
 
 
+def _gif_frames_checked(raw: bytes):
+    """decode_gif_frames behind the decode contract: non-GIF payloads
+    are NotImplementedError (format routing, same as decode_image's
+    dispatcher), and any exception class the GIF parser leaks beyond
+    the contract's two becomes ValueError — without this shim an
+    unanticipated IndexError/struct.error would escape the quarantine
+    catch in gif_frame_sample and kill the executor task (the same
+    catch-all decode_image applies to its GIF branch)."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("gif_frame_sample requires a GIF payload")
+    try:
+        return decode_gif_frames(raw)
+    except (NotImplementedError, ValueError):
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed GIF payload: {e}") from e
+
+
 def gif_frame_sample(
     gifs: DataFrame, every_n: int = 1, quarantine: bool = False
 ) -> DataFrame:
@@ -2787,12 +2867,7 @@ def gif_frame_sample(
                 try:
                     if payload is None:
                         raise ValueError("null payload")
-                    raw = bytes(payload)
-                    if raw[:6] not in (b"GIF87a", b"GIF89a"):
-                        raise NotImplementedError(
-                            "gif_frame_sample requires a GIF payload"
-                        )
-                    frames, _ = decode_gif_frames(raw)
+                    frames, _ = _gif_frames_checked(bytes(payload))
                 except (NotImplementedError, ValueError) as e:
                     if not quarantine:
                         raise

@@ -443,3 +443,75 @@ if _HAS_HYPOTHESIS:
         got, rate = decode_audio(payload)
         assert rate == 22050
         np.testing.assert_array_equal(got, recon)
+
+
+def _rebuild_wav_data(payload: bytes, new_data: bytes, drop_fact: bool = False):
+    """Re-assemble a WAV keeping the original fmt (and fact unless
+    dropped) chunks but swapping the data chunk body."""
+    doff = payload.find(b"data")
+    chunks = payload[12:doff]
+    if drop_fact:
+        foff = chunks.find(b"fact")
+        fsz = struct.unpack_from("<I", chunks, foff + 4)[0]
+        chunks = chunks[:foff] + chunks[foff + 8 + fsz + (fsz & 1):]
+    chunks += b"data" + struct.pack("<I", len(new_data)) + new_data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ima_wav_partial_final_block_with_fact():
+    """A SHORT final block (full header + whole nibble groups) decodes
+    when the fact chunk bounds the frame count — how ffmpeg ships
+    streams whose length isn't a block multiple. 43 mono frames at
+    spb=17 (block_align 12): blocks 1-2 full, block 3 carries header
+    (1 sample) + ONE 4-byte group (8 samples) = exactly the 9 real
+    tail frames."""
+    x = _smooth(932, 43, 1)
+    payload, recon = _ima_wav_bytes(x, 8000, groups=2)  # spb=17, 3 blocks
+    doff = payload.find(b"data")
+    data = payload[doff + 8:]
+    assert len(data) == 36
+    trimmed = _rebuild_wav_data(payload, data[:32])  # drop block 3 group 2
+    got, rate = decode_audio(trimmed)
+    assert rate == 8000
+    assert got.shape == (43, 1)
+    np.testing.assert_array_equal(got, recon)
+
+
+def test_ms_wav_partial_final_block_with_fact():
+    """MS ADPCM twin: 52 mono frames at spb=32 (block_align 22);
+    block 2 trimmed to header (2 samples) + 9 nibble bytes (18
+    nibbles) = exactly the 20 real tail frames."""
+    x = _smooth(933, 52, 1)
+    payload, recon = _ms_wav_bytes(x, 8000)
+    doff = payload.find(b"data")
+    data = payload[doff + 8:]
+    assert len(data) == 44
+    trimmed = _rebuild_wav_data(payload, data[:38])
+    got, _ = decode_audio(trimmed)
+    assert got.shape == (52, 1)
+    np.testing.assert_array_equal(got, recon)
+
+
+def test_ima_wav_partial_final_block_rejections():
+    x = _smooth(934, 43, 1)
+    payload, _ = _ima_wav_bytes(x, 8000, groups=2)
+    doff = payload.find(b"data")
+    data = payload[doff + 8:]
+    # no fact chunk: a partial block is indistinguishable from a cut
+    # stream — stays malformed, and the message says why
+    nofact = _rebuild_wav_data(payload, data[:32], drop_fact=True)
+    with pytest.raises(ValueError, match="no fact chunk"):
+        decode_audio(nofact)
+    # fact exceeding what the partial tail holds (full 34 + tail 9 = 43)
+    over = bytearray(_rebuild_wav_data(payload, data[:32]))
+    struct.pack_into("<I", over, over.find(b"fact") + 8, 44)
+    with pytest.raises(ValueError, match="final block partial"):
+        decode_audio(bytes(over))
+    # tail not a header + whole nibble groups
+    ragged = _rebuild_wav_data(payload, data[:30])
+    with pytest.raises(ValueError, match="whole nibble groups"):
+        decode_audio(ragged)
+    # tail shorter than the state header
+    tiny = _rebuild_wav_data(payload, data[:26])
+    with pytest.raises(ValueError, match="whole nibble groups|state"):
+        decode_audio(tiny)

@@ -482,3 +482,44 @@ def test_gif_frame_sample_composes_with_image_stats(spark):
 
     with pytest.raises(ValueError, match="every_n"):
         gif_frame_sample(df, every_n=0)
+
+
+def test_gif_frames_total_output_bomb_guard(monkeypatch):
+    """Frame-count amplification guard: each composited frame is a
+    full logical-screen RGBA copy, so a tiny payload with many 1x1
+    frame rects amplifies to n_frames x screen pixels. With the guard
+    shrunk to 4 canvases' worth, the 5th frame must raise the
+    quarantine-catchable ValueError (not MemoryError)."""
+    import flink_hiveorc_spark.functions.multimodal as mm
+
+    rng = np.random.default_rng(83)
+    screen = (6, 4)  # 24 px canvas
+    tiny = [{"idx": rng.integers(0, 8, size=(1, 1), dtype=np.uint8)}
+            for _ in range(8)]
+    payload = _gif_anim_bytes(screen, tiny, _PAL8)
+    monkeypatch.setattr(mm, "MAX_GIF_TOTAL_PIXELS", 4 * 24)
+    with pytest.raises(ValueError, match="MAX_GIF_TOTAL_PIXELS"):
+        mm.decode_gif_frames(payload)
+    # exactly at the cap decodes fine
+    ok = _gif_anim_bytes(screen, tiny[:4], _PAL8)
+    frames, _ = mm.decode_gif_frames(ok)
+    assert frames.shape == (4, 4, 6, 4)
+
+
+def test_gif_frames_checked_shim_converts_foreign_exceptions(monkeypatch):
+    """_gif_frames_checked keeps the decode contract: non-GIF magic is
+    NotImplementedError, contract errors pass through, and any
+    exception class the parser might leak becomes ValueError (so the
+    quarantine catch in gif_frame_sample can never be bypassed)."""
+    import flink_hiveorc_spark.functions.multimodal as mm
+
+    with pytest.raises(NotImplementedError, match="requires a GIF"):
+        mm._gif_frames_checked(b"not a gif at all")
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        mm._gif_frames_checked(b"GIF89a\x01\x00")
+    monkeypatch.setattr(
+        mm, "decode_gif_frames",
+        lambda raw: (_ for _ in ()).throw(RuntimeError("parser leak")),
+    )
+    with pytest.raises(ValueError, match="malformed GIF payload: parser leak"):
+        mm._gif_frames_checked(b"GIF89a" + b"\x00" * 16)
