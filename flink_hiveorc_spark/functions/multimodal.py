@@ -2943,6 +2943,101 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("doc_id", "payload").mapInPandas(_fake_features, FEATURE_SCHEMA)
 
 
+def _image_container_segments() -> dict[str, bytes]:
+    """Constant byte segments for the 8-way image decode-stats
+    rotation: every container carries the SAME 16 digest bytes as a
+    4×4 gray raster (palette formats through an identity-gray
+    palette), so one oracle recomputes the pixel statistics for all
+    eight native decoders. Each builder is written from the format
+    spec, independently of its decoder."""
+    import struct
+    import zlib
+
+    seg: dict[str, bytes] = {}
+    # BMP: 8-bit paletted, identity-gray BGRX table, bottom-up (the
+    # mean is row-order invariant), stride 4 = no row padding at w=4.
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 16, 0, 0, 256, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i, 0))
+    pix_off = 14 + 40 + len(palette)
+    seg["bmp"] = (
+        b"BM" + struct.pack("<IHHI", pix_off + 16, 0, 0, pix_off) + info + palette
+    )
+    # TGA: type 3 grayscale, top-down (descriptor bit 5), routed by
+    # the mandatory TGA 2.0 footer signature.
+    seg["tga_hdr"] = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 3, 0, 0, 0, 0, 0, 4, 4, 8, 0x20
+    )
+    seg["tga_foot"] = struct.pack("<II", 0, 0) + b"TRUEVISION-XFILE.\x00"
+    # TIFF: little-endian, single uncompressed strip right after the
+    # IFD (9 entries, tags ascending per spec).
+    n_ent = 9
+    pix = 8 + 2 + 12 * n_ent + 4
+    ent = b"".join(
+        struct.pack("<HHII", tag, typ, 1, val)
+        for tag, typ, val in (
+            (256, 3, 4),      # ImageWidth
+            (257, 3, 4),      # ImageLength
+            (258, 3, 8),      # BitsPerSample
+            (259, 3, 1),      # Compression: none
+            (262, 3, 1),      # Photometric: BlackIsZero
+            (273, 4, pix),    # StripOffsets
+            (277, 3, 1),      # SamplesPerPixel
+            (278, 3, 4),      # RowsPerStrip
+            (279, 4, 16),     # StripByteCounts
+        )
+    )
+    seg["tiff"] = (
+        b"II\x2a\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", n_ent) + ent + struct.pack("<I", 0)
+    )
+    # QOI: channels=3 header; pixels ship as QOI_OP_RGB literals
+    # (interleaved JVM-side), then the 8-byte end marker.
+    seg["qoi_hdr"] = b"qoif" + struct.pack(">II", 4, 4) + bytes((3, 0))
+    seg["qoi_end"] = b"\x00" * 7 + b"\x01"
+    # farbfeld: 16-bit BE RGBA; gray byte v ships as v·257 = (v, v)
+    # per channel (so the decoder's high-byte reduction is lossless),
+    # alpha fixed opaque.
+    seg["ff_hdr"] = b"farbfeld" + struct.pack(">II", 4, 4)
+    # PNG: IHDR/IEND constant (CRCs precomputed); IDAT is a STORED-
+    # deflate zlib stream — 2-byte header, 5-byte stored-block header
+    # (BFINAL=1, LEN=24, NLEN), 4 filter-0 scanlines, then the
+    # adler32/crc32 computed JVM-side (linear in the digest bytes /
+    # F.crc32). 0x78 0x01 is a valid CMF/FLG pair (30721 % 31 == 0).
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    seg["png_hdr"] = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 31)  # zlib stream: 2 + 5 + 4·(1+4) + 4
+    )
+    seg["png_zpre"] = b"\x78\x01\x01" + struct.pack("<H", 20) + struct.pack("<H", 0xFFEB)
+    seg["png_iend"] = (
+        struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+    )
+    # GIF: 256-entry identity-gray global table; the LZW stream is the
+    # classic clear-before-every-literal construction (dictionary
+    # never grows, width pinned at 9), so the 38-byte data block is a
+    # fixed LSB-first bit-shuffle of the 16 pixel bytes + EOI.
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    seg["gif_hdr"] = (
+        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0) + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+        + bytes((8, 38))  # LZW min code size, one 38-byte sub-block
+    )
+    seg["gif_end"] = b"\x01\x01\x00\x3b"  # EOI code bytes, terminator, trailer
+    return seg
+
+
+def _int_byte(expr):
+    """Computed integer 0..255 → one binary byte, JVM-side."""
+    return F.unhex(F.lpad(F.hex(expr), 2, "0"))
+
+
+def _int_be32(expr):
+    """Computed integer 0..2^32−1 → four big-endian bytes, JVM-side."""
+    return F.unhex(F.lpad(F.hex(expr), 8, "0"))
+
+
 @query(
     "multimodal_image_decode_stats",
     oracle="""
@@ -2952,33 +3047,125 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
       FROM p, UNNEST(range(0, 16)) AS t(i)
-    )
+    ),
+    s AS (SELECT doc_id, sum(byte) AS sb FROM b GROUP BY doc_id)
     SELECT doc_id,
            CAST(4 AS BIGINT) AS height,
            CAST(4 AS BIGINT) AS width,
-           CAST(1 AS BIGINT) AS channels,
-           CAST(sum(byte) AS DOUBLE) / 16 AS mean_byte
-    FROM b
-    GROUP BY doc_id
+           CAST(CASE doc_id % 8
+                  WHEN 1 THEN 3  -- BMP: identity palette expands to RGB
+                  WHEN 4 THEN 3  -- QOI: channels=3 header
+                  WHEN 5 THEN 4  -- farbfeld: always RGBA
+                  WHEN 7 THEN 3  -- GIF: palette expands to RGB
+                  ELSE 1         -- PGM / TGA / TIFF / PNG grayscale
+                END AS BIGINT) AS channels,
+           CASE WHEN doc_id % 8 = 5
+                THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- opaque alpha
+                ELSE CAST(sb AS DOUBLE) / 16
+           END AS mean_byte
+    FROM s
     """,
 )
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 with REAL decode under the oracle: build a deterministic
-    4×4 PGM image per document (header + the 16 md5 digest bytes as
-    pixels — `concat(lit, unhex(md5(text)))`, all JVM-side), then
-    run the genuine decode→featurize path (`image_stats` →
-    `decode_image` → `_decode_pnm` → pixel statistics in
-    mapInPandas). The oracle recomputes the byte mean directly from
-    the hex digest (nibble arithmetic over an UNNEST spine), so the
-    decoder, the Arrow plumbing, AND the feature math are all
-    value-checked externally — not just pytest-verified. Exact
-    compare: sum ≤ 16·255 is integer-exact, one final /16 in both
-    engines."""
+    """L5 with REAL decode under the oracle, across the WHOLE native
+    image-format matrix (r10 — the video query's dual-container trick
+    generalized): each document ships its 16 md5 digest bytes as a
+    4×4 gray raster in ONE of eight containers chosen by doc_id % 8 —
+    P5 PGM, 8-bit paletted BMP (identity-gray palette, bottom-up),
+    grayscale TGA 2.0 (footer-routed), uncompressed little-endian
+    TIFF, QOI (OP_RGB literals, r=g=b), farbfeld (16-bit BE samples
+    as byte·257, opaque alpha), PNG (stored-deflate zlib stream with
+    the adler32 computed as a LINEAR function of the digest bytes —
+    no mod wrap: A ≤ 4081, weighted sum ≤ 40820 < 65521 — and the
+    IDAT CRC via F.crc32), and GIF (clear-code-per-literal LZW whose
+    38-byte stream is a fixed bit-shuffle of the pixels, identity-gray
+    256-entry palette). Every payload is JVM-side concat/arithmetic —
+    no UDF builds bytes — and all eight run through the genuine
+    `image_stats` → `decode_image` dispatch. The oracle recomputes
+    the statistics once from the hex digest: identical pixels in all
+    eight containers, so only channels (palette/RGBA expansion) and
+    the farbfeld alpha term branch on doc_id % 8. A pixel, geometry,
+    palette, filter, checksum, or bit-order divergence in ANY of the
+    eight decoders flips the hash. Exactness: integer pixel sums
+    (≤ 16·255, resp. 3·sum+4080 ≤ 16320), one final power-of-two
+    division in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id",
-        F.concat(F.lit(b"P5\n4 4\n255\n"), F.unhex(F.md5("text"))).alias("payload"),
+    hx = F.md5("text")
+    seg = _image_container_segments()
+    # per-byte views of the digest: binary (db) and integer (dv)
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    digest = F.unhex(hx)
+    pgm = F.concat(F.lit(b"P5\n4 4\n255\n"), digest)
+    bmp = F.concat(F.lit(seg["bmp"]), digest)
+    tga = F.concat(F.lit(seg["tga_hdr"]), digest, F.lit(seg["tga_foot"]))
+    tiff = F.concat(F.lit(seg["tiff"]), digest)
+    qoi_parts = [F.lit(seg["qoi_hdr"])]
+    for i in range(16):
+        qoi_parts += [F.lit(b"\xfe"), db[i], db[i], db[i]]
+    qoi = F.concat(*qoi_parts, F.lit(seg["qoi_end"]))
+    ff_parts = [F.lit(seg["ff_hdr"])]
+    for i in range(16):
+        ff_parts += [db[i]] * 6 + [F.lit(b"\xff\xff")]
+    ff = F.concat(*ff_parts)
+    # PNG: raw deflate payload = 4 × (filter 0 + 4 pixel bytes);
+    # adler32 with no mod wrap (see docstring), crc32 via the builtin.
+    # 20-byte raw stream (4 × [filter, 4 pixels]); weight of the byte
+    # at 1-based position p is 21−p, filters contribute 0
+    adler_a = sum(dv, F.lit(1))
+    weights = [19, 18, 17, 16, 14, 13, 12, 11, 9, 8, 7, 6, 4, 3, 2, 1]
+    adler_b = sum((dv[i] * weights[i] for i in range(16)), F.lit(20))
+    scanlines = F.concat(
+        *(
+            part
+            for r in range(4)
+            for part in (F.lit(b"\x00"), F.unhex(F.substring(hx, 8 * r + 1, 8)))
+        )
     )
+    idat_body = F.concat(
+        F.lit(b"IDAT"),
+        F.lit(seg["png_zpre"]),
+        scanlines,
+        _int_be32(adler_b * 65536 + adler_a),
+    )
+    png = F.concat(
+        F.lit(seg["png_hdr"]), idat_body, _int_be32(F.crc32(idat_body)),
+        F.lit(seg["png_iend"]),
+    )
+    # GIF: codes (CLEAR, pixel) × 16 + EOI at 9 bits, LSB-first — each
+    # 4-pixel group packs to 9 bytes whose layout is fixed arithmetic
+    # in the pixel values (b0 is always 0; CLEAR contributes the
+    # constants 1/4/16/64).
+    gif_parts = [F.lit(seg["gif_hdr"])]
+    for g in range(4):
+        pa, pb, pc, pd = dv[4 * g : 4 * g + 4]
+        gif_parts += [
+            F.lit(b"\x00"),
+            _int_byte(pa.bitwiseAND(F.lit(0x7F)) * 2 + 1),
+            _int_byte(F.shiftright(pa, 7)),
+            _int_byte(pb.bitwiseAND(F.lit(0x1F)) * 8 + 4),
+            _int_byte(F.shiftright(pb, 5)),
+            _int_byte(pc.bitwiseAND(F.lit(0x07)) * 32 + 16),
+            _int_byte(F.shiftright(pc, 3)),
+            _int_byte(pd.bitwiseAND(F.lit(0x01)) * 128 + 64),
+            _int_byte(F.shiftright(pd, 1)),
+        ]
+    gif = F.concat(*gif_parts, F.lit(seg["gif_end"]))
+    m = F.col("doc_id") % 8
+    payload = (
+        F.when(m == 0, pgm)
+        .when(m == 1, bmp)
+        .when(m == 2, tga)
+        .when(m == 3, tiff)
+        .when(m == 4, qoi)
+        .when(m == 5, ff)
+        .when(m == 6, png)
+        .otherwise(gif)
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)
 
 

@@ -1,0 +1,174 @@
+"""The r10 8-way image container rotation behind
+multimodal_image_decode_stats: every container ships the same 16
+digest bytes as a 4×4 gray raster, so one oracle covers eight native
+decoders.
+
+Pins, independent of the Spark expression code:
+- a pure-Python twin of each container construction decodes (via the
+  REAL decode_image dispatch) to exactly the expected pixels —
+  including the BMP bottom-up flip, the farbfeld 16-bit reduction,
+  and the palette expansions;
+- the GIF stream's fixed 9-byte-per-4-pixels bit-shuffle equals an
+  independently written LSB-first bit packer (the arithmetic the
+  Spark side computes JVM-side);
+- the PNG adler32 linear-weight formula equals zlib.adler32 (the
+  no-mod-wrap claim);
+- the registered query itself at sf0.001 equals a local pandas
+  recomputation row-for-row across all eight doc_id % 8 branches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import flink_hiveorc_spark.functions.multimodal as mm
+
+
+def _digest(text: str) -> bytes:
+    return hashlib.md5(text.encode()).digest()
+
+
+def _bit_pack_lsb(codes, width: int) -> bytes:
+    """Independent LSB-first bit packer (GIF appendix F)."""
+    buf = nbits = 0
+    out = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _python_payloads(dg: bytes) -> dict[str, bytes]:
+    """Pure-Python twin of the Spark-side concat construction."""
+    seg = mm._image_container_segments()
+    out = {
+        "pgm": b"P5\n4 4\n255\n" + dg,
+        "bmp": seg["bmp"] + dg,
+        "tga": seg["tga_hdr"] + dg + seg["tga_foot"],
+        "tiff": seg["tiff"] + dg,
+        "qoi": seg["qoi_hdr"]
+        + b"".join(b"\xfe" + bytes([v, v, v]) for v in dg)
+        + seg["qoi_end"],
+        "ff": seg["ff_hdr"] + b"".join(bytes([v]) * 6 + b"\xff\xff" for v in dg),
+    }
+    raw = b"".join(b"\x00" + dg[4 * r : 4 * r + 4] for r in range(4))
+    idat = b"IDAT" + seg["png_zpre"] + raw + struct.pack(">I", zlib.adler32(raw))
+    out["png"] = (
+        seg["png_hdr"] + idat + struct.pack(">I", zlib.crc32(idat)) + seg["png_iend"]
+    )
+    codes = []
+    for v in dg:
+        codes += [256, v]
+    codes.append(257)
+    stream = _bit_pack_lsb(codes, 9)
+    assert len(stream) == 38
+    out["gif"] = seg["gif_hdr"] + stream + b"\x00\x3b"
+    return out
+
+
+_EXPECT_CHANNELS = {
+    "pgm": 1, "bmp": 3, "tga": 1, "tiff": 1,
+    "qoi": 3, "ff": 4, "png": 1, "gif": 3,
+}
+
+
+@pytest.mark.parametrize("text", ["hello world", "", "αβγ δε", "x" * 500])
+def test_container_matrix_decodes_to_identical_pixels(text):
+    dg = _digest(text)
+    gray = np.frombuffer(dg, dtype=np.uint8).reshape(4, 4)
+    for fmt, payload in _python_payloads(dg).items():
+        arr = mm.decode_image(payload)
+        ch = _EXPECT_CHANNELS[fmt]
+        assert arr.shape == (4, 4, ch), fmt
+        rows = gray[::-1] if fmt == "bmp" else gray  # BMP is bottom-up
+        if ch == 1:
+            np.testing.assert_array_equal(arr[:, :, 0], rows, err_msg=fmt)
+        else:
+            for c in range(3):
+                np.testing.assert_array_equal(arr[:, :, c], rows, err_msg=fmt)
+            if ch == 4:
+                assert (arr[:, :, 3] == 255).all(), fmt
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gif_bit_shuffle_formulas_match_independent_packer(seed):
+    """The 9-byte group arithmetic the Spark expressions compute must
+    equal the independent bit packer for arbitrary pixel bytes."""
+    rng = np.random.default_rng(seed)
+    px = [int(v) for v in rng.integers(0, 256, size=16)]
+    codes = []
+    for v in px:
+        codes += [256, v]
+    codes.append(257)
+    ref = _bit_pack_lsb(codes, 9)
+    got = bytearray()
+    for g in range(4):
+        pa, pb, pc, pd = px[4 * g : 4 * g + 4]
+        got += bytes(
+            [
+                0,
+                (pa & 0x7F) * 2 + 1,
+                pa >> 7,
+                (pb & 0x1F) * 8 + 4,
+                pb >> 5,
+                (pc & 0x07) * 32 + 16,
+                pc >> 3,
+                (pd & 0x01) * 128 + 64,
+                pd >> 1,
+            ]
+        )
+    got += b"\x01\x01"  # EOI bytes
+    assert bytes(got) == ref
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_png_adler_linear_weights_match_zlib(seed):
+    """A = 1 + Σd, B = 20 + Σ(21−pos)·d with NO mod (A ≤ 4081,
+    B ≤ 40820 < 65521) — must equal zlib.adler32 over the filtered
+    scanline stream."""
+    rng = np.random.default_rng(seed)
+    dg = bytes(rng.integers(0, 256, size=16, dtype=np.uint8))
+    raw = b"".join(b"\x00" + dg[4 * r : 4 * r + 4] for r in range(4))
+    weights = [19, 18, 17, 16, 14, 13, 12, 11, 9, 8, 7, 6, 4, 3, 2, 1]
+    a = 1 + sum(dg)
+    b = 20 + sum(w * v for w, v in zip(weights, dg))
+    assert a <= 4081 and b <= 40820
+    assert (b << 16) | a == zlib.adler32(raw)
+
+
+def test_image_decode_stats_query_all_branches(spark, sf_dir):
+    """The registered query at sf0.001 equals a local recomputation
+    from the parquet text column, and every doc_id % 8 branch is
+    actually exercised."""
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {r["doc_id"]: r for r in QUERIES["multimodal_image_decode_stats"](spark, sf_dir).collect()}
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        m = doc_id % 8
+        seen.add(m)
+        dg = _digest(text)
+        sb = sum(dg)
+        r = rows[doc_id]
+        assert (r["height"], r["width"]) == (4, 4)
+        exp_ch = {1: 3, 4: 3, 7: 3, 5: 4}.get(m, 1)
+        assert r["channels"] == exp_ch, (doc_id, m)
+        exp_mean = (3 * sb + 16 * 255) / 64 if m == 5 else sb / 16
+        assert r["mean_byte"] == exp_mean, (doc_id, m)
+    assert seen == set(range(8))
