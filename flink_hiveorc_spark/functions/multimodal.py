@@ -3190,17 +3190,25 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio twin of multimodal_image_decode_stats: a 16-sample
-    8-bit PCM WAV per document (constant RIFF/fmt/data header +
-    the md5 digest bytes, JVM-side concat), decoded by the genuine
-    `audio_stats` → `decode_audio` RIFF walk, RMS from the exact
-    integer sum of squares of the 0x80-centered samples. The oracle
-    recomputes RMS from the hex digest; the sum (≤ 16·128²) is
-    integer-exact, /16 is a power-of-two division, and sqrt is
-    IEEE-correctly-rounded in both engines — bit-equal."""
+    """The audio twin of multimodal_image_decode_stats, rotated (r10)
+    across the WHOLE native header+raw-PCM container matrix: each
+    document ships the SAME sixteen 8-bit samples — digest byte − 128
+    — in one of four containers chosen by doc_id % 4: WAV (unsigned
+    8-bit PCM per spec, so the raw digest bytes ship and the
+    featurizer's −128 centering applies), AIFF (big-endian SIGNED
+    8-bit, the 80-bit-extended-float COMM rate parsed natively), Sun
+    AU (encoding 2, signed 8-bit), and Apple CAF (big-endian signed
+    8-bit LPCM). The three signed containers carry digest⊕0x80 —
+    built JVM-side by translating each byte's HIGH hex nibble
+    (0-7 ↔ 8-f) before unhex, no UDF — which decodes to the identical
+    int8 sample values, so ONE unchanged oracle value-checks all four
+    chunk walks: RMS from the exact integer sum of squares
+    (≤ 16·128²), /16 power-of-two, IEEE-correctly-rounded sqrt in
+    both engines — bit-equal. A sign-convention, endianness, header
+    or f80-rate divergence in any container flips the hash."""
     import struct
 
-    header = (
+    wav_hdr = (
         b"RIFF"
         + struct.pack("<I", 52)
         + b"WAVE"
@@ -3210,11 +3218,56 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         + b"data"
         + struct.pack("<I", 16)
     )
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id",
-        F.concat(F.lit(header), F.unhex(F.md5("text"))).alias("payload"),
+    # AIFF COMM rate is an 80-bit IEEE extended float: 8000 = 125·2^6,
+    # exponent 16383+12, explicit-integer-bit mantissa 125<<57
+    f80_8000 = struct.pack(">HQ", 16383 + 12, 125 << 57)
+    aiff_hdr = (
+        b"FORM"
+        + struct.pack(">I", 62)
+        + b"AIFF"
+        + b"COMM"
+        + struct.pack(">I", 18)
+        + struct.pack(">hIh", 1, 16, 8)
+        + f80_8000
+        + b"SSND"
+        + struct.pack(">I", 24)
+        + struct.pack(">II", 0, 0)
     )
+    au_hdr = b".snd" + struct.pack(">5I", 24, 16, 2, 8000, 1)
+    caf_hdr = (
+        b"caff"
+        + struct.pack(">HH", 1, 0)
+        + b"desc"
+        + struct.pack(">q", 32)
+        + struct.pack(">d4sIIIII", 8000.0, b"lpcm", 0, 1, 1, 1, 8)
+        + b"data"
+        + struct.pack(">q", 20)
+        + struct.pack(">I", 0)  # edit count
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    unsigned = F.unhex(hx)
+    # digest ⊕ 0x80 per byte: flip the high nibble's top bit via
+    # translate on every odd hex position (md5() is lowercase hex)
+    signed_parts = []
+    for i in range(16):
+        signed_parts.append(
+            F.translate(
+                F.substring(hx, 2 * i + 1, 1),
+                "0123456789abcdef",
+                "89abcdef01234567",
+            )
+        )
+        signed_parts.append(F.substring(hx, 2 * i + 2, 1))
+    signed = F.unhex(F.concat(*signed_parts))
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(F.lit(wav_hdr), unsigned))
+        .when(m == 1, F.concat(F.lit(aiff_hdr), signed))
+        .when(m == 2, F.concat(F.lit(au_hdr), signed))
+        .otherwise(F.concat(F.lit(caf_hdr), signed))
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)
 
 

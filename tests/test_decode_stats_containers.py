@@ -172,3 +172,33 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
         exp_mean = (3 * sb + 16 * 255) / 64 if m == 5 else sb / 16
         assert r["mean_byte"] == exp_mean, (doc_id, m)
     assert seen == set(range(8))
+
+
+def test_audio_decode_stats_query_all_branches(spark, sf_dir):
+    """The r10 4-way audio rotation (WAV unsigned / AIFF / AU / CAF
+    signed) at sf0.001: every branch decodes to samples digest−128,
+    so the features equal a local recomputation; all four doc_id % 4
+    branches are exercised."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_audio_decode_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        seen.add(doc_id % 4)
+        dg = _digest(text)
+        sq = sum((v - 128) * (v - 128) for v in dg)
+        r = rows[doc_id]
+        assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (8000, 16, 1)
+        assert r["duration_s"] == 16 / 8000
+        assert r["rms"] == math.sqrt(sq / 16), (doc_id, doc_id % 4)
+    assert seen == set(range(4))
