@@ -3018,9 +3018,8 @@ def _image_container_segments() -> dict[str, bytes]:
     # classic clear-before-every-literal construction (dictionary
     # never grows, width pinned at 9), so the 38-byte data block is a
     # fixed LSB-first bit-shuffle of the 16 pixel bytes + EOI.
-    gct = bytes(v for i in range(256) for v in (i, i, i))
     seg["gif_hdr"] = (
-        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0) + gct
+        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0) + _GIF_GRAY_GCT
         + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
         + bytes((8, 38))  # LZW min code size, one 38-byte sub-block
     )
@@ -3031,6 +3030,32 @@ def _image_container_segments() -> dict[str, bytes]:
 def _int_byte(expr):
     """Computed integer 0..255 → one binary byte, JVM-side."""
     return F.unhex(F.lpad(F.hex(expr), 2, "0"))
+
+
+def _gif_cleared_stream_parts(dv_group: list) -> list:
+    """One 4-pixel group of the clear-code-per-literal GIF LZW stream
+    as 9 JVM-side byte parts: codes (CLEAR, pixel) × 4 at 9 bits
+    LSB-first pack into a fixed bit-shuffle of the pixel values (b0
+    is always 0; CLEAR = 0x100 contributes the constants 1/4/16/64).
+    Pinned against an independent bit packer in
+    tests/test_decode_stats_containers.py. Callers append the 2-byte
+    EOI tail (b"\\x01\\x01") after the final group."""
+    pa, pb, pc, pd = dv_group
+    return [
+        F.lit(b"\x00"),
+        _int_byte(pa.bitwiseAND(F.lit(0x7F)) * 2 + 1),
+        _int_byte(F.shiftright(pa, 7)),
+        _int_byte(pb.bitwiseAND(F.lit(0x1F)) * 8 + 4),
+        _int_byte(F.shiftright(pb, 5)),
+        _int_byte(pc.bitwiseAND(F.lit(0x07)) * 32 + 16),
+        _int_byte(F.shiftright(pc, 3)),
+        _int_byte(pd.bitwiseAND(F.lit(0x01)) * 128 + 64),
+        _int_byte(F.shiftright(pd, 1)),
+    ]
+
+
+# identity-gray 256-entry GIF color table (index i → (i, i, i))
+_GIF_GRAY_GCT = bytes(v for i in range(256) for v in (i, i, i))
 
 
 def _int_be32(expr):
@@ -3141,18 +3166,7 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # constants 1/4/16/64).
     gif_parts = [F.lit(seg["gif_hdr"])]
     for g in range(4):
-        pa, pb, pc, pd = dv[4 * g : 4 * g + 4]
-        gif_parts += [
-            F.lit(b"\x00"),
-            _int_byte(pa.bitwiseAND(F.lit(0x7F)) * 2 + 1),
-            _int_byte(F.shiftright(pa, 7)),
-            _int_byte(pb.bitwiseAND(F.lit(0x1F)) * 8 + 4),
-            _int_byte(F.shiftright(pb, 5)),
-            _int_byte(pc.bitwiseAND(F.lit(0x07)) * 32 + 16),
-            _int_byte(F.shiftright(pc, 3)),
-            _int_byte(pd.bitwiseAND(F.lit(0x01)) * 128 + 64),
-            _int_byte(F.shiftright(pd, 1)),
-        ]
+        gif_parts += _gif_cleared_stream_parts(dv[4 * g : 4 * g + 4])
     gif = F.concat(*gif_parts, F.lit(seg["gif_end"]))
     m = F.col("doc_id") % 8
     payload = (
@@ -3440,6 +3454,100 @@ def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(F.col("doc_id") % 2 == 0, y4m).otherwise(avi).alias("payload"),
     )
     return video_stats(payloads)
+
+
+@query(
+    "multimodal_gif_animation_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 12)) AS t(i)
+    ),
+    f AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, sum(byte) AS sb
+      FROM b WHERE i < 8 GROUP BY doc_id
+      UNION ALL
+      -- frame 2 composite: the 2x2 sub-rect at (2,0) overwrites bytes
+      -- 2,3 (row 0) and 6,7 (row 1) with bytes 8..11; the rest of the
+      -- canvas still shows frame 1
+      SELECT doc_id, CAST(1 AS BIGINT) AS frame_idx,
+             sum(CASE WHEN i IN (0, 1, 4, 5, 8, 9, 10, 11) THEN byte
+                      ELSE 0 END) AS sb
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx,
+           CAST(2 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sb AS DOUBLE) / 8 AS mean_byte
+    FROM f
+    """,
+)
+def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF COMPOSITING under the external oracle (r10): per
+    document a 2-frame GIF89a on a 4×2 logical screen — frame 1 a
+    full-rect of digest bytes 0..7, frame 2 a 2×2 SUB-RECT at (2,0)
+    of bytes 8..11, each behind its own GCE (delays 4 and 6 cs,
+    disposal 0) — built entirely JVM-side with the same
+    clear-code-per-literal LZW construction as the image rotation.
+    The pipeline is the real video-corpus composition: the payload
+    fans out through `gif_frame_sample` (decode_gif_frames — GCE
+    parse, sub-rect placement on the persisting canvas, PPM
+    re-encode) into `image_stats`, frame identity threaded through a
+    packed doc_id·2+frame_idx key. The oracle recomputes both
+    composited frames' means from the digest: frame 2's canvas is
+    frame 1 with positions 2,3,6,7 overwritten — a placement,
+    disposal, or compositing bug (e.g. clearing the canvas between
+    frames, off-by-one rect) flips the hash. Exact: integer sums ≤
+    8·255, one /8 in both engines. Scale: two map-only mapInPandas
+    stages, zero exchanges."""
+    import struct
+
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(12)
+    ]
+
+    def gce(delay_cs: int) -> bytes:
+        return b"\x21\xf9\x04" + bytes((0, delay_cs, 0, 0)) + b"\x00"
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 2, 0xF7, 0, 0) + _GIF_GRAY_GCT
+    img1 = (
+        gce(4)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 2, 0)
+        + bytes((8, 20))  # min code size; 8 pixels → 20-byte sub-block
+    )
+    img2 = (
+        gce(6)
+        + b"\x2c" + struct.pack("<HHHHB", 2, 0, 2, 2, 0)
+        + bytes((8, 11))  # 4 pixels → 11-byte sub-block
+    )
+    eoi_end = F.lit(b"\x01\x01\x00")  # EOI bytes + sub-block terminator
+    parts = [F.lit(hdr + img1)]
+    parts += _gif_cleared_stream_parts(dv[0:4])
+    parts += _gif_cleared_stream_parts(dv[4:8])
+    parts += [eoi_end, F.lit(img2)]
+    parts += _gif_cleared_stream_parts(dv[8:12])
+    parts += [eoi_end, F.lit(b"\x3b")]
+    payloads = docs.select("doc_id", F.concat(*parts).alias("payload"))
+    frames = gif_frame_sample(payloads)
+    packed = frames.select(
+        (F.col("doc_id") * 2 + F.col("frame_idx")).alias("doc_id"), "payload"
+    )
+    stats = image_stats(packed)
+    return stats.select(
+        F.expr("doc_id DIV 2").alias("doc_id"),
+        (F.col("doc_id") % 2).alias("frame_idx"),
+        "height",
+        "width",
+        "channels",
+        "mean_byte",
+    )
 
 
 _ZSCORE_SCHEMA = T.StructType(

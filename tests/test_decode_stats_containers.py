@@ -202,3 +202,26 @@ def test_audio_decode_stats_query_all_branches(spark, sf_dir):
         assert r["duration_s"] == 16 / 8000
         assert r["rms"] == math.sqrt(sq / 16), (doc_id, doc_id % 4)
     assert seen == set(range(4))
+
+
+def test_gif_animation_stats_query(spark, sf_dir):
+    """multimodal_gif_animation_stats at sf0.001: two rows per doc;
+    frame 0 means digest bytes 0..7, frame 1 the composited canvas
+    (sub-rect at (2,0) overwrites positions 2,3,6,7 with bytes
+    8..11)."""
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    rows = QUERIES["multimodal_gif_animation_stats"](spark, sf_dir).collect()
+    assert len(rows) == 2 * len(docs)
+    for r in rows:
+        dg = _digest(docs[r["doc_id"]])
+        assert (r["height"], r["width"], r["channels"]) == (2, 4, 3)
+        if r["frame_idx"] == 0:
+            exp = sum(dg[:8]) / 8
+        else:
+            exp = (dg[0] + dg[1] + dg[4] + dg[5] + sum(dg[8:12])) / 8
+        assert r["mean_byte"] == exp, (r["doc_id"], r["frame_idx"])
