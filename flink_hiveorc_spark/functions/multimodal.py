@@ -3298,53 +3298,146 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
              AS v
       FROM p, UNNEST(range(0, 8)) AS t(j)
     ),
-    sx AS (
-      SELECT doc_id, v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END) AS x
-      FROM s
+    w AS (
+      SELECT doc_id,
+             sum((v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END))
+               * (v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END))) AS sx
+      FROM s GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    bb AS (
+      SELECT doc_id, sum((byte - 128) * (byte - 128)) AS sb
+      FROM b GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT w.doc_id,
            CAST(8000 AS BIGINT) AS sample_rate,
-           CAST(8 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN w.doc_id % 3 = 2 THEN 1024 ELSE 8 END
+                AS BIGINT) AS n_frames,
            CAST(1 AS BIGINT) AS n_channels,
-           CAST(8 AS DOUBLE) / 8000 AS duration_s,
-           sqrt(CAST(sum(x * x) AS DOUBLE) / 8) AS rms
-    FROM sx
-    GROUP BY doc_id
+           CASE WHEN w.doc_id % 3 = 2 THEN CAST(1024 AS DOUBLE) / 8000
+                ELSE CAST(8 AS DOUBLE) / 8000 END AS duration_s,
+           CASE WHEN w.doc_id % 3 = 2 THEN 64 * sqrt(CAST(bb.sb AS DOUBLE))
+                ELSE sqrt(CAST(w.sx AS DOUBLE) / 8) END AS rms
+    FROM w JOIN bb ON bb.doc_id = w.doc_id
     """,
 )
 def multimodal_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ADPCM leg of the decode triad (r9): an IMA ADPCM WAV per
-    document whose eight 8-byte blocks each carry wSamplesPerBlock=1
-    — the block HEADER stores its one int16 sample verbatim and the
-    nibble payload is never consumed, so the normally-lossy codec
-    path is exercised LOSSLESSLY end to end (chunk walk, fmt
-    extension parse, block split, header state extraction, the
-    vectorized expansion machinery with a zero-length nibble slice)
-    and the oracle can recompute the exact samples: the md5 digest
-    read as eight little-endian int16s. Same exactness posture as
-    the audio leg: integer sum of squares (≤ 8·32768²), /8
-    power-of-two, IEEE-correctly-rounded sqrt in both engines."""
+    """The ADPCM matrix under the external oracle — r9's IMA-WAV leg
+    rotated (r10) across ALL THREE native ADPCM decoders via
+    doc_id % 3, each exercised LOSSLESSLY so the oracle can recompute
+    exact samples:
+    - 0 — WAV IMA (0x0011), r9's construction: eight 8-byte blocks at
+      wSamplesPerBlock=1; each block HEADER stores one int16 verbatim
+      (digest as 8 LE int16s) and the nibble machinery runs on a
+      zero-length slice.
+    - 1 — WAV Microsoft (0x0002): four 8-byte blocks at
+      wSamplesPerBlock=2 — MS block headers carry sample2/sample1
+      VERBATIM (emitted in that order), so the same 8 LE int16s ship
+      through the whole MS path (coef-table parse, predictor-index
+      validation, header state split) with zero nibbles expanded.
+      Identical features to leg 0 → same oracle branch.
+    - 2 — AIFC 'ima4': sixteen 34-byte packets of all-zero nibbles;
+      nibble 0 at step index 0 has diff = 7>>3 = 0, so all 64 samples
+      of packet i equal its header predictor (digest byte ⊕ 0x80 as
+      the state word's high byte = (byte−128)·256) — the FULL
+      vectorized 64-step expansion runs and must be an exact fixpoint.
+      1024 frames; rms = 64·√Σ(byte−128)² (the 2^12 scale factors out
+      of the sqrt exactly).
+    Exactness: integer sums of squares (≤ 8·32768², resp. ≤ 16·128²),
+    power-of-two scalings, IEEE-correctly-rounded sqrt in both
+    engines. A header-order, sign-extension, step-table, or
+    packet-layout divergence in any of the three decoders flips the
+    hash."""
     import struct
 
-    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, 8000, 8000, 8, 4, 2, 1)
-    header = (
+    ima_fmt = struct.pack("<HHIIHHHH", 0x0011, 1, 8000, 8000, 8, 4, 2, 1)
+    ima_hdr = (
         b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 64)
+        + struct.pack("<I", 4 + 8 + len(ima_fmt) + 8 + 64)
         + b"WAVE"
         + b"fmt "
-        + struct.pack("<I", len(fmt))
-        + fmt
+        + struct.pack("<I", len(ima_fmt))
+        + ima_fmt
         + b"data"
         + struct.pack("<I", 64)
     )
+    # MS ADPCM: one coefficient pair (256, 0); spb=2 means both header
+    # samples emit and no nibble decodes (the 1 body byte is padding)
+    ms_fmt = (
+        struct.pack("<HHIIHH", 0x0002, 1, 8000, 8000, 8, 4)
+        + struct.pack("<HHH", 8, 2, 1)  # cbSize, wSamplesPerBlock, wNumCoef
+        + struct.pack("<hh", 256, 0)
+    )
+    ms_hdr = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(ms_fmt) + 8 + 32)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(ms_fmt))
+        + ms_fmt
+        + b"data"
+        + struct.pack("<I", 32)
+    )
+    f80_8000 = struct.pack(">HQ", 16383 + 12, 125 << 57)
+    ima4_hdr = (
+        b"FORM"
+        + struct.pack(">I", 594)
+        + b"AIFC"
+        + b"COMM"
+        + struct.pack(">I", 22)
+        + struct.pack(">hIh", 1, 1024, 16)
+        + f80_8000
+        + b"ima4"
+        + b"SSND"
+        + struct.pack(">I", 552)
+        + struct.pack(">II", 0, 0)
+    )
     docs = load_table(spark, sf_dir, "documents")
     hx = F.md5("text")
+    ima_parts = [F.lit(ima_hdr)]
     z6 = b"\x00" * 6  # step index 0, reserved 0, 4 unconsumed nibble bytes
-    parts = [F.lit(header)]
     for j in range(8):
-        parts.append(F.unhex(F.substring(hx, 4 * j + 1, 4)))
-        parts.append(F.lit(z6))
-    payloads = docs.select("doc_id", F.concat(*parts).alias("payload"))
+        ima_parts.append(F.unhex(F.substring(hx, 4 * j + 1, 4)))
+        ima_parts.append(F.lit(z6))
+    ima = F.concat(*ima_parts)
+    ms_parts = [F.lit(ms_hdr)]
+    for k in range(4):
+        # block k: bpred 0, iDelta 64, sample1 = word 2k+1, sample2 =
+        # word 2k (the OLDER sample — emits first), 1 pad body byte
+        ms_parts += [
+            F.lit(b"\x00\x40\x00"),
+            F.unhex(F.substring(hx, 8 * k + 5, 4)),
+            F.unhex(F.substring(hx, 8 * k + 1, 4)),
+            F.lit(b"\x00"),
+        ]
+    ms = F.concat(*ms_parts)
+    ima4_parts = [F.lit(ima4_hdr)]
+    for i in range(16):
+        # packet i: BE state word (byte⊕0x80)·256 | step index 0, then
+        # 32 zero nibble bytes — high hex nibble translated like the
+        # audio rotation's signed legs
+        ima4_parts += [
+            F.unhex(
+                F.concat(
+                    F.translate(
+                        F.substring(hx, 2 * i + 1, 1),
+                        "0123456789abcdef",
+                        "89abcdef01234567",
+                    ),
+                    F.substring(hx, 2 * i + 2, 1),
+                )
+            ),
+            F.lit(b"\x00" * 33),
+        ]
+    ima4 = F.concat(*ima4_parts)
+    m = F.col("doc_id") % 3
+    payload = F.when(m == 0, ima).when(m == 1, ms).otherwise(ima4)
+    payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)
 
 

@@ -225,3 +225,46 @@ def test_gif_animation_stats_query(spark, sf_dir):
         else:
             exp = (dg[0] + dg[1] + dg[4] + dg[5] + sum(dg[8:12])) / 8
         assert r["mean_byte"] == exp, (r["doc_id"], r["frame_idx"])
+
+
+def test_adpcm_decode_stats_query_all_branches(spark, sf_dir):
+    """The r10 3-way ADPCM rotation: IMA-WAV and MS-WAV legs carry the
+    digest as 8 LE int16s losslessly in block headers; the AIFC ima4
+    leg decodes 16 all-zero-nibble packets to 64 copies of
+    (byte−128)·256 each — a fixpoint of the full vectorized
+    expansion."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_adpcm_decode_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        m = doc_id % 3
+        seen.add(m)
+        dg = _digest(text)
+        r = rows[doc_id]
+        assert (r["sample_rate"], r["n_channels"]) == (8000, 1)
+        if m == 2:
+            sb = sum((v - 128) * (v - 128) for v in dg)
+            assert r["n_frames"] == 1024
+            assert r["duration_s"] == 1024 / 8000
+            assert r["rms"] == 64 * math.sqrt(sb), (doc_id, m)
+        else:
+            words = [
+                int.from_bytes(dg[2 * j : 2 * j + 2], "little", signed=True)
+                for j in range(8)
+            ]
+            sx = sum(v * v for v in words)
+            assert r["n_frames"] == 8
+            assert r["duration_s"] == 8 / 8000
+            assert r["rms"] == math.sqrt(sx / 8), (doc_id, m)
+    assert seen == set(range(3))
