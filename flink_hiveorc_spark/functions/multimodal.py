@@ -3192,46 +3192,79 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
              (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
       FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    g AS (  -- complemented/toggled G.711 code views of the byte
+      SELECT doc_id, byte,
+             xor(byte, 255) AS u,   -- mu-law complements the code
+             xor(byte, 85) AS a     -- A-law toggles alternate bits
+      FROM b
+    ),
+    lin AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 4 THEN  -- ITU G.711 mu-law expansion
+                 (CASE WHEN (u & 128) > 0 THEN -1 ELSE 1 END)
+                 * ((((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132)
+               WHEN 5 THEN  -- ITU G.711 A-law expansion (sign inverted
+                            -- vs mu-law: bit 0x80 set means POSITIVE)
+                 (CASE WHEN (a & 128) > 0 THEN 1 ELSE -1 END)
+                 * (CASE WHEN ((a >> 4) & 7) = 0
+                         THEN (a & 15) * 16 + 8
+                         ELSE ((a & 15) * 16 + 264) << (((a >> 4) & 7) - 1)
+                    END)
+               ELSE byte - 128  -- 8-bit PCM legs
+             END AS x
+      FROM g
     )
     SELECT doc_id,
            CAST(8000 AS BIGINT) AS sample_rate,
            CAST(16 AS BIGINT) AS n_frames,
            CAST(1 AS BIGINT) AS n_channels,
            CAST(16 AS DOUBLE) / 8000 AS duration_s,
-           sqrt(CAST(sum((byte - 128) * (byte - 128)) AS DOUBLE) / 16) AS rms
-    FROM b
+           sqrt(CAST(sum(x * x) AS DOUBLE) / 16) AS rms
+    FROM lin
     GROUP BY doc_id
     """,
 )
 def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio twin of multimodal_image_decode_stats, rotated (r10)
-    across the WHOLE native header+raw-PCM container matrix: each
-    document ships the SAME sixteen 8-bit samples — digest byte − 128
-    — in one of four containers chosen by doc_id % 4: WAV (unsigned
-    8-bit PCM per spec, so the raw digest bytes ship and the
-    featurizer's −128 centering applies), AIFF (big-endian SIGNED
-    8-bit, the 80-bit-extended-float COMM rate parsed natively), Sun
-    AU (encoding 2, signed 8-bit), and Apple CAF (big-endian signed
-    8-bit LPCM). The three signed containers carry digest⊕0x80 —
-    built JVM-side by translating each byte's HIGH hex nibble
-    (0-7 ↔ 8-f) before unhex, no UDF — which decodes to the identical
-    int8 sample values, so ONE unchanged oracle value-checks all four
-    chunk walks: RMS from the exact integer sum of squares
-    (≤ 16·128²), /16 power-of-two, IEEE-correctly-rounded sqrt in
-    both engines — bit-equal. A sign-convention, endianness, header
-    or f80-rate divergence in any container flips the hash."""
+    across the native container AND companding matrix via doc_id % 6:
+    - 0 — WAV, unsigned 8-bit PCM (raw digest bytes; the featurizer's
+      −128 centering applies per spec);
+    - 1 — AIFF, big-endian SIGNED 8-bit (the 80-bit-extended-float
+      COMM rate parsed natively);
+    - 2 — Sun AU, encoding 2 (signed 8-bit);
+    - 3 — Apple CAF, big-endian signed 8-bit LPCM;
+    - 4 — WAV format 7, G.711 μ-law (digest bytes as companded codes
+      through the vectorized ITU expansion table);
+    - 5 — WAV format 6, G.711 A-law (inverted sign convention).
+    Legs 1-3 carry digest⊕0x80 — built JVM-side by translating each
+    byte's HIGH hex nibble (0-7 ↔ 8-f) before unhex, no UDF — so all
+    four PCM chunk walks decode to the identical int8 samples; legs
+    4-5 put the G.711 decode TABLES under the oracle, which
+    re-derives the piecewise segment/mantissa expansion in SQL bit
+    arithmetic. RMS from exact integer sums of squares (≤ 16·128²
+    resp. ≤ 16·32256²), /16 power-of-two, IEEE-correctly-rounded
+    sqrt in both engines — bit-equal. A sign-convention, endianness,
+    header, f80-rate, or companding-table divergence in any leg
+    flips the hash."""
     import struct
 
-    wav_hdr = (
-        b"RIFF"
-        + struct.pack("<I", 52)
-        + b"WAVE"
-        + b"fmt "
-        + struct.pack("<I", 16)
-        + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
-        + b"data"
-        + struct.pack("<I", 16)
-    )
+    def wav8_hdr(audio_format: int) -> bytes:
+        """16-frame mono 8 kHz 8-bit WAV header for the given format
+        tag (1 = PCM, 7 = μ-law, 6 = A-law)."""
+        return (
+            b"RIFF"
+            + struct.pack("<I", 52)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", audio_format, 1, 8000, 8000, 1, 8)
+            + b"data"
+            + struct.pack("<I", 16)
+        )
+
+    wav_hdr = wav8_hdr(1)
     # AIFF COMM rate is an 80-bit IEEE extended float: 8000 = 125·2^6,
     # exponent 16383+12, explicit-integer-bit mantissa 125<<57
     f80_8000 = struct.pack(">HQ", 16383 + 12, 125 << 57)
@@ -3248,6 +3281,8 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         + struct.pack(">II", 0, 0)
     )
     au_hdr = b".snd" + struct.pack(">5I", 24, 16, 2, 8000, 1)
+    mulaw_hdr = wav8_hdr(7)
+    alaw_hdr = wav8_hdr(6)
     caf_hdr = (
         b"caff"
         + struct.pack(">HH", 1, 0)
@@ -3274,12 +3309,14 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         signed_parts.append(F.substring(hx, 2 * i + 2, 1))
     signed = F.unhex(F.concat(*signed_parts))
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 6
     payload = (
         F.when(m == 0, F.concat(F.lit(wav_hdr), unsigned))
         .when(m == 1, F.concat(F.lit(aiff_hdr), signed))
         .when(m == 2, F.concat(F.lit(au_hdr), signed))
-        .otherwise(F.concat(F.lit(caf_hdr), signed))
+        .when(m == 3, F.concat(F.lit(caf_hdr), signed))
+        .when(m == 4, F.concat(F.lit(mulaw_hdr), unsigned))
+        .otherwise(F.concat(F.lit(alaw_hdr), unsigned))
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)

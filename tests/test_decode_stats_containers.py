@@ -174,11 +174,26 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
     assert seen == set(range(8))
 
 
+def _g711_expand(b: int, law: str) -> int:
+    """Scalar ITU G.711 expansion, re-typed from the spec (independent
+    of the module's vectorized tables)."""
+    if law == "mu":
+        u = b ^ 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -mag if u & 0x80 else mag
+    a = b ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    mag = t + 8 if seg == 0 else (t + 0x108) << (seg - 1)
+    return mag if a & 0x80 else -mag
+
+
 def test_audio_decode_stats_query_all_branches(spark, sf_dir):
-    """The r10 4-way audio rotation (WAV unsigned / AIFF / AU / CAF
-    signed) at sf0.001: every branch decodes to samples digest−128,
-    so the features equal a local recomputation; all four doc_id % 4
-    branches are exercised."""
+    """The r10 6-way audio rotation (WAV unsigned / AIFF / AU / CAF
+    signed / WAV mu-law / WAV A-law) at sf0.001: the PCM branches
+    decode to samples digest−128, the G.711 branches to the ITU
+    expansion of the digest codes; all six doc_id % 6 branches are
+    exercised."""
     import math
 
     import pyarrow.parquet as pq
@@ -194,14 +209,21 @@ def test_audio_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        seen.add(doc_id % 4)
+        m = doc_id % 6
+        seen.add(m)
         dg = _digest(text)
-        sq = sum((v - 128) * (v - 128) for v in dg)
+        if m == 4:
+            lin = [_g711_expand(v, "mu") for v in dg]
+        elif m == 5:
+            lin = [_g711_expand(v, "a") for v in dg]
+        else:
+            lin = [v - 128 for v in dg]
+        sq = sum(x * x for x in lin)
         r = rows[doc_id]
         assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (8000, 16, 1)
         assert r["duration_s"] == 16 / 8000
-        assert r["rms"] == math.sqrt(sq / 16), (doc_id, doc_id % 4)
-    assert seen == set(range(4))
+        assert r["rms"] == math.sqrt(sq / 16), (doc_id, m)
+    assert seen == set(range(6))
 
 
 def test_gif_animation_stats_query(spark, sf_dir):
