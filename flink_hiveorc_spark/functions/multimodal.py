@@ -3478,14 +3478,17 @@ def multimodal_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return audio_stats(payloads)
 
 
-def _avi_clip_segments() -> tuple[bytes, bytes, bytes]:
-    """Constant byte segments of a 2-frame 4×2 I420 25-fps AVI
+def _avi_clip_segments(
+    compression: bytes = b"I420", bpp: int = 12, frame_size: int = 12
+) -> tuple[bytes, bytes]:
+    """Constant byte segments of a 2-frame 4×2 25-fps AVI
     (RIFF('AVI ') → hdrl{avih, strl{strh,strf}} → movi with two
-    12-byte '00db' frames): splice an 8-byte luma plane after
-    `prefix` and another between `mid` and `suffix` to get a complete
-    container. Every size is fixed, so the container is three
-    literals + two digest halves — the same JVM-side concat shape as
-    the Y4M leg."""
+    `frame_size`-byte '00db' frames): returns (prefix ending right
+    after the FIRST frame chunk header, bare frame chunk header) —
+    the caller splices the two frame payloads. Every size is fixed,
+    so the container stays JVM-side literals + digest-derived parts.
+    `compression` is the strf fourcc (b"\\x00"*4 = BI_RGB);
+    frame_size must be even (RIFF pads odd chunks)."""
     import struct
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -3495,6 +3498,7 @@ def _avi_clip_segments() -> tuple[bytes, bytes, bytes]:
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    assert frame_size % 2 == 0
     w, h, n = 4, 2, 2
     avih = struct.pack("<14I", 40000, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)
     strh = (
@@ -3503,21 +3507,22 @@ def _avi_clip_segments() -> tuple[bytes, bytes, bytes]:
         + struct.pack("<IIIiI", 0, n, 0, 0, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 12, b"I420", 0, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, bpp, compression, 0, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    chroma = b"\x80" * 4  # 2×2 U + V planes at 4:2:0 for a 4×2 frame
-    frame_hdr = b"00db" + struct.pack("<I", 12)
-    movi_len = 4 + 2 * (8 + 12)  # 'movi' + two (hdr+frame) pairs
+    frame_hdr = b"00db" + struct.pack("<I", frame_size)
+    movi_len = 4 + 2 * (8 + frame_size)  # 'movi' + two (hdr+frame) pairs
     movi_open = b"LIST" + struct.pack("<I", movi_len) + b"movi"
     riff_body_len = 4 + len(hdrl) + 8 + movi_len  # 'AVI ' + hdrl + movi chunk
     prefix = (
         b"RIFF" + struct.pack("<I", riff_body_len) + b"AVI "
         + hdrl + movi_open + frame_hdr
     )
-    return prefix, chroma + frame_hdr, chroma
+    return prefix, frame_hdr
 
 
 @query(
@@ -3549,40 +3554,64 @@ def _avi_clip_segments() -> tuple[bytes, bytes, bytes]:
     """,
 )
 def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The video leg of the oracle-checked decode triad: a 2-frame
+    """The video leg of the oracle-checked decode matrix: a 2-frame
     4×2 25-fps clip per document — frame 1 is the first 8 md5
-    digest bytes, frame 2 the last 8 (`unhex` of each hex half,
-    JVM-side concat) — through the genuine `video_stats` →
-    `decode_video` stream walk. Even doc_ids ship as Cmono Y4M,
-    odd doc_ids as I420 AVI (r9: the AVI dispatch under the SAME
-    external hash gate — both containers carry identical luma
-    planes, so one oracle covers both decoders; a luma/geometry/fps
-    divergence in either path flips the hash). Beyond the byte mean
-    the oracle recomputes the TEMPORAL feature, mean absolute
-    inter-frame delta, via a positional self-join of the byte spine
-    (i ↔ i+8); Σ|Δ| ≤ 8·255 is integer-exact, /8 is a power-of-two
-    division — bit-equal."""
+    digest bytes as LUMA, frame 2 the last 8 — through the genuine
+    `video_stats` → `decode_video` stream walk, rotated (r10) across
+    FOUR container/pixel-format paths by doc_id % 4:
+    - 0 — Cmono Y4M (luma-only planes, r7's leg);
+    - 1 — I420 AVI (r9's leg: planar 4:2:0 with neutral chroma);
+    - 2 — C420jpeg Y4M (the 4:2:0 frame layout with 0x80 chroma
+      planes — exercises the chroma-sized frame stride, distinct
+      from Cmono);
+    - 3 — BI_RGB 24-bit AVI, bottom-up: each luma byte ships as a
+      gray BGR triplet, and the decoder's exact-integer BT.601
+      reduction (299R+587G+114B+500)//1000 is the IDENTITY on gray —
+      so the RGB path and the row-flip land under the same hash.
+    All four produce identical luma planes → ONE unchanged oracle.
+    Beyond the byte mean the oracle recomputes the TEMPORAL feature,
+    mean absolute inter-frame delta, via a positional self-join of
+    the byte spine (i ↔ i+8); Σ|Δ| ≤ 8·255 is integer-exact, /8 is a
+    power-of-two division — bit-equal. (The bottom-up flip applies
+    to BOTH frames, so positional deltas are preserved.)"""
     docs = load_table(spark, sf_dir, "documents")
     hx = F.md5("text")
-    avi_pre, avi_mid, avi_suf = _avi_clip_segments()
+    i420_pre, i420_fh = _avi_clip_segments()
+    chroma = b"\x80" * 4  # 2×2 U + V planes at 4:2:0 for a 4×2 frame
+    luma1 = F.unhex(F.substring(hx, 1, 16))
+    luma2 = F.unhex(F.substring(hx, 17, 16))
     y4m = F.concat(
         F.lit(b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"),
-        F.lit(b"FRAME\n"),
-        F.unhex(F.substring(hx, 1, 16)),
-        F.lit(b"FRAME\n"),
-        F.unhex(F.substring(hx, 17, 16)),
+        F.lit(b"FRAME\n"), luma1,
+        F.lit(b"FRAME\n"), luma2,
     )
     avi = F.concat(
-        F.lit(avi_pre),
-        F.unhex(F.substring(hx, 1, 16)),
-        F.lit(avi_mid),
-        F.unhex(F.substring(hx, 17, 16)),
-        F.lit(avi_suf),
+        F.lit(i420_pre), luma1, F.lit(chroma + i420_fh), luma2, F.lit(chroma)
     )
-    payloads = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, y4m).otherwise(avi).alias("payload"),
+    y4m_420 = F.concat(
+        F.lit(b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n"),
+        F.lit(b"FRAME\n"), luma1, F.lit(chroma),
+        F.lit(b"FRAME\n"), luma2, F.lit(chroma),
     )
+    rgb_pre, rgb_fh = _avi_clip_segments(b"\x00" * 4, 24, 24)
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
+
+    def rgb_frame(base: int) -> list:
+        # bottom-up storage: file row 0 = image row 1; stride 12 = no
+        # padding at w=4; gray pixel = the byte three times (BGR)
+        return [db[base + i] for i in (4, 5, 6, 7, 0, 1, 2, 3) for _ in range(3)]
+
+    avi_rgb = F.concat(
+        F.lit(rgb_pre), *rgb_frame(0), F.lit(rgb_fh), *rgb_frame(8)
+    )
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, y4m)
+        .when(m == 1, avi)
+        .when(m == 2, y4m_420)
+        .otherwise(avi_rgb)
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
     return video_stats(payloads)
 
 

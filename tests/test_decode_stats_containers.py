@@ -290,3 +290,32 @@ def test_adpcm_decode_stats_query_all_branches(spark, sf_dir):
             assert r["duration_s"] == 8 / 8000
             assert r["rms"] == math.sqrt(sx / 8), (doc_id, m)
     assert seen == set(range(3))
+
+
+def test_video_decode_stats_query_all_branches(spark, sf_dir):
+    """The r10 4-way video rotation (Cmono Y4M / I420 AVI / C420jpeg
+    Y4M / BI_RGB-24 bottom-up AVI): identical luma planes, so every
+    branch must report the same digest-derived stats."""
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_video_decode_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        seen.add(doc_id % 4)
+        dg = _digest(text)
+        r = rows[doc_id]
+        assert (r["n_frames"], r["height"], r["width"]) == (2, 2, 4)
+        assert (r["fps"], r["duration_s"]) == (25.0, 2 / 25)
+        assert r["mean_luma"] == sum(dg) / 16
+        assert r["mean_frame_delta"] == sum(
+            abs(dg[i + 8] - dg[i]) for i in range(8)
+        ) / 8, (doc_id, doc_id % 4)
+    assert seen == set(range(4))
