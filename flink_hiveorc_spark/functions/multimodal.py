@@ -2972,24 +2972,39 @@ def _image_container_segments() -> dict[str, bytes]:
     # IFD (9 entries, tags ascending per spec).
     n_ent = 9
     pix = 8 + 2 + 12 * n_ent + 4
-    ent = b"".join(
-        struct.pack("<HHII", tag, typ, 1, val)
-        for tag, typ, val in (
-            (256, 3, 4),      # ImageWidth
-            (257, 3, 4),      # ImageLength
-            (258, 3, 8),      # BitsPerSample
-            (259, 3, 1),      # Compression: none
-            (262, 3, 1),      # Photometric: BlackIsZero
-            (273, 4, pix),    # StripOffsets
-            (277, 3, 1),      # SamplesPerPixel
-            (278, 3, 4),      # RowsPerStrip
-            (279, 4, 16),     # StripByteCounts
+    tiff_tags = (
+        (256, 3, 4),      # ImageWidth
+        (257, 3, 4),      # ImageLength
+        (258, 3, 8),      # BitsPerSample
+        (259, 3, 1),      # Compression: none
+        (262, 3, 1),      # Photometric: BlackIsZero
+        (273, 4, pix),    # StripOffsets
+        (277, 3, 1),      # SamplesPerPixel
+        (278, 3, 4),      # RowsPerStrip
+        (279, 4, 16),     # StripByteCounts
+    )
+
+    def tiff_hdr(bo: str) -> bytes:
+        # inline tag values are LEFT-justified in the 4-byte slot per
+        # spec, so a SHORT packs as 2 value bytes then 2 zero bytes in
+        # BOTH byte orders
+        parts = []
+        for tag, typ, val in tiff_tags:
+            head = struct.pack(bo + "HHI", tag, typ, 1)
+            if typ == 3:  # SHORT: left-justified in the value slot
+                head += struct.pack(bo + "H", val) + b"\x00\x00"
+            else:
+                head += struct.pack(bo + "I", val)
+            parts.append(head)
+        mark = b"II\x2a\x00" if bo == "<" else b"MM\x00\x2a"
+        return (
+            mark + struct.pack(bo + "I", 8)
+            + struct.pack(bo + "H", n_ent) + b"".join(parts)
+            + struct.pack(bo + "I", 0)
         )
-    )
-    seg["tiff"] = (
-        b"II\x2a\x00" + struct.pack("<I", 8)
-        + struct.pack("<H", n_ent) + ent + struct.pack("<I", 0)
-    )
+
+    seg["tiff"] = tiff_hdr("<")
+    seg["tiff_be"] = tiff_hdr(">")
     # QOI: channels=3 header; pixels ship as QOI_OP_RGB literals
     # (interleaved JVM-side), then the 8-byte end marker.
     seg["qoi_hdr"] = b"qoif" + struct.pack(">II", 4, 4) + bytes((3, 0))
@@ -3068,51 +3083,70 @@ def _int_be32(expr):
     oracle="""
     WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
     b AS (
-      SELECT doc_id,
+      SELECT doc_id, i,
              (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
       FROM p, UNNEST(range(0, 16)) AS t(i)
     ),
-    s AS (SELECT doc_id, sum(byte) AS sb FROM b GROUP BY doc_id)
-    SELECT doc_id,
+    s AS (SELECT doc_id, sum(byte) AS sb FROM b GROUP BY doc_id),
+    n AS (
+      -- bilevel legs: pixels are the HIGH-nibble bits of the first 4
+      -- digest bytes, PBM ink convention (1 = black = 0 gray); z
+      -- counts the ZERO bits, each rendering as 255
+      SELECT doc_id,
+             sum(4 - (((byte >> 7) & 1) + ((byte >> 6) & 1)
+                    + ((byte >> 5) & 1) + ((byte >> 4) & 1))) AS z
+      FROM b WHERE i < 4 GROUP BY doc_id
+    )
+    SELECT s.doc_id,
            CAST(4 AS BIGINT) AS height,
            CAST(4 AS BIGINT) AS width,
-           CAST(CASE doc_id % 8
+           CAST(CASE s.doc_id % 12
                   WHEN 1 THEN 3  -- BMP: identity palette expands to RGB
                   WHEN 4 THEN 3  -- QOI: channels=3 header
                   WHEN 5 THEN 4  -- farbfeld: always RGBA
                   WHEN 7 THEN 3  -- GIF: palette expands to RGB
-                  ELSE 1         -- PGM / TGA / TIFF / PNG grayscale
+                  ELSE 1         -- PGM/TGA/TIFF/PNG/PBM/ASCII-netpbm gray
                 END AS BIGINT) AS channels,
-           CASE WHEN doc_id % 8 = 5
-                THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- opaque alpha
+           CASE s.doc_id % 12
+                WHEN 5 THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- +alpha
+                WHEN 8 THEN CAST(255 * n.z AS DOUBLE) / 16   -- P4 bilevel
+                WHEN 10 THEN CAST(255 * n.z AS DOUBLE) / 16  -- P1 bilevel
                 ELSE CAST(sb AS DOUBLE) / 16
            END AS mean_byte
-    FROM s
+    FROM s JOIN n ON n.doc_id = s.doc_id
     """,
 )
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 with REAL decode under the oracle, across the WHOLE native
     image-format matrix (r10 — the video query's dual-container trick
     generalized): each document ships its 16 md5 digest bytes as a
-    4×4 gray raster in ONE of eight containers chosen by doc_id % 8 —
-    P5 PGM, 8-bit paletted BMP (identity-gray palette, bottom-up),
-    grayscale TGA 2.0 (footer-routed), uncompressed little-endian
-    TIFF, QOI (OP_RGB literals, r=g=b), farbfeld (16-bit BE samples
-    as byte·257, opaque alpha), PNG (stored-deflate zlib stream with
-    the adler32 computed as a LINEAR function of the digest bytes —
-    no mod wrap: A ≤ 4081, weighted sum ≤ 40820 < 65521 — and the
-    IDAT CRC via F.crc32), and GIF (clear-code-per-literal LZW whose
-    38-byte stream is a fixed bit-shuffle of the pixels, identity-gray
-    256-entry palette). Every payload is JVM-side concat/arithmetic —
-    no UDF builds bytes — and all eight run through the genuine
-    `image_stats` → `decode_image` dispatch. The oracle recomputes
-    the statistics once from the hex digest: identical pixels in all
-    eight containers, so only channels (palette/RGBA expansion) and
-    the farbfeld alpha term branch on doc_id % 8. A pixel, geometry,
-    palette, filter, checksum, or bit-order divergence in ANY of the
-    eight decoders flips the hash. Exactness: integer pixel sums
-    (≤ 16·255, resp. 3·sum+4080 ≤ 16320), one final power-of-two
+    4×4 gray raster in ONE of twelve container branches chosen by
+    doc_id % 12 —
+    0 P5 PGM; 1 8-bit paletted BMP (identity-gray palette,
+    bottom-up); 2 grayscale TGA 2.0 (footer-routed); 3 uncompressed
+    little-endian TIFF; 4 QOI (OP_RGB literals, r=g=b); 5 farbfeld
+    (16-bit BE samples as byte·257, opaque alpha); 6 PNG
+    (stored-deflate zlib stream with the adler32 computed as a LINEAR
+    function of the digest bytes — no mod wrap: A ≤ 4081, weighted
+    sum ≤ 40820 < 65521 — and the IDAT CRC via F.crc32); 7 GIF
+    (clear-code-per-literal LZW whose 38-byte stream is a fixed
+    bit-shuffle of the pixels, identity-gray 256-entry palette);
+    8 P4 packed-bilevel PBM (the first 4 digest bytes' HIGH nibbles
+    as MSB-first ink bits, row padding in the low nibbles); 9 P2
+    ASCII PGM (digest bytes as decimal tokens via conv()); 10 P1
+    ASCII PBM with digits PACKED without whitespace (the spec quirk
+    path), same bits as branch 8; 11 the SAME TIFF as branch 3 in
+    BIG-ENDIAN (MM) byte order. Every payload is JVM-side
+    concat/arithmetic — no UDF builds bytes — and all twelve run
+    through the genuine `image_stats` → `decode_image` dispatch. The
+    oracle recomputes the statistics once from the hex digest:
+    identical gray pixels everywhere, so only channels (palette/RGBA
+    expansion), the farbfeld alpha term, and the bilevel ink formula
+    branch on doc_id % 12. A pixel, geometry, palette, filter,
+    checksum, bit-order, or ASCII-tokenizer divergence in ANY branch
+    flips the hash. Exactness: integer pixel sums (≤ 16·255, resp.
+    3·sum+4080 ≤ 16320, resp. 255·z ≤ 4080), one final power-of-two
     division in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     hx = F.md5("text")
@@ -3168,7 +3202,32 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     for g in range(4):
         gif_parts += _gif_cleared_stream_parts(dv[4 * g : 4 * g + 4])
     gif = F.concat(*gif_parts, F.lit(seg["gif_end"]))
-    m = F.col("doc_id") % 8
+    # P4: rows are byte-padded, so the 4 pixel bits of row r are the
+    # HIGH nibble of digest byte r — the raw bytes ship verbatim
+    p4 = F.concat(F.lit(b"P4\n4 4\n"), F.unhex(F.substring(hx, 1, 8)))
+    # P2: decimal ASCII tokens (conv() already yields the decimal
+    # string; encode() keeps the concat in binary)
+    p2_parts = [F.lit(b"P2\n4 4\n255\n")]
+    for i in range(16):
+        p2_parts += [
+            F.encode(F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10), "utf-8"),
+            F.lit(b" "),
+        ]
+    p2 = F.concat(*p2_parts)
+    # P1: the same 16 ink bits as P4, as ASCII digits PACKED without
+    # any separating whitespace (legal per the PBM spec)
+    p1_parts = [F.lit(b"P1\n4 4\n")]
+    for r in range(4):
+        for c in range(4):
+            p1_parts.append(
+                F.encode(
+                    F.shiftright(dv[r], 7 - c).bitwiseAND(F.lit(1)).cast("string"),
+                    "utf-8",
+                )
+            )
+    p1 = F.concat(*p1_parts)
+    tiff_be = F.concat(F.lit(seg["tiff_be"]), digest)
+    m = F.col("doc_id") % 12
     payload = (
         F.when(m == 0, pgm)
         .when(m == 1, bmp)
@@ -3177,7 +3236,11 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 4, qoi)
         .when(m == 5, ff)
         .when(m == 6, png)
-        .otherwise(gif)
+        .when(m == 7, gif)
+        .when(m == 8, p4)
+        .when(m == 9, p2)
+        .when(m == 10, p1)
+        .otherwise(tiff_be)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)

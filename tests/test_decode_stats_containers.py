@@ -74,13 +74,27 @@ def _python_payloads(dg: bytes) -> dict[str, bytes]:
     stream = _bit_pack_lsb(codes, 9)
     assert len(stream) == 38
     out["gif"] = seg["gif_hdr"] + stream + b"\x00\x3b"
+    out["p4"] = b"P4\n4 4\n" + dg[:4]
+    out["p2"] = b"P2\n4 4\n255\n" + b"".join(b"%d " % v for v in dg)
+    bits = [(dg[r] >> (7 - c)) & 1 for r in range(4) for c in range(4)]
+    out["p1"] = b"P1\n4 4\n" + b"".join(b"%d" % v for v in bits)
+    out["tiff_be"] = seg["tiff_be"] + dg
     return out
 
 
 _EXPECT_CHANNELS = {
     "pgm": 1, "bmp": 3, "tga": 1, "tiff": 1,
     "qoi": 3, "ff": 4, "png": 1, "gif": 3,
+    "p4": 1, "p2": 1, "p1": 1, "tiff_be": 1,
 }
+
+
+def _bilevel_pixels(dg: bytes) -> "np.ndarray":
+    bits = np.array(
+        [(dg[r] >> (7 - c)) & 1 for r in range(4) for c in range(4)],
+        dtype=np.uint8,
+    ).reshape(4, 4)
+    return (1 - bits) * 255  # PBM ink convention: 1 = black
 
 
 @pytest.mark.parametrize("text", ["hello world", "", "αβγ δε", "x" * 500])
@@ -91,7 +105,12 @@ def test_container_matrix_decodes_to_identical_pixels(text):
         arr = mm.decode_image(payload)
         ch = _EXPECT_CHANNELS[fmt]
         assert arr.shape == (4, 4, ch), fmt
-        rows = gray[::-1] if fmt == "bmp" else gray  # BMP is bottom-up
+        if fmt in ("p4", "p1"):
+            rows = _bilevel_pixels(dg)
+        elif fmt == "bmp":
+            rows = gray[::-1]  # BMP is bottom-up
+        else:
+            rows = gray
         if ch == 1:
             np.testing.assert_array_equal(arr[:, :, 0], rows, err_msg=fmt)
         else:
@@ -149,7 +168,7 @@ def test_png_adler_linear_weights_match_zlib(seed):
 
 def test_image_decode_stats_query_all_branches(spark, sf_dir):
     """The registered query at sf0.001 equals a local recomputation
-    from the parquet text column, and every doc_id % 8 branch is
+    from the parquet text column, and every doc_id % 12 branch is
     actually exercised."""
     import pyarrow.parquet as pq
 
@@ -161,7 +180,7 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 8
+        m = doc_id % 12
         seen.add(m)
         dg = _digest(text)
         sb = sum(dg)
@@ -169,9 +188,15 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
         assert (r["height"], r["width"]) == (4, 4)
         exp_ch = {1: 3, 4: 3, 7: 3, 5: 4}.get(m, 1)
         assert r["channels"] == exp_ch, (doc_id, m)
-        exp_mean = (3 * sb + 16 * 255) / 64 if m == 5 else sb / 16
+        if m == 5:
+            exp_mean = (3 * sb + 16 * 255) / 64
+        elif m in (8, 10):
+            z = sum(4 - bin(v >> 4).count("1") for v in dg[:4])
+            exp_mean = 255 * z / 16
+        else:
+            exp_mean = sb / 16
         assert r["mean_byte"] == exp_mean, (doc_id, m)
-    assert seen == set(range(8))
+    assert seen == set(range(12))
 
 
 def _g711_expand(b: int, law: str) -> int:
