@@ -3386,6 +3386,147 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_pcm_wide_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    s AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 4 * j + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4 * j + 2, 1)) - 1)
+           + ((strpos('0123456789abcdef', substr(hx, 4 * j + 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 4 * j + 4, 1)) - 1)) * 256
+             AS v
+      FROM p, UNNEST(range(0, 8)) AS t(j)
+    ),
+    w AS (
+      SELECT doc_id,
+             sum((v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END))
+               * (v - 65536 * (CASE WHEN v >= 32768 THEN 1 ELSE 0 END))) AS sx
+      FROM s GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    t24 AS (  -- five 3-byte little-endian two's-complement words
+      SELECT b0.doc_id,
+             b0.byte + 256 * b1.byte + 65536 * b2.byte
+           - 16777216 * (CASE WHEN b2.byte >= 128 THEN 1 ELSE 0 END) AS x
+      FROM b b0
+      JOIN b b1 ON b1.doc_id = b0.doc_id AND b1.i = b0.i + 1
+      JOIN b b2 ON b2.doc_id = b0.doc_id AND b2.i = b0.i + 2
+      WHERE b0.i % 3 = 0 AND b0.i < 15
+    ),
+    w24 AS (SELECT doc_id, sum(x * x) AS st FROM t24 GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN w.doc_id % 6 = 5 THEN 5 ELSE 8 END
+                AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_channels,
+           CASE WHEN w.doc_id % 6 = 5 THEN CAST(5 AS DOUBLE) / 8000
+                ELSE CAST(8 AS DOUBLE) / 8000 END AS duration_s,
+           CASE WHEN w.doc_id % 6 = 5 THEN sqrt(CAST(w24.st AS DOUBLE) / 5)
+                ELSE sqrt(CAST(w.sx AS DOUBLE) / 8) END AS rms
+    FROM w JOIN w24 ON w24.doc_id = w.doc_id
+    """,
+)
+def multimodal_pcm_wide_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-byte PCM sample ASSEMBLY under the external oracle
+    (r10): the digest ships as eight little-endian int16 frames
+    through five container/endianness paths chosen by doc_id % 6 —
+    0 WAV 16-bit LE; 1 AIFF 16-bit BIG-endian (byte pairs swapped
+    JVM-side so the decoded samples are identical); 2 AIFC 'sowt'
+    (the little-endian-16 AIFC variant Macs actually shipped — raw
+    digest); 3 CAF 16-bit little-endian (desc flag bit 1); 4 Sun AU
+    encoding 3 (big-endian — swapped pairs) — plus 5: WAV 24-BIT LE
+    PCM, five 3-byte frames from digest bytes 0..14, exercising the
+    3-byte sign-extension assembly (vals & 0x800000 << 1). One
+    oracle: legs 0-4 share the int16 branch; leg 5's 24-bit words
+    are recomputed from the byte spine with a positional self-join.
+    Exactness: Σx² ≤ 8·32768² resp. 5·(2^23)² — integer-exact,
+    single double division + correctly-rounded sqrt in both
+    engines. An endianness, byte-pairing, or sign-extension bug in
+    any path flips the hash."""
+    import struct
+
+    def wav_pcm_hdr(bits: int, n_bytes: int) -> bytes:
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + n_bytes)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", 16)
+            + struct.pack(
+                "<HHIIHH", 1, 1, 8000, 8000 * bits // 8, bits // 8, bits
+            )
+            + b"data"
+            + struct.pack("<I", n_bytes)
+        )
+
+    f80_8000 = struct.pack(">HQ", 16383 + 12, 125 << 57)
+    aiff16_hdr = (
+        b"FORM"
+        + struct.pack(">I", 62)
+        + b"AIFF"
+        + b"COMM"
+        + struct.pack(">I", 18)
+        + struct.pack(">hIh", 1, 8, 16)
+        + f80_8000
+        + b"SSND"
+        + struct.pack(">I", 24)
+        + struct.pack(">II", 0, 0)
+    )
+    sowt_hdr = (
+        b"FORM"
+        + struct.pack(">I", 66)
+        + b"AIFC"
+        + b"COMM"
+        + struct.pack(">I", 22)
+        + struct.pack(">hIh", 1, 8, 16)
+        + f80_8000
+        + b"sowt"
+        + b"SSND"
+        + struct.pack(">I", 24)
+        + struct.pack(">II", 0, 0)
+    )
+    caf16_hdr = (
+        b"caff"
+        + struct.pack(">HH", 1, 0)
+        + b"desc"
+        + struct.pack(">q", 32)
+        + struct.pack(">d4sIIIII", 8000.0, b"lpcm", 2, 2, 1, 1, 16)
+        + b"data"
+        + struct.pack(">q", 20)
+        + struct.pack(">I", 0)
+    )
+    au16_hdr = b".snd" + struct.pack(">5I", 24, 16, 3, 8000, 1)
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    le16 = F.unhex(hx)
+    be_parts = []
+    for j in range(8):  # swap each word's bytes for the BE containers
+        be_parts += [
+            F.substring(hx, 4 * j + 3, 2),
+            F.substring(hx, 4 * j + 1, 2),
+        ]
+    be16 = F.unhex(F.concat(*be_parts))
+    le24 = F.unhex(F.substring(hx, 1, 30))  # 15 bytes = 5 × 3-byte frames
+    m = F.col("doc_id") % 6
+    payload = (
+        F.when(m == 0, F.concat(F.lit(wav_pcm_hdr(16, 16)), le16))
+        .when(m == 1, F.concat(F.lit(aiff16_hdr), be16))
+        .when(m == 2, F.concat(F.lit(sowt_hdr), le16))
+        .when(m == 3, F.concat(F.lit(caf16_hdr), le16))
+        .when(m == 4, F.concat(F.lit(au16_hdr), be16))
+        .otherwise(F.concat(F.lit(wav_pcm_hdr(24, 15)), le24))
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return audio_stats(payloads)
+
+
+@query(
     "multimodal_adpcm_decode_stats",
     oracle="""
     WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),

@@ -1,20 +1,20 @@
-"""The r10 8-way image container rotation behind
-multimodal_image_decode_stats: every container ships the same 16
-digest bytes as a 4×4 gray raster, so one oracle covers eight native
-decoders.
+"""The r10 decode-stats oracle rotations: every container branch of
+`multimodal_{image,audio,video,adpcm,pcm_wide,gif_animation}_*`
+ships the same digest-derived samples/pixels, so one oracle per
+query value-checks many native decoders.
 
 Pins, independent of the Spark expression code:
-- a pure-Python twin of each container construction decodes (via the
-  REAL decode_image dispatch) to exactly the expected pixels —
-  including the BMP bottom-up flip, the farbfeld 16-bit reduction,
-  and the palette expansions;
+- a pure-Python twin of each image container construction decodes
+  (via the REAL decode_image dispatch) to exactly the expected
+  pixels — including the BMP bottom-up flip, the farbfeld 16-bit
+  reduction, the palette expansions, and the PBM ink convention;
 - the GIF stream's fixed 9-byte-per-4-pixels bit-shuffle equals an
   independently written LSB-first bit packer (the arithmetic the
   Spark side computes JVM-side);
 - the PNG adler32 linear-weight formula equals zlib.adler32 (the
   no-mod-wrap claim);
-- the registered query itself at sf0.001 equals a local pandas
-  recomputation row-for-row across all eight doc_id % 8 branches.
+- each registered query at sf0.001 equals a local recomputation
+  row-for-row, with every doc_id % k branch asserted exercised.
 """
 
 from __future__ import annotations
@@ -344,3 +344,44 @@ def test_video_decode_stats_query_all_branches(spark, sf_dir):
             abs(dg[i + 8] - dg[i]) for i in range(8)
         ) / 8, (doc_id, doc_id % 4)
     assert seen == set(range(4))
+
+
+def test_pcm_wide_decode_stats_query_all_branches(spark, sf_dir):
+    """The r10 wide-PCM rotation: five 16-bit container/endianness
+    paths must decode the digest to the same LE int16 words; the
+    24-bit leg to five sign-extended 3-byte words."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_pcm_wide_decode_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        m = doc_id % 6
+        seen.add(m)
+        dg = _digest(text)
+        r = rows[doc_id]
+        assert (r["sample_rate"], r["n_channels"]) == (8000, 1)
+        if m == 5:
+            vals = [
+                int.from_bytes(dg[3 * k : 3 * k + 3], "little", signed=True)
+                for k in range(5)
+            ]
+            assert r["n_frames"] == 5 and r["duration_s"] == 5 / 8000
+            assert r["rms"] == math.sqrt(sum(v * v for v in vals) / 5), (doc_id, m)
+        else:
+            vals = [
+                int.from_bytes(dg[2 * j : 2 * j + 2], "little", signed=True)
+                for j in range(8)
+            ]
+            assert r["n_frames"] == 8 and r["duration_s"] == 8 / 8000
+            assert r["rms"] == math.sqrt(sum(v * v for v in vals) / 8), (doc_id, m)
+    assert seen == set(range(6))
