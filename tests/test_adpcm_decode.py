@@ -515,3 +515,15 @@ def test_ima_wav_partial_final_block_rejections():
     tiny = _rebuild_wav_data(payload, data[:26])
     with pytest.raises(ValueError, match="whole nibble groups|state"):
         decode_audio(tiny)
+
+
+def test_ima_wav_long_stream_vectorized_path_equals_scalar_pin():
+    """Streams above the scalar fast-path cutoff (nibbles.size >
+    4096) take the numpy lockstep path; both paths must compute the
+    identical recurrence. 5000 mono frames at spb=17 → 295 blocks ×
+    16 nibbles = 4720 > 4096."""
+    x = _smooth(935, 5000, 1, amp=28000)
+    payload, recon = _ima_wav_bytes(x, 8000, groups=2)
+    got, _ = decode_audio(payload)
+    assert got.shape == (5000, 1)
+    np.testing.assert_array_equal(got, recon)
