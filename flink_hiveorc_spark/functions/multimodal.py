@@ -3894,6 +3894,74 @@ def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_video_frames_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(i // 8 AS BIGINT) AS frame_idx,
+           CAST(2 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS width,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(sum(byte) AS DOUBLE) / 8 AS mean_byte
+    FROM b
+    GROUP BY doc_id, i // 8
+    """,
+)
+def multimodal_video_frames_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video→frames→image featurize COMPOSITION under the
+    external oracle (r10; the gif-animation query's twin for
+    `video_frame_sample`): per document a 2-frame 4×2 clip — even
+    doc_ids as Cmono Y4M, odd as I420 AVI — fans out through the
+    real `video_frame_sample` (decode_video → per-frame P5 PGM
+    re-encode, ORIGINAL frame indices) into `image_stats`, frame
+    identity threaded as doc_id·2+frame_idx. The oracle recomputes
+    each frame's luma mean from its digest half; a fan-out,
+    frame-order, or PGM re-encode bug flips the hash. Two map-only
+    mapInPandas stages, zero exchanges. Exact: Σ ≤ 8·255, /8
+    power-of-two."""
+    # materialize the digest once (see the image rotation's note)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    hx = F.col("hx")
+    i420_pre, i420_fh = _avi_clip_segments()
+    chroma = b"\x80" * 4
+    luma1 = F.unhex(F.substring(hx, 1, 16))
+    luma2 = F.unhex(F.substring(hx, 17, 16))
+    y4m = F.concat(
+        F.lit(b"YUV4MPEG2 W4 H2 F25:1 Cmono\n"),
+        F.lit(b"FRAME\n"), luma1,
+        F.lit(b"FRAME\n"), luma2,
+    )
+    avi = F.concat(
+        F.lit(i420_pre), luma1, F.lit(chroma + i420_fh), luma2, F.lit(chroma)
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, y4m).otherwise(avi).alias("payload"),
+    )
+    frames = video_frame_sample(payloads)
+    packed = frames.select(
+        (F.col("doc_id") * 2 + F.col("frame_idx")).alias("doc_id"), "payload"
+    )
+    stats = image_stats(packed)
+    return stats.select(
+        F.expr("doc_id DIV 2").alias("doc_id"),
+        (F.col("doc_id") % 2).alias("frame_idx"),
+        "height",
+        "width",
+        "channels",
+        "mean_byte",
+    )
+
+
+@query(
     "multimodal_gif_animation_stats",
     oracle="""
     WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),

@@ -385,3 +385,26 @@ def test_pcm_wide_decode_stats_query_all_branches(spark, sf_dir):
             assert r["n_frames"] == 8 and r["duration_s"] == 8 / 8000
             assert r["rms"] == math.sqrt(sum(v * v for v in vals) / 8), (doc_id, m)
     assert seen == set(range(6))
+
+
+def test_video_frames_decode_query(spark, sf_dir):
+    """multimodal_video_frames_decode at sf0.001: two PGM-re-encoded
+    frames per doc through the real video_frame_sample → image_stats
+    composition, frame means equal the digest halves; both the Y4M
+    and AVI source branches are exercised."""
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    rows = QUERIES["multimodal_video_frames_decode"](spark, sf_dir).collect()
+    assert len(rows) == 2 * len(docs)
+    seen = set()
+    for r in rows:
+        seen.add(r["doc_id"] % 2)
+        dg = _digest(docs[r["doc_id"]])
+        assert (r["height"], r["width"], r["channels"]) == (2, 4, 1)
+        f = r["frame_idx"]
+        assert r["mean_byte"] == sum(dg[8 * f : 8 * f + 8]) / 8, (r["doc_id"], f)
+    assert seen == {0, 1}
