@@ -3023,12 +3023,16 @@ def _image_container_segments() -> dict[str, bytes]:
         (279, 4, 16),     # StripByteCounts
     )
 
-    def tiff_hdr(bo: str) -> bytes:
+    def tiff_hdr(bo: str, compression: int = 1, count: int = 16) -> bytes:
         # inline tag values are LEFT-justified in the 4-byte slot per
         # spec, so a SHORT packs as 2 value bytes then 2 zero bytes in
         # BOTH byte orders
         parts = []
         for tag, typ, val in tiff_tags:
+            if tag == 259:
+                val = compression
+            elif tag == 279:
+                val = count
             head = struct.pack(bo + "HHI", tag, typ, 1)
             if typ == 3:  # SHORT: left-justified in the value slot
                 head += struct.pack(bo + "H", val) + b"\x00\x00"
@@ -3044,6 +3048,31 @@ def _image_container_segments() -> dict[str, bytes]:
 
     seg["tiff"] = tiff_hdr("<")
     seg["tiff_be"] = tiff_hdr(">")
+    # compressed-path twins, all literal-run constructions that carry
+    # the 16 digest bytes verbatim:
+    # TGA type 11 (RLE grayscale): one raw packet, control 0x0F = 16
+    # literal pixels
+    seg["tga_rle_hdr"] = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 11, 0, 0, 0, 0, 0, 4, 4, 8, 0x20
+    )
+    # BMP RLE8 (bottom-up per spec): per row an absolute-mode escape
+    # (00 04 + 4 index bytes, even count = no pad) + EOL, then EOB;
+    # biCompression=1, biSizeImage = 4·(2+4+2) + 2 = 34
+    info_rle = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 34, 0, 0, 256, 0)
+    seg["bmp_rle"] = (
+        b"BM" + struct.pack("<IHHI", pix_off + 34, 0, 0, pix_off)
+        + info_rle + palette
+    )
+    seg["bmp_rle_mid"] = b"\x00\x04"      # absolute escape, 4 literals
+    seg["bmp_rle_eol"] = b"\x00\x00"      # end of line
+    seg["bmp_rle_eob"] = b"\x00\x01"      # end of bitmap
+    # TIFF PackBits (32773): control 0x0F = 16 literal bytes
+    seg["tiff_pb"] = tiff_hdr("<", compression=32773, count=17)
+    # TIFF LZW (5): the clear-code-per-literal trick in TIFF's
+    # MSB-first framing (EarlyChange never fires: the table resets at
+    # every CLEAR, so the width stays 9) — 38-byte stream, fixed
+    # 9-byte bit-shuffle per 4 pixels, b"\x80\x80" EOI tail
+    seg["tiff_lzw"] = tiff_hdr("<", compression=5, count=38)
     # QOI: channels=3 header; pixels ship as QOI_OP_RGB literals
     # (interleaved JVM-side), then the 8-byte end marker.
     seg["qoi_hdr"] = b"qoif" + struct.pack(">II", 4, 4) + bytes((3, 0))
@@ -3108,6 +3137,31 @@ def _gif_cleared_stream_parts(dv_group: list) -> list:
     ]
 
 
+def _tiff_lzw_cleared_stream_parts(dv_group: list, db_group: list) -> list:
+    """TIFF-LZW twin of `_gif_cleared_stream_parts`: same
+    clear-code-per-literal construction in TIFF's MSB-FIRST bit
+    order (spec §13; GIF packs LSB-first) — codes (CLEAR, pixel) × 4
+    at 9 bits pack into 9 bytes whose layout is fixed arithmetic in
+    the pixel values (byte 0 is always 0x80 = CLEAR's leading bit;
+    byte 7 is always 0x00; byte 8 is the 4th pixel verbatim).
+    EarlyChange never fires: the table resets at every CLEAR, so the
+    code width is pinned at 9. Pinned against an independent
+    MSB-first packer in tests. Callers append the b"\\x80\\x80" EOI
+    tail after the final group."""
+    pa, pb, pc, pd = dv_group
+    return [
+        F.lit(b"\x80"),
+        _int_byte(F.shiftright(pa, 2)),
+        _int_byte(pa.bitwiseAND(F.lit(0x03)) * 64 + 32),
+        _int_byte(F.shiftright(pb, 4)),
+        _int_byte(pb.bitwiseAND(F.lit(0x0F)) * 16 + 8),
+        _int_byte(F.shiftright(pc, 6)),
+        _int_byte(pc.bitwiseAND(F.lit(0x3F)) * 4 + 2),
+        F.lit(b"\x00"),
+        db_group[3],
+    ]
+
+
 # identity-gray 256-entry GIF color table (index i → (i, i, i))
 _GIF_GRAY_GCT = bytes(v for i in range(256) for v in (i, i, i))
 
@@ -3140,14 +3194,15 @@ def _int_be32(expr):
     SELECT s.doc_id,
            CAST(4 AS BIGINT) AS height,
            CAST(4 AS BIGINT) AS width,
-           CAST(CASE s.doc_id % 12
-                  WHEN 1 THEN 3  -- BMP: identity palette expands to RGB
-                  WHEN 4 THEN 3  -- QOI: channels=3 header
-                  WHEN 5 THEN 4  -- farbfeld: always RGBA
-                  WHEN 7 THEN 3  -- GIF: palette expands to RGB
-                  ELSE 1         -- PGM/TGA/TIFF/PNG/PBM/ASCII-netpbm gray
+           CAST(CASE s.doc_id % 16
+                  WHEN 1 THEN 3   -- BMP: identity palette expands to RGB
+                  WHEN 4 THEN 3   -- QOI: channels=3 header
+                  WHEN 5 THEN 4   -- farbfeld: always RGBA
+                  WHEN 7 THEN 3   -- GIF: palette expands to RGB
+                  WHEN 13 THEN 3  -- BMP RLE8: palette expands to RGB
+                  ELSE 1          -- gray legs
                 END AS BIGINT) AS channels,
-           CASE s.doc_id % 12
+           CASE s.doc_id % 16
                 WHEN 5 THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- +alpha
                 WHEN 8 THEN CAST(255 * n.z AS DOUBLE) / 16   -- P4 bilevel
                 WHEN 10 THEN CAST(255 * n.z AS DOUBLE) / 16  -- P1 bilevel
@@ -3160,8 +3215,8 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     """L5 with REAL decode under the oracle, across the WHOLE native
     image-format matrix (r10 — the video query's dual-container trick
     generalized): each document ships its 16 md5 digest bytes as a
-    4×4 gray raster in ONE of twelve container branches chosen by
-    doc_id % 12 —
+    4×4 gray raster in ONE of sixteen container branches chosen by
+    doc_id % 16 —
     0 P5 PGM; 1 8-bit paletted BMP (identity-gray palette,
     bottom-up); 2 grayscale TGA 2.0 (footer-routed); 3 uncompressed
     little-endian TIFF; 4 QOI (OP_RGB literals, r=g=b); 5 farbfeld
@@ -3176,17 +3231,23 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     ASCII PGM (digest bytes as decimal tokens via conv()); 10 P1
     ASCII PBM with digits PACKED without whitespace (the spec quirk
     path), same bits as branch 8; 11 the SAME TIFF as branch 3 in
-    BIG-ENDIAN (MM) byte order. Every payload is JVM-side
-    concat/arithmetic — no UDF builds bytes — and all twelve run
+    BIG-ENDIAN (MM) byte order; and the COMPRESSED decode paths via
+    literal-run constructions that still carry the digest verbatim —
+    12 TGA type-11 RLE (one 16-pixel raw packet), 13 BMP RLE8
+    (per-row absolute-mode escapes + EOL/EOB), 14 TIFF PackBits (one
+    literal run), 15 TIFF LZW (the clear-code trick in MSB-first
+    framing with the EarlyChange schedule pinned at width 9,
+    `_tiff_lzw_cleared_stream_parts`). Every payload is JVM-side
+    concat/arithmetic — no UDF builds bytes — and all sixteen run
     through the genuine `image_stats` → `decode_image` dispatch. The
     oracle recomputes the statistics once from the hex digest:
     identical gray pixels everywhere, so only channels (palette/RGBA
     expansion), the farbfeld alpha term, and the bilevel ink formula
-    branch on doc_id % 12. A pixel, geometry, palette, filter,
-    checksum, bit-order, or ASCII-tokenizer divergence in ANY branch
-    flips the hash. Exactness: integer pixel sums (≤ 16·255, resp.
-    3·sum+4080 ≤ 16320, resp. 255·z ≤ 4080), one final power-of-two
-    division in both engines."""
+    branch on doc_id % 16. A pixel, geometry, palette, filter,
+    checksum, bit-order, RLE-framing, or ASCII-tokenizer divergence
+    in ANY branch flips the hash. Exactness: integer pixel sums
+    (≤ 16·255, resp. 3·sum+4080 ≤ 16320, resp. 255·z ≤ 4080), one
+    final power-of-two division in both engines."""
     # materialize the digest ONCE as a column: the construction trees
     # below reference hx hundreds of times, and a non-cheap alias with
     # multiple references survives CollapseProject, so md5 runs once
@@ -3273,7 +3334,29 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             )
     p1 = F.concat(*p1_parts)
     tiff_be = F.concat(F.lit(seg["tiff_be"]), digest)
-    m = F.col("doc_id") % 12
+    # compressed paths, all literal-run constructions (see
+    # _image_container_segments): one raw RLE packet / per-row
+    # absolute-mode escapes / one PackBits literal run / the
+    # MSB-first LZW clear trick
+    tga_rle = F.concat(
+        F.lit(seg["tga_rle_hdr"] + b"\x0f"), digest, F.lit(seg["tga_foot"])
+    )
+    bmp_rle_parts = [F.lit(seg["bmp_rle"])]
+    for r in range(4):
+        bmp_rle_parts += [
+            F.lit(seg["bmp_rle_mid"]),
+            F.unhex(F.substring(hx, 8 * r + 1, 8)),
+            F.lit(seg["bmp_rle_eol"]),
+        ]
+    bmp_rle = F.concat(*bmp_rle_parts, F.lit(seg["bmp_rle_eob"]))
+    tiff_pb = F.concat(F.lit(seg["tiff_pb"] + b"\x0f"), digest)
+    lzw_parts = [F.lit(seg["tiff_lzw"])]
+    for g in range(4):
+        lzw_parts += _tiff_lzw_cleared_stream_parts(
+            dv[4 * g : 4 * g + 4], db[4 * g : 4 * g + 4]
+        )
+    tiff_lzw = F.concat(*lzw_parts, F.lit(b"\x80\x80"))
+    m = F.col("doc_id") % 16
     payload = (
         F.when(m == 0, pgm)
         .when(m == 1, bmp)
@@ -3286,7 +3369,11 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 8, p4)
         .when(m == 9, p2)
         .when(m == 10, p1)
-        .otherwise(tiff_be)
+        .when(m == 11, tiff_be)
+        .when(m == 12, tga_rle)
+        .when(m == 13, bmp_rle)
+        .when(m == 14, tiff_pb)
+        .otherwise(tiff_lzw)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)

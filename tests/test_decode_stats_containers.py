@@ -79,13 +79,40 @@ def _python_payloads(dg: bytes) -> dict[str, bytes]:
     bits = [(dg[r] >> (7 - c)) & 1 for r in range(4) for c in range(4)]
     out["p1"] = b"P1\n4 4\n" + b"".join(b"%d" % v for v in bits)
     out["tiff_be"] = seg["tiff_be"] + dg
+    out["tga_rle"] = seg["tga_rle_hdr"] + b"\x0f" + dg + seg["tga_foot"]
+    out["bmp_rle"] = (
+        seg["bmp_rle"]
+        + b"".join(
+            seg["bmp_rle_mid"] + dg[4 * r : 4 * r + 4] + seg["bmp_rle_eol"]
+            for r in range(4)
+        )
+        + seg["bmp_rle_eob"]
+    )
+    out["tiff_pb"] = seg["tiff_pb"] + b"\x0f" + dg
+    out["tiff_lzw"] = seg["tiff_lzw"] + _bit_pack_msb(codes, 9)
     return out
+
+
+def _bit_pack_msb(codes, width: int) -> bytes:
+    """Independent MSB-first bit packer (TIFF spec §13 order)."""
+    buf = nbits = 0
+    out = bytearray()
+    for c in codes:
+        buf = (buf << width) | c
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 _EXPECT_CHANNELS = {
     "pgm": 1, "bmp": 3, "tga": 1, "tiff": 1,
     "qoi": 3, "ff": 4, "png": 1, "gif": 3,
     "p4": 1, "p2": 1, "p1": 1, "tiff_be": 1,
+    "tga_rle": 1, "bmp_rle": 3, "tiff_pb": 1, "tiff_lzw": 1,
 }
 
 
@@ -107,7 +134,7 @@ def test_container_matrix_decodes_to_identical_pixels(text):
         assert arr.shape == (4, 4, ch), fmt
         if fmt in ("p4", "p1"):
             rows = _bilevel_pixels(dg)
-        elif fmt == "bmp":
+        elif fmt in ("bmp", "bmp_rle"):
             rows = gray[::-1]  # BMP is bottom-up
         else:
             rows = gray
@@ -151,6 +178,37 @@ def test_gif_bit_shuffle_formulas_match_independent_packer(seed):
     assert bytes(got) == ref
 
 
+@pytest.mark.parametrize("seed", [6, 7, 8])
+def test_tiff_lzw_bit_shuffle_formulas_match_independent_packer(seed):
+    """The MSB-first 9-byte group arithmetic the Spark expressions
+    compute for the TIFF-LZW leg must equal the independent packer."""
+    rng = np.random.default_rng(seed)
+    px = [int(v) for v in rng.integers(0, 256, size=16)]
+    codes = []
+    for v in px:
+        codes += [256, v]
+    codes.append(257)
+    ref = _bit_pack_msb(codes, 9)
+    got = bytearray()
+    for g in range(4):
+        pa, pb, pc, pd = px[4 * g : 4 * g + 4]
+        got += bytes(
+            [
+                0x80,
+                pa >> 2,
+                (pa & 0x03) * 64 + 32,
+                pb >> 4,
+                (pb & 0x0F) * 16 + 8,
+                pc >> 6,
+                (pc & 0x3F) * 4 + 2,
+                0x00,
+                pd,
+            ]
+        )
+    got += b"\x80\x80"  # EOI bytes (+ zero padding)
+    assert bytes(got) == ref
+
+
 @pytest.mark.parametrize("seed", [3, 4, 5])
 def test_png_adler_linear_weights_match_zlib(seed):
     """A = 1 + Σd, B = 20 + Σ(21−pos)·d with NO mod (A ≤ 4081,
@@ -168,7 +226,7 @@ def test_png_adler_linear_weights_match_zlib(seed):
 
 def test_image_decode_stats_query_all_branches(spark, sf_dir):
     """The registered query at sf0.001 equals a local recomputation
-    from the parquet text column, and every doc_id % 12 branch is
+    from the parquet text column, and every doc_id % 16 branch is
     actually exercised."""
     import pyarrow.parquet as pq
 
@@ -180,13 +238,13 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 12
+        m = doc_id % 16
         seen.add(m)
         dg = _digest(text)
         sb = sum(dg)
         r = rows[doc_id]
         assert (r["height"], r["width"]) == (4, 4)
-        exp_ch = {1: 3, 4: 3, 7: 3, 5: 4}.get(m, 1)
+        exp_ch = {1: 3, 4: 3, 7: 3, 5: 4, 13: 3}.get(m, 1)
         assert r["channels"] == exp_ch, (doc_id, m)
         if m == 5:
             exp_mean = (3 * sb + 16 * 255) / 64
@@ -196,7 +254,7 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
         else:
             exp_mean = sb / 16
         assert r["mean_byte"] == exp_mean, (doc_id, m)
-    assert seen == set(range(12))
+    assert seen == set(range(16))
 
 
 def _g711_expand(b: int, law: str) -> int:
