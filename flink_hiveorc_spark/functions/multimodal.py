@@ -610,6 +610,15 @@ MAX_IMAGE_PIXELS = 1 << 26
 # 4× the still-image guard ≈ 1 GiB of RGBA output.
 MAX_GIF_TOTAL_PIXELS = 4 * (1 << 26)
 
+# Absolute frame-count cap alongside the pixel-product guard: a tiny
+# logical screen (1×1) would otherwise admit MAX_GIF_TOTAL_PIXELS
+# frames, each costing a canvas-copy numpy object (~hundreds of bytes)
+# the pixel accounting never sees. ~20 input bytes buy one frame
+# block, so 65536 frames still needs a >1 MiB payload — amplification
+# stays input-bounded. No real animation approaches this (a 30 min
+# cartoon at 50 fps is 90k frames of NON-trivial size).
+MAX_GIF_FRAMES = 1 << 16
+
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec §8.2
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -1091,6 +1100,15 @@ def decode_gif_frames(data: bytes):
                 f"GIF animation output ({len(frames) + 1} frames of "
                 f"{sw}x{sh}) exceeds MAX_GIF_TOTAL_PIXELS="
                 f"{MAX_GIF_TOTAL_PIXELS} (decompression-bomb guard)"
+            )
+        if len(frames) >= MAX_GIF_FRAMES:
+            # the pixel-product guard alone lets a tiny logical screen
+            # (e.g. 1x1) admit 2^28 frames whose per-frame OBJECT
+            # overhead (numpy canvas copies, list cells) dwarfs the
+            # pixel accounting — cap the frame count absolutely
+            raise ValueError(
+                f"GIF animation exceeds MAX_GIF_FRAMES={MAX_GIF_FRAMES} "
+                "(decompression-bomb guard)"
             )
         prev = canvas.copy() if disposal == 3 else None
         rgba = np.dstack(
@@ -3592,9 +3610,13 @@ def multimodal_pcm_wide_decode_stats(spark: SparkSession, sf_dir: str) -> DataFr
     import struct
 
     def wav_pcm_hdr(bits: int, n_bytes: int) -> bytes:
+        # odd-sized data chunks carry a RIFF pad byte (appended after
+        # the payload bytes by the caller) that counts toward the
+        # declared RIFF size but NOT the data chunk size — spec-shaped
+        # RIFF, not merely walker-tolerated
         return (
             b"RIFF"
-            + struct.pack("<I", 36 + n_bytes)
+            + struct.pack("<I", 36 + n_bytes + (n_bytes & 1))
             + b"WAVE"
             + b"fmt "
             + struct.pack("<I", 16)
@@ -3620,13 +3642,17 @@ def multimodal_pcm_wide_decode_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
     sowt_hdr = (
         b"FORM"
-        + struct.pack(">I", 66)
+        + struct.pack(">I", 68)
         + b"AIFC"
         + b"COMM"
-        + struct.pack(">I", 22)
+        # AIFC COMM mandates a compressionName pstring after the
+        # 4-byte tag; ship the minimal empty padded one (\x00\x00)
+        # so the fixture is strictly spec-shaped, size 24 not 22
+        + struct.pack(">I", 24)
         + struct.pack(">hIh", 1, 8, 16)
         + f80_8000
         + b"sowt"
+        + b"\x00\x00"
         + b"SSND"
         + struct.pack(">I", 24)
         + struct.pack(">II", 0, 0)
@@ -3667,7 +3693,7 @@ def multimodal_pcm_wide_decode_stats(spark: SparkSession, sf_dir: str) -> DataFr
         .when(m == 2, F.concat(F.lit(sowt_hdr), le16))
         .when(m == 3, F.concat(F.lit(caf16_hdr), le16))
         .when(m == 4, F.concat(F.lit(au16_hdr), be16))
-        .otherwise(F.concat(F.lit(wav_pcm_hdr(24, 15)), le24))
+        .otherwise(F.concat(F.lit(wav_pcm_hdr(24, 15)), le24, F.lit(b"\x00")))
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)
@@ -3774,13 +3800,16 @@ def multimodal_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     f80_8000 = struct.pack(">HQ", 16383 + 12, 125 << 57)
     ima4_hdr = (
         b"FORM"
-        + struct.pack(">I", 594)
+        + struct.pack(">I", 596)
         + b"AIFC"
         + b"COMM"
-        + struct.pack(">I", 22)
+        # empty padded compressionName pstring after the tag: AIFC
+        # COMM is spec-mandated ≥ 24 bytes, not the bare-tag 22
+        + struct.pack(">I", 24)
         + struct.pack(">hIh", 1, 1024, 16)
         + f80_8000
         + b"ima4"
+        + b"\x00\x00"
         + b"SSND"
         + struct.pack(">I", 552)
         + struct.pack(">II", 0, 0)

@@ -506,6 +506,23 @@ def test_gif_frames_total_output_bomb_guard(monkeypatch):
     assert frames.shape == (4, 4, 6, 4)
 
 
+def test_gif_frames_absolute_frame_count_guard(monkeypatch):
+    """A 1x1 logical screen never trips the pixel-product guard (the
+    product grows by one pixel per frame), but each frame still costs
+    a full numpy canvas object — MAX_GIF_FRAMES caps the count
+    absolutely, independent of screen area."""
+    import flink_hiveorc_spark.functions.multimodal as mm
+
+    tiny = [{"idx": np.zeros((1, 1), dtype=np.uint8)} for _ in range(6)]
+    payload = _gif_anim_bytes((1, 1), tiny, _PAL8)
+    monkeypatch.setattr(mm, "MAX_GIF_FRAMES", 5)
+    with pytest.raises(ValueError, match="MAX_GIF_FRAMES"):
+        mm.decode_gif_frames(payload)
+    # exactly at the cap decodes fine
+    frames, _ = mm.decode_gif_frames(_gif_anim_bytes((1, 1), tiny[:5], _PAL8))
+    assert frames.shape == (5, 1, 1, 4)
+
+
 def test_gif_frames_checked_shim_converts_foreign_exceptions(monkeypatch):
     """_gif_frames_checked keeps the decode contract: non-GIF magic is
     NotImplementedError, contract errors pass through, and any
