@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.functions.jpeg import decode_jpeg
 from flink_hiveorc_spark.registry import query
 
 FEATURE_SCHEMA = T.StructType(
@@ -1553,7 +1554,21 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed TGA payload: {e}") from e
-    # formats needing a transform codec (JPEG/WebP/...): PIL only
+    if payload[:2] == b"\xff\xd8":
+        # baseline-Huffman JPEG decodes natively (pure numpy — DCT is
+        # not entropy coding); features outside that envelope
+        # (progressive, arithmetic, 12-bit, CMYK) go to PIL when
+        # importable and keep the native gap message otherwise
+        try:
+            return decode_jpeg(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError as native_gap:
+            try:
+                return _pil_decode(payload)
+            except NotImplementedError:
+                raise native_gap from None
+        except Exception as e:
+            raise ValueError(f"malformed JPEG payload: {e}") from e
+    # formats needing a transform codec (WebP/AVIF/...): PIL only
     return _pil_decode(payload)
 
 

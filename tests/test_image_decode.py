@@ -103,11 +103,17 @@ def _no_pil() -> bool:
 
 
 def test_compressed_without_codec_raises_not_implemented():
-    jpeg_magic = b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 32
+    # baseline JPEG decodes natively since r11, so the codec-gated
+    # example is WebP (VP8 entropy coding genuinely needs a codec);
+    # a JPEG with only garbage after the APP0 header is now correctly
+    # classified malformed by the native parser, not codec-gated
+    webp_magic = b"RIFF" + b"\x28\x00\x00\x00" + b"WEBPVP8 " + b"\x00" * 32
     if not _no_pil():
         pytest.skip("PIL present on this host; gate untestable")
     with pytest.raises(NotImplementedError):
-        decode_image(jpeg_magic)
+        decode_image(webp_magic)
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 32)
 
 
 def test_rle_bmp_with_wrong_bpp_and_jpeg_dib_rejected():

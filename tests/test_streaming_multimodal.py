@@ -36,8 +36,8 @@ def test_streaming_featurize_quarantine_and_restart(spark, tmp_path):
         i: _rng(300 + i).integers(0, 256, size=(3, 4, 1), dtype=np.uint8)
         for i in range(5)
     }
-    # batch A: three good PGMs, one truncated (malformed), one JPEG-ish
-    # (unsupported without a codec)
+    # batch A: three good PGMs, one truncated (malformed), one
+    # progressive JPEG (unsupported without a codec)
     _write_blobs(
         spark,
         src,
@@ -46,7 +46,7 @@ def test_streaming_featurize_quarantine_and_restart(spark, tmp_path):
             (1, _pgm_bytes(arrs[1])),
             (2, _pgm_bytes(arrs[2])),
             (100, b"P5\n9 9\n255\n" + b"\x00" * 3),
-            (101, b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 16),
+            (101, b"\xff\xd8\xff\xc2" + b"\x00" * 16),
         ],
     )
     _run(spark, src, out, dlq, ckpt)
