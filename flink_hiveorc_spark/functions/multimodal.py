@@ -3199,6 +3199,115 @@ def _tiff_lzw_cleared_stream_parts(dv_group: list, db_group: list) -> list:
 _GIF_GRAY_GCT = bytes(v for i in range(256) for v in (i, i, i))
 
 
+def _jpeg_dc_segments() -> dict[str, bytes]:
+    """Constant byte segments for the DC-only JPEG rotation legs
+    (r11): with every AC coefficient zero and Q[0] = 8, one 8×8 block
+    decodes to the flat value 128 + DC exactly (the float IDCT error
+    on a DC-only block is < 1e-13 of a unit, see jpeg.py), so a
+    digest byte b ships as DC = b − 128 and the decoded tile is b.
+
+    The entropy stream is made a FIXED-LENGTH byte-aligned function
+    of each digest byte by two choices, both written from T.81
+    independently of the decoder:
+    - a custom canonical DC Huffman table whose code length for
+      magnitude category s is 10 − s (Kraft-valid: lengths 2..10, one
+      code each), so category code + value bits is always 10 bits;
+      with the single-EOB AC table's code pinned at length 6, every
+      block is exactly 16 bits — and since every DC code starts with
+      a 0 bit and the low 6 bits are the zero EOB, no entropy byte
+      can be 0xFF (no stuffing, fixed 2-byte blocks);
+    - DRI = 1 with RST0-7 between MCUs, so every block's DC predictor
+      resets and its two bytes depend on ONE digest byte → the whole
+      per-byte encoder collapses into the 512-byte table ``mcu``
+      (position 2·b, 1-based 2·b+1) that the Spark side indexes with
+      substr over a literal.
+
+    ``s0`` is the 2-byte zero-diff unit (category 0 + EOB) used for
+    the flat-128 chroma blocks and for the repeated luma blocks of
+    the 4:2:0 leg (identical in-MCU blocks ⇒ zero diffs under the
+    per-component predictor). Headers cover the four legs: SOF0
+    grayscale 32×32, SOF0 YCbCr 4:4:4 interleaved 32×32, SOF0 YCbCr
+    4:2:0 64×64, and SOF1 grayscale with a 16-bit (Pq=1) DQT."""
+    import struct
+
+    # DC Huffman: categories 0..8 at code lengths 10−s, canonical
+    # order HUFFVAL = [8..0]; AC: one EOB code at length 6
+    dc_bits = [0] + [1] * 9 + [0] * 6
+    dc_vals = bytes([8, 7, 6, 5, 4, 3, 2, 1, 0])
+    ac_bits = [0, 0, 0, 0, 0, 1] + [0] * 10
+    codes: dict[int, int] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(dc_bits[length - 1]):
+            codes[dc_vals[k]] = code
+            k += 1
+            code += 1
+        code <<= 1
+    mcu = bytearray()
+    for b in range(256):
+        v = b - 128
+        s = abs(v).bit_length()
+        # T.81 F.1.2.1: s value bits, one's complement for negatives
+        dc10 = (
+            codes[0]
+            if s == 0
+            else (codes[s] << s) | (v if v > 0 else v + (1 << s) - 1)
+        )
+        w = dc10 << 6  # EOB = 6 zero bits
+        mcu += bytes([w >> 8, w & 0xFF])
+    assert b"\xff" not in mcu  # the no-stuffing argument above
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sof(marker: int, h: int, w: int, comps: list) -> bytes:
+        return seg(
+            marker,
+            struct.pack(">BHHB", 8, h, w, len(comps))
+            + b"".join(bytes(c) for c in comps),
+        )
+
+    def sos(comps: list) -> bytes:
+        return seg(
+            0xDA,
+            bytes([len(comps)])
+            + b"".join(bytes(c) for c in comps)
+            + bytes([0, 63, 0]),
+        )
+
+    dqt8 = seg(0xDB, bytes([0x00]) + bytes([8]) * 64)
+    dqt16 = seg(0xDB, bytes([0x10]) + struct.pack(">64H", *([8] * 64)))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_bits) + dc_vals
+        + bytes([0x10]) + bytes(ac_bits) + b"\x00",
+    )
+    dri = seg(0xDD, struct.pack(">H", 1))
+    soi = b"\xff\xd8"
+    gray3 = [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]
+    return {
+        "mcu": bytes(mcu),
+        "s0": bytes(mcu[256:258]),  # b=128 ⇒ v=0: the zero-diff unit
+        "hdr_gray": soi + dqt8 + sof(0xC0, 32, 32, [(1, 0x11, 0)])
+        + dht + dri + sos([(1, 0x00)]),
+        "hdr_444": soi + dqt8 + sof(0xC0, 32, 32, gray3)
+        + dht + dri + sos([(1, 0), (2, 0), (3, 0)]),
+        "hdr_420": soi + dqt8
+        + sof(0xC0, 64, 64, [(1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)])
+        + dht + dri + sos([(1, 0), (2, 0), (3, 0)]),
+        "hdr_sof1": soi + dqt16 + sof(0xC1, 32, 32, [(1, 0x11, 0)])
+        + dht + dri + sos([(1, 0x00)]),
+    }
+
+
+def _jpeg_mcu_lookup(jseg: dict, byte_val):
+    """One digest byte → its 2-byte DC-only JPEG entropy block,
+    JVM-side: a substr index into the 512-byte literal table (1-based
+    position 2·b + 1). Substring on BinaryType stays in whole-stage
+    codegen like every other part of the payload concat."""
+    return F.lit(jseg["mcu"]).substr(byte_val * 2 + 1, F.lit(2))
+
+
 def _int_be32(expr):
     """Computed integer 0..2^32−1 → four big-endian bytes, JVM-side."""
     return F.unhex(F.lpad(F.hex(expr), 8, "0"))
@@ -3225,17 +3334,19 @@ def _int_be32(expr):
       FROM b WHERE i < 4 GROUP BY doc_id
     )
     SELECT s.doc_id,
-           CAST(4 AS BIGINT) AS height,
-           CAST(4 AS BIGINT) AS width,
-           CAST(CASE s.doc_id % 16
+           CAST(CASE WHEN s.doc_id % 17 = 16 THEN 32 ELSE 4 END
+                AS BIGINT) AS height,  -- JPEG: 16 flat 8x8 MCUs
+           CAST(CASE WHEN s.doc_id % 17 = 16 THEN 32 ELSE 4 END
+                AS BIGINT) AS width,
+           CAST(CASE s.doc_id % 17
                   WHEN 1 THEN 3   -- BMP: identity palette expands to RGB
                   WHEN 4 THEN 3   -- QOI: channels=3 header
                   WHEN 5 THEN 4   -- farbfeld: always RGBA
                   WHEN 7 THEN 3   -- GIF: palette expands to RGB
                   WHEN 13 THEN 3  -- BMP RLE8: palette expands to RGB
-                  ELSE 1          -- gray legs
+                  ELSE 1          -- gray legs (incl. JPEG branch 16)
                 END AS BIGINT) AS channels,
-           CASE s.doc_id % 16
+           CASE s.doc_id % 17
                 WHEN 5 THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- +alpha
                 WHEN 8 THEN CAST(255 * n.z AS DOUBLE) / 16   -- P4 bilevel
                 WHEN 10 THEN CAST(255 * n.z AS DOUBLE) / 16  -- P1 bilevel
@@ -3247,9 +3358,10 @@ def _int_be32(expr):
 def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 with REAL decode under the oracle, across the WHOLE native
     image-format matrix (r10 — the video query's dual-container trick
-    generalized): each document ships its 16 md5 digest bytes as a
-    4×4 gray raster in ONE of sixteen container branches chosen by
-    doc_id % 16 —
+    generalized; r11 adds the baseline-JPEG branch): each document
+    ships its 16 md5 digest bytes as a 4×4 gray raster (the JPEG
+    branch: as 16 flat 8×8 blocks of a 32×32 raster) in ONE of
+    seventeen container branches chosen by doc_id % 17 —
     0 P5 PGM; 1 8-bit paletted BMP (identity-gray palette,
     bottom-up); 2 grayscale TGA 2.0 (footer-routed); 3 uncompressed
     little-endian TIFF; 4 QOI (OP_RGB literals, r=g=b); 5 farbfeld
@@ -3270,17 +3382,25 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     (per-row absolute-mode escapes + EOL/EOB), 14 TIFF PackBits (one
     literal run), 15 TIFF LZW (the clear-code trick in MSB-first
     framing with the EarlyChange schedule pinned at width 9,
-    `_tiff_lzw_cleared_stream_parts`). Every payload is JVM-side
-    concat/arithmetic — no UDF builds bytes — and all sixteen run
+    `_tiff_lzw_cleared_stream_parts`); and 16 baseline JPEG (r11):
+    DC-only 32×32 grayscale SOF0 whose 16 MCUs decode to flat 8×8
+    tiles of exactly the digest bytes — DRI=1 resets the predictor so
+    each 2-byte entropy block is a per-byte table lookup
+    (`_jpeg_dc_segments`), exercising the REAL Huffman + dequant +
+    IDCT path end-to-end. Every payload is JVM-side
+    concat/arithmetic — no UDF builds bytes — and all seventeen run
     through the genuine `image_stats` → `decode_image` dispatch. The
     oracle recomputes the statistics once from the hex digest:
     identical gray pixels everywhere, so only channels (palette/RGBA
-    expansion), the farbfeld alpha term, and the bilevel ink formula
-    branch on doc_id % 16. A pixel, geometry, palette, filter,
-    checksum, bit-order, RLE-framing, or ASCII-tokenizer divergence
-    in ANY branch flips the hash. Exactness: integer pixel sums
-    (≤ 16·255, resp. 3·sum+4080 ≤ 16320, resp. 255·z ≤ 4080), one
-    final power-of-two division in both engines."""
+    expansion), the farbfeld alpha term, the bilevel ink formula, and
+    the JPEG 32×32 geometry branch on doc_id % 17 (the JPEG mean is
+    the SAME sum/16: 16 flat 64-pixel tiles). A pixel, geometry,
+    palette, filter, checksum, bit-order, RLE-framing,
+    ASCII-tokenizer, or IDCT divergence in ANY branch flips the hash.
+    Exactness: integer pixel sums (≤ 16·255, resp. 3·sum+4080
+    ≤ 16320, resp. 255·z ≤ 4080; the JPEG tiles are integer-exact
+    after np.rint, float error < 1e-13 of a unit), one final
+    power-of-two division in both engines."""
     # materialize the digest ONCE as a column: the construction trees
     # below reference hx hundreds of times, and a non-cheap alias with
     # multiple references survives CollapseProject, so md5 runs once
@@ -3389,7 +3509,17 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             dv[4 * g : 4 * g + 4], db[4 * g : 4 * g + 4]
         )
     tiff_lzw = F.concat(*lzw_parts, F.lit(b"\x80\x80"))
-    m = F.col("doc_id") % 16
+    # baseline JPEG: DC-only entropy blocks looked up from the
+    # 512-byte literal table (2 bytes per digest byte), RST0-7
+    # between MCUs (DRI=1), EOI tail — see _jpeg_dc_segments
+    jseg = _jpeg_dc_segments()
+    jpg_parts = [F.lit(jseg["hdr_gray"])]
+    for i in range(16):
+        jpg_parts.append(_jpeg_mcu_lookup(jseg, dv[i]))
+        if i < 15:
+            jpg_parts.append(F.lit(bytes([0xFF, 0xD0 + (i % 8)])))
+    jpg = F.concat(*jpg_parts, F.lit(b"\xff\xd9"))
+    m = F.col("doc_id") % 17
     payload = (
         F.when(m == 0, pgm)
         .when(m == 1, bmp)
@@ -3406,7 +3536,94 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 12, tga_rle)
         .when(m == 13, bmp_rle)
         .when(m == 14, tiff_pb)
-        .otherwise(tiff_lzw)
+        .when(m == 15, tiff_lzw)
+        .otherwise(jpg)
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return image_stats(payloads)
+
+
+@query(
+    "multimodal_jpeg_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 64 ELSE 32 END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 64 ELSE 32 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END
+                AS BIGINT) AS channels,
+           CAST(sum(byte) AS DOUBLE) / 16 AS mean_byte
+    FROM b GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native baseline-JPEG decoder (jpeg.py, r11) under the
+    external oracle across its FEATURE matrix, doc_id % 4 — every leg
+    DC-only (flat 8×8 tiles are integer-exact through the float IDCT,
+    so the oracle stays pure digest arithmetic) but each exercising a
+    different decode path end-to-end:
+    0 grayscale SOF0 32×32, one digest byte per MCU, DRI=1 + RST0-7
+      (predictor reset, segment realignment, cyclic-index check);
+    1 YCbCr 4:4:4 interleaved 32×32 — three per-component DC
+      predictors per MCU, chroma blocks the zero-diff unit (flat 128
+      ⇒ the BT.601 inverse is exactly identity, R=G=B=Y);
+    2 YCbCr 4:2:0 64×64 — 2×2 sampling factors, four luma blocks per
+      MCU (first carries the digest byte, the rest zero diffs against
+      the in-MCU luma predictor ⇒ a flat 16×16 tile), nearest-
+      neighbour chroma upsampling of the flat-128 plane;
+    3 grayscale SOF1 (extended sequential) with a 16-bit Pq=1 DQT —
+      the alternate frame marker and wide-quant parse paths.
+    Payloads are JVM-side concat: headers are literals, each entropy
+    block is a 2-byte substr lookup into the 512-byte DC table
+    (`_jpeg_dc_segments` — custom Huffman lengths 10−s make every
+    block a fixed 16 bits with no 0xFF stuffing possible). Means are
+    sum(digest)/16 in all four legs (flat tiles of 64/256 px each);
+    geometry and channel count branch on the leg. A Huffman,
+    predictor, sampling, upsampling, color-matrix, or DQT-width
+    divergence flips the hash. Reference has no media surface
+    (SURVEY.md §0); need is BASELINE.json's "multimodal columns"
+    north star — JPEG is the #1 image format in real corpora."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    dv = [
+        F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    jseg = _jpeg_dc_segments()
+    eoi = F.lit(b"\xff\xd9")
+
+    def entropy(chroma_units: int) -> list:
+        parts = []
+        for i in range(16):
+            parts.append(_jpeg_mcu_lookup(jseg, dv[i]))
+            if chroma_units:
+                parts.append(F.lit(bytes(jseg["s0"] * chroma_units)))
+            if i < 15:
+                parts.append(F.lit(bytes([0xFF, 0xD0 + (i % 8)])))
+        return parts
+
+    gray_entropy = entropy(0)
+    jpg_gray = F.concat(F.lit(jseg["hdr_gray"]), *gray_entropy, eoi)
+    # 4:4:4: per MCU one luma block + Cb/Cr zero-diff units
+    jpg_444 = F.concat(F.lit(jseg["hdr_444"]), *entropy(2), eoi)
+    # 4:2:0: per MCU luma + 3 repeated-luma zero diffs + Cb + Cr
+    jpg_420 = F.concat(F.lit(jseg["hdr_420"]), *entropy(5), eoi)
+    jpg_sof1 = F.concat(F.lit(jseg["hdr_sof1"]), *gray_entropy, eoi)
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, jpg_gray)
+        .when(m == 1, jpg_444)
+        .when(m == 2, jpg_420)
+        .otherwise(jpg_sof1)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)

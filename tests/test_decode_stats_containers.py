@@ -226,8 +226,8 @@ def test_png_adler_linear_weights_match_zlib(seed):
 
 def test_image_decode_stats_query_all_branches(spark, sf_dir):
     """The registered query at sf0.001 equals a local recomputation
-    from the parquet text column, and every doc_id % 16 branch is
-    actually exercised."""
+    from the parquet text column, and every doc_id % 17 branch
+    (16 = the r11 DC-only baseline-JPEG leg) is actually exercised."""
     import pyarrow.parquet as pq
 
     from flink_hiveorc_spark.registry import QUERIES
@@ -238,12 +238,13 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 16
+        m = doc_id % 17
         seen.add(m)
         dg = _digest(text)
         sb = sum(dg)
         r = rows[doc_id]
-        assert (r["height"], r["width"]) == (4, 4)
+        exp_dim = 32 if m == 16 else 4
+        assert (r["height"], r["width"]) == (exp_dim, exp_dim)
         exp_ch = {1: 3, 4: 3, 7: 3, 5: 4, 13: 3}.get(m, 1)
         assert r["channels"] == exp_ch, (doc_id, m)
         if m == 5:
@@ -254,7 +255,7 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
         else:
             exp_mean = sb / 16
         assert r["mean_byte"] == exp_mean, (doc_id, m)
-    assert seen == set(range(16))
+    assert seen == set(range(17))
 
 
 def _g711_expand(b: int, law: str) -> int:
@@ -466,3 +467,135 @@ def test_video_frames_decode_query(spark, sf_dir):
         f = r["frame_idx"]
         assert r["mean_byte"] == sum(dg[8 * f : 8 * f + 8]) / 8, (r["doc_id"], f)
     assert seen == {0, 1}
+
+
+# ---------------------------------------------------------------- JPEG (r11)
+
+
+def _bit_pack_msb_stream(units) -> bytes:
+    """Independent MSB-first packer over (value, nbits) units."""
+    buf = nbits = 0
+    out = bytearray()
+    for v, n in units:
+        buf = (buf << n) | v
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    assert nbits == 0  # the construction is byte-aligned by design
+    return bytes(out)
+
+
+def _canonical_codes(bits, vals):
+    """T.81 Annex C canonical assignment, written independently of
+    multimodal._jpeg_dc_segments."""
+    codes = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def test_jpeg_dc_table_matches_independent_encoder():
+    """The 512-byte DC-only MCU table equals an independently packed
+    [DC Huffman code][value bits][EOB] stream for all 256 byte
+    values, and contains no 0xFF (the no-stuffing claim)."""
+    seg = mm._jpeg_dc_segments()
+    dc = _canonical_codes([0] + [1] * 9 + [0] * 6, [8, 7, 6, 5, 4, 3, 2, 1, 0])
+    ac = _canonical_codes([0, 0, 0, 0, 0, 1] + [0] * 10, [0x00])
+    eob = ac[0x00]
+    tbl = seg["mcu"]
+    assert len(tbl) == 512 and b"\xff" not in tbl
+    for b in range(256):
+        v = b - 128
+        s = abs(v).bit_length()
+        units = [dc[s]]  # (code, length)
+        if s:
+            valbits = v if v > 0 else v + (1 << s) - 1
+            units.append((valbits, s))
+        units.append(eob)
+        ref = _bit_pack_msb_stream([(c, n) for c, n in units])
+        assert tbl[2 * b : 2 * b + 2] == ref, b
+    # the zero-diff chroma/repeat unit is the b=128 entry
+    assert seg["s0"] == tbl[256:258]
+
+
+def _python_jpeg_payloads(dg: bytes) -> dict[str, bytes]:
+    """Pure-Python twin of the Spark-side JPEG concat construction."""
+    seg = mm._jpeg_dc_segments()
+    tbl, s0 = seg["mcu"], seg["s0"]
+    rst = [bytes([0xFF, 0xD0 + (i % 8)]) for i in range(8)]
+
+    def entropy(chroma_units: int) -> bytes:
+        out = bytearray()
+        for i in range(16):
+            out += tbl[2 * dg[i] : 2 * dg[i] + 2]
+            out += s0 * chroma_units
+            if i < 15:
+                out += rst[i % 8]
+        return bytes(out)
+
+    eoi = b"\xff\xd9"
+    return {
+        "gray": seg["hdr_gray"] + entropy(0) + eoi,
+        "444": seg["hdr_444"] + entropy(2) + eoi,
+        "420": seg["hdr_420"] + entropy(5) + eoi,
+        "sof1": seg["hdr_sof1"] + entropy(0) + eoi,
+    }
+
+
+@pytest.mark.parametrize("text", ["hello world", "", "αβγ δε", "x" * 500])
+def test_jpeg_rotation_payloads_decode_exact(text):
+    """All four DC-only legs decode (through the REAL decode_image →
+    decode_jpeg dispatch) to exactly the expected flat tiles: the
+    digest bytes as 8×8 (gray/4:4:4) or 16×16 (4:2:0) blocks, RGB
+    legs with R=G=B=Y (flat-128 chroma is an exact BT.601 identity)."""
+    dg = _digest(text)
+    grid = np.frombuffer(dg, dtype=np.uint8).reshape(4, 4)
+    exp8 = np.repeat(np.repeat(grid, 8, 0), 8, 1)
+    exp16 = np.repeat(np.repeat(grid, 16, 0), 16, 1)
+    pl = _python_jpeg_payloads(dg)
+    for fmt, exp, ch in (
+        ("gray", exp8, 1),
+        ("444", exp8, 3),
+        ("420", exp16, 3),
+        ("sof1", exp8, 1),
+    ):
+        arr = mm.decode_image(pl[fmt])
+        assert arr.shape == exp.shape + (ch,), fmt
+        for c in range(ch):
+            np.testing.assert_array_equal(arr[:, :, c], exp, err_msg=fmt)
+
+
+def test_jpeg_decode_stats_query_all_branches(spark, sf_dir):
+    """multimodal_jpeg_decode_stats at sf0.001 equals a local
+    recomputation, with every doc_id % 4 feature leg exercised."""
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_jpeg_decode_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        m = doc_id % 4
+        seen.add(m)
+        r = rows[doc_id]
+        exp_dim = 64 if m == 2 else 32
+        exp_ch = 3 if m in (1, 2) else 1
+        assert (r["height"], r["width"], r["channels"]) == (
+            exp_dim,
+            exp_dim,
+            exp_ch,
+        ), (doc_id, m)
+        assert r["mean_byte"] == sum(_digest(text)) / 16, (doc_id, m)
+    assert seen == {0, 1, 2, 3}
