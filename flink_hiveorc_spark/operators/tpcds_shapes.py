@@ -1,0 +1,401 @@
+"""TPC-DS-shape relational queries (r11, SURVEY.md §2.11 widening;
+all [ext] — the 546-LoC reference has no query surface, SURVEY.md §0).
+
+The TPC-H family was exhausted by r10; these add the *DS* plan shapes
+that family lacks, adapted to the reduced TPC-H corpus (TESTDATA.md):
+multi-channel UNION-ALL rollups over facts of different granularity
+(q5/q77 shape), derived-dimension banding with a two-level aggregate
+(q34/q73), year-window deviation hunting with lag/lead neighbours
+(q47/q57), set-op customer overlap across periods (q38/q87), and a
+decorrelated above-global-ratio HAVING (q93-flavoured). Each docstring
+names the DS query whose plan shape it preserves.
+
+Determinism: monetary sums through DECIMAL(25,6) (exact in both
+engines), ratios computed from the exact ingredients with the SAME
+single-op double expression on both sides (e.g.
+``CAST(rev AS DOUBLE) * cnt / CAST(sum_rev AS DOUBLE)``); every
+window has a unique total order; rollup NULLs are COALESCEd to 'ALL'
+so the set-compare never leans on engine NULL rendering.
+
+Scale notes (100 TB): dims (nation/supplier/customer-after-filter)
+broadcast; facts partially aggregate BEFORE any union or join that
+would multiply rows; the q47 window partitions by (brand, year) —
+thousands of small partitions, never a global window; the overlap
+set-ops run on distinct custkeys (shuffle on the join key, no
+data-sized collect); the global-ratio single row re-aggregates the
+already-aggregated per-nation frame (exact decimal re-sum) and
+broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+_DEC = "decimal(25,6)"
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+@query(
+    "tpcds_multichannel_rollup",
+    oracle="""
+    WITH line_ch AS (
+      SELECT 'line' AS channel, n.n_name AS nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) AS amt
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    order_ch AS (
+      SELECT 'order' AS channel, n.n_name AS nation,
+             CAST(o.o_totalprice AS DECIMAL(25,6)) AS amt
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    u AS (SELECT * FROM line_ch UNION ALL SELECT * FROM order_ch)
+    SELECT COALESCE(channel, 'ALL') AS channel,
+           COALESCE(nation, 'ALL') AS nation,
+           CAST(sum(amt) AS DOUBLE) AS sales,
+           count(*) AS n_rows
+    FROM u
+    GROUP BY ROLLUP (channel, nation)
+    """,
+)
+def tpcds_multichannel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5/q77 shape: two sales 'channels' of DIFFERENT fact
+    granularity (line-level revenue vs order-level totals, both 1995)
+    UNION ALL'd into one channel dimension, then ROLLUP(channel,
+    nation) for per-channel, per-channel-total, and grand-total rows
+    in one pass. nation/customer broadcast under both facts; the
+    union feeds a single hash-rollup (Expand + one shuffle), no
+    channel is scanned twice."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("nation")
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-01-01"))
+    )
+    line_ch = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
+        .select(
+            F.lit("line").alias("channel"),
+            "nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(_DEC)
+            .alias("amt"),
+        )
+    )
+    order_ch = (
+        o.filter(
+            (F.col("o_orderdate") >= _ts("1995-01-01"))
+            & (F.col("o_orderdate") < _ts("1996-01-01"))
+        )
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
+        .select(
+            F.lit("order").alias("channel"),
+            "nation",
+            F.col("o_totalprice").cast(_DEC).alias("amt"),
+        )
+    )
+    return (
+        line_ch.unionByName(order_ch)
+        .rollup("channel", "nation")
+        .agg(
+            F.sum("amt").cast("double").alias("sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            "sales",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "tpcds_purchase_band_segments",
+    oracle="""
+    WITH cnts AS (
+      SELECT o_custkey, count(*) AS cnt
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           CASE WHEN cnt <= 3 THEN '1-3'
+                WHEN cnt <= 7 THEN '4-7'
+                ELSE '8+' END AS band,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_acctbal
+    FROM cnts JOIN customer c ON c.c_custkey = cnts.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def tpcds_purchase_band_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: a DERIVED dimension — customers banded
+    by their 1995 order count — then a second-level aggregate over
+    (market segment, band). The fact aggregates to per-customer
+    counts FIRST (shrinking to |customers| before the join); the
+    banding CASE is a zero-cost projection on the aggregated frame.
+    Account-balance mass per cell goes through exact DECIMAL."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cnts = (
+        o.filter(
+            (F.col("o_orderdate") >= _ts("1995-01-01"))
+            & (F.col("o_orderdate") < _ts("1996-01-01"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    band = (
+        F.when(F.col("cnt") <= 3, "1-3")
+        .when(F.col("cnt") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return (
+        cnts.join(c, cnts.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("band"),
+            F.col("c_acctbal").cast(_DEC).alias("bal"),
+        )
+        .groupBy("segment", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal").cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "tpcds_brand_monthly_drift",
+    oracle="""
+    WITH monthly AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) AS BIGINT) AS y,
+             CAST(month(l.l_shipdate) AS BIGINT) AS m,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT brand, y, m, rev,
+             sum(rev) OVER (PARTITION BY brand, y) AS yr_rev,
+             count(*) OVER (PARTITION BY brand, y) AS yr_months,
+             CAST(lag(rev) OVER (PARTITION BY brand ORDER BY y, m)
+                  AS DOUBLE) AS prev_rev,
+             CAST(lead(rev) OVER (PARTITION BY brand ORDER BY y, m)
+                  AS DOUBLE) AS next_rev
+      FROM monthly
+    )
+    SELECT brand, y, m,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(rev AS DOUBLE) * yr_months / CAST(yr_rev AS DOUBLE)
+             AS drift_ratio,
+           prev_rev, next_rev
+    FROM w
+    WHERE yr_months >= 6
+      AND (CAST(rev AS DOUBLE) * yr_months / CAST(yr_rev AS DOUBLE) > 1.3
+        OR CAST(rev AS DOUBLE) * yr_months / CAST(yr_rev AS DOUBLE) < 0.7)
+    """,
+)
+def tpcds_brand_monthly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47/q57 shape: monthly brand revenue vs the brand-year
+    average, keeping months that drift >30% from their year's mean,
+    with lag/lead neighbour months attached. Determinism: monthly
+    revenue is an exact DECIMAL sum; the drift ratio is computed from
+    exact ingredients with ONE multiply and ONE divide in the same
+    order in both engines (never an engine-side AVG of doubles).
+    Windows partition by (brand, year) resp. brand with a unique
+    (y, m) order — thousands of small partitions, no global window."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.month("l_shipdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    _DEC
+                )
+            ).alias("rev")
+        )
+    )
+    wy = Window.partitionBy("brand", "y")
+    wseq = Window.partitionBy("brand").orderBy("y", "m")
+    ratio = (
+        F.col("rev").cast("double")
+        * F.col("yr_months")
+        / F.col("yr_rev").cast("double")
+    )
+    return (
+        monthly.withColumn("yr_rev", F.sum("rev").over(wy))
+        .withColumn("yr_months", F.count(F.lit(1)).over(wy))
+        .withColumn("prev_rev", F.lag("rev").over(wseq).cast("double"))
+        .withColumn("next_rev", F.lead("rev").over(wseq).cast("double"))
+        .filter(F.col("yr_months") >= 6)
+        .withColumn("drift_ratio", ratio)
+        .filter((F.col("drift_ratio") > 1.3) | (F.col("drift_ratio") < 0.7))
+        .select(
+            "brand",
+            "y",
+            "m",
+            F.col("rev").cast("double").alias("rev"),
+            "drift_ratio",
+            "prev_rev",
+            "next_rev",
+        )
+    )
+
+
+@query(
+    "tpcds_halves_customer_overlap",
+    oracle="""
+    WITH h1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    ),
+    h2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    SELECT
+      (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))
+        AS in_both,
+      (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))
+        AS h1_only,
+      (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1))
+        AS h2_only
+    """,
+)
+def tpcds_halves_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape: set operations over DISTINCT customer
+    keys of two periods — customers active in both 1995 halves,
+    first-half-only, and second-half-only, as one row. The date
+    filters reach the scan; the set ops run on already-distinct key
+    frames (shuffle on the key, map-side distinct first); the three
+    1-row counts cross-join into the result (bounded, broadcast)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def half(lo: str, hi: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= _ts(lo))
+                & (F.col("o_orderdate") < _ts(hi))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    h1 = half("1995-01-01", "1995-07-01")
+    h2 = half("1995-07-01", "1996-01-01")
+    in_both = h1.intersect(h2).agg(F.count(F.lit(1)).alias("in_both"))
+    h1_only = h1.subtract(h2).agg(F.count(F.lit(1)).alias("h1_only"))
+    h2_only = h2.subtract(h1).agg(F.count(F.lit(1)).alias("h2_only"))
+    # 1-row frames: broadcast so the combine is BNLJ, never cartesian
+    return in_both.crossJoin(F.broadcast(h1_only)).crossJoin(
+        F.broadcast(h2_only)
+    )
+
+
+@query(
+    "tpcds_returns_ratio_above_global",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation,
+             sum(CASE WHEN l.l_returnflag = 'R'
+                      THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                AS DECIMAL(25,6))
+                      ELSE CAST(0 AS DECIMAL(25,6)) END) AS ret,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))) AS tot
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1
+    ),
+    globe AS (SELECT sum(ret) AS gret, sum(tot) AS gtot FROM per_nation)
+    SELECT p.nation,
+           CAST(p.ret AS DOUBLE) / CAST(p.tot AS DOUBLE) AS return_ratio,
+           CAST(g.gret AS DOUBLE) / CAST(g.gtot AS DOUBLE) AS global_ratio
+    FROM per_nation p, globe g
+    WHERE CAST(p.ret AS DOUBLE) / CAST(p.tot AS DOUBLE)
+        > CAST(g.gret AS DOUBLE) / CAST(g.gtot AS DOUBLE)
+    """,
+)
+def tpcds_returns_ratio_above_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q93-flavoured decorrelated HAVING: per-supplier-nation
+    returned-revenue ratio, keeping nations above the GLOBAL ratio.
+    The correlated 'above average' subquery becomes an explicit
+    re-aggregation of the per-nation frame (exact DECIMAL re-sum —
+    deterministic), cross-joined back as a broadcast single row; the
+    supplier→nation dims broadcast under the fact scan; ratios are
+    one double divide of exact ingredients on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    per_nation = (
+        l.join(sn, l.l_suppkey == sn.s_suppkey)
+        .select(
+            "nation",
+            amt.alias("amt"),
+            F.when(F.col("l_returnflag") == "R", amt)
+            .otherwise(zero)
+            .alias("ret_amt"),
+        )
+        .groupBy("nation")
+        .agg(F.sum("ret_amt").alias("ret"), F.sum("amt").alias("tot"))
+    )
+    globe = F.broadcast(
+        per_nation.agg(
+            F.sum("ret").alias("gret"), F.sum("tot").alias("gtot")
+        )
+    )
+    ratio = F.col("ret").cast("double") / F.col("tot").cast("double")
+    gratio = F.col("gret").cast("double") / F.col("gtot").cast("double")
+    return (
+        per_nation.crossJoin(globe)
+        .withColumn("return_ratio", ratio)
+        .withColumn("global_ratio", gratio)
+        .filter(F.col("return_ratio") > F.col("global_ratio"))
+        .select("nation", "return_ratio", "global_ratio")
+    )

@@ -81,6 +81,7 @@ def _load_all() -> None:
         merge,
         relational,
         scalar,
+        tpcds_shapes,
         tpch_extra,
         windows,
     )
@@ -114,6 +115,7 @@ _BUCKET_BY_MODULE_PART = {
     "functions": 0,   # L1-L5: dedup / similarity / text / analytics / multimodal
     "windows": 1,     # §2.5/2.6 window + sort/top-k queries
     "tpch_extra": 2,  # TPC-H shapes 2..22
+    "tpcds_shapes": 2,  # TPC-DS plan shapes (r11)
     "batch_checks": 3,  # streaming event-time oracle twins
 }
 
