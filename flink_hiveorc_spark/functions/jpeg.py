@@ -6,25 +6,31 @@ Huffman + IDCT):
 
 - baseline sequential DCT (SOF0) and extended sequential (SOF1),
   8-bit precision, Huffman entropy coding;
+- progressive DCT (SOF2, r11 — T.81 Annex G): spectral selection
+  and successive approximation, interleaved/non-interleaved DC
+  scans (first + one-bit refinement), single-component AC scans
+  with EOB-run coding (first) and correction-bit refinement,
+  coefficients accumulated across scans into frame-level grids
+  before the shared dequant + IDCT;
 - 1-component grayscale and 3-component YCbCr (BT.601 full-range
   JFIF conversion), any integer-ratio sampling (4:4:4, 4:2:0,
   4:2:2, 4:4:0, ...);
 - 8-bit and 16-bit quantization tables (DQT Pq 0/1), multiple
   tables per segment;
 - restart intervals (DRI + RST0-7 with cyclic-index verification,
-  predictor reset, byte realignment);
+  predictor reset, byte realignment; per-scan DRI changes);
 - FF00 byte stuffing, fill bytes before markers, multi-scan
   baseline files (separate single-component scans), trailing
   garbage after EOI.
 
 Out of scope → NotImplementedError (the decode contract's
 "needs a codec/feature this build lacks" class, same as
-multimodal.decode_image): progressive (SOF2), lossless /
-hierarchical / differential (SOF3, SOF5-7, SOF13-15),
-arithmetic coding (SOF9-11, DAC), 12-bit precision, DNL-deferred
-height, 2/4-component (Adobe CMYK) color, non-integer sampling
-ratios. Structural damage (truncated segments, invalid Huffman
-codes, runs past block end, bad RST ordering, missing EOI) raises
+multimodal.decode_image): lossless / hierarchical / differential
+(SOF3, SOF5-7, SOF13-15), arithmetic coding (SOF9-11, DAC),
+12-bit precision, DNL-deferred height, 2/4-component (Adobe CMYK)
+color, non-integer sampling ratios. Structural damage (truncated
+segments, invalid Huffman codes, runs past block end, bad RST
+ordering, AC-before-DC progressive scans, missing EOI) raises
 ValueError via the caller's contract wrapper.
 
 Why this exists: JPEG is the #1 image format in any real
@@ -147,7 +153,6 @@ def _be16(data: bytes, pos: int) -> int:
 
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -263,7 +268,7 @@ def decode_jpeg(payload: bytes, max_pixels: int | None = None):
             raise ValueError(f"truncated JPEG segment 0x{marker:02x}")
         body = payload[pos + 2 : pos + length]
         pos += length
-        if marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if frame is not None:
                 raise ValueError("multiple SOF segments")
             if len(body) < 6:
@@ -312,7 +317,7 @@ def decode_jpeg(payload: bytes, max_pixels: int | None = None):
                 c["hgt"] = -(-h * c["v"] // vmax)
                 c["bx"] = -(-c["w"] // 8)
                 c["by"] = -(-c["hgt"] // 8)
-            frame = (h, w, comps, hmax, vmax)
+            frame = (h, w, comps, hmax, vmax, marker == 0xC2)
         elif marker == 0xDB:  # DQT
             p = 0
             while p < len(body):
@@ -358,9 +363,16 @@ def decode_jpeg(payload: bytes, max_pixels: int | None = None):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            pos = _decode_scan(
-                payload, pos, body, frame, qt, huff, dri, coef_grids, decoded_comps
-            )
+            if frame[5]:  # progressive: coefficients accumulate per scan
+                pos = _decode_scan_progressive(
+                    payload, pos, body, frame, huff, dri, coef_grids,
+                    decoded_comps,
+                )
+            else:
+                pos = _decode_scan(
+                    payload, pos, body, frame, qt, huff, dri, coef_grids,
+                    decoded_comps,
+                )
         else:
             # APPn / COM / DNL / unknown-with-length: skipped via length
             continue
@@ -371,7 +383,7 @@ def decode_jpeg(payload: bytes, max_pixels: int | None = None):
         # silently short — same silent-data-loss rule as the GIF
         # trailer and the chunk walkers
         raise ValueError("JPEG stream ended without EOI")
-    h, w, comps, hmax, vmax = frame
+    h, w, comps, hmax, vmax, _prog = frame
     missing = [cid for cid in comp_order if cid not in decoded_comps]
     if missing:
         raise ValueError(f"components {missing} have no scan data")
@@ -430,7 +442,7 @@ def _decode_scan(
     """Decode one SOS scan; returns the offset of the terminating
     marker. Fills coef_grids[cid] (zigzag-order int32 per block,
     component-raster block order)."""
-    h, w, comps, hmax, vmax = frame
+    h, w, comps, hmax, vmax, _prog = frame
     if len(body) < 1:
         raise ValueError("truncated SOS header")
     ns = body[0]
@@ -515,4 +527,208 @@ def _decode_scan(
                         row = my * cv + by
                         col = mx * ch + bx
                         coef_grids[cs][0][row * gx + col] = coef
+    return end_pos
+
+
+def _refine_nonzero(reader: _BitReader, coef: np.ndarray, k: int, p1: int) -> None:
+    """One AC correction bit for a nonzero-history coefficient
+    (T.81 G.1.2.3): a 1-bit moves the magnitude toward the next
+    approximation level; bits already present are never re-added."""
+    if reader.read(1) and (coef[k] & p1) == 0:
+        coef[k] += p1 if coef[k] >= 0 else -p1
+
+
+def _decode_scan_progressive(
+    payload: bytes,
+    pos: int,
+    body: bytes,
+    frame,
+    huff: dict,
+    dri: int,
+    coef_grids: dict,
+    decoded_comps: set,
+) -> int:
+    """Decode one progressive (SOF2) scan per T.81 Annex G: spectral
+    selection (Ss..Se) and successive approximation (Ah/Al) over
+    frame-level coefficient grids that accumulate across scans — the
+    final dequant + IDCT in `decode_jpeg` is shared with the
+    sequential path. DC scans (Ss=Se=0) may be interleaved and code
+    Al-truncated diffs (first) or one raw bit per block (refinement);
+    AC scans are single-component with EOB-run coding (first) and
+    correction-bit insertion (refinement). Restart intervals reset
+    predictors AND the EOB run. `decoded_comps` records components
+    whose DC-first scan arrived (AC-before-DC and missing-DC both
+    fail, T.81 G.1.1.1.1)."""
+    h, w, comps, hmax, vmax, _prog = frame
+    if len(body) < 1:
+        raise ValueError("truncated SOS header")
+    ns = body[0]
+    if len(body) != 1 + 2 * ns + 3:
+        raise ValueError("SOS header size mismatch")
+    if ns < 1 or ns > len(comps):
+        raise ValueError(f"SOS declares {ns} components")
+    scan = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        if cs not in comps:
+            raise ValueError(f"SOS references unknown component {cs}")
+        scan.append((cs, tdta >> 4, tdta & 15))
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    dc_scan = ss == 0
+    if dc_scan:
+        if se != 0:
+            raise ValueError(f"progressive DC scan with Se={se}")
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise ValueError(f"bad spectral band Ss={ss} Se={se}")
+    if al > 13 or (ah != 0 and ah != al + 1):
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+    refining = ah != 0
+    for cs, td, ta in scan:
+        if dc_scan:
+            if not refining and (0, td) not in huff:
+                raise ValueError(f"scan references missing DC table {td}")
+            if cs not in decoded_comps and refining:
+                raise ValueError(f"DC refinement before DC scan for {cs}")
+        else:
+            if (1, ta) not in huff:
+                raise ValueError(f"scan references missing AC table {ta}")
+            if cs not in decoded_comps:
+                raise ValueError(f"AC scan before DC scan for component {cs}")
+    # frame-level MCU-padded grids, shared by every scan (B.2.3: the
+    # interleaved DC scan covers the padded grid; non-interleaved AC
+    # scans cover the component's own bx-by blocks inside it)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for cs, _, _ in scan:
+        c = comps[cs]
+        if cs not in coef_grids:
+            gy, gx = mcuy * c["v"], mcux * c["h"]
+            coef_grids[cs] = (np.zeros((gy * gx, 64), dtype=np.int32), gy, gx)
+    if dc_scan and ns > 1:
+        mcus = mcux * mcuy
+        per_mcu = [(cs, comps[cs]["h"], comps[cs]["v"]) for cs, _, _ in scan]
+    else:
+        cid0 = scan[0][0]
+        mcus = comps[cid0]["bx"] * comps[cid0]["by"]
+        per_mcu = [(cid0, 1, 1)]
+    segs, rsts, end_pos = _entropy_segments(payload, pos)
+    interval = dri if dri else mcus
+    expected_segments = -(-mcus // interval)
+    if len(segs) < expected_segments:
+        raise ValueError(
+            f"scan carries {len(segs)} restart segments, needs {expected_segments}"
+        )
+    for i, rst in enumerate(rsts[: expected_segments - 1]):
+        if rst != i % 8:
+            raise ValueError(
+                f"restart marker RST{rst} out of sequence (expected RST{i % 8})"
+            )
+    tables = {cs: (huff.get((0, td)), huff.get((1, ta))) for cs, td, ta in scan}
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    preds = {cs: 0 for cs, _, _ in scan}
+    eobrun = 0
+    p1 = 1 << al
+    for mcu in range(mcus):
+        if dri and mcu and mcu % dri == 0:
+            seg_idx += 1
+            reader = _BitReader(segs[seg_idx])
+            preds = {cs: 0 for cs, _, _ in scan}
+            eobrun = 0
+        if dc_scan and ns > 1:
+            my, mx = divmod(mcu, mcux)
+            blocks = [
+                (cs, (my * cv + by) * coef_grids[cs][2] + (mx * ch + bx))
+                for cs, ch, cv in per_mcu
+                for by in range(cv)
+                for bx in range(ch)
+            ]
+        else:
+            cs = per_mcu[0][0]
+            bxc = comps[cs]["bx"]
+            row, col = divmod(mcu, bxc)
+            blocks = [(cs, row * coef_grids[cs][2] + col)]
+        for cs, idx in blocks:
+            coef = coef_grids[cs][0][idx]
+            dc_t, ac_t = tables[cs]
+            if dc_scan:
+                if refining:  # one raw bit per block into position Al
+                    if reader.read(1):
+                        coef[0] |= p1
+                    continue
+                s = reader.decode_huff(dc_t)
+                if s > 15:
+                    raise ValueError(f"DC magnitude category {s} out of range")
+                diff = _extend(reader.read(s), s) if s else 0
+                preds[cs] += diff  # predictor lives in the truncated domain
+                coef[0] = preds[cs] << al
+            elif not refining:  # AC first: EOB-run coding, values << Al
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_huff(ac_t)
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r < 15:  # EOBn: run of (1<<r)+bits blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient run past band end")
+                    coef[k] = _extend(reader.read(size), size) << al
+                    k += 1
+            else:  # AC refinement: corrections + newly nonzero at ±(1<<Al)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_huff(ac_t)
+                        r, size = rs >> 4, rs & 15
+                        newval = 0
+                        if size == 0:
+                            if r < 15:  # EOBn
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            # ZRL: skip 16 zero-history coefficients
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement magnitude category != 1"
+                                )
+                            newval = p1 if reader.read(1) else -p1
+                        while k <= se:  # advance past r zero-history coeffs
+                            if coef[k] != 0:
+                                _refine_nonzero(reader, coef, k, p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "AC refinement run past band end"
+                                )
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:  # EOB phase: corrections through band end
+                    while k <= se:
+                        if coef[k] != 0:
+                            _refine_nonzero(reader, coef, k, p1)
+                        k += 1
+                    eobrun -= 1
+    if dc_scan and not refining:
+        for cs, _, _ in scan:
+            decoded_comps.add(cs)
     return end_pos

@@ -1555,10 +1555,10 @@ def decode_image(payload: bytes):
         except Exception as e:
             raise ValueError(f"malformed TGA payload: {e}") from e
     if payload[:2] == b"\xff\xd8":
-        # baseline-Huffman JPEG decodes natively (pure numpy — DCT is
-        # not entropy coding); features outside that envelope
-        # (progressive, arithmetic, 12-bit, CMYK) go to PIL when
-        # importable and keep the native gap message otherwise
+        # baseline + progressive Huffman JPEG decodes natively (pure
+        # numpy — DCT is not entropy coding); features outside that
+        # envelope (arithmetic, lossless, 12-bit, CMYK) go to PIL
+        # when importable and keep the native gap message otherwise
         try:
             return decode_jpeg(payload, max_pixels=MAX_IMAGE_PIXELS)
         except NotImplementedError as native_gap:
@@ -3243,9 +3243,7 @@ def _jpeg_dc_segments() -> dict[str, bytes]:
             k += 1
             code += 1
         code <<= 1
-    mcu = bytearray()
-    for b in range(256):
-        v = b - 128
+    def dc_unit(v: int) -> bytes:
         s = abs(v).bit_length()
         # T.81 F.1.2.1: s value bits, one's complement for negatives
         dc10 = (
@@ -3253,9 +3251,19 @@ def _jpeg_dc_segments() -> dict[str, bytes]:
             if s == 0
             else (codes[s] << s) | (v if v > 0 else v + (1 << s) - 1)
         )
-        w = dc10 << 6  # EOB = 6 zero bits
-        mcu += bytes([w >> 8, w & 0xFF])
-    assert b"\xff" not in mcu  # the no-stuffing argument above
+        w = dc10 << 6  # trailing 6 bits: EOB for sequential legs,
+        # plain byte-alignment padding for progressive DC scans
+        return bytes([w >> 8, w & 0xFF])
+
+    mcu = bytearray()
+    mcu_al1 = bytearray()
+    for b in range(256):
+        mcu += dc_unit(b - 128)
+        # successive-approximation first DC scan (Al=1) ships the
+        # FLOOR-shifted value (b-128) >> 1 = (b >> 1) - 64; the
+        # refinement bit b & 1 restores exactness: 2·⌊x/2⌋+(x&1)=x
+        mcu_al1 += dc_unit((b >> 1) - 64)
+    assert b"\xff" not in mcu and b"\xff" not in mcu_al1  # no stuffing
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -3275,6 +3283,9 @@ def _jpeg_dc_segments() -> dict[str, bytes]:
             + bytes([0, 63, 0]),
         )
 
+    def sos_prog(ss: int, se: int, ah: int, al: int, ta: int = 0) -> bytes:
+        return seg(0xDA, bytes([1, 1, ta, ss, se, (ah << 4) | al]))
+
     dqt8 = seg(0xDB, bytes([0x00]) + bytes([8]) * 64)
     dqt16 = seg(0xDB, bytes([0x10]) + struct.pack(">64H", *([8] * 64)))
     dht = seg(
@@ -3282,11 +3293,18 @@ def _jpeg_dc_segments() -> dict[str, bytes]:
         bytes([0x00]) + bytes(dc_bits) + dc_vals
         + bytes([0x10]) + bytes(ac_bits) + b"\x00",
     )
+    # progressive AC table (Th=1): one EOBn symbol 0x40 at length 4 —
+    # EOB run of 16 = symbol + 4 zero extra bits = the single byte
+    # 0x00 covers the whole 16-block image in one code
+    ac_prog_bits = [0, 0, 0, 1] + [0] * 12
+    dht_prog = seg(0xC4, bytes([0x11]) + bytes(ac_prog_bits) + b"\x40")
     dri = seg(0xDD, struct.pack(">H", 1))
+    dri0 = seg(0xDD, struct.pack(">H", 0))
     soi = b"\xff\xd8"
     gray3 = [(1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0)]
     return {
         "mcu": bytes(mcu),
+        "mcu_al1": bytes(mcu_al1),
         "s0": bytes(mcu[256:258]),  # b=128 ⇒ v=0: the zero-diff unit
         "hdr_gray": soi + dqt8 + sof(0xC0, 32, 32, [(1, 0x11, 0)])
         + dht + dri + sos([(1, 0x00)]),
@@ -3297,6 +3315,15 @@ def _jpeg_dc_segments() -> dict[str, bytes]:
         + dht + dri + sos([(1, 0), (2, 0), (3, 0)]),
         "hdr_sof1": soi + dqt16 + sof(0xC1, 32, 32, [(1, 0x11, 0)])
         + dht + dri + sos([(1, 0x00)]),
+        # progressive legs: header up to the first (DC) SOS; the
+        # constant suffix after the DC entropy is DRI=0 + the AC scan
+        # (Ss=1..63, Ta=1) whose whole entropy is the 0x00 EOBn byte
+        "hdr_prog": soi + dqt8 + sof(0xC2, 32, 32, [(1, 0x11, 0)])
+        + dht + dht_prog + dri + sos_prog(0, 0, 0, 0),
+        "hdr_prog_sa": soi + dqt8 + sof(0xC2, 32, 32, [(1, 0x11, 0)])
+        + dht + dht_prog + dri + sos_prog(0, 0, 0, 1),
+        "sa_refine_sos": sos_prog(0, 0, 1, 0),  # DC refinement scan
+        "prog_tail": dri0 + sos_prog(1, 63, 0, 0, ta=1) + b"\x00",
     }
 
 
@@ -3554,21 +3581,21 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM p, UNNEST(range(0, 16)) AS t(i)
     )
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 64 ELSE 32 END
+           CAST(CASE WHEN doc_id % 6 = 2 THEN 64 ELSE 32 END
                 AS BIGINT) AS height,
-           CAST(CASE WHEN doc_id % 4 = 2 THEN 64 ELSE 32 END
+           CAST(CASE WHEN doc_id % 6 = 2 THEN 64 ELSE 32 END
                 AS BIGINT) AS width,
-           CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END
+           CAST(CASE WHEN doc_id % 6 IN (1, 2) THEN 3 ELSE 1 END
                 AS BIGINT) AS channels,
            CAST(sum(byte) AS DOUBLE) / 16 AS mean_byte
     FROM b GROUP BY doc_id
     """,
 )
 def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The native baseline-JPEG decoder (jpeg.py, r11) under the
-    external oracle across its FEATURE matrix, doc_id % 4 — every leg
-    DC-only (flat 8×8 tiles are integer-exact through the float IDCT,
-    so the oracle stays pure digest arithmetic) but each exercising a
+    """The native JPEG decoder (jpeg.py, r11) under the external
+    oracle across its FEATURE matrix, doc_id % 6 — every leg DC-only
+    (flat 8×8 tiles are integer-exact through the float IDCT, so the
+    oracle stays pure digest arithmetic) but each exercising a
     different decode path end-to-end:
     0 grayscale SOF0 32×32, one digest byte per MCU, DRI=1 + RST0-7
       (predictor reset, segment realignment, cyclic-index check);
@@ -3580,17 +3607,30 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       the in-MCU luma predictor ⇒ a flat 16×16 tile), nearest-
       neighbour chroma upsampling of the flat-128 plane;
     3 grayscale SOF1 (extended sequential) with a 16-bit Pq=1 DQT —
-      the alternate frame marker and wide-quant parse paths.
+      the alternate frame marker and wide-quant parse paths;
+    4 PROGRESSIVE (SOF2) grayscale 32×32: a DC scan (the same 2-byte
+      units — their trailing 6 bits become byte-alignment padding
+      since progressive DC scans carry no EOB) followed by DRI=0 and
+      an AC scan whose ENTIRE entropy is one 0x00 byte (EOBn symbol
+      at code length 4 + 4 extra bits = EOB run of exactly 16
+      blocks), exercising spectral selection and EOB-run decode;
+    5 progressive SUCCESSIVE APPROXIMATION: the DC scan at Al=1
+      ships ⌊(b−128)/2⌋ from a second 512-byte table, a DC
+      refinement scan (Ah=1) ships bit b&1 as one bit + 7 pad bits
+      per restart segment — 2·⌊x/2⌋+(x&1)=x makes the composition
+      exact — then the same EOB-run AC scan.
     Payloads are JVM-side concat: headers are literals, each entropy
-    block is a 2-byte substr lookup into the 512-byte DC table
+    block is a 2-byte substr lookup into a 512-byte DC table
     (`_jpeg_dc_segments` — custom Huffman lengths 10−s make every
-    block a fixed 16 bits with no 0xFF stuffing possible). Means are
-    sum(digest)/16 in all four legs (flat tiles of 64/256 px each);
+    block a fixed 16 bits with no 0xFF stuffing possible); the
+    refinement bytes are plain byte arithmetic. Means are
+    sum(digest)/16 in all six legs (flat tiles of 64/256 px each);
     geometry and channel count branch on the leg. A Huffman,
-    predictor, sampling, upsampling, color-matrix, or DQT-width
-    divergence flips the hash. Reference has no media surface
-    (SURVEY.md §0); need is BASELINE.json's "multimodal columns"
-    north star — JPEG is the #1 image format in real corpora."""
+    predictor, sampling, upsampling, color-matrix, DQT-width,
+    EOB-run, or refinement-bit divergence flips the hash. Reference
+    has no media surface (SURVEY.md §0); need is BASELINE.json's
+    "multimodal columns" north star — JPEG is the #1 image format in
+    real corpora, and most large web JPEGs are progressive."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("hx")
     )
@@ -3618,12 +3658,34 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4:2:0: per MCU luma + 3 repeated-luma zero diffs + Cb + Cr
     jpg_420 = F.concat(F.lit(jseg["hdr_420"]), *entropy(5), eoi)
     jpg_sof1 = F.concat(F.lit(jseg["hdr_sof1"]), *gray_entropy, eoi)
-    m = F.col("doc_id") % 4
+    # progressive: DC entropy reuses the same per-byte units (their
+    # low 6 bits are segment padding here), the AC scan is constant
+    jpg_prog = F.concat(
+        F.lit(jseg["hdr_prog"]), *gray_entropy, F.lit(jseg["prog_tail"]), eoi
+    )
+    # successive approximation: Al=1 DC units, then one refinement
+    # byte (b & 1 in the top bit) per restart segment
+    sa_parts = [F.lit(jseg["hdr_prog_sa"])]
+    for i in range(16):
+        sa_parts.append(
+            F.lit(jseg["mcu_al1"]).substr(dv[i] * 2 + 1, F.lit(2))
+        )
+        if i < 15:
+            sa_parts.append(F.lit(bytes([0xFF, 0xD0 + (i % 8)])))
+    sa_parts.append(F.lit(jseg["sa_refine_sos"]))
+    for i in range(16):
+        sa_parts.append(_int_byte(dv[i].bitwiseAND(F.lit(1)) * 128))
+        if i < 15:
+            sa_parts.append(F.lit(bytes([0xFF, 0xD0 + (i % 8)])))
+    jpg_sa = F.concat(*sa_parts, F.lit(jseg["prog_tail"]), eoi)
+    m = F.col("doc_id") % 6
     payload = (
         F.when(m == 0, jpg_gray)
         .when(m == 1, jpg_444)
         .when(m == 2, jpg_420)
-        .otherwise(jpg_sof1)
+        .when(m == 3, jpg_sof1)
+        .when(m == 4, jpg_prog)
+        .otherwise(jpg_sa)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)

@@ -540,11 +540,22 @@ def _python_jpeg_payloads(dg: bytes) -> dict[str, bytes]:
         return bytes(out)
 
     eoi = b"\xff\xd9"
+    sa1 = bytearray()
+    sa2 = bytearray()
+    for i in range(16):
+        sa1 += seg["mcu_al1"][2 * dg[i] : 2 * dg[i] + 2]
+        sa2 += bytes([(dg[i] & 1) << 7])
+        if i < 15:
+            sa1 += rst[i % 8]
+            sa2 += rst[i % 8]
     return {
         "gray": seg["hdr_gray"] + entropy(0) + eoi,
         "444": seg["hdr_444"] + entropy(2) + eoi,
         "420": seg["hdr_420"] + entropy(5) + eoi,
         "sof1": seg["hdr_sof1"] + entropy(0) + eoi,
+        "prog": seg["hdr_prog"] + entropy(0) + seg["prog_tail"] + eoi,
+        "sa": seg["hdr_prog_sa"] + bytes(sa1) + seg["sa_refine_sos"]
+        + bytes(sa2) + seg["prog_tail"] + eoi,
     }
 
 
@@ -564,6 +575,8 @@ def test_jpeg_rotation_payloads_decode_exact(text):
         ("444", exp8, 3),
         ("420", exp16, 3),
         ("sof1", exp8, 1),
+        ("prog", exp8, 1),
+        ("sa", exp8, 1),
     ):
         arr = mm.decode_image(pl[fmt])
         assert arr.shape == exp.shape + (ch,), fmt
@@ -573,7 +586,8 @@ def test_jpeg_rotation_payloads_decode_exact(text):
 
 def test_jpeg_decode_stats_query_all_branches(spark, sf_dir):
     """multimodal_jpeg_decode_stats at sf0.001 equals a local
-    recomputation, with every doc_id % 4 feature leg exercised."""
+    recomputation, with every doc_id % 6 feature leg exercised
+    (4 = progressive, 5 = progressive successive approximation)."""
     import pyarrow.parquet as pq
 
     from flink_hiveorc_spark.registry import QUERIES
@@ -587,7 +601,7 @@ def test_jpeg_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 4
+        m = doc_id % 6
         seen.add(m)
         r = rows[doc_id]
         exp_dim = 64 if m == 2 else 32
@@ -598,4 +612,4 @@ def test_jpeg_decode_stats_query_all_branches(spark, sf_dir):
             exp_ch,
         ), (doc_id, m)
         assert r["mean_byte"] == sum(_digest(text)) / 16, (doc_id, m)
-    assert seen == {0, 1, 2, 3}
+    assert seen == {0, 1, 2, 3, 4, 5}

@@ -39,8 +39,8 @@ def test_multimodal_corpus_pipeline_end_to_end(spark, tmp_path):
     rows += [
         (1, "0100", "png", bytearray(_png_from_array(arrs[0], ALL_FILTERS))),
         (1, "0101", "pgm", bytearray(b"P5\n8 8\n255\n" + b"\x00" * 4)),  # corrupt
-        # progressive JPEG (SOF2): outside the native baseline decoder
-        (1, "0102", "jpg", bytearray(b"\xff\xd8\xff\xc2" + b"\x00" * 24)),
+        # arithmetic-coded JPEG (SOF9): outside the native decoder
+        (1, "0102", "jpg", bytearray(b"\xff\xd8\xff\xc9" + b"\x00" * 24)),
         (1, "0103", "gif", bytearray(
             _gif_bytes(rng.integers(0, 8, size=(4, 4), dtype=np.uint8), _PAL8)
         )),
@@ -66,7 +66,7 @@ def test_multimodal_corpus_pipeline_end_to_end(spark, tmp_path):
     bad = {r["doc_id"]: r["error"] for r in feats.filter("error is not null").collect()}
     assert bad == {
         101: bad[101],  # malformed (truncated PGM)
-        102: bad[102],  # unsupported (progressive JPEG, no codec)
+        102: bad[102],  # unsupported (arithmetic JPEG, no codec)
     }
     assert bad[101].startswith("malformed:") and bad[102].startswith("unsupported:")
     good = feats.filter("error is null")

@@ -573,10 +573,11 @@ def _valid_gray(d=None):
 
 def test_unsupported_features_are_notimplemented():
     base = _valid_gray()
-    # progressive: flip SOF0 -> SOF2
-    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    # lossless: flip SOF0 -> SOF3 (progressive SOF2 decodes natively
+    # since r11 — see test_jpeg_progressive.py)
+    lossless = base.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(lossless)
     # arithmetic-coded sequential
     arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError, match="arithmetic"):
@@ -654,7 +655,9 @@ def test_decode_image_routing_and_quarantine_contract():
     # malformed JPEG -> ValueError with the classified message
     with pytest.raises(ValueError, match="malformed JPEG"):
         decode_image(payload[:-8])
-    # progressive without PIL -> the native NotImplementedError gap
+    # a frame class outside the native envelope without PIL -> the
+    # NotImplementedError gap (progressive decodes natively since r11;
+    # a sequential stream re-marked SOF2 is now structurally invalid)
     try:
         import PIL  # noqa: F401
 
@@ -662,8 +665,10 @@ def test_decode_image_routing_and_quarantine_contract():
     except ImportError:
         has_pil = False
     if not has_pil:
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_image(payload.replace(b"\xff\xc0", b"\xff\xc2", 1))
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            decode_image(payload.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_image(payload.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
 
 def test_fuzz_byte_flips_keep_error_contract():

@@ -452,8 +452,8 @@ def test_image_stats_quarantine_routes_failures_not_kills_task(spark):
     rows = [
         (500, bytearray(_png_from_array(good, [1, 4]))),
         (501, bytearray(b"P6\n9 9\n255\n" + b"\x00" * 5)),  # truncated: malformed
-        # progressive JPEG: outside the native baseline envelope
-        (502, bytearray(b"\xff\xd8\xff\xc2" + b"\x00" * 16)),  # needs codec
+        # arithmetic-coded JPEG: outside the native envelope
+        (502, bytearray(b"\xff\xd8\xff\xc9" + b"\x00" * 16)),  # needs codec
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(1)
     got = {r["doc_id"]: r for r in image_stats(df, quarantine=True).collect()}

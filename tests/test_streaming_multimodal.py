@@ -37,7 +37,7 @@ def test_streaming_featurize_quarantine_and_restart(spark, tmp_path):
         for i in range(5)
     }
     # batch A: three good PGMs, one truncated (malformed), one
-    # progressive JPEG (unsupported without a codec)
+    # arithmetic-coded JPEG (unsupported without a codec)
     _write_blobs(
         spark,
         src,
@@ -46,7 +46,7 @@ def test_streaming_featurize_quarantine_and_restart(spark, tmp_path):
             (1, _pgm_bytes(arrs[1])),
             (2, _pgm_bytes(arrs[2])),
             (100, b"P5\n9 9\n255\n" + b"\x00" * 3),
-            (101, b"\xff\xd8\xff\xc2" + b"\x00" * 16),
+            (101, b"\xff\xd8\xff\xc9" + b"\x00" * 16),
         ],
     )
     _run(spark, src, out, dlq, ckpt)
