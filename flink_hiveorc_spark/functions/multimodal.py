@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.functions.flac import decode_flac
 from flink_hiveorc_spark.functions.jpeg import decode_jpeg
 from flink_hiveorc_spark.registry import query
 
@@ -1699,16 +1700,27 @@ def decode_audio(payload: bytes):
     - CAF (Apple Core Audio Format): LPCM at 8/16/24/32-bit signed
       integer and 32/64-bit float, both endians per the desc flag
       bits, unsized read-to-EOF data chunks handled.
-    Genuinely entropy-coded formats (MP3, AAC, FLAC, Vorbis...)
-    raise a clearly-marked NotImplementedError — those need a
-    transform codec this container lacks; a torchaudio/soundfile
-    dispatch drops in here on a cluster that has one."""
+    FLAC decodes natively too (flac.py, r11): Rice-coded linear
+    prediction is integer arithmetic, not a transform codec.
+    Genuinely transform-coded formats (MP3, AAC, Vorbis, Opus...)
+    raise a clearly-marked NotImplementedError — those need a codec
+    this container lacks; a torchaudio/soundfile dispatch drops in
+    here on a cluster that has one."""
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return _decode_aiff(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
     if payload[:4] == b"caff":
         return _decode_caf(payload)
+    if payload[:4] == b"fLaC":
+        # FLAC is Rice-coded linear prediction — integer arithmetic,
+        # not a transform codec, so it decodes natively (flac.py, r11)
+        try:
+            return decode_flac(payload)
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed FLAC payload: {e}") from e
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "compressed-audio decoding requires a codec not present in this "
@@ -3335,6 +3347,145 @@ def _jpeg_mcu_lookup(jseg: dict, byte_val):
     return F.lit(jseg["mcu"]).substr(byte_val * 2 + 1, F.lit(2))
 
 
+def _flac_segments() -> dict:
+    """Constant byte segments + GF(2)-linear CRC-16 tables for the
+    two FLAC rotation legs (r11): a VERBATIM frame and a Rice-coded
+    FIXED-order-0 frame, both 16 mono 8-bit samples at 8 kHz carrying
+    sample value b−128 per digest byte b. Built from the spec (RFC
+    9639), independently of flac.py.
+
+    The frame CRC-16 (poly 0x8005, init 0, no final xor) is LINEAR
+    over GF(2) in the message bits: with the variable regions of the
+    two legs non-overlapping per digest byte, crc(m) = crc(m₀) ⊕
+    ⊕ᵢ Tᵢ[bᵢ], where m₀ is the frame with the variable bits zeroed
+    and Tᵢ[b] = crc of the all-zero frame carrying only byte i's
+    contribution for digest value b. Each Tᵢ ships as a 512-byte
+    literal the Spark side indexes with substr — the same
+    construction family as the PNG adler32 linear form.
+
+    Rice leg layout: subframe FIXED order 0 (residual = sample),
+    partition order 0, Rice2 param 8 ⇒ every zigzagged residual u =
+    2v (v ≥ 0) / −2v−1 (v < 0) < 256 codes as a FIXED 9-bit unit
+    (quotient u≫8 = 0 → unary '0', then 8 remainder bits), so the
+    residual stream is a fixed MSB-first bit-shuffle of the u values
+    starting at bit 19 of the subframe region — `rice_layout` maps
+    each output byte to its (code index, code-bit window) fragments
+    for the JVM-side assembly."""
+    import struct
+
+    from flink_hiveorc_spark.functions.flac import crc8_flac, crc16_flac
+
+    b = bytearray()  # STREAMINFO: all-constant
+    b += struct.pack(">HH", 16, 16)  # min/max blocksize
+    b += b"\x00" * 6  # frame size hints
+    # rate 20 bits | ch-1 3 | bps-1 5 | total 36 = 8 bytes
+    packed = (8000 << 44) | (0 << 41) | (7 << 36) | 16
+    b += struct.pack(">Q", packed)
+    streaminfo = (
+        b"fLaC" + struct.pack(">I", (1 << 31) | 34) + bytes(b) + b"\x00" * 16
+    )
+    # frame header: sync 3FFE, fixed blocking, bs code 6 (+1 byte 15),
+    # rate from STREAMINFO, mono, 8-bit, frame number 0
+    hdr = bytearray()
+    hdr += bytes([0xFF, 0xF8])  # 11111111 111110 0 0
+    hdr += bytes([(6 << 4) | 0])  # bs code 6, rate code 0
+    hdr += bytes([(0 << 4) | (1 << 1)])  # channels 1, size code 001, res
+    hdr += b"\x00"  # UTF-8 frame number 0
+    hdr += bytes([15])  # blocksize-1 tail byte
+    hdr += bytes([crc8_flac(bytes(hdr))])
+    header = bytes(hdr)
+
+    def crc_tables(m0: bytes, positions_or_builder) -> tuple[int, list[bytes]]:
+        base = crc16_flac(m0)
+        tables = []
+        if callable(positions_or_builder):
+            for i in range(16):
+                tbl = bytearray()
+                for v in range(256):
+                    tbl += struct.pack(
+                        ">H", crc16_flac(positions_or_builder(len(m0), i, v))
+                    )
+                tables.append(bytes(tbl))
+        else:
+            for pos in positions_or_builder:
+                tbl = bytearray()
+                for v in range(256):
+                    m = bytearray(len(m0))
+                    m[pos] = v ^ 0x80  # sample byte = (b-128) & 0xFF
+                    tbl += struct.pack(">H", crc16_flac(bytes(m)))
+                tables.append(bytes(tbl))
+        return base, tables
+
+    # -- verbatim leg: header + subframe 0x02 + 16 sample bytes
+    vb_m0 = header + b"\x02" + b"\x00" * 16
+    vb_base, vb_tables = crc_tables(
+        vb_m0, [len(header) + 1 + i for i in range(16)]
+    )
+    # -- rice leg: subframe region = 21 bytes, codes at bits 19 + 9i
+    rice_const = bytearray(21)
+    rice_const[0] = 0x10  # pad 0, type 001000 (fixed order 0), wasted 0
+    rice_const[1] = 0x41  # method 01, partition order 0000, param 01000>>3
+    # (param bits 3..4 land in byte 2's top bits — both zero)
+    for i in range(16):
+        # quotient u>>8 = 0 always (u ≤ 255): unary '1' — a CONSTANT
+        # set bit leading each 9-bit code (FLAC unary = q zeros
+        # terminated by a one)
+        p = 19 + 9 * i
+        rice_const[p >> 3] |= 1 << (7 - (p & 7))
+    rice_m0 = header + bytes(rice_const)
+
+    def _u(v: int) -> int:
+        return 2 * (v - 128) if v >= 128 else 255 - 2 * v
+
+    def rice_component(hdr_len: int, i: int, v: int) -> bytes:
+        m = bytearray(len(rice_m0))  # full-length zero message
+        u = _u(v)
+        start = 8 * len(header) + 19 + 9 * i + 1  # skip the 0 quotient bit
+        for j in range(8):  # u's bit 7-j → stream bit start+j
+            if (u >> (7 - j)) & 1:
+                p = start + j
+                m[p >> 3] |= 1 << (7 - (p & 7))
+        return bytes(m)
+
+    rice_base, rice_tables = crc_tables(rice_m0, rice_component)
+    # byte-assembly windows for the JVM side: for each of the 19
+    # variable bytes (indices 2..20 of the subframe region), the list
+    # of (code index, u-bit high, u-bit low, shift-into-byte) where
+    # the fragment is (u >> low) & ((1 << (high-low+1)) - 1) << shift
+    layout: dict[int, list] = {}
+    for i in range(16):
+        start = 19 + 9 * i + 1  # bit offset of u's MSB in the region
+        for j in range(8):
+            p = start + j  # region bit of u's bit (7-j)
+            bidx = p >> 3
+            layout.setdefault(bidx, []).append((i, 7 - j, 7 - (p & 7)))
+    rice_layout = []
+    for bidx in sorted(layout):
+        frags: list = []
+        cur = None
+        for i, ubit, bbit in layout[bidx]:
+            if cur and cur[0] == i and cur[2] - 1 == ubit and cur[4] - 1 == bbit:
+                cur[2] = ubit
+                cur[4] = bbit
+            else:
+                if cur:
+                    frags.append(tuple(cur))
+                cur = [i, ubit, ubit, bbit, bbit]  # [i, hi, lo, bhi, blo]
+        if cur:
+            frags.append(tuple(cur))
+        rice_layout.append((bidx, [(i, hi, lo, blo) for i, hi, lo, bhi, blo in frags]))
+    return {
+        "streaminfo": streaminfo,
+        "header": header,
+        "vb_base": vb_base,
+        "vb_tables": vb_tables,
+        "rice_const": bytes(rice_const),
+        "rice_base": rice_base,
+        "rice_tables": rice_tables,
+        "rice_layout": rice_layout,
+    }
+
+
 def _int_be32(expr):
     """Computed integer 0..2^32−1 → four big-endian bytes, JVM-side."""
     return F.unhex(F.lpad(F.hex(expr), 8, "0"))
@@ -3709,7 +3860,7 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lin AS (
       SELECT doc_id,
-             CASE doc_id % 6
+             CASE doc_id % 8
                WHEN 4 THEN  -- ITU G.711 mu-law expansion
                  (CASE WHEN (u & 128) > 0 THEN -1 ELSE 1 END)
                  * ((((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132)
@@ -3720,7 +3871,7 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN (a & 15) * 16 + 8
                          ELSE ((a & 15) * 16 + 264) << (((a >> 4) & 7) - 1)
                     END)
-               ELSE byte - 128  -- 8-bit PCM legs
+               ELSE byte - 128  -- 8-bit PCM + FLAC legs (6/7)
              END AS x
       FROM g
     )
@@ -3735,8 +3886,9 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio twin of multimodal_image_decode_stats, rotated (r10)
-    across the native container AND companding matrix via doc_id % 6:
+    """The audio twin of multimodal_image_decode_stats, rotated (r10;
+    FLAC legs r11) across the native container AND companding matrix
+    via doc_id % 8:
     - 0 — WAV, unsigned 8-bit PCM (raw digest bytes; the featurizer's
       −128 centering applies per spec);
     - 1 — AIFF, big-endian SIGNED 8-bit (the 80-bit-extended-float
@@ -3745,7 +3897,17 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     - 3 — Apple CAF, big-endian signed 8-bit LPCM;
     - 4 — WAV format 7, G.711 μ-law (digest bytes as companded codes
       through the vectorized ITU expansion table);
-    - 5 — WAV format 6, G.711 A-law (inverted sign convention).
+    - 5 — WAV format 6, G.711 A-law (inverted sign convention);
+    - 6 — FLAC, VERBATIM subframe (the same signed samples through
+      the native Rice/LPC decoder's container walk, frame-header
+      CRC-8 and frame CRC-16 — the CRC-16 ships as a GF(2)-LINEAR
+      form of the digest bytes: 16 table lookups XORed onto the
+      zero-message CRC, the adler32 trick's CRC cousin);
+    - 7 — FLAC, Rice-coded FIXED-order-0 subframe: with param 8 every
+      zigzagged residual is a fixed 9-bit unit ('1' quotient + 8
+      remainder bits), so the residual stream is a fixed MSB-first
+      bit-shuffle of u = 2v / −2v−1 starting at bit 19 — the Rice
+      DECODER (unary + remainder + zigzag) sits under the oracle.
     Legs 1-3 carry digest⊕0x80 — built JVM-side by translating each
     byte's HIGH hex nibble (0-7 ↔ 8-f) before unhex, no UDF — so all
     four PCM chunk walks decode to the identical int8 samples; legs
@@ -3754,8 +3916,8 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     arithmetic. RMS from exact integer sums of squares (≤ 16·128²
     resp. ≤ 16·32256²), /16 power-of-two, IEEE-correctly-rounded
     sqrt in both engines — bit-equal. A sign-convention, endianness,
-    header, f80-rate, or companding-table divergence in any leg
-    flips the hash."""
+    header, f80-rate, companding-table, Rice, or CRC divergence in
+    any leg flips the hash."""
     import struct
 
     def wav8_hdr(audio_format: int) -> bytes:
@@ -3824,14 +3986,67 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         signed_parts.append(F.substring(hx, 2 * i + 2, 1))
     signed = F.unhex(F.concat(*signed_parts))
-    m = F.col("doc_id") % 6
+    # FLAC legs (r11): same 16 signed samples through the native FLAC
+    # decoder — a VERBATIM frame and a Rice-coded fixed-order-0 frame;
+    # the frame CRC-16 ships as a GF(2)-linear form of the digest
+    # bytes (16 substr table lookups XORed onto the zero-message CRC)
+    fseg = _flac_segments()
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+
+    def flac_crc16(base: int, tables: list) -> object:
+        crc = F.lit(base).cast("long")
+        for i in range(16):
+            lut = F.lit(tables[i]).substr(dv[i] * 2 + 1, F.lit(2))
+            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+        return F.unhex(F.lpad(F.hex(crc), 4, "0"))
+
+    flac_vb = F.concat(
+        F.lit(fseg["streaminfo"] + fseg["header"] + b"\x02"),
+        signed,
+        flac_crc16(fseg["vb_base"], fseg["vb_tables"]),
+    )
+    # zigzagged residual u = 2v (v≥0) / −2v−1 (v<0) for v = b−128
+    uz = [
+        F.when(dv[i] >= 128, dv[i] * 2 - 256).otherwise(255 - dv[i] * 2)
+        for i in range(16)
+    ]
+    rice_frag_bytes = dict(fseg["rice_layout"])
+    rice_parts = [F.lit(fseg["streaminfo"] + fseg["header"])]
+    const = fseg["rice_const"]
+    run_start = 0
+    for bidx in range(21):
+        frags = rice_frag_bytes.get(bidx)
+        if not frags:
+            continue
+        if run_start < bidx:  # flush constant bytes as one literal
+            rice_parts.append(F.lit(const[run_start:bidx]))
+        expr = F.lit(int(const[bidx]))
+        for i, hi, lo, blo in frags:
+            width = hi - lo + 1
+            expr = expr + (
+                F.shiftright(uz[i], lo).bitwiseAND(F.lit((1 << width) - 1))
+                * (1 << blo)
+            )  # disjoint bit windows: addition == OR
+        rice_parts.append(_int_byte(expr))
+        run_start = bidx + 1
+    if run_start < 21:
+        rice_parts.append(F.lit(const[run_start:21]))
+    flac_rice = F.concat(
+        *rice_parts, flac_crc16(fseg["rice_base"], fseg["rice_tables"])
+    )
+    m = F.col("doc_id") % 8
     payload = (
         F.when(m == 0, F.concat(F.lit(wav_hdr), unsigned))
         .when(m == 1, F.concat(F.lit(aiff_hdr), signed))
         .when(m == 2, F.concat(F.lit(au_hdr), signed))
         .when(m == 3, F.concat(F.lit(caf_hdr), signed))
         .when(m == 4, F.concat(F.lit(mulaw_hdr), unsigned))
-        .otherwise(F.concat(F.lit(alaw_hdr), unsigned))
+        .when(m == 5, F.concat(F.lit(alaw_hdr), unsigned))
+        .when(m == 6, flac_vb)
+        .otherwise(flac_rice)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)

@@ -273,11 +273,11 @@ def _g711_expand(b: int, law: str) -> int:
 
 
 def test_audio_decode_stats_query_all_branches(spark, sf_dir):
-    """The r10 6-way audio rotation (WAV unsigned / AIFF / AU / CAF
-    signed / WAV mu-law / WAV A-law) at sf0.001: the PCM branches
-    decode to samples digest−128, the G.711 branches to the ITU
-    expansion of the digest codes; all six doc_id % 6 branches are
-    exercised."""
+    """The 8-way audio rotation (WAV unsigned / AIFF / AU / CAF
+    signed / WAV mu-law / WAV A-law / FLAC verbatim / FLAC Rice) at
+    sf0.001: the PCM and FLAC branches decode to samples digest−128,
+    the G.711 branches to the ITU expansion of the digest codes; all
+    eight doc_id % 8 branches are exercised."""
     import math
 
     import pyarrow.parquet as pq
@@ -293,7 +293,7 @@ def test_audio_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 6
+        m = doc_id % 8
         seen.add(m)
         dg = _digest(text)
         if m == 4:
@@ -307,7 +307,7 @@ def test_audio_decode_stats_query_all_branches(spark, sf_dir):
         assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (8000, 16, 1)
         assert r["duration_s"] == 16 / 8000
         assert r["rms"] == math.sqrt(sq / 16), (doc_id, m)
-    assert seen == set(range(6))
+    assert seen == set(range(8))
 
 
 def test_gif_animation_stats_query(spark, sf_dir):
@@ -613,3 +613,85 @@ def test_jpeg_decode_stats_query_all_branches(spark, sf_dir):
         ), (doc_id, m)
         assert r["mean_byte"] == sum(_digest(text)) / 16, (doc_id, m)
     assert seen == {0, 1, 2, 3, 4, 5}
+
+
+# ---------------------------------------------------------------- FLAC (r11)
+
+
+def _python_flac_payloads(dg: bytes) -> dict[str, bytes]:
+    """Pure-Python twin of the Spark-side FLAC leg constructions,
+    including the GF(2)-linear CRC-16 assembly the Spark expressions
+    compute via table lookups + XOR."""
+    seg = mm._flac_segments()
+
+    def crc(base, tables):
+        c = base
+        for i, b in enumerate(dg):
+            c ^= struct.unpack(">H", tables[i][2 * b : 2 * b + 2])[0]
+        return struct.pack(">H", c)
+
+    vb = (
+        seg["streaminfo"] + seg["header"] + b"\x02"
+        + bytes(b ^ 0x80 for b in dg)
+        + crc(seg["vb_base"], seg["vb_tables"])
+    )
+    region = bytearray(seg["rice_const"])
+    us = [2 * (b - 128) if b >= 128 else 255 - 2 * b for b in dg]
+    for bidx, frags in seg["rice_layout"]:
+        val = 0
+        for i, hi, lo, blo in frags:
+            width = hi - lo + 1
+            val |= ((us[i] >> lo) & ((1 << width) - 1)) << blo
+        region[bidx] |= val
+    rice = (
+        seg["streaminfo"] + seg["header"] + bytes(region)
+        + crc(seg["rice_base"], seg["rice_tables"])
+    )
+    return {"flac_vb": vb, "flac_rice": rice}
+
+
+@pytest.mark.parametrize("text", ["hello world", "", "αβγ δε", "x" * 500])
+def test_flac_rotation_payload_twins_decode_exact(text):
+    """Both FLAC legs decode (through the REAL decode_audio → FLAC
+    dispatch, which VERIFIES the CRC-8/CRC-16 — so the linear-table
+    construction is pinned by the decoder itself) to exactly the
+    signed digest samples."""
+    dg = _digest(text)
+    exp = np.array([b - 128 for b in dg], dtype=np.int64)
+    for name, payload in _python_flac_payloads(dg).items():
+        samples, rate = mm.decode_audio(payload)
+        assert rate == 8000 and samples.shape == (16, 1), name
+        np.testing.assert_array_equal(samples[:, 0], exp, err_msg=name)
+
+
+def test_flac_rice_stream_matches_independent_bit_packer():
+    """The rice_layout byte-fragment windows must equal an
+    independently packed MSB-first stream of '1'+u[8] units at bit
+    offset 19 over the constant subframe head."""
+    rng = np.random.default_rng(12)
+    dg = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+    seg = mm._flac_segments()
+    us = [2 * (b - 128) if b >= 128 else 255 - 2 * b for b in dg]
+    # independent: pack header bits then the 9-bit units
+    bits = []
+    for v, n in ((0x10, 8), (0x41 >> 0, 8), (0, 3)):
+        bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+    # the first 19 bits are subframe hdr (8) + method/po/param (11);
+    # the two constant bytes encode 16 of them, plus 3 zero bits
+    bits = bits[:19]
+    for u in us:
+        bits.append(1)  # quotient 0 → unary '1'
+        bits += [(u >> (7 - i)) & 1 for i in range(8)]
+    bits += [0] * (168 - len(bits))
+    ref = bytearray(21)
+    for p, bit in enumerate(bits):
+        if bit:
+            ref[p >> 3] |= 1 << (7 - (p & 7))
+    region = bytearray(seg["rice_const"])
+    for bidx, frags in seg["rice_layout"]:
+        val = 0
+        for i, hi, lo, blo in frags:
+            width = hi - lo + 1
+            val |= ((us[i] >> lo) & ((1 << width) - 1)) << blo
+        region[bidx] |= val
+    assert bytes(region) == bytes(ref)
