@@ -3486,6 +3486,113 @@ def _flac_segments() -> dict:
     }
 
 
+def _flac_matrix_segments() -> dict:
+    """Per-leg constants for `multimodal_flac_decode_stats` (r11): a
+    SYMBOLIC MSB-first bitstream builder — items are ('c', nbits,
+    value) constants or ('v', key, nbits) variable fields — compiles
+    each leg's subframe region into (constant bytes, fragment layout)
+    exactly like `_flac_segments`'s Rice layout, but for arbitrary
+    field widths; the frame CRC-16 generalizes to WIRE-BYTE linear
+    tables (crc = base ⊕ ⊕ T_pos[wire_byte]) so any leg whose bytes
+    are computable columns hashes under the oracle. Legs:
+    - vb2: independent-stereo VERBATIM (two subframes);
+    - ms: MID/SIDE stereo — mid 8-bit, side 9-bit samples (the
+      decorrelation arithmetic under the oracle);
+    - f1: FIXED order-1 predictor — Rice2 param 9 makes every
+      zigzagged delta a fixed 10-bit unit ('1' quotient + 9 bits);
+    - const: CONSTANT subframe (one sample value, 16 frames).
+    Built from the spec, independently of flac.py."""
+    import struct
+
+    from flink_hiveorc_spark.functions.flac import crc8_flac, crc16_flac
+
+    def streaminfo(nch: int, total: int, bs: int) -> bytes:
+        packed = (8000 << 44) | ((nch - 1) << 41) | (7 << 36) | total
+        body = (
+            struct.pack(">HH", bs, bs)
+            + b"\x00" * 6
+            + struct.pack(">Q", packed)
+            + b"\x00" * 16
+        )
+        return b"fLaC" + struct.pack(">I", (1 << 31) | 34) + body
+
+    def header(ch_code: int, bs: int) -> bytes:
+        hdr = bytearray([0xFF, 0xF8, 0x60, (ch_code << 4) | 2, 0x00, bs - 1])
+        hdr += bytes([crc8_flac(bytes(hdr))])
+        return bytes(hdr)
+
+    def build(items: list) -> tuple[bytes, list, int]:
+        """symbolic bitstream → (const bytes incl. per-byte constant
+        bits, [(byteidx, [(key, hi, lo, blo)])], nbytes); zero-pads
+        to a byte boundary."""
+        nbits = sum(it[1] if it[0] == "c" else it[2] for it in items)
+        nbytes = (nbits + 7) // 8
+        const = bytearray(nbytes)
+        layout: dict[int, list] = {}
+        pos = 0
+        for it in items:
+            if it[0] == "c":
+                _, width, value = it
+                for j in range(width):
+                    if (value >> (width - 1 - j)) & 1:
+                        p = pos + j
+                        const[p >> 3] |= 1 << (7 - (p & 7))
+                pos += width
+            else:
+                _, key, width = it
+                p0 = pos
+                # split the field into per-byte fragments
+                while pos < p0 + width:
+                    bidx = pos >> 3
+                    take = min(8 - (pos & 7), p0 + width - pos)
+                    hi = width - 1 - (pos - p0)
+                    lo = hi - take + 1
+                    blo = 8 - (pos & 7) - take
+                    layout.setdefault(bidx, []).append((key, hi, lo, blo))
+                    pos += take
+        return bytes(const), sorted(layout.items()), nbytes
+
+    legs = {}
+    specs = {
+        "vb2": (2, 8, 8, 1,
+                [("c", 8, 0x02)] + [("v", f"x{i}", 8) for i in range(8)]
+                + [("c", 8, 0x02)] + [("v", f"x{i}", 8) for i in range(8, 16)]),
+        "ms": (2, 8, 8, 10,
+               [("c", 8, 0x02)] + [("v", f"mid{i}", 8) for i in range(8)]
+               + [("c", 8, 0x02)] + [("v", f"side{i}", 9) for i in range(8)]),
+        "f1": (1, 16, 16, 0,
+               [("c", 8, 0x12), ("v", "x0", 8),
+                ("c", 2, 1), ("c", 4, 0), ("c", 5, 9)]
+               + [f for i in range(1, 16)
+                  for f in (("c", 1, 1), ("v", f"u{i}", 9))]),
+        "const": (1, 16, 16, 0, [("c", 8, 0x00), ("v", "x0", 8)]),
+    }
+    for name, (nch, total, bs, ch_code, items) in specs.items():
+        hdr = header(ch_code, bs)
+        const, layout, nbytes = build(items)
+        var_bytes = {bidx for bidx, _ in layout}
+        m0 = bytearray(hdr + const)
+        for bidx in var_bytes:
+            m0[len(hdr) + bidx] = 0
+        tables = {}
+        for bidx in var_bytes:
+            tbl = bytearray()
+            for v in range(256):
+                m = bytearray(len(m0))
+                m[len(hdr) + bidx] = v
+                tbl += struct.pack(">H", crc16_flac(bytes(m)))
+            tables[bidx] = bytes(tbl)
+        legs[name] = {
+            "prefix": streaminfo(nch, total, bs) + hdr,
+            "const": const,
+            "layout": layout,
+            "nbytes": nbytes,
+            "base": crc16_flac(bytes(m0)),
+            "tables": tables,
+        }
+    return legs
+
+
 def _int_be32(expr):
     """Computed integer 0..2^32−1 → four big-endian bytes, JVM-side."""
     return F.unhex(F.lpad(F.hex(expr), 8, "0"))
@@ -4047,6 +4154,129 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 5, F.concat(F.lit(alaw_hdr), unsigned))
         .when(m == 6, flac_vb)
         .otherwise(flac_rice)
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return audio_stats(payloads)
+
+
+@query(
+    "multimodal_flac_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    s AS (
+      SELECT doc_id,
+             sum((byte - 128) * (byte - 128)) AS sq,
+             max(CASE WHEN i = 0 THEN byte END) AS b0
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 8 ELSE 16 END
+                AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 2 ELSE 1 END
+                AS BIGINT) AS n_channels,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 8 ELSE 16 END
+                AS DOUBLE) / 8000 AS duration_s,
+           CASE WHEN doc_id % 4 = 3 THEN CAST(abs(b0 - 128) AS DOUBLE)
+                ELSE sqrt(CAST(sq AS DOUBLE) / 16) END AS rms
+    FROM s
+    """,
+)
+def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native FLAC decoder's FEATURE matrix under the external
+    oracle, doc_id % 4 (companion to the two container legs in
+    multimodal_audio_decode_stats — these four exercise the paths a
+    single-subframe mono frame cannot):
+    0 independent STEREO, two VERBATIM subframes (left = digest bytes
+      0-7, right = 8-15, both signed);
+    1 MID/SIDE stereo: mid subframe 8-bit, side subframe 9-bit (the
+      +1-bit side rule) — the decorrelation reconstruction
+      m2 = (mid<<1)|(side&1); L = (m2+side)>>1; R = (m2−side)>>1
+      must return exactly the same left/right samples, putting the
+      parity arithmetic under the oracle;
+    2 FIXED order-1 predictor, Rice2 param 9: every zigzagged DELTA
+      u = 2d / −2d−1 ≤ 510 is a fixed 10-bit unit ('1' quotient + 9
+      remainder bits), so the prediction s[i] = s[i−1] + residual
+      chain reconstructs the digest exactly;
+    3 CONSTANT subframe: one sample value repeated 16× (rms = |v|,
+      exact: sqrt of a perfect square).
+    Payloads are JVM-side concat over `_flac_matrix_segments`'s
+    symbolic bitstream layouts (per-byte fragment windows of the
+    computed field values); each leg's frame CRC-16 ships as the
+    GF(2)-linear wire-byte form — base ⊕ XOR of per-position table
+    lookups indexed by the COMPUTED byte — so the decoder's own CRC
+    verification gates every construction. A predictor, zigzag,
+    decorrelation-parity, bit-packing, or CRC divergence flips the
+    hash. All stats from exact integer sums; sqrt is IEEE-correctly
+    rounded in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    hx = F.col("hx")
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    legs = _flac_matrix_segments()
+    vals: dict = {}
+    for i in range(16):
+        vals[f"x{i}"] = dv[i].bitwiseXOR(F.lit(128))
+    for i in range(8):
+        # mid = floor((L+R)/2) as 8-bit two's complement; side = L−R
+        # as 9-bit two's complement (shiftright on long is arithmetic)
+        vals[f"mid{i}"] = F.shiftright(
+            dv[i] + dv[i + 8] - 256, 1
+        ).bitwiseAND(F.lit(255))
+        vals[f"side{i}"] = (dv[i] - dv[i + 8]).bitwiseAND(F.lit(511))
+    for i in range(1, 16):
+        d = dv[i] - dv[i - 1]
+        vals[f"u{i}"] = F.when(d >= 0, d * 2).otherwise(d * -2 - 1)
+
+    def leg_payload(name: str):
+        leg = legs[name]
+        layout = dict(leg["layout"])
+        const = leg["const"]
+        parts = [F.lit(leg["prefix"])]
+        wire = {}
+        run = 0
+        for bidx in range(leg["nbytes"]):
+            frags = layout.get(bidx)
+            if frags is None:
+                continue
+            if run < bidx:
+                parts.append(F.lit(const[run:bidx]))
+            expr = F.lit(int(const[bidx]))
+            for key, hi, lo, blo in frags:
+                width = hi - lo + 1
+                expr = expr + (
+                    F.shiftright(vals[key], lo)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    * (1 << blo)
+                )  # disjoint bit windows: addition == OR
+            wire[bidx] = expr
+            parts.append(_int_byte(expr))
+            run = bidx + 1
+        if run < leg["nbytes"]:
+            parts.append(F.lit(const[run : leg["nbytes"]]))
+        crc = F.lit(leg["base"]).cast("long")
+        for bidx, expr in wire.items():
+            lut = F.lit(leg["tables"][bidx]).substr(expr * 2 + 1, F.lit(2))
+            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+        parts.append(F.unhex(F.lpad(F.hex(crc), 4, "0")))
+        return F.concat(*parts)
+
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, leg_payload("vb2"))
+        .when(m == 1, leg_payload("ms"))
+        .when(m == 2, leg_payload("f1"))
+        .otherwise(leg_payload("const"))
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)

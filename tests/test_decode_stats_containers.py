@@ -695,3 +695,91 @@ def test_flac_rice_stream_matches_independent_bit_packer():
             val |= ((us[i] >> lo) & ((1 << width) - 1)) << blo
         region[bidx] |= val
     assert bytes(region) == bytes(ref)
+
+
+def _python_flac_matrix_payloads(dg: bytes) -> dict[str, bytes]:
+    """Pure-Python twin of the _flac_matrix_segments leg assembly."""
+    legs = mm._flac_matrix_segments()
+    vals = {}
+    for i in range(16):
+        vals[f"x{i}"] = dg[i] ^ 0x80
+    for i in range(8):
+        L, R = dg[i] - 128, dg[i + 8] - 128
+        vals[f"mid{i}"] = ((L + R) >> 1) & 0xFF
+        vals[f"side{i}"] = (L - R) & 0x1FF
+    for i in range(1, 16):
+        d = dg[i] - dg[i - 1]
+        vals[f"u{i}"] = 2 * d if d >= 0 else -2 * d - 1
+    out = {}
+    for name, leg in legs.items():
+        region = bytearray(leg["const"])
+        for bidx, frags in leg["layout"]:
+            acc = 0
+            for key, hi, lo, blo in frags:
+                width = hi - lo + 1
+                acc |= ((vals[key] >> lo) & ((1 << width) - 1)) << blo
+            region[bidx] |= acc
+        crc = leg["base"]
+        for bidx, _ in leg["layout"]:
+            wb = region[bidx]
+            crc ^= struct.unpack(">H", leg["tables"][bidx][2 * wb : 2 * wb + 2])[0]
+        out[name] = leg["prefix"] + bytes(region) + struct.pack(">H", crc)
+    return out
+
+
+@pytest.mark.parametrize("text", ["hello world", "", "αβγ δε", "x" * 500])
+def test_flac_matrix_payload_twins_decode_exact(text):
+    """All four matrix legs decode (through decode_audio, which
+    verifies the CRCs) to the exact digest samples: stereo verbatim
+    and mid/side reconstruct L=bytes 0-7 / R=8-15; fixed-order-1
+    reconstructs the mono sequence from deltas; constant repeats
+    sample 0."""
+    dg = _digest(text)
+    sv = np.array([b - 128 for b in dg], dtype=np.int64)
+    pl = _python_flac_matrix_payloads(dg)
+    for name in ("vb2", "ms"):
+        s, r = mm.decode_audio(pl[name])
+        assert r == 8000 and s.shape == (8, 2), name
+        np.testing.assert_array_equal(s[:, 0], sv[:8], err_msg=name)
+        np.testing.assert_array_equal(s[:, 1], sv[8:], err_msg=name)
+    s, _ = mm.decode_audio(pl["f1"])
+    assert s.shape == (16, 1)
+    np.testing.assert_array_equal(s[:, 0], sv)
+    s, _ = mm.decode_audio(pl["const"])
+    assert s.shape == (16, 1) and (s[:, 0] == sv[0]).all()
+
+
+def test_flac_matrix_query_all_branches(spark, sf_dir):
+    """multimodal_flac_decode_stats at sf0.001 equals a local
+    recomputation, with every doc_id % 4 leg exercised."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_flac_decode_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        m = doc_id % 4
+        seen.add(m)
+        dg = _digest(text)
+        r = rows[doc_id]
+        nf = 8 if m in (0, 1) else 16
+        nch = 2 if m in (0, 1) else 1
+        assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (
+            8000, nf, nch,
+        ), (doc_id, m)
+        assert r["duration_s"] == nf / 8000
+        if m == 3:
+            exp = float(abs(dg[0] - 128))
+        else:
+            exp = math.sqrt(sum((b - 128) ** 2 for b in dg) / 16)
+        assert r["rms"] == exp, (doc_id, m)
+    assert seen == {0, 1, 2, 3}
