@@ -399,3 +399,156 @@ def tpcds_returns_ratio_above_global(
         .filter(F.col("return_ratio") > F.col("global_ratio"))
         .select("nation", "return_ratio", "global_ratio")
     )
+
+
+@query(
+    "tpcds_timeband_count_matrix",
+    oracle="""
+    SELECT
+      count(*) FILTER (WHERE l_quantity < 10) AS q_lt10,
+      count(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 20) AS q_10_20,
+      count(*) FILTER (WHERE l_quantity >= 20 AND l_quantity < 30) AS q_20_30,
+      count(*) FILTER (WHERE l_quantity >= 30 AND l_quantity < 40) AS q_30_40,
+      count(*) FILTER (WHERE l_quantity >= 40) AS q_ge40,
+      count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+      count(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+      count(*) AS n_total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def tpcds_timeband_count_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape done RIGHT: q88 counts eight disjoint
+    time-band populations as eight scalar subqueries cross-joined —
+    eight scans of the same fact. The Spark-first plan is ONE scan
+    with FILTER-clause conditional counts: eight aggregates, one
+    shuffle of a single partial-agg row per partition. The date
+    filter still reaches the parquet reader."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1995-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-01-01"))
+    )
+    q = F.col("l_quantity")
+    one = F.lit(1)
+    return l.agg(
+        F.count(F.when(q < 10, one)).alias("q_lt10"),
+        F.count(F.when((q >= 10) & (q < 20), one)).alias("q_10_20"),
+        F.count(F.when((q >= 20) & (q < 30), one)).alias("q_20_30"),
+        F.count(F.when((q >= 30) & (q < 40), one)).alias("q_30_40"),
+        F.count(F.when(q >= 40, one)).alias("q_ge40"),
+        F.count(F.when(F.col("l_returnflag") == "R", one)).alias("n_returned"),
+        F.count(F.when(F.col("l_discount") >= 0.05, one)).alias("n_discounted"),
+        F.count(one).alias("n_total"),
+    )
+
+
+@query(
+    "tpcds_cross_status_shoppers",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_f,
+             max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS has_o,
+             max(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS has_p
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_acctbal
+    FROM flags f JOIN customer c ON c.c_custkey = f.o_custkey
+    WHERE f.has_f = 1 AND (f.has_o = 1 OR f.has_p = 1)
+    GROUP BY 1
+    """,
+)
+def tpcds_cross_status_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10 shape (EXISTS ∧ (EXISTS ∨ EXISTS) demographics
+    count): customers with at least one finished order AND at least
+    one open-or-pending order, counted per market segment. The three
+    correlated EXISTS become ONE aggregation of the fact to boolean
+    flags per customer (a single scan instead of three semi-joins),
+    then a filtered join up to the dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    st = F.col("o_orderstatus")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(st == "F", 1).otherwise(0)).alias("has_f"),
+        F.max(F.when(st == "O", 1).otherwise(0)).alias("has_o"),
+        F.max(F.when(st == "P", 1).otherwise(0)).alias("has_p"),
+    )
+    return (
+        flags.filter(
+            (F.col("has_f") == 1)
+            & ((F.col("has_o") == 1) | (F.col("has_p") == 1))
+        )
+        .join(c, flags.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "tpcds_nation_qoq_growth",
+    oracle="""
+    WITH q AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS y,
+             CAST(quarter(o.o_orderdate) AS BIGINT) AS qtr,
+             sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT nation, y, qtr, rev,
+             lag(rev) OVER (PARTITION BY nation ORDER BY y, qtr) AS prev
+      FROM q
+    )
+    SELECT nation, y, qtr,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) AS qoq
+    FROM w
+    WHERE prev IS NOT NULL
+      AND CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) > 1.2
+    """,
+)
+def tpcds_nation_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: quarter-over-quarter revenue growth per
+    customer nation, keeping quarters that grew >20%. Quarterly
+    revenue is an exact DECIMAL sum; the growth ratio is one double
+    divide of exact ingredients; the lag window partitions by nation
+    with a unique (year, quarter) order — 25 small partitions, no
+    global window; dims broadcast under the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("nation")
+        )
+    )
+    q = (
+        o.join(cn, o.o_custkey == cn.c_custkey)
+        .groupBy(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("y", "qtr")
+    qoq = F.col("rev").cast("double") / F.col("prev").cast("double")
+    return (
+        q.withColumn("prev", F.lag("rev").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("qoq", qoq)
+        .filter(F.col("qoq") > 1.2)
+        .select("nation", "y", "qtr", F.col("rev").cast("double").alias("rev"), "qoq")
+    )
