@@ -457,3 +457,53 @@ def test_pil_equivalence_progressive_within_one():
     ours = decode_jpeg(prog)[:, :, 0].astype(int)
     theirs = np.asarray(Image.open(io.BytesIO(prog)).convert("L")).astype(int)
     assert np.abs(ours - theirs).max() <= 1
+
+
+# ----------------------------------------------------------- property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _scan_scripts(draw):
+    """A random VALID progressive scan script: a DC ladder from a
+    random starting Al, then a random partition of 1..63 into bands,
+    each with its own approximation ladder."""
+    dc_top = draw(st.integers(0, 3))
+    script = [("dc_first", dc_top)]
+    for al in range(dc_top - 1, -1, -1):
+        script.append(("dc_refine", al))
+    # band split points
+    cuts = sorted(draw(st.sets(st.integers(2, 63), max_size=3)))
+    bands = []
+    lo = 1
+    for c in cuts:
+        bands.append((lo, c - 1))
+        lo = c
+    bands.append((lo, 63))
+    for ss, se in bands:
+        ac_top = draw(st.integers(0, 2))
+        script.append(("ac_first", 1, ss, se, ac_top))
+        for al in range(ac_top - 1, -1, -1):
+            script.append(("ac_refine", 1, ss, se, al))
+    return script
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 2 ** 32 - 1),
+    _scan_scripts(),
+)
+def test_progressive_random_scripts_equal_sequential(seed, script):
+    """ANY valid scan script — random DC/AC approximation ladders over
+    a random spectral partition — must decode identically to the
+    sequential encoding of the same coefficients."""
+    rng = np.random.default_rng(seed)
+    blocks = _safe_random_blocks(rng, 4, spread=200, density=14)
+    comps = [{"id": 1, "hv": 0x11, "tq": 0, "blocks": blocks}]
+    qts = {0: [1] * 64}
+    seq = encode_jpeg(16, 16, comps, qts)
+    prog = encode_progressive(16, 16, comps, qts, script)
+    np.testing.assert_array_equal(decode_jpeg(seq), decode_jpeg(prog))
