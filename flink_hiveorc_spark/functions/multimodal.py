@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.functions.flac import decode_flac
 from flink_hiveorc_spark.functions.jpeg import decode_jpeg
+from flink_hiveorc_spark.functions.probe import probe_media
 from flink_hiveorc_spark.registry import query
 
 FEATURE_SCHEMA = T.StructType(
@@ -2547,6 +2548,32 @@ def audio_stats(clips: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(clips, _AUDIO_STATS_SCHEMA, _audio_features, quarantine)
 
 
+_MEDIA_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_video", T.LongType()),
+        T.StructField("n_audio", T.LongType()),
+        T.StructField("codecs", T.StringType()),
+    ]
+)
+
+
+def media_probe(assets: DataFrame, quarantine: bool = False) -> DataFrame:
+    """Distributed STRUCTURAL probe over (doc_id, payload) media
+    assets (probe.py: ISO BMFF / Matroska-WebM) — container, brand,
+    duration, dimensions, track layout, codec fourccs WITHOUT
+    decoding any frame. This is the routing step a 100 TB video
+    corpus runs before touching a codec: keep/drop decisions, GPU
+    decode-pool dispatch by codec, duration budgeting. Same
+    mapInPandas + quarantine contract as image/audio/video_stats."""
+    return _stats_df(assets, _MEDIA_PROBE_SCHEMA, probe_media, quarantine)
+
+
 def _avi_chunks(data: bytes, pos: int, end: int):
     """Iterate RIFF chunks as (fourcc, body_start, body_size); LISTs
     yield their list-type as fourcc with the body EXCLUDING it, so
@@ -3593,6 +3620,123 @@ def _flac_matrix_segments() -> dict:
     return legs
 
 
+def _media_probe_segments() -> dict:
+    """Constant byte segments for the media-probe rotation (r11):
+    a minimal-but-spec-shaped MP4 (ftyp + moov{mvhd, trak{tkhd,
+    mdia{mdhd, hdlr 'vide', minf/stbl/stsd 'avc1'}}}) and a WebM
+    (EBML header + Segment{Info{TimestampScale, float Duration},
+    Tracks{video V_VP9 with PixelWidth/Height, audio A_OPUS}}).
+    Digest bytes splice in verbatim at fixed offsets: MP4 movie
+    duration low bytes (d0 d1 at timescale 1000) and the tkhd 16.16
+    dimension integer bytes (d2, d3); WebM PixelWidth (d4 d5) and
+    PixelHeight (d6 d7). Returns per-container lists of
+    (const_chunk, digest_index) pairs plus the tail chunk, built from
+    ISO 14496-12 / the Matroska EBML spec independently of
+    probe.py."""
+    import struct
+
+    def mp4_box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + fourcc + body
+
+    matrix = struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    V = object()  # placeholder marker for one digest byte
+
+    def render(parts: list) -> tuple[list, bytes]:
+        """[bytes | (V, digest_idx)] → ([(chunk, idx)...], tail)."""
+        chunks = []
+        cur = bytearray()
+        for p in parts:
+            if isinstance(p, tuple):
+                chunks.append((bytes(cur), p[1]))
+                cur = bytearray()
+            else:
+                cur += p
+        return chunks, bytes(cur)
+
+    mvhd = mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1000) + b"\x00\x00\xee\xee"  # duration spliced
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = mp4_box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">I", 0)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + b"\x00\xee\x00\x00\x00\xee\x00\x00",  # w/h int bytes spliced
+    )
+    mdhd = mp4_box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = mp4_box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    entry = struct.pack(">I", 16) + b"avc1" + b"\x00" * 6 + struct.pack(">H", 1)
+    stsd = mp4_box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    mdia = mp4_box(b"mdia", mdhd + hdlr + mp4_box(b"minf", mp4_box(b"stbl", stsd)))
+    moov = mp4_box(b"moov", mvhd + mp4_box(b"trak", tkhd + mdia))
+    ftyp = mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    raw = ftyp + moov
+    # replace the four 0xEE splice markers (in order) with digest slots
+    parts: list = []
+    last = 0
+    for idx, di in zip(
+        (i for i in range(len(raw)) if raw[i] == 0xEE), (0, 1, 2, 3)
+    ):
+        parts.append(raw[last:idx])
+        parts.append((V, di))
+        last = idx + 1
+    parts.append(raw[last:])
+    mp4_chunks, mp4_tail = render(parts)
+
+    def el(eid: bytes, body_len: int) -> bytes:
+        assert body_len <= 126
+        return eid + bytes([0x80 | body_len])
+
+    def cel(eid: bytes, body: bytes) -> bytes:
+        return el(eid, len(body)) + body
+
+    ebml = cel(b"\x1a\x45\xdf\xa3", cel(b"\x42\x82", b"webm"))
+    info = cel(
+        b"\x15\x49\xa9\x66",
+        cel(b"\x2a\xd7\xb1", b"\x0f\x42\x40")  # TimestampScale 1e6
+        + cel(b"\x44\x89", struct.pack(">f", 2000.0)),  # 2.0 s
+    )
+    video = (
+        cel(b"\x83", b"\x01") + cel(b"\x86", b"V_VP9")
+        # Video{PixelWidth(2 spliced), PixelHeight(2 spliced)}
+    )
+    video_box = el(b"\xe0", 8)  # B0 82 dd dd BA 82 dd dd
+    vtrack_body_len = len(video) + 2 + 8
+    atrack = cel(b"\xae", cel(b"\x83", b"\x02") + cel(b"\x86", b"A_OPUS"))
+    tracks_body_len = 2 + vtrack_body_len + len(atrack)
+    seg_body_len = len(info) + 5 + tracks_body_len
+    webm_chunks = [
+        (
+            ebml + b"\x18\x53\x80\x67" + bytes([0x80 | seg_body_len])
+            + info + el(b"\x16\x54\xae\x6b", tracks_body_len)
+            + el(b"\xae", vtrack_body_len) + video + video_box
+            + b"\xb0\x82",
+            4,
+        ),
+        (b"", 5),
+        (b"\xba\x82", 6),
+        (b"", 7),
+    ]
+    webm_tail = atrack
+    return {
+        "mp4": (mp4_chunks, mp4_tail),
+        "webm": (webm_chunks, webm_tail),
+    }
+
+
 def _int_be32(expr):
     """Computed integer 0..2^32−1 → four big-endian bytes, JVM-side."""
     return F.unhex(F.lpad(F.hex(expr), 8, "0"))
@@ -4280,6 +4424,87 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return audio_stats(payloads)
+
+
+@query(
+    "multimodal_media_probe_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id,
+             max(CASE WHEN i = 0 THEN byte END) AS d0,
+             max(CASE WHEN i = 1 THEN byte END) AS d1,
+             max(CASE WHEN i = 2 THEN byte END) AS d2,
+             max(CASE WHEN i = 3 THEN byte END) AS d3,
+             max(CASE WHEN i = 4 THEN byte END) AS d4,
+             max(CASE WHEN i = 5 THEN byte END) AS d5,
+             max(CASE WHEN i = 6 THEN byte END) AS d6,
+             max(CASE WHEN i = 7 THEN byte END) AS d7
+      FROM (
+        SELECT doc_id, i,
+               (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+        FROM p, UNNEST(range(0, 8)) AS t(i)
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END AS brand,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(d0 * 256 + d1 AS DOUBLE) / 1000
+                ELSE CAST(2.0 AS DOUBLE) END AS duration_s,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN d2
+                     ELSE d4 * 256 + d5 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN d3
+                     ELSE d6 * 256 + d7 END AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_video,
+           CAST(doc_id % 2 AS BIGINT) AS n_audio,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1'
+                ELSE 'A_OPUS,V_VP9' END AS codecs
+    FROM b
+    """,
+)
+def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural media probing under the external oracle (r11),
+    doc_id % 2: even docs ship a spec-shaped MP4 (ftyp isom + full
+    moov tree — mvhd at timescale 1000 with the movie duration's low
+    bytes = digest bytes 0-1, one video trak whose tkhd 16.16
+    dimensions carry bytes 2/3, hdlr 'vide', stsd 'avc1'); odd docs a
+    WebM (EBML DocType, Segment → Info{TimestampScale 1e6, float
+    Duration 2 s} + Tracks{V_VP9 video with PixelWidth/Height =
+    digest bytes 4-7, A_OPUS audio}) — both walked by the REAL
+    probe.py parsers through the `media_probe` featurizer, no frame
+    decoded. The oracle recomputes duration (one exact int→double
+    divide by 1000), dimensions, track counts, and codec lists from
+    the digest. A box-size, vint, fixed-point, handler-routing, or
+    timescale divergence flips the hash. Payloads are JVM-side
+    concat of constant container chunks with verbatim digest-byte
+    splices (`_media_probe_segments`). Why: routing/budgeting
+    metadata for codec-gated assets (H.264/VP9/Opus payloads) is a
+    first-class 100 TB pipeline need — BASELINE.json "multimodal
+    columns"; the reference has no media surface (SURVEY.md §0)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    hx = F.col("hx")
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(8)]
+    seg = _media_probe_segments()
+
+    def assemble(name: str):
+        chunks, tail = seg[name]
+        parts = []
+        for chunk, di in chunks:
+            if chunk:
+                parts.append(F.lit(chunk))
+            parts.append(db[di])
+        parts.append(F.lit(tail))
+        return F.concat(*parts)
+
+    payload = F.when(F.col("doc_id") % 2 == 0, assemble("mp4")).otherwise(
+        assemble("webm")
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return media_probe(payloads)
 
 
 @query(

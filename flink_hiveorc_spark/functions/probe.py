@@ -1,0 +1,303 @@
+"""Structural media probing — container metadata WITHOUT decoding.
+
+A 100 TB video corpus needs routing decisions (keep/drop, which GPU
+decode pool, dedup key, budget estimates) long before any frame is
+decoded: duration, dimensions, codec, and track layout live in the
+container STRUCTURE, which is pure length-prefixed parsing — no
+entropy coding, no codec library. This module probes the two
+container families whose PAYLOAD codecs are outside the native decode
+envelope (H.264/H.265/VP9/AV1/AAC/Opus), so the pipeline can still
+see and reason about those assets:
+
+- ISO BMFF (MP4/MOV/M4A — ISO/IEC 14496-12): box walk with 32/64-bit
+  sizes, ftyp brand, mvhd movie duration/timescale, per-trak tkhd
+  16.16 dimensions, mdia/hdlr handler classification (vide/soun),
+  stbl/stsd sample-entry fourccs;
+- Matroska/WebM (EBML): vint ID/size parsing, EBML DocType, Segment →
+  Info (TimestampScale + float Duration) and Tracks → TrackEntry
+  (TrackType, CodecID, Video PixelWidth/PixelHeight), unknown-size
+  segment handling.
+
+Error contract matches the decoders: ValueError for structural damage
+(truncated/overflowing boxes, bad vints, missing mandatory boxes),
+NotImplementedError for unrecognized containers. `media_probe` is the
+distributed mapInPandas featurizer twin of image/audio/video_stats
+with the same quarantine channel; `multimodal_media_probe_stats` puts
+both parsers under the external oracle with digest-derived durations
+and dimensions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["probe_media"]
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, body_end) at one nesting level."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to end of file
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"MP4 box {fourcc!r} overflows its container")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_fullbox(data: bytes, pos: int, end: int) -> tuple[int, int]:
+    if pos + 4 > end:
+        raise ValueError("truncated MP4 full box")
+    return data[pos], pos + 4
+
+
+def _probe_mp4(data: bytes) -> dict:
+    brand = None
+    duration_s = None
+    width = height = 0
+    n_video = n_audio = 0
+    codecs: list[str] = []
+
+    def walk_trak(body: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, n_video, n_audio
+        handler = None
+        tk_w = tk_h = 0
+        stsd_formats: list[str] = []
+        for fc, b, e in _mp4_boxes(body, pos, end):
+            if fc == b"tkhd":
+                ver, p = _mp4_fullbox(body, b, e)
+                skip = (8 * 3 + 4 * 2) if ver == 1 else (4 * 5)
+                p += skip + 8 + 2 + 2 + 2 + 2 + 36
+                if p + 8 > e:
+                    raise ValueError("truncated tkhd box")
+                tk_w = struct.unpack_from(">I", body, p)[0] >> 16
+                tk_h = struct.unpack_from(">I", body, p + 4)[0] >> 16
+            elif fc == b"mdia":
+                for fc2, b2, e2 in _mp4_boxes(body, b, e):
+                    if fc2 == b"hdlr":
+                        _, p2 = _mp4_fullbox(body, b2, e2)
+                        if p2 + 8 > e2:
+                            raise ValueError("truncated hdlr box")
+                        handler = body[p2 + 4 : p2 + 8]
+                    elif fc2 == b"minf":
+                        for fc3, b3, e3 in _mp4_boxes(body, b2, e2):
+                            if fc3 != b"stbl":
+                                continue
+                            for fc4, b4, e4 in _mp4_boxes(body, b3, e3):
+                                if fc4 != b"stsd":
+                                    continue
+                                _, p4 = _mp4_fullbox(body, b4, e4)
+                                if p4 + 4 > e4:
+                                    raise ValueError("truncated stsd box")
+                                n = struct.unpack_from(">I", body, p4)[0]
+                                q = p4 + 4
+                                for _ in range(n):
+                                    if q + 8 > e4:
+                                        raise ValueError(
+                                            "truncated stsd sample entry"
+                                        )
+                                    esz = struct.unpack_from(">I", body, q)[0]
+                                    if esz < 8 or q + esz > e4:
+                                        raise ValueError(
+                                            "stsd entry overflows stsd"
+                                        )
+                                    stsd_formats.append(
+                                        body[q + 4 : q + 8]
+                                        .decode("latin1")
+                                        .strip()
+                                    )
+                                    q += esz
+        if handler == b"vide":
+            n_video += 1
+            width = max(width, tk_w)
+            height = max(height, tk_h)
+        elif handler == b"soun":
+            n_audio += 1
+        codecs.extend(stsd_formats)
+
+    saw_moov = False
+    for fc, b, e in _mp4_boxes(data, 0, len(data)):
+        if fc == b"ftyp":
+            if e - b < 4:
+                raise ValueError("truncated ftyp box")
+            brand = data[b : b + 4].decode("latin1").strip()
+        elif fc == b"moov":
+            saw_moov = True
+            for fc2, b2, e2 in _mp4_boxes(data, b, e):
+                if fc2 == b"mvhd":
+                    ver, p = _mp4_fullbox(data, b2, e2)
+                    if ver == 1:
+                        if p + 28 > e2:
+                            raise ValueError("truncated mvhd box")
+                        scale = struct.unpack_from(">I", data, p + 16)[0]
+                        dur = struct.unpack_from(">Q", data, p + 20)[0]
+                    else:
+                        if p + 16 > e2:
+                            raise ValueError("truncated mvhd box")
+                        scale = struct.unpack_from(">I", data, p + 8)[0]
+                        dur = struct.unpack_from(">I", data, p + 12)[0]
+                    if scale == 0:
+                        raise ValueError("mvhd timescale is zero")
+                    duration_s = dur / scale
+                elif fc2 == b"trak":
+                    walk_trak(data, b2, e2)
+    if not saw_moov:
+        raise ValueError("MP4 has no moov box")
+    if duration_s is None:
+        raise ValueError("MP4 moov has no mvhd box")
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_s": duration_s,
+        "width": width,
+        "height": height,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "codecs": ",".join(sorted(codecs)),
+    }
+
+
+def _ebml_vint(data: bytes, pos: int, end: int, keep_marker: bool):
+    """EBML variable-length integer at pos → (value, new_pos)."""
+    if pos >= end:
+        raise ValueError("truncated EBML vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint leading byte 0")
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > end:
+        raise ValueError("truncated EBML vint body")
+    v = first if keep_marker else (first & (mask - 1))
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length, length
+
+
+def _ebml_elements(data: bytes, pos: int, end: int):
+    while pos < end:
+        eid, pos, _ = _ebml_vint(data, pos, end, keep_marker=True)
+        size, pos, slen = _ebml_vint(data, pos, end, keep_marker=False)
+        if size == (1 << (7 * slen)) - 1:  # unknown size: to end
+            size = end - pos
+        if pos + size > end:
+            raise ValueError(f"EBML element {eid:#x} overflows its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _ebml_uint(data: bytes, b: int, e: int) -> int:
+    if e - b > 8:
+        raise ValueError("oversized EBML uint")
+    v = 0
+    for i in range(b, e):
+        v = (v << 8) | data[i]
+    return v
+
+
+def _probe_matroska(data: bytes) -> dict:
+    doctype = None
+    tscale = 1_000_000
+    duration_ticks = None
+    width = height = 0
+    n_video = n_audio = 0
+    codecs: list[str] = []
+    for eid, b, e in _ebml_elements(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for eid2, b2, e2 in _ebml_elements(data, b, e):
+                if eid2 == 0x4282:  # DocType
+                    doctype = data[b2:e2].decode("latin1")
+        elif eid == 0x18538067:  # Segment
+            for eid2, b2, e2 in _ebml_elements(data, b, e):
+                if eid2 == 0x1549A966:  # Info
+                    for eid3, b3, e3 in _ebml_elements(data, b2, e2):
+                        if eid3 == 0x2AD7B1:
+                            tscale = _ebml_uint(data, b3, e3)
+                        elif eid3 == 0x4489:  # Duration (float)
+                            n = e3 - b3
+                            if n == 4:
+                                duration_ticks = struct.unpack_from(
+                                    ">f", data, b3
+                                )[0]
+                            elif n == 8:
+                                duration_ticks = struct.unpack_from(
+                                    ">d", data, b3
+                                )[0]
+                            else:
+                                raise ValueError(
+                                    f"Matroska Duration of {n} bytes"
+                                )
+                elif eid2 == 0x1654AE6B:  # Tracks
+                    for eid3, b3, e3 in _ebml_elements(data, b2, e2):
+                        if eid3 != 0xAE:  # TrackEntry
+                            continue
+                        ttype = 0
+                        for eid4, b4, e4 in _ebml_elements(data, b3, e3):
+                            if eid4 == 0x83:
+                                ttype = _ebml_uint(data, b4, e4)
+                            elif eid4 == 0x86:
+                                codecs.append(
+                                    data[b4:e4].decode("latin1")
+                                )
+                            elif eid4 == 0xE0:  # Video
+                                for eid5, b5, e5 in _ebml_elements(
+                                    data, b4, e4
+                                ):
+                                    if eid5 == 0xB0:
+                                        width = max(
+                                            width, _ebml_uint(data, b5, e5)
+                                        )
+                                    elif eid5 == 0xBA:
+                                        height = max(
+                                            height, _ebml_uint(data, b5, e5)
+                                        )
+                        if ttype == 1:
+                            n_video += 1
+                        elif ttype == 2:
+                            n_audio += 1
+    if doctype is None:
+        raise ValueError("Matroska stream has no EBML DocType")
+    if tscale == 0:
+        raise ValueError("Matroska TimestampScale is zero")
+    duration_s = (
+        duration_ticks * tscale / 1e9 if duration_ticks is not None else 0.0
+    )
+    return {
+        "container": doctype,
+        "brand": doctype,
+        "duration_s": duration_s,
+        "width": width,
+        "height": height,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "codecs": ",".join(sorted(codecs)),
+    }
+
+
+def probe_media(payload: bytes) -> dict:
+    """Structural container probe → {container, brand, duration_s,
+    width, height, n_video, n_audio, codecs}. See module docstring
+    for the per-container field sources and the error contract."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _probe_mp4(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return _probe_matroska(payload)
+    raise NotImplementedError(
+        "unrecognized media container (structural probing covers ISO BMFF "
+        "ftyp-branded files and Matroska/WebM EBML streams)"
+    )

@@ -1,0 +1,230 @@
+"""Structural media probing (probe.py): independent MP4/ISO-BMFF and
+Matroska/WebM fixture builders (written from the specs, not from the
+parser) must probe to exactly the declared metadata — including
+64-bit box sizes, version-1 full boxes, multi-track layouts,
+unknown-size EBML segments, and 8-byte float durations — and
+structural damage must classify per the decode error contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from flink_hiveorc_spark.functions.multimodal import media_probe
+from flink_hiveorc_spark.functions.probe import probe_media
+
+
+def _box(fourcc, body, large=False):
+    if large:
+        return (
+            struct.pack(">I", 1) + fourcc + struct.pack(">Q", len(body) + 16)
+            + body
+        )
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _mvhd(dur, scale=1000, v1=False):
+    if v1:
+        body = b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        body += struct.pack(">I", scale) + struct.pack(">Q", dur)
+    else:
+        body = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        body += struct.pack(">I", scale) + struct.pack(">I", dur)
+    body += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+    body += b"\x00" * 10 + _MATRIX + b"\x00" * 24 + struct.pack(">I", 2)
+    return _box(b"mvhd", body)
+
+
+_MATRIX = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _trak(handler, w=0, h=0, codec=b"avc1", tkhd_v1=False):
+    if tkhd_v1:
+        tk = b"\x01\x00\x00\x07" + struct.pack(">QQ", 0, 0)
+        tk += struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">Q", 0)
+    else:
+        tk = b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+        tk += struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">I", 0)
+    tk += b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + _MATRIX
+    tk += struct.pack(">II", w << 16, h << 16)
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 1000, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00",
+    )
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+    minf = _box(b"minf", _box(b"stbl", stsd))
+    return _box(b"trak", _box(b"tkhd", tk) + _box(b"mdia", mdhd + hdlr + minf))
+
+
+def _mp4(traks, dur=4660, scale=1000, v1=False, brand=b"isom", large_moov=False):
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    moov = _box(b"moov", _mvhd(dur, scale, v1) + b"".join(traks),
+                large=large_moov)
+    return ftyp + moov
+
+
+def _el(eid, body):
+    if len(body) <= 126:
+        return eid + bytes([0x80 | len(body)]) + body
+    return eid + bytes([0x40 | (len(body) >> 8), len(body) & 0xFF]) + body
+
+
+def _mkv(w, h, dur_ticks=2000.0, f64=False, tscale=1_000_000,
+         unknown_size_segment=False):
+    ebml = _el(b"\x1a\x45\xdf\xa3", _el(b"\x42\x82", b"matroska"))
+    dur = struct.pack(">d" if f64 else ">f", dur_ticks)
+    info = _el(
+        b"\x15\x49\xa9\x66",
+        _el(b"\x2a\xd7\xb1", tscale.to_bytes(4, "big")) + _el(b"\x44\x89", dur),
+    )
+    vtrack = _el(
+        b"\xae",
+        _el(b"\x83", b"\x01") + _el(b"\x86", b"V_AV1")
+        + _el(b"\xe0", _el(b"\xb0", struct.pack(">H", w))
+              + _el(b"\xba", struct.pack(">H", h))),
+    )
+    atrack = _el(b"\xae", _el(b"\x83", b"\x02") + _el(b"\x86", b"A_VORBIS"))
+    body = info + _el(b"\x16\x54\xae\x6b", vtrack + atrack)
+    if unknown_size_segment:
+        return ebml + b"\x18\x53\x80\x67" + b"\xff" + body
+    return ebml + _el(b"\x18\x53\x80\x67", body)
+
+
+def test_mp4_basic_and_v1_and_large():
+    r = probe_media(_mp4([_trak(b"vide", 320, 240)]))
+    assert r == {
+        "container": "mp4", "brand": "isom", "duration_s": 4.66,
+        "width": 320, "height": 240, "n_video": 1, "n_audio": 0,
+        "codecs": "avc1",
+    }
+    # version-1 boxes and a 64-bit moov size
+    r = probe_media(
+        _mp4([_trak(b"vide", 1920, 1080, tkhd_v1=True)],
+             dur=90000, scale=600, v1=True, large_moov=True)
+    )
+    assert r["duration_s"] == 150.0 and (r["width"], r["height"]) == (1920, 1080)
+
+
+def test_mp4_multitrack_codecs_and_dims():
+    traks = [
+        _trak(b"vide", 640, 480, codec=b"hvc1"),
+        _trak(b"vide", 1280, 720, codec=b"av01"),
+        _trak(b"soun", codec=b"mp4a"),
+    ]
+    r = probe_media(_mp4(traks))
+    assert r["n_video"] == 2 and r["n_audio"] == 1
+    assert (r["width"], r["height"]) == (1280, 720)  # max over video traks
+    assert r["codecs"] == "av01,hvc1,mp4a"
+
+
+def test_matroska_variants():
+    r = probe_media(_mkv(3840, 2160))
+    assert r == {
+        "container": "matroska", "brand": "matroska", "duration_s": 2.0,
+        "width": 3840, "height": 2160, "n_video": 1, "n_audio": 1,
+        "codecs": "A_VORBIS,V_AV1",
+    }
+    # 8-byte float duration, custom timescale, unknown-size segment
+    r = probe_media(
+        _mkv(100, 50, dur_ticks=1500.0, f64=True, tscale=2_000_000,
+             unknown_size_segment=True)
+    )
+    assert r["duration_s"] == 3.0
+    assert (r["width"], r["height"]) == (100, 50)
+
+
+def test_error_contract():
+    with pytest.raises(NotImplementedError, match="unrecognized media"):
+        probe_media(b"RIFF\x00\x00\x00\x00AVI LIST")
+    good = _mp4([_trak(b"vide", 8, 8)])
+    with pytest.raises(ValueError, match="overflows|truncated"):
+        probe_media(good[:-10])
+    bad = bytearray(good)
+    bad[0:4] = struct.pack(">I", 10 ** 6)  # ftyp size overflow
+    with pytest.raises(ValueError, match="overflows"):
+        probe_media(bytes(bad))
+    # no moov
+    with pytest.raises(ValueError, match="no moov"):
+        probe_media(_box(b"ftyp", b"isom" + b"\x00" * 8))
+    # zero timescale
+    with pytest.raises(ValueError, match="timescale is zero"):
+        probe_media(_mp4([_trak(b"vide", 8, 8)], scale=0))
+    m = bytearray(_mkv(8, 8))
+    m[-1] ^= 0xFF  # corrupt the tail element size region
+    try:
+        probe_media(bytes(m))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_fuzz_byte_flips_keep_error_contract():
+    rng = np.random.default_rng(4)
+    for payload in (_mp4([_trak(b"vide", 16, 16)]), _mkv(16, 16)):
+        for _ in range(120):
+            bad = bytearray(payload)
+            i = int(rng.integers(0, len(bad)))
+            bad[i] ^= int(rng.integers(1, 256))
+            try:
+                probe_media(bytes(bad))
+            except (ValueError, NotImplementedError):
+                pass  # classified — never a raw struct/index error
+
+
+def test_media_probe_dataframe_and_quarantine(spark):
+    rows = [
+        (1, _mp4([_trak(b"vide", 12, 34)])),
+        (2, _mkv(56, 78)),
+        (3, b"\x00garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in media_probe(df, quarantine=True).collect()}
+    assert out[1]["container"] == "mp4" and out[1]["width"] == 12
+    assert out[2]["container"] == "matroska" and out[2]["height"] == 78
+    assert out[3]["container"] is None
+    assert out[3]["error"].startswith("unsupported:")
+
+
+def test_media_probe_query_all_branches(spark, sf_dir):
+    """multimodal_media_probe_stats at sf0.001 equals a local
+    recomputation; both doc_id % 2 container legs exercised."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = tbl.to_pydict()
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_media_probe_stats"](spark, sf_dir).collect()
+    }
+    assert len(rows) == len(docs["doc_id"])
+    seen = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        m = doc_id % 2
+        seen.add(m)
+        dg = hashlib.md5(text.encode()).digest()
+        r = rows[doc_id]
+        if m == 0:
+            assert (r["container"], r["brand"], r["codecs"]) == (
+                "mp4", "isom", "avc1",
+            )
+            assert r["duration_s"] == (dg[0] * 256 + dg[1]) / 1000
+            assert (r["width"], r["height"]) == (dg[2], dg[3])
+            assert (r["n_video"], r["n_audio"]) == (1, 0)
+        else:
+            assert (r["container"], r["codecs"]) == ("webm", "A_OPUS,V_VP9")
+            assert r["duration_s"] == 2.0
+            assert r["width"] == dg[4] * 256 + dg[5]
+            assert r["height"] == dg[6] * 256 + dg[7]
+            assert (r["n_video"], r["n_audio"]) == (1, 1)
+    assert seen == {0, 1}
