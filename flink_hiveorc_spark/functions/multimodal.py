@@ -3731,9 +3731,63 @@ def _media_probe_segments() -> dict:
         (b"", 7),
     ]
     webm_tail = atrack
+
+    # --- Ogg Opus leg: BOS page constant; EOS page carries a
+    # digest-derived granule position (312 + X ticks ⇒ duration
+    # X/48000 after pre-skip), its CRC-32 via wire-byte linear tables
+    from flink_hiveorc_spark.functions.probe import ogg_crc
+
+    def ogg_page(htype: int, granule: int, seq: int, body: bytes) -> bytes:
+        hdr = (
+            b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+            + struct.pack("<II", 0xABCD, seq) + b"\x00" * 4
+            + bytes([1, len(body)])
+        )
+        page = bytearray(hdr + body)
+        page[22:26] = struct.pack("<I", ogg_crc(bytes(page)))
+        return bytes(page)
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00"
+    )
+    page0 = ogg_page(2, 0, 0, opus_head)
+    # EOS page template with granule + CRC zeroed (variable regions)
+    p1 = bytearray(
+        b"OggS" + bytes([0, 4]) + b"\x00" * 8
+        + struct.pack("<II", 0xABCD, 1) + b"\x00" * 4
+        + bytes([1, 8]) + b"\x00" * 8
+    )
+    ogg_base = ogg_crc(bytes(p1))
+    ogg_tables = {}
+    for pos in (6, 7, 8, 9):  # granule low 4 bytes (value < 2^25)
+        tbl = bytearray()
+        for v in range(256):
+            m = bytearray(len(p1))
+            m[pos] = v
+            tbl += struct.pack(">I", ogg_crc(bytes(m)))
+        ogg_tables[pos] = bytes(tbl)
+
+    # --- MP3 leg: ID3v2 whose syncsafe size is digest-derived (the
+    # skip arithmetic under the oracle), then three constant CBR
+    # frames (MPEG1 Layer III 128 kbps 44.1 kHz → 417 bytes each)
+    mp3_frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * 413
     return {
         "mp4": (mp4_chunks, mp4_tail),
         "webm": (webm_chunks, webm_tail),
+        "ogg": {
+            "page0": page0,
+            "p1_pre": bytes(p1[:6]),
+            "p1_mid": bytes(p1[10:22]),  # granule high zeros + serial/seq
+            "p1_post": bytes(p1[26:]),
+            "base": ogg_base,
+            "tables": ogg_tables,
+        },
+        "mp3": {
+            "id3_pre": b"ID3" + bytes([4, 0, 0]) + b"\x00" * 3,
+            "zeros": b"\x00" * 127,
+            "frames": mp3_frame * 3,
+        },
     }
 
 
@@ -4448,46 +4502,68 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) GROUP BY doc_id
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
-           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END AS brand,
-           CASE WHEN doc_id % 2 = 0
-                THEN CAST(d0 * 256 + d1 AS DOUBLE) / 1000
-                ELSE CAST(2.0 AS DOUBLE) END AS duration_s,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN d2
-                     ELSE d4 * 256 + d5 END AS BIGINT) AS width,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN d3
-                     ELSE d6 * 256 + d7 END AS BIGINT) AS height,
-           CAST(1 AS BIGINT) AS n_video,
-           CAST(doc_id % 2 AS BIGINT) AS n_audio,
-           CASE WHEN doc_id % 2 = 0 THEN 'avc1'
-                ELSE 'A_OPUS,V_VP9' END AS codecs
+           CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+                WHEN 2 THEN 'ogg' ELSE 'mp3' END AS container,
+           CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'webm'
+                WHEN 2 THEN 'opus' ELSE 'mp3' END AS brand,
+           CASE doc_id % 4
+                WHEN 0 THEN CAST(d0 * 256 + d1 AS DOUBLE) / 1000
+                WHEN 1 THEN CAST(2.0 AS DOUBLE)
+                WHEN 2 THEN
+                  CAST(d0 * 65536 + d1 * 256 + d2 AS DOUBLE) / 48000
+                ELSE CAST(3456 AS DOUBLE) / 44100 END AS duration_s,
+           CAST(CASE doc_id % 4 WHEN 0 THEN d2
+                     WHEN 1 THEN d4 * 256 + d5 ELSE 0 END
+                AS BIGINT) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN d3
+                     WHEN 1 THEN d6 * 256 + d7 ELSE 0 END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+                AS BIGINT) AS n_video,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+                AS BIGINT) AS n_audio,
+           CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'A_OPUS,V_VP9'
+                WHEN 2 THEN 'opus' ELSE 'mp3' END AS codecs
     FROM b
     """,
 )
 def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural media probing under the external oracle (r11),
-    doc_id % 2: even docs ship a spec-shaped MP4 (ftyp isom + full
-    moov tree — mvhd at timescale 1000 with the movie duration's low
-    bytes = digest bytes 0-1, one video trak whose tkhd 16.16
-    dimensions carry bytes 2/3, hdlr 'vide', stsd 'avc1'); odd docs a
-    WebM (EBML DocType, Segment → Info{TimestampScale 1e6, float
-    Duration 2 s} + Tracks{V_VP9 video with PixelWidth/Height =
-    digest bytes 4-7, A_OPUS audio}) — both walked by the REAL
-    probe.py parsers through the `media_probe` featurizer, no frame
-    decoded. The oracle recomputes duration (one exact int→double
-    divide by 1000), dimensions, track counts, and codec lists from
-    the digest. A box-size, vint, fixed-point, handler-routing, or
-    timescale divergence flips the hash. Payloads are JVM-side
-    concat of constant container chunks with verbatim digest-byte
-    splices (`_media_probe_segments`). Why: routing/budgeting
-    metadata for codec-gated assets (H.264/VP9/Opus payloads) is a
-    first-class 100 TB pipeline need — BASELINE.json "multimodal
-    columns"; the reference has no media surface (SURVEY.md §0)."""
+    doc_id % 4 across all four probe.py container walks:
+    0 MP4 — spec-shaped ftyp isom + full moov tree: mvhd at timescale
+      1000 with the movie duration's low bytes = digest bytes 0-1,
+      one video trak whose tkhd 16.16 dimensions carry bytes 2/3,
+      hdlr 'vide', stsd 'avc1';
+    1 WebM — EBML DocType, Segment → Info{TimestampScale 1e6, float
+      Duration 2 s} + Tracks{V_VP9 video with PixelWidth/Height =
+      digest bytes 4-7, A_OPUS audio};
+    2 Ogg Opus — constant CRC-verified BOS page (OpusHead, pre-skip
+      312) + an EOS page whose granule position is 312 + X ticks
+      (X = bytes 0-2 as a 24-bit integer ⇒ duration X/48000), the
+      page CRC-32 shipped as wire-byte GF(2)-linear table lookups
+      XORed onto the zero-granule CRC — the probe VERIFIES it;
+    3 MP3 — an ID3v2 tag whose SYNCSAFE size is digest byte 3 & 0x7F
+      (the skip arithmetic under the oracle: a wrong skip loses frame
+      sync and kills the row) followed by three constant CBR frames
+      (MPEG1 Layer III, 128 kbps, 44.1 kHz, 417-byte steps ⇒
+      duration 3456/44100 from the frame walk).
+    All four payloads run through the REAL probe.py parsers via the
+    `media_probe` featurizer — no frame decoded. A box-size, vint,
+    fixed-point, handler-routing, timescale, granule, page-CRC,
+    syncsafe, bitrate-table, or frame-step divergence flips the hash.
+    Why: routing/budgeting metadata for codec-gated assets
+    (H.264/VP9/Opus/MP3 payloads) is a first-class 100 TB pipeline
+    need — BASELINE.json "multimodal columns"; the reference has no
+    media surface (SURVEY.md §0)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("hx")
     )
     hx = F.col("hx")
     db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(8)]
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(4)
+    ]
     seg = _media_probe_segments()
 
     def assemble(name: str):
@@ -4500,8 +4576,46 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(F.lit(tail))
         return F.concat(*parts)
 
-    payload = F.when(F.col("doc_id") % 2 == 0, assemble("mp4")).otherwise(
-        assemble("webm")
+    og = seg["ogg"]
+    granule = F.lit(312) + dv[0] * 65536 + dv[1] * 256 + dv[2]
+    gbytes = [
+        _int_byte(F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)))
+        for k in range(4)
+    ]
+    crc = F.lit(og["base"]).cast("long")
+    for k, pos in enumerate((6, 7, 8, 9)):
+        lut = F.lit(og["tables"][pos]).substr(
+            F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)) * 4 + 1,
+            F.lit(4),
+        )
+        crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+    crc_le = F.concat(
+        *(
+            _int_byte(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255)))
+            for k in range(4)
+        )
+    )
+    ogg_payload = F.concat(
+        F.lit(og["page0"] + og["p1_pre"]),
+        *gbytes,
+        F.lit(og["p1_mid"]),
+        crc_le,
+        F.lit(og["p1_post"]),
+    )
+    m3 = seg["mp3"]
+    pad = dv[3].bitwiseAND(F.lit(0x7F))
+    mp3_payload = F.concat(
+        F.lit(m3["id3_pre"]),
+        _int_byte(pad),
+        F.lit(m3["zeros"]).substr(F.lit(1), pad),
+        F.lit(m3["frames"]),
+    )
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, assemble("mp4"))
+        .when(m == 1, assemble("webm"))
+        .when(m == 2, ogg_payload)
+        .otherwise(mp3_payload)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return media_probe(payloads)

@@ -291,13 +291,220 @@ def _probe_matroska(data: bytes) -> dict:
 
 def probe_media(payload: bytes) -> dict:
     """Structural container probe → {container, brand, duration_s,
-    width, height, n_video, n_audio, codecs}. See module docstring
-    for the per-container field sources and the error contract."""
+    width, height, n_video, n_audio, codecs}. Routes ISO BMFF (ftyp),
+    Matroska/WebM (EBML magic), Ogg (OggS capture pattern — Opus and
+    Vorbis identification headers), and MP3 (ID3v2 prefix or raw
+    frame sync). See module docstring for field sources and the
+    error contract."""
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _probe_mp4(payload)
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_matroska(payload)
+    if payload[:4] == b"OggS":
+        return _probe_ogg(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _probe_mp3(payload)
     raise NotImplementedError(
-        "unrecognized media container (structural probing covers ISO BMFF "
-        "ftyp-branded files and Matroska/WebM EBML streams)"
+        "unrecognized media container (structural probing covers ISO BMFF, "
+        "Matroska/WebM, Ogg Opus/Vorbis, and MP3 frame streams)"
     )
+
+
+# ------------------------------------------------------------------- Ogg
+
+_OGG_CRC_TBL = []
+
+
+def _ogg_crc_table():
+    if not _OGG_CRC_TBL:
+        for b in range(256):
+            r = b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                    else (r << 1) & 0xFFFFFFFF
+            _OGG_CRC_TBL.append(r)
+    return _OGG_CRC_TBL
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, unreflected, no
+    final xor (RFC 3533 §6)."""
+    tbl = _ogg_crc_table()
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ tbl[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def _probe_ogg(data: bytes) -> dict:
+    """Ogg page walk (RFC 3533): CRC-verified pages; codec and
+    parameters from the BOS packet (OpusHead / Vorbis identification),
+    duration from the last page's granule position (Opus: 48 kHz
+    ticks minus pre-skip; Vorbis: sample ticks at the declared
+    rate)."""
+    import struct as _s
+
+    pos = 0
+    codec = None
+    rate = preskip = 0
+    last_granule = 0
+    n_pages = 0
+    while pos < len(data):
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg page capture pattern at {pos}")
+        if pos + 27 > len(data):
+            raise ValueError("truncated Ogg page header")
+        if data[pos + 4] != 0:
+            raise ValueError("unsupported Ogg stream structure version")
+        granule = _s.unpack_from("<q", data, pos + 6)[0]
+        crc_stored = _s.unpack_from("<I", data, pos + 22)[0]
+        nsegs = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + nsegs]
+        if len(lacing) != nsegs:
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(lacing)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > len(data):
+            raise ValueError("truncated Ogg page body")
+        page = bytearray(data[pos:page_end])
+        page[22:26] = b"\x00" * 4
+        if ogg_crc(bytes(page)) != crc_stored:
+            raise ValueError("Ogg page CRC mismatch")
+        body = data[pos + 27 + nsegs : page_end]
+        if data[pos + 5] & 0x02:  # BOS: identification packet
+            if body[:8] == b"OpusHead":
+                codec = "opus"
+                if len(body) < 12:
+                    raise ValueError("truncated OpusHead")
+                preskip = _s.unpack_from("<H", body, 10)[0]
+                rate = 48000  # Opus granules are always 48 kHz ticks
+            elif body[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                if len(body) < 16:
+                    raise ValueError("truncated Vorbis identification")
+                rate = _s.unpack_from("<I", body, 12)[0]
+                if rate == 0:
+                    raise ValueError("Vorbis sample rate is zero")
+            else:
+                raise NotImplementedError(
+                    "unrecognized Ogg codec (OpusHead/Vorbis identification "
+                    "headers are structurally probed)"
+                )
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos = page_end
+    if codec is None:
+        raise ValueError("Ogg stream has no BOS identification packet")
+    ticks = max(0, last_granule - preskip)
+    return {
+        "container": "ogg",
+        "brand": codec,
+        "duration_s": ticks / rate,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 1,
+        "codecs": codec,
+    }
+
+
+# ------------------------------------------------------------------- MP3
+
+_MP3_BITRATES = {
+    # (version_group, layer): kbps by index 1..14 (0 = free, 15 = bad)
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def _probe_mp3(data: bytes) -> dict:
+    """MP3 frame-header walk: ID3v2 skip (syncsafe size + footer
+    flag), per-frame bitrate/samplerate table decode, frame-size
+    stepping, sample accumulation for exact duration, ID3v1 'TAG'
+    tail tolerated. Structural only — no MDCT, no Huffman."""
+    import struct as _s
+
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        flags = data[5]
+        size = 0
+        for b in data[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 syncsafe size byte with high bit set")
+            size = (size << 7) | b
+        pos = 10 + size + (10 if flags & 0x10 else 0)
+        if pos > len(data):
+            raise ValueError("ID3v2 tag overflows the file")
+    samples = 0
+    rate = None
+    mode = None
+    n_frames = 0
+    while pos < len(data):
+        if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
+            break  # ID3v1 tail
+        if pos + 4 > len(data):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at offset {pos}")
+        ver_bits = (b1 >> 3) & 3
+        if ver_bits == 1:
+            raise ValueError("reserved MPEG version bits")
+        layer_bits = (b1 >> 1) & 3
+        if layer_bits == 0:
+            raise ValueError("reserved MPEG layer bits")
+        layer = 4 - layer_bits  # 1/2/3
+        vgroup = 1 if ver_bits == 3 else 2
+        br_idx = b2 >> 4
+        if br_idx == 15:
+            raise ValueError("invalid MP3 bitrate index 15")
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format MP3 bitrate (frame size discovery) unsupported"
+            )
+        sr_idx = (b2 >> 2) & 3
+        if sr_idx == 3:
+            raise ValueError("reserved MP3 sample rate index")
+        frate = _MP3_RATES[ver_bits][sr_idx]
+        if rate is None:
+            rate = frate
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+        padding = (b2 >> 1) & 1
+        if layer == 1:
+            fsize = (12 * kbps * 1000 // frate + padding) * 4
+            fsamples = 384
+        else:
+            per = 144 if (layer == 2 or vgroup == 1) else 72
+            fsize = per * kbps * 1000 // frate + padding
+            fsamples = 1152 if (layer == 2 or vgroup == 1) else 576
+        if fsize < 4 or pos + fsize > len(data):
+            raise ValueError("MP3 frame overflows the file")
+        mode = (b3 >> 6) & 3
+        samples += fsamples
+        n_frames += 1
+        pos += fsize
+    if n_frames == 0:
+        raise ValueError("MP3 stream has no audio frames")
+    return {
+        "container": "mp3",
+        "brand": "mp3",
+        "duration_s": samples / rate,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 1,
+        "codecs": "mp3",
+    }

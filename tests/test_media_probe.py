@@ -192,9 +192,108 @@ def test_media_probe_dataframe_and_quarantine(spark):
     assert out[3]["error"].startswith("unsupported:")
 
 
+def _ogg_page(htype, granule, serial, seq, packets):
+    from flink_hiveorc_spark.functions.probe import ogg_crc
+
+    lacing = b""
+    body = b""
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            lacing += b"\xff"
+            n -= 255
+        lacing += bytes([n])
+        body += p
+    hdr = b"OggS" + bytes([0, htype]) + struct.pack("<q", granule)
+    hdr += struct.pack("<II", serial, seq) + b"\x00" * 4
+    hdr += bytes([len(lacing)]) + lacing
+    page = bytearray(hdr + body)
+    page[22:26] = struct.pack("<I", ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def _opus_head(preskip=312):
+    return (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", preskip)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + b"\x00"
+    )
+
+
+def test_ogg_opus_and_vorbis():
+    p = _ogg_page(2, 0, 9, 0, [_opus_head()]) + _ogg_page(
+        4, 312 + 96000, 9, 1, [b"\x00" * 8]
+    )
+    r = probe_media(p)
+    assert r == {
+        "container": "ogg", "brand": "opus", "duration_s": 2.0,
+        "width": 0, "height": 0, "n_video": 0, "n_audio": 1,
+        "codecs": "opus",
+    }
+    vid = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", 44100) + struct.pack("<iii", 0, 128000, 0)
+        + bytes([0xB8, 1])
+    )
+    p = _ogg_page(2, 0, 7, 0, [vid]) + _ogg_page(4, 44100 * 3, 7, 1, [b"x"])
+    r = probe_media(p)
+    assert r["codecs"] == "vorbis" and r["duration_s"] == 3.0
+    # CRC damage must be caught
+    bad = bytearray(p)
+    bad[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC|truncated|lacing"):
+        probe_media(bytes(bad))
+
+
+def _mp3_bytes(pad, n_frames=3, id3v1=False):
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes(
+        [(pad >> 21) & 0x7F, (pad >> 14) & 0x7F, (pad >> 7) & 0x7F, pad & 0x7F]
+    ) + b"\x00" * pad
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * 413
+    out = id3 + frame * n_frames
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return out
+
+
+def test_mp3_frame_walk():
+    for pad in (0, 17, 1000):
+        r = probe_media(_mp3_bytes(pad))
+        assert r["container"] == "mp3"
+        assert r["duration_s"] == 3 * 1152 / 44100, pad
+    r = probe_media(_mp3_bytes(5, n_frames=7, id3v1=True))
+    assert r["duration_s"] == 7 * 1152 / 44100
+    # MPEG2 layer III: half the samples per frame (index 9 = 80 kbps)
+    f2 = bytes([0xFF, 0xF3, 0x90, 0x00])
+    f2 += b"\x00" * (72 * 80000 // 22050 - 4)
+    r = probe_media(f2 * 2)
+    assert r["duration_s"] == 2 * 576 / 22050
+    with pytest.raises(ValueError, match="bitrate index 15"):
+        probe_media(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 40)
+    with pytest.raises(NotImplementedError, match="free-format"):
+        probe_media(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 40)
+    with pytest.raises(ValueError, match="lost MP3 frame sync"):
+        probe_media(_mp3_bytes(0) + b"\x00\x11garbagegarbagegarbage")
+
+
+def test_ogg_mp3_fuzz_byte_flips():
+    rng = np.random.default_rng(9)
+    ogg = _ogg_page(2, 0, 3, 0, [_opus_head()]) + _ogg_page(
+        4, 312 + 480, 3, 1, [b"\x01" * 4]
+    )
+    for payload in (ogg, _mp3_bytes(9)):
+        for _ in range(120):
+            bad = bytearray(payload)
+            i = int(rng.integers(0, len(bad)))
+            bad[i] ^= int(rng.integers(1, 256))
+            try:
+                probe_media(bytes(bad))
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_media_probe_query_all_branches(spark, sf_dir):
     """multimodal_media_probe_stats at sf0.001 equals a local
-    recomputation; both doc_id % 2 container legs exercised."""
+    recomputation; all four doc_id % 4 container legs exercised."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -210,7 +309,7 @@ def test_media_probe_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 2
+        m = doc_id % 4
         seen.add(m)
         dg = hashlib.md5(text.encode()).digest()
         r = rows[doc_id]
@@ -221,10 +320,19 @@ def test_media_probe_query_all_branches(spark, sf_dir):
             assert r["duration_s"] == (dg[0] * 256 + dg[1]) / 1000
             assert (r["width"], r["height"]) == (dg[2], dg[3])
             assert (r["n_video"], r["n_audio"]) == (1, 0)
-        else:
+        elif m == 1:
             assert (r["container"], r["codecs"]) == ("webm", "A_OPUS,V_VP9")
             assert r["duration_s"] == 2.0
             assert r["width"] == dg[4] * 256 + dg[5]
             assert r["height"] == dg[6] * 256 + dg[7]
             assert (r["n_video"], r["n_audio"]) == (1, 1)
-    assert seen == {0, 1}
+        elif m == 2:
+            assert (r["container"], r["brand"]) == ("ogg", "opus")
+            X = dg[0] * 65536 + dg[1] * 256 + dg[2]
+            assert r["duration_s"] == X / 48000
+            assert (r["n_video"], r["n_audio"]) == (0, 1)
+        else:
+            assert (r["container"], r["codecs"]) == ("mp3", "mp3")
+            assert r["duration_s"] == 3456 / 44100
+            assert (r["n_video"], r["n_audio"]) == (0, 1)
+    assert seen == {0, 1, 2, 3}
