@@ -48,6 +48,24 @@ from test_bmp_extended_decode import (  # noqa: E402
 )
 from test_gif_decode import _PAL8, _gif_anim_bytes, _gif_bytes  # noqa: E402
 from test_image_decode import _pgm_bytes, _wav_bytes  # noqa: E402
+from test_flac_decode import (  # noqa: E402
+    _frame as _flac_frame,
+    _streaminfo as _flac_streaminfo,
+    _sub_fixed as _flac_sub_fixed,
+)
+from test_jpeg_decode import _safe_random_blocks, encode_jpeg  # noqa: E402
+from test_jpeg_progressive import (  # noqa: E402
+    _full_script as _jpeg_script,
+    encode_progressive,
+)
+from test_media_probe import (  # noqa: E402
+    _mkv,
+    _mp3_bytes,
+    _mp4,
+    _ogg_page,
+    _opus_head,
+    _trak,
+)
 from test_y4m_decode import _y4m_bytes  # noqa: E402
 from test_png_g711_decode import ALL_FILTERS, _png_from_array  # noqa: E402
 from test_tiff_decode import _tiff_bytes  # noqa: E402
@@ -56,6 +74,7 @@ from flink_hiveorc_spark.functions.multimodal import (  # noqa: E402
     audio_stats,
     gif_frame_sample,
     image_stats,
+    media_probe,
     video_stats,
 )
 from flink_hiveorc_spark.session import get_spark  # noqa: E402
@@ -63,7 +82,7 @@ from flink_hiveorc_spark.session import get_spark  # noqa: E402
 
 def _corpus(n_per_format: int):
     rng = np.random.default_rng(7)
-    images, audio, video, anim = [], [], [], []
+    images, audio, video, anim, probes = [], [], [], [], []
     for i in range(n_per_format):
         img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
         images.append(_png_from_array(img, ALL_FILTERS))
@@ -105,7 +124,26 @@ def _corpus(n_per_format: int):
                 _PAL8,
             )
         )
-    return images, audio, video, anim
+        # r11 formats: real baseline + progressive JPEG, FLAC, probes
+        jb = _safe_random_blocks(rng, 64, spread=120, density=12)
+        comps = [{"id": 1, "hv": 0x11, "tq": 0, "blocks": jb}]
+        qts = {0: list(rng.integers(1, 20, 64))}
+        images.append(encode_jpeg(64, 64, comps, qts))
+        images.append(encode_progressive(64, 64, comps, qts, _jpeg_script(comps)))
+        wave = np.asarray(_smooth(2000 + i, 4096, 1), dtype=np.int64).reshape(-1)[:1024]
+        plan = (0, 2, [9, 10, 11, 12])
+        fl = _flac_streaminfo(16000, 1, 16, 1024)
+        fl += _flac_frame([wave], 0, 16, 4, 0, 0,
+                          [lambda b, s: _flac_sub_fixed(b, s, 16, 2, plan)])
+        audio.append(fl)
+        probes.append(_mp4([_trak(b"vide", 640, 480)], dur=120000))
+        probes.append(_mkv(1920, 1080))
+        probes.append(
+            _ogg_page(2, 0, 11, 0, [_opus_head()])
+            + _ogg_page(4, 312 + 48000 * 30, 11, 1, [b"\x00" * 64])
+        )
+        probes.append(_mp3_bytes(40, n_frames=20))
+    return images, audio, video, anim, probes
 
 
 def _time(df_builder, frame):
@@ -117,13 +155,14 @@ def _time(df_builder, frame):
 def main() -> None:
     n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     spark = get_spark("decode-probe", cpus=32, shuffle_partitions=32)
-    images, audio, video, anim = _corpus(n_per)
+    images, audio, video, anim, probes = _corpus(n_per)
     out = {"n_per_format": n_per, "scales": {}}
     for scale in (1, 8):
         img_rows = [(i, bytearray(p)) for i in range(scale) for p in images]
         aud_rows = [(i, bytearray(p)) for i in range(scale) for p in audio]
         vid_rows = [(i, bytearray(p)) for i in range(scale) for p in video]
         gif_rows = [(i, bytearray(p)) for i in range(scale) for p in anim]
+        prb_rows = [(i, bytearray(p)) for i in range(scale) for p in probes]
         img_df = spark.createDataFrame(
             img_rows, "doc_id long, payload binary"
         ).repartition(64).cache()
@@ -136,16 +175,21 @@ def main() -> None:
         gif_df = spark.createDataFrame(
             gif_rows, "doc_id long, payload binary"
         ).repartition(64).cache()
+        prb_df = spark.createDataFrame(
+            prb_rows, "doc_id long, payload binary"
+        ).repartition(64).cache()
         img_df.count(), aud_df.count()  # materialize cache out of the timer
-        vid_df.count(), gif_df.count()
+        vid_df.count(), gif_df.count(), prb_df.count()
         img_mb = sum(len(p) for p in images) * scale / 1e6
         aud_mb = sum(len(p) for p in audio) * scale / 1e6
         vid_mb = sum(len(p) for p in video) * scale / 1e6
         gif_mb = sum(len(p) for p in anim) * scale / 1e6
+        prb_mb = sum(len(p) for p in probes) * scale / 1e6
         n_i, t_i = _time(image_stats, img_df)
         n_a, t_a = _time(audio_stats, aud_df)
         n_v, t_v = _time(video_stats, vid_df)
         n_g, t_g = _time(lambda df: gif_frame_sample(df, every_n=2), gif_df)
+        n_p, t_p = _time(media_probe, prb_df)
         out["scales"][f"{scale}x"] = {
             "image": {
                 "rows": n_i,
@@ -171,9 +215,16 @@ def main() -> None:
                 "rows_per_s": round(n_g / t_g),
                 "mb_per_s": round(gif_mb / t_g, 1),
             },
+            "probe": {
+                "rows": n_p,
+                "sec": round(t_p, 2),
+                "rows_per_s": round(n_p / t_p),
+                "mb_per_s": round(prb_mb / t_p, 1),
+            },
         }
         img_df.unpersist(), aud_df.unpersist()
         vid_df.unpersist(), gif_df.unpersist()
+        prb_df.unpersist()
     s1 = out["scales"]["1x"]
     s8 = out["scales"]["8x"]
     out["scale_ratio"] = {
@@ -183,6 +234,7 @@ def main() -> None:
         "gif_anim_frames": round(
             s8["gif_anim_frames"]["sec"] / s1["gif_anim_frames"]["sec"], 2
         ),
+        "probe": round(s8["probe"]["sec"] / s1["probe"]["sec"], 2),
     }
     print(json.dumps(out))
     spark.stop()
