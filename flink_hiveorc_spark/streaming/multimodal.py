@@ -35,10 +35,20 @@ from pyspark.sql.streaming import StreamingQuery
 from flink_hiveorc_spark.functions.multimodal import (
     audio_stats,
     image_stats,
+    media_probe,
     video_stats,
 )
 
-_FEATURIZERS = {"image": image_stats, "audio": audio_stats, "video": video_stats}
+_FEATURIZERS = {
+    "image": image_stats,
+    "audio": audio_stats,
+    "video": video_stats,
+    # structural container probing (r11): route/budget codec-gated
+    # assets in-stream; unrecognized containers quarantine as
+    # 'unsupported' and re-enter via the repair leg once a codec
+    # cluster picks them up
+    "probe": media_probe,
+}
 
 
 def blob_stream(spark: SparkSession, src_dir: str) -> DataFrame:

@@ -103,3 +103,52 @@ def test_streaming_featurize_unknown_modality_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown modality"):
         sm.start_multimodal_featurize(None, "", "", "", modality="text")
+
+
+def test_streaming_media_probe_with_quarantine(spark, tmp_path):
+    """modality='probe': structural container probing inside a
+    streaming query — MP4/WebM/Ogg/MP3 blobs stream to feature rows,
+    an unrecognized container quarantines as 'unsupported' with the
+    verbatim payload."""
+    from test_media_probe import (
+        _mkv,
+        _mp3_bytes,
+        _mp4,
+        _ogg_page,
+        _opus_head,
+        _trak,
+    )
+
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "pfeat")
+    dlq = str(tmp_path / "pdlq")
+    ckpt = str(tmp_path / "pckpt")
+    ogg = _ogg_page(2, 0, 5, 0, [_opus_head()]) + _ogg_page(
+        4, 312 + 96000, 5, 1, [b"\x00" * 8]
+    )
+    _write_blobs(
+        spark,
+        src,
+        [
+            (0, _mp4([_trak(b"vide", 320, 240)], dur=5000)),
+            (1, _mkv(640, 360)),
+            (2, ogg),
+            (3, _mp3_bytes(12)),
+            (100, b"FLV\x01\x05garbage"),  # unrecognized container
+        ],
+    )
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="probe", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert feats[0]["container"] == "mp4" and feats[0]["width"] == 320
+    assert feats[1]["container"] == "matroska" and feats[1]["height"] == 360
+    assert feats[2]["container"] == "ogg" and feats[2]["duration_s"] == 2.0
+    assert feats[3]["container"] == "mp3"
+    assert 100 not in feats
+    bad = spark.read.parquet(dlq).collect()
+    assert len(bad) == 1 and bad[0]["doc_id"] == 100
+    assert bad[0]["error"].startswith("unsupported:")
+    assert bytes(bad[0]["payload"]).startswith(b"FLV")
