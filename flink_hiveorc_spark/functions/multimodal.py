@@ -525,6 +525,103 @@ def _decode_bmp(data: bytes):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _decode_ico(data: bytes):
+    """ICO/CUR (Windows icon resource — favicon corpora ship these in
+    volume): ICONDIR + 16-byte entries; each image is either an
+    embedded PNG (Vista+ convention, routed to the native PNG
+    decoder) or a DIB whose biHeight is DOUBLED to cover the 1-bit
+    AND transparency mask below the XOR image. Decodes the BEST entry
+    (largest area, then deepest bpp) — the same choice a browser
+    makes. DIB entries reuse the full `_decode_bmp` engine through a
+    synthesized BITMAPFILEHEADER with the height patched back to the
+    real value; the AND mask becomes the alpha channel (result is
+    always RGBA for DIB entries). 32-bit entries whose alpha plane is
+    entirely zero fall back to the AND mask — the legacy-encoder
+    convention every real renderer honors."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 6:
+        raise ValueError("truncated ICO header")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count == 0:
+        raise ValueError("ICO directory declares zero images")
+    if len(data) < 6 + 16 * count:
+        raise ValueError("truncated ICO directory")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        ew, eh, _pal, _res = data[off], data[off + 1], data[off + 2], data[off + 3]
+        bpp = struct.unpack_from("<H", data, off + 6)[0]
+        size, img_off = struct.unpack_from("<II", data, off + 8)
+        ew = ew or 256
+        eh = eh or 256
+        if img_off + size > len(data) or size < 8:
+            raise ValueError(f"ICO entry {i} overflows the file")
+        key = (ew * eh, bpp)
+        if best is None or key > best[0]:
+            best = (key, img_off, size)
+    _, img_off, size = best
+    blob = data[img_off : img_off + size]
+    if blob[:8] == _PNG_MAGIC:
+        return _decode_png(blob)
+    # DIB: header + palette + XOR image + AND mask, biHeight doubled
+    if len(blob) < 40:
+        raise ValueError("truncated ICO DIB header")
+    hdr_size = struct.unpack_from("<I", blob, 0)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("ICO with OS/2 core DIB unsupported")
+    w, h2 = struct.unpack_from("<ii", blob, 4)
+    bpp = struct.unpack_from("<H", blob, 14)[0]
+    compression = struct.unpack_from("<I", blob, 16)[0]
+    clr_used = struct.unpack_from("<I", blob, 32)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"ICO DIB compression {compression} unsupported (BI_RGB only)"
+        )
+    if h2 <= 0 or h2 % 2:
+        raise ValueError(f"ICO DIB height {h2} is not a positive double")
+    h = h2 // 2
+    if w <= 0:
+        raise ValueError(f"bad ICO DIB width {w}")
+    if w * h > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"ICO {w}x{h} exceeds max pixels {MAX_IMAGE_PIXELS} "
+            "(decompression-bomb guard)"
+        )
+    n_pal = clr_used or ((1 << bpp) if bpp <= 8 else 0)
+    pix_off_in_blob = hdr_size + 4 * n_pal
+    xor_stride = (w * bpp + 31) // 32 * 4
+    and_stride = (w + 31) // 32 * 4
+    if pix_off_in_blob + xor_stride * h + and_stride * h > len(blob):
+        raise ValueError("ICO DIB pixel/mask data truncated")
+    # synthesize a BMP file around the DIB with the height unfolded
+    dib = bytearray(blob[: pix_off_in_blob + xor_stride * h])
+    struct.pack_into("<i", dib, 8, h)
+    struct.pack_into("<I", dib, 20, xor_stride * h)  # biSizeImage
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + len(dib), 0, 0, 14 + pix_off_in_blob)
+        + bytes(dib)
+    )
+    px = _decode_bmp(bmp)
+    mask_raw = np.frombuffer(
+        blob, dtype=np.uint8, count=and_stride * h,
+        offset=pix_off_in_blob + xor_stride * h,
+    ).reshape(h, and_stride)
+    bits = np.unpackbits(mask_raw, axis=1)[:, :w][::-1]  # bottom-up
+    mask_alpha = np.where(bits == 1, 0, 255).astype(np.uint8)
+    if px.shape[2] == 4:
+        if (px[:, :, 3] == 0).all():  # legacy 32-bit: alpha lives in
+            px = px.copy()  # the AND mask
+            px[:, :, 3] = mask_alpha
+        return px
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    return np.concatenate([px, mask_alpha[:, :, np.newaxis]], axis=2)
+
+
 def _png_unfilter(rows, stride: int, bpp: int):
     """Reverse the five PNG scanline filters (spec §9, 'Filtering').
 
@@ -1518,6 +1615,13 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed BMP payload: {e}") from e
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        try:
+            return _decode_ico(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed ICO payload: {e}") from e
     if payload[:8] == _PNG_MAGIC:
         try:
             return _decode_png(payload)
@@ -3817,19 +3921,19 @@ def _int_be32(expr):
       FROM b WHERE i < 4 GROUP BY doc_id
     )
     SELECT s.doc_id,
-           CAST(CASE WHEN s.doc_id % 17 = 16 THEN 32 ELSE 4 END
+           CAST(CASE WHEN s.doc_id % 18 = 16 THEN 32 ELSE 4 END
                 AS BIGINT) AS height,  -- JPEG: 16 flat 8x8 MCUs
-           CAST(CASE WHEN s.doc_id % 17 = 16 THEN 32 ELSE 4 END
+           CAST(CASE WHEN s.doc_id % 18 = 16 THEN 32 ELSE 4 END
                 AS BIGINT) AS width,
-           CAST(CASE s.doc_id % 17
+           CAST(CASE s.doc_id % 18
                   WHEN 1 THEN 3   -- BMP: identity palette expands to RGB
                   WHEN 4 THEN 3   -- QOI: channels=3 header
                   WHEN 5 THEN 4   -- farbfeld: always RGBA
                   WHEN 7 THEN 3   -- GIF: palette expands to RGB
                   WHEN 13 THEN 3  -- BMP RLE8: palette expands to RGB
-                  ELSE 1          -- gray legs (incl. JPEG branch 16)
+                  ELSE 1          -- gray legs (incl. JPEG 16, ICO-PNG 17)
                 END AS BIGINT) AS channels,
-           CASE s.doc_id % 17
+           CASE s.doc_id % 18
                 WHEN 5 THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- +alpha
                 WHEN 8 THEN CAST(255 * n.z AS DOUBLE) / 16   -- P4 bilevel
                 WHEN 10 THEN CAST(255 * n.z AS DOUBLE) / 16  -- P1 bilevel
@@ -3844,7 +3948,7 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     generalized; r11 adds the baseline-JPEG branch): each document
     ships its 16 md5 digest bytes as a 4×4 gray raster (the JPEG
     branch: as 16 flat 8×8 blocks of a 32×32 raster) in ONE of
-    seventeen container branches chosen by doc_id % 17 —
+    eighteen container branches chosen by doc_id % 18 —
     0 P5 PGM; 1 8-bit paletted BMP (identity-gray palette,
     bottom-up); 2 grayscale TGA 2.0 (footer-routed); 3 uncompressed
     little-endian TIFF; 4 QOI (OP_RGB literals, r=g=b); 5 farbfeld
@@ -3870,13 +3974,16 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     tiles of exactly the digest bytes — DRI=1 resets the predictor so
     each 2-byte entropy block is a per-byte table lookup
     (`_jpeg_dc_segments`), exercising the REAL Huffman + dequant +
-    IDCT path end-to-end. Every payload is JVM-side
-    concat/arithmetic — no UDF builds bytes — and all seventeen run
+    IDCT path end-to-end; and 17 ICO-wrapped PNG (r11): the SAME PNG
+    stream inside an ICONDIR whose entry size/offset fields must
+    parse exactly for the PNG router to see the blob — the favicon
+    container under the oracle. Every payload is JVM-side
+    concat/arithmetic — no UDF builds bytes — and all eighteen run
     through the genuine `image_stats` → `decode_image` dispatch. The
     oracle recomputes the statistics once from the hex digest:
     identical gray pixels everywhere, so only channels (palette/RGBA
     expansion), the farbfeld alpha term, the bilevel ink formula, and
-    the JPEG 32×32 geometry branch on doc_id % 17 (the JPEG mean is
+    the JPEG 32×32 geometry branch on doc_id % 18 (the JPEG mean is
     the SAME sum/16: 16 flat 64-pixel tiles). A pixel, geometry,
     palette, filter, checksum, bit-order, RLE-framing,
     ASCII-tokenizer, or IDCT divergence in ANY branch flips the hash.
@@ -4002,7 +4109,19 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         if i < 15:
             jpg_parts.append(F.lit(bytes([0xFF, 0xD0 + (i % 8)])))
     jpg = F.concat(*jpg_parts, F.lit(b"\xff\xd9"))
-    m = F.col("doc_id") % 17
+    # ICO-wrapped PNG: the PNG stream's length is digest-independent,
+    # so the ICONDIR + entry (size/offset) is one constant literal
+    png_len = (
+        len(seg["png_hdr"]) + 4 + len(seg["png_zpre"]) + 20 + 4 + 4
+        + len(seg["png_iend"])
+    )
+    import struct as _struct
+
+    ico_hdr = _struct.pack("<HHH", 0, 1, 1) + _struct.pack(
+        "<BBBBHHII", 4, 4, 0, 0, 1, 32, png_len, 22
+    )
+    ico_png = F.concat(F.lit(ico_hdr), png)
+    m = F.col("doc_id") % 18
     payload = (
         F.when(m == 0, pgm)
         .when(m == 1, bmp)
@@ -4020,7 +4139,8 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 13, bmp_rle)
         .when(m == 14, tiff_pb)
         .when(m == 15, tiff_lzw)
-        .otherwise(jpg)
+        .when(m == 16, jpg)
+        .otherwise(ico_png)
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)

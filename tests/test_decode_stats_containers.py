@@ -90,6 +90,11 @@ def _python_payloads(dg: bytes) -> dict[str, bytes]:
     )
     out["tiff_pb"] = seg["tiff_pb"] + b"\x0f" + dg
     out["tiff_lzw"] = seg["tiff_lzw"] + _bit_pack_msb(codes, 9)
+    out["ico_png"] = (
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 4, 4, 0, 0, 1, 32, len(out["png"]), 22)
+        + out["png"]
+    )
     return out
 
 
@@ -113,6 +118,7 @@ _EXPECT_CHANNELS = {
     "qoi": 3, "ff": 4, "png": 1, "gif": 3,
     "p4": 1, "p2": 1, "p1": 1, "tiff_be": 1,
     "tga_rle": 1, "bmp_rle": 3, "tiff_pb": 1, "tiff_lzw": 1,
+    "ico_png": 1,
 }
 
 
@@ -226,8 +232,9 @@ def test_png_adler_linear_weights_match_zlib(seed):
 
 def test_image_decode_stats_query_all_branches(spark, sf_dir):
     """The registered query at sf0.001 equals a local recomputation
-    from the parquet text column, and every doc_id % 17 branch
-    (16 = the r11 DC-only baseline-JPEG leg) is actually exercised."""
+    from the parquet text column, and every doc_id % 18 branch
+    (16 = the r11 DC-only baseline-JPEG leg, 17 = ICO-wrapped PNG)
+    is actually exercised."""
     import pyarrow.parquet as pq
 
     from flink_hiveorc_spark.registry import QUERIES
@@ -238,7 +245,7 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 17
+        m = doc_id % 18
         seen.add(m)
         dg = _digest(text)
         sb = sum(dg)
@@ -255,7 +262,7 @@ def test_image_decode_stats_query_all_branches(spark, sf_dir):
         else:
             exp_mean = sb / 16
         assert r["mean_byte"] == exp_mean, (doc_id, m)
-    assert seen == set(range(17))
+    assert seen == set(range(18))
 
 
 def _g711_expand(b: int, law: str) -> int:
