@@ -17,6 +17,7 @@ from flink_hiveorc_spark.functions.multimodal import (
     decode_image,
     decode_video,
 )
+from flink_hiveorc_spark.functions.probe import probe_media
 
 from test_gif_decode import _PAL8, _gif_anim_bytes, _gif_bytes
 from test_image_decode import _bmp_bytes, _pgm_bytes, _ppm_bytes, _rng, _wav_bytes
@@ -31,6 +32,24 @@ from test_bmp_extended_decode import (
     _pal_blob,
     _paletted_bmp,
     _rle8_encode,
+)
+from test_flac_decode import (
+    _frame as _flac_frame,
+    _streaminfo as _flac_streaminfo,
+    _sub_fixed as _flac_sub_fixed,
+    _sub_verbatim as _flac_sub_verbatim,
+)
+from test_ico_decode import _and_mask, _dib_entry, _ico
+from test_jpeg_decode import _safe_random_blocks, encode_jpeg
+from test_jpeg_progressive import _full_script as _jpeg_script
+from test_jpeg_progressive import encode_progressive
+from test_media_probe import (
+    _mkv,
+    _mp3_bytes,
+    _mp4,
+    _ogg_page,
+    _opus_head,
+    _trak,
 )
 from test_tiff_decode import _tiff_bytes, _tiff_tiled_bytes
 from test_y4m_decode import _y4m_bytes
@@ -159,6 +178,57 @@ def _valid_payloads():
             "avi_i420",
             _avi_bytes([_yuv420_frame(f) for f in lumas], 4, 4, 12, b"I420"),
         ),
+        # --- r11 formats ---
+        (
+            decode_image,
+            "jpeg",
+            encode_jpeg(
+                16, 16,
+                [{"id": 1, "hv": 0x11, "tq": 0,
+                  "blocks": _safe_random_blocks(_rng(613), 4)}],
+                {0: list(_rng(614).integers(1, 16, 64))},
+            ),
+        ),
+        (
+            decode_image,
+            "jpeg_progressive",
+            encode_progressive(
+                16, 16,
+                (lambda c: c)([{"id": 1, "hv": 0x11, "tq": 0,
+                                "blocks": _safe_random_blocks(_rng(615), 4)}]),
+                {0: [2] * 64},
+                _jpeg_script([{"id": 1, "hv": 0x11, "tq": 0,
+                               "blocks": _safe_random_blocks(_rng(615), 4)}]),
+            ),
+        ),
+        (
+            decode_audio,
+            "flac",
+            _flac_streaminfo(8000, 1, 16, 192)
+            + _flac_frame(
+                [np.asarray(_smooth(616, 192, 1), dtype=np.int64).reshape(-1)[:192]],
+                4, 16, 4, 0, 0,
+                [lambda b, s: _flac_sub_fixed(b, s, 16, 2, (0, 1, [9, 11]))],
+            ),
+        ),
+        (
+            decode_image,
+            "ico",
+            _ico([(4, 4, 32,
+                   _dib_entry(4, 4, 32,
+                              _rng(617).integers(0, 255, (4, 4, 4),
+                                                 dtype=np.uint8).tobytes(),
+                              np.zeros((4, 4), np.uint8)))]),
+        ),
+        (probe_media, "mp4", _mp4([_trak(b"vide", 64, 48)], dur=7000)),
+        (probe_media, "webm", _mkv(320, 200)),
+        (
+            probe_media,
+            "ogg_opus",
+            _ogg_page(2, 0, 6, 0, [_opus_head()])
+            + _ogg_page(4, 312 + 4800, 6, 1, [b"\x00" * 16]),
+        ),
+        (probe_media, "mp3", _mp3_bytes(25, n_frames=4)),
     ]
 
 

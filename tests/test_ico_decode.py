@@ -146,3 +146,29 @@ def test_ico_fuzz_byte_flips():
             decode_image(bytes(bad))
         except (ValueError, NotImplementedError):
             pass
+
+
+def _no_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return False
+    except ImportError:
+        return True
+
+
+@pytest.mark.skipif(_no_pil(), reason="PIL not installed (armed leg)")
+def test_pil_equivalence_ico_32bit():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    bgra = rng.integers(1, 255, size=(8, 8, 4), dtype=np.uint8)
+    payload = _ico(
+        [(8, 8, 32, _dib_entry(8, 8, 32, bgra[::-1].tobytes(),
+                               np.zeros((8, 8), np.uint8)))]
+    )
+    ours = decode_image(payload)
+    theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("RGBA"))
+    np.testing.assert_array_equal(ours, theirs)
