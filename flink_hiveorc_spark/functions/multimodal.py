@@ -525,6 +525,27 @@ def _decode_bmp(data: bytes):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _cur_plausible(data: bytes) -> bool:
+    """Whether a 00 00 02 00 payload has a VALID-shaped ICONDIR —
+    the disambiguation against footer-less truecolor TGA, whose
+    header reads as entry count 0 (colormap origin) here. Checks
+    count ≥ 1 and every directory entry's blob lying inside the
+    file past the directory itself."""
+    import struct
+
+    if len(data) < 6 + 16:
+        return False
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count == 0 or count > 256 or len(data) < 6 + 16 * count:
+        return False
+    dir_end = 6 + 16 * count
+    for i in range(count):
+        size, off = struct.unpack_from("<II", data, 6 + 16 * i + 8)
+        if off < dir_end or size < 8 or off + size > len(data):
+            return False
+    return True
+
+
 def _decode_ico(data: bytes):
     """ICO/CUR (Windows icon resource — favicon corpora ship these in
     volume): ICONDIR + 16-byte entries; each image is either an
@@ -1615,7 +1636,9 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed BMP payload: {e}") from e
-    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+    if payload[:4] == b"\x00\x00\x01\x00":
+        # unambiguous: a TGA cannot start 00 00 01 00 (image type 1
+        # requires colormap type 1 in byte 1)
         try:
             return _decode_ico(payload)
         except NotImplementedError:
@@ -1660,6 +1683,18 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed TGA payload: {e}") from e
+    if payload[:4] == b"\x00\x00\x02\x00" and _cur_plausible(payload):
+        # CUR shares its magic with a footer-less truecolor TGA header
+        # (00=no id, 00=no cmap, 02=truecolor, 00=cmap spec), so this
+        # pattern routes to the icon decoder only when the ICONDIR
+        # actually validates; otherwise it falls through to the PIL
+        # gate exactly like any other signature-less TGA
+        try:
+            return _decode_ico(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed CUR payload: {e}") from e
     if payload[:2] == b"\xff\xd8":
         # baseline + progressive Huffman JPEG decodes natively (pure
         # numpy — DCT is not entropy coding); features outside that

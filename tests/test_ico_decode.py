@@ -172,3 +172,32 @@ def test_pil_equivalence_ico_32bit():
     ours = decode_image(payload)
     theirs = np.asarray(Image.open(io.BytesIO(payload)).convert("RGBA"))
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_cur_magic_vs_footerless_tga_disambiguation():
+    """A footer-less truecolor TGA header IS the CUR magic
+    (00 00 02 00) — it must keep its historical PIL-gated routing
+    (NotImplementedError without PIL), while a shape-valid CUR
+    decodes through the icon path. Caught by the r11 parallel suite:
+    a naive magic check hijacked every footer-less TGA."""
+    # minimal footer-less truecolor TGA: 2x2 24-bit
+    tga = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 2, 2, 24, 0)
+    tga += b"\x01\x02\x03" * 4
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(tga)
+    # the same magic with a VALID ICONDIR decodes as a cursor
+    bgra = np.full((2, 2, 4), 9, dtype=np.uint8)
+    cur = _ico(
+        [(2, 2, 32, _dib_entry(2, 2, 32, bgra.tobytes(),
+                               np.zeros((2, 2), np.uint8)))],
+        kind=2,
+    )
+    arr = decode_image(cur)
+    assert arr.shape == (2, 2, 4) and (arr[:, :, :3] == 9).all()
