@@ -1258,6 +1258,199 @@ def decode_gif_frames(data: bytes):
     return np.stack(frames), delays
 
 
+def _rgba_of(arr):
+    """HxWxC decoded raster → RGBA (gray replicated, missing alpha
+    opaque) — the compositing canvas element type."""
+    import numpy as np
+
+    c = arr.shape[2]
+    if c == 1:
+        rgb, a = np.repeat(arr, 3, axis=2), None
+    elif c == 2:
+        rgb, a = np.repeat(arr[:, :, :1], 3, axis=2), arr[:, :, 1:]
+    elif c == 3:
+        rgb, a = arr, None
+    else:
+        rgb, a = arr[:, :, :3], arr[:, :, 3:]
+    if a is None:
+        a = np.full(rgb.shape[:2] + (1,), 255, dtype=np.uint8)
+    return np.concatenate([rgb, a], axis=2)
+
+
+def decode_apng_frames(data: bytes):
+    """Animated PNG (APNG) decode → (frames array (n, H, W, 4) uint8
+    RGBA composited on the canvas, delays list in MILLISECONDS).
+
+    Frame regions are independent PNG image streams (fdAT data — or
+    the IDAT for a first frame whose fcTL precedes it), decoded by
+    synthesizing a still PNG around each region with the parent's
+    IHDR properties / PLTE / tRNS and routing it through the full
+    `_decode_png` engine; a hidden default image (IDAT before any
+    fcTL) is not part of the animation. Compositing per the APNG
+    spec: blend_op 0 replaces the region, 1 alpha-composites OVER it
+    (straight alpha); dispose_op 0 keeps the canvas, 1 clears the
+    region to transparent, 2 restores the pre-frame region (2 on the
+    first frame degrades to 1 per spec). Sequence numbers (shared by
+    fcTL/fdAT) must count 0..n-1 in stream order; acTL must precede
+    IDAT and match the fcTL count; the IDAT-bearing frame must cover
+    the full canvas; regions must lie inside it. Total-output bomb
+    guard shares MAX_GIF_TOTAL_PIXELS with the GIF compositor."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = plte = trns = None
+    actl = None
+    frames_meta: list[dict] = []
+    idat = bytearray()
+    seqs: list[int] = []
+    saw_idat = False
+    saw_end = False
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype.decode('latin1')} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"acTL":
+            if saw_idat:
+                raise ValueError("acTL after IDAT is not animated per spec")
+            if len(body) != 8:
+                raise ValueError("bad acTL size")
+            actl = struct.unpack(">II", body)
+        elif ctype == b"fcTL":
+            if len(body) != 26:
+                raise ValueError("bad fcTL size")
+            (seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            seqs.append(seq)
+            frames_meta.append(
+                {
+                    "w": fw, "h": fh, "x": fx, "y": fy,
+                    "dnum": dnum, "dden": dden,
+                    "dispose": dispose, "blend": blend,
+                    "data": bytearray(), "uses_idat": not saw_idat,
+                }
+            )
+        elif ctype == b"fdAT":
+            if not frames_meta:
+                raise ValueError("fdAT before any fcTL")
+            if len(body) < 4:
+                raise ValueError("bad fdAT size")
+            seqs.append(struct.unpack_from(">I", body, 0)[0])
+            frames_meta[-1]["data"] += body[4:]
+        elif ctype == b"IDAT":
+            saw_idat = True
+            idat += body
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG has no IHDR")
+    if not saw_end:
+        raise ValueError("PNG stream ended without IEND")
+    if actl is None:
+        raise NotImplementedError(
+            "PNG has no acTL chunk (a still image, not an animation)"
+        )
+    W, H, depth, ct, _comp, _filt, interlace = ihdr
+    if seqs != list(range(len(seqs))):
+        raise ValueError(f"APNG sequence numbers out of order: {seqs}")
+    if len(frames_meta) != actl[0]:
+        raise ValueError(
+            f"acTL declares {actl[0]} frames, stream carries {len(frames_meta)}"
+        )
+    if not frames_meta:
+        raise ValueError("APNG with zero frames")
+    if actl[0] * W * H > MAX_GIF_TOTAL_PIXELS:
+        raise ValueError(
+            f"APNG composited output {actl[0]}x{W}x{H} exceeds "
+            f"{MAX_GIF_TOTAL_PIXELS} pixels (decompression-bomb guard)"
+        )
+
+    def chunk(t: bytes, b: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    canvas = np.zeros((H, W, 4), dtype=np.uint8)
+    out = []
+    delays = []
+    for i, fm in enumerate(frames_meta):
+        uses_idat = i == 0 and fm["uses_idat"]
+        raw = bytes(idat) if uses_idat else bytes(fm["data"])
+        if uses_idat and (fm["w"], fm["h"], fm["x"], fm["y"]) != (W, H, 0, 0):
+            raise ValueError("the IDAT frame must cover the full canvas")
+        if (
+            fm["w"] == 0 or fm["h"] == 0
+            or fm["x"] + fm["w"] > W or fm["y"] + fm["h"] > H
+        ):
+            raise ValueError("APNG frame region outside the canvas")
+        if not raw:
+            raise ValueError(f"APNG frame {i} has no image data")
+        mini = _PNG_MAGIC + chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", fm["w"], fm["h"], depth, ct, 0, 0, interlace),
+        )
+        if plte is not None:
+            mini += chunk(b"PLTE", plte)
+        if trns is not None:
+            mini += chunk(b"tRNS", trns)
+        mini += chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+        rgba = _rgba_of(_decode_png(mini))
+        region = (
+            slice(fm["y"], fm["y"] + fm["h"]),
+            slice(fm["x"], fm["x"] + fm["w"]),
+        )
+        dispose = fm["dispose"]
+        if dispose > 2:
+            raise ValueError(f"bad APNG dispose_op {dispose}")
+        if i == 0 and dispose == 2:
+            dispose = 1  # spec: APNG_DISPOSE_OP_PREVIOUS on frame 0
+        prev = canvas[region].copy() if dispose == 2 else None
+        if fm["blend"] == 0:
+            canvas[region] = rgba
+        elif fm["blend"] == 1:
+            dst = canvas[region].astype(np.float64)
+            src = rgba.astype(np.float64)
+            sa = src[:, :, 3:4] / 255.0
+            da = dst[:, :, 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = np.where(
+                oa > 0,
+                (src[:, :, :3] * sa + dst[:, :, :3] * da * (1.0 - sa))
+                / np.maximum(oa, 1e-12),
+                0.0,
+            )
+            canvas[region] = np.clip(
+                np.rint(np.concatenate([rgb, oa * 255.0], axis=2)), 0, 255
+            ).astype(np.uint8)
+        else:
+            raise ValueError(f"bad APNG blend_op {fm['blend']}")
+        out.append(canvas.copy())
+        delays.append(1000.0 * fm["dnum"] / (fm["dden"] or 100))
+        if dispose == 1:
+            canvas[region] = 0
+        elif dispose == 2:
+            canvas[region] = prev
+    return np.stack(out), delays
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytearray:
     """Apple PackBits RLE (TIFF compression 32773): control byte n in
     0..127 copies n+1 literals, 129..255 (-1..-127 signed) repeats the
@@ -3073,8 +3266,19 @@ def _gif_frames_checked(raw: bytes):
     unanticipated IndexError/struct.error would escape the quarantine
     catch in gif_frame_sample and kill the executor task (the same
     catch-all decode_image applies to its GIF branch)."""
+    if raw[:8] == _PNG_MAGIC:
+        # APNG rides the same sampler (r11): identical frames/delays
+        # contract, identical quarantine classes
+        try:
+            return decode_apng_frames(raw)
+        except (NotImplementedError, ValueError):
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed APNG payload: {e}") from e
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError("gif_frame_sample requires a GIF payload")
+        raise NotImplementedError(
+            "gif_frame_sample requires a GIF or APNG payload"
+        )
     try:
         return decode_gif_frames(raw)
     except (NotImplementedError, ValueError):
@@ -5396,6 +5600,139 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
     parts += _gif_cleared_stream_parts(dv[8:12])
     parts += [eoi_end, F.lit(b"\x3b")]
     payloads = docs.select("doc_id", F.concat(*parts).alias("payload"))
+    frames = gif_frame_sample(payloads)
+    packed = frames.select(
+        (F.col("doc_id") * 2 + F.col("frame_idx")).alias("doc_id"), "payload"
+    )
+    stats = image_stats(packed)
+    return stats.select(
+        F.expr("doc_id DIV 2").alias("doc_id"),
+        (F.col("doc_id") % 2).alias("frame_idx"),
+        "height",
+        "width",
+        "channels",
+        "mean_byte",
+    )
+
+
+@query(
+    "multimodal_apng_animation_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 12)) AS t(i)
+    ),
+    f AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, sum(byte) AS sb
+      FROM b WHERE i < 8 GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT) AS frame_idx,
+             sum(CASE WHEN i IN (0, 1, 4, 5, 8, 9, 10, 11) THEN byte
+                      ELSE 0 END) AS sb
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx,
+           CAST(2 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sb AS DOUBLE) / 8 AS mean_byte
+    FROM f
+    """,
+)
+def multimodal_apng_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APNG COMPOSITING under the external oracle (r11) — the PNG
+    twin of multimodal_gif_animation_stats, SAME oracle, same
+    expected canvases: per document a 2-frame APNG on a 4×2 gray
+    canvas — frame 1 the full rect of digest bytes 0..7 carried by
+    the IDAT (its fcTL precedes it), frame 2 a 2×2 SUB-RECT at (2,0)
+    of bytes 8..11 in an fdAT (blend SOURCE, dispose NONE). Both
+    frame streams are the stored-deflate construction from the image
+    rotation's PNG leg with their adler32 as mod-free linear forms
+    (frame 1: A ≤ 2041, B ≤ 10210; frame 2: A ≤ 1021, B ≤ 3066 —
+    both < 65521), chunk CRCs via F.crc32, acTL/fcTL constants with
+    Python-computed CRCs; sequence numbers 0,1,2 across
+    fcTL/fcTL/fdAT. The payload fans out through `gif_frame_sample`
+    (which routes PNG magic to decode_apng_frames: mini-PNG
+    synthesis per region, canvas compositing) into `image_stats`. A
+    sequence, region-placement, blend, dispose, CRC, or adler
+    divergence flips the hash. Exact: integer sums ≤ 8·255, one /8
+    in both engines. Scale: two map-only mapInPandas stages, zero
+    exchanges."""
+    import struct
+    import zlib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    hx = F.col("hx")
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(12)
+    ]
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(12)]
+
+    def cchunk(t: bytes, b: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    hdr = (
+        _PNG_MAGIC
+        + cchunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0))
+        + cchunk(b"acTL", struct.pack(">II", 2, 0))
+        + cchunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", 0, 4, 2, 0, 0, 1, 10, 0, 0),
+        )
+    )
+    fctl1 = cchunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", 1, 2, 2, 2, 0, 1, 10, 0, 0)
+    )
+    iend = cchunk(b"IEND", b"")
+    # frame 1: stored-deflate of 2 scanlines (filter0 + 4 bytes each)
+    zpre10 = b"\x78\x01\x01\x0a\x00\xf5\xff"
+    scan0 = F.concat(
+        F.lit(b"\x00"), F.unhex(F.substring(hx, 1, 8)),
+        F.lit(b"\x00"), F.unhex(F.substring(hx, 9, 8)),
+    )
+    a0 = sum((dv[i] for i in range(8)), F.lit(1))
+    b0 = sum(
+        (dv[i] * w for i, w in zip(range(8), (9, 8, 7, 6, 4, 3, 2, 1))),
+        F.lit(10),
+    )
+    idat_body = F.concat(
+        F.lit(b"IDAT" + zpre10), scan0, _int_be32(b0 * 65536 + a0)
+    )
+    idat = F.concat(
+        F.lit(struct.pack(">I", 4 + len(zpre10) + 10 + 4 - 4)),  # data len
+        idat_body,
+        _int_be32(F.crc32(idat_body)),
+    )
+    # frame 2: fdAT (seq 2) with a 2x2 stored-deflate region
+    zpre6 = b"\x78\x01\x01\x06\x00\xf9\xff"
+    scan1 = F.concat(
+        F.lit(b"\x00"), db[8], db[9], F.lit(b"\x00"), db[10], db[11]
+    )
+    a1 = sum((dv[i] for i in range(8, 12)), F.lit(1))
+    b1 = sum(
+        (dv[i] * w for i, w in zip(range(8, 12), (5, 4, 2, 1))), F.lit(6)
+    )
+    fdat_body = F.concat(
+        F.lit(b"fdAT" + struct.pack(">I", 2) + zpre6),
+        scan1,
+        _int_be32(b1 * 65536 + a1),
+    )
+    fdat = F.concat(
+        F.lit(struct.pack(">I", 4 + len(zpre6) + 6 + 4)),
+        fdat_body,
+        _int_be32(F.crc32(fdat_body)),
+    )
+    payload = F.concat(F.lit(hdr), idat, F.lit(fctl1), fdat, F.lit(iend))
+    payloads = docs.select("doc_id", payload.alias("payload"))
     frames = gif_frame_sample(payloads)
     packed = frames.select(
         (F.col("doc_id") * 2 + F.col("frame_idx")).alias("doc_id"), "payload"

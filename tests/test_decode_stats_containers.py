@@ -790,3 +790,26 @@ def test_flac_matrix_query_all_branches(spark, sf_dir):
             exp = math.sqrt(sum((b - 128) ** 2 for b in dg) / 16)
         assert r["rms"] == exp, (doc_id, m)
     assert seen == {0, 1, 2, 3}
+
+
+def test_apng_animation_stats_query(spark, sf_dir):
+    """multimodal_apng_animation_stats at sf0.001: the APNG twin of
+    the GIF compositor query — identical expected canvases (frame 0
+    digest bytes 0..7; frame 1 the sub-rect composite), through the
+    real fcTL/fdAT parse + mini-PNG synthesis + canvas compositing."""
+    import pyarrow.parquet as pq
+
+    from flink_hiveorc_spark.registry import QUERIES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    rows = QUERIES["multimodal_apng_animation_stats"](spark, sf_dir).collect()
+    assert len(rows) == 2 * len(docs)
+    for r in rows:
+        dg = _digest(docs[r["doc_id"]])
+        assert (r["height"], r["width"], r["channels"]) == (2, 4, 3)
+        if r["frame_idx"] == 0:
+            exp = sum(dg[:8]) / 8
+        else:
+            exp = (dg[0] + dg[1] + dg[4] + dg[5] + sum(dg[8:12])) / 8
+        assert r["mean_byte"] == exp, (r["doc_id"], r["frame_idx"])

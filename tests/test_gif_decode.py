@@ -451,7 +451,7 @@ def test_gif_frame_sample_composes_with_image_stats(spark):
     df = spark.createDataFrame(
         [
             (600, bytearray(payload)),
-            (601, bytearray(b"\x89PNG\r\n\x1a\nnot a gif")),
+            (601, bytearray(b"RIFF\x00\x00\x00\x00WEBPnotagif")),
             (602, bytearray(payload[:30])),
         ],
         "doc_id long, payload binary",
