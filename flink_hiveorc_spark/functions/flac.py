@@ -297,9 +297,13 @@ def decode_flac(payload: bytes, max_samples: int | None = None):
             break
     if streaminfo is None:
         raise ValueError("FLAC stream has no STREAMINFO")
-    if streaminfo["total"] and streaminfo["total"] > max_samples:
+    if (
+        streaminfo["total"]
+        and streaminfo["total"] * streaminfo["nch"] > max_samples
+    ):
         raise ValueError(
-            f"FLAC declares {streaminfo['total']} samples > cap {max_samples}"
+            f"FLAC declares {streaminfo['total']} samples x "
+            f"{streaminfo['nch']} channels > cap {max_samples}"
         )
     chunks = []
     got = 0
@@ -361,7 +365,9 @@ def decode_flac(payload: bytes, max_samples: int | None = None):
         if nch != streaminfo["nch"]:
             raise ValueError("frame channel count differs from STREAMINFO")
         got += blocksize
-        if got > max_samples:
+        # Cap counts per-channel samples, not inter-channel frames —
+        # otherwise an 8-channel stream allocates 8x the intended bound.
+        if got * max(nch, 1) > max_samples:
             raise ValueError("FLAC frames exceed the sample cap")
         subs = [
             _subframe(bits, blocksize, bps + sides[c]) for c in range(nch)
@@ -392,7 +398,14 @@ def decode_flac(payload: bytes, max_samples: int | None = None):
             raise ValueError(
                 f"FLAC stream ended early: {len(out)}/{total} samples"
             )
-        out = out[:total]
+        if len(out) > total:
+            # Strict contract: surplus frames are corrupt metadata or a
+            # truncated-rewrite artifact, same class as a short stream —
+            # never silently drop decoded audio.
+            raise ValueError(
+                f"FLAC stream carries {len(out)} samples but STREAMINFO "
+                f"declares {total}"
+            )
     if streaminfo["md5"] != b"\x00" * 16:
         import hashlib
 

@@ -1367,7 +1367,7 @@ def decode_apng_frames(data: bytes):
         raise NotImplementedError(
             "PNG has no acTL chunk (a still image, not an animation)"
         )
-    W, H, depth, ct, _comp, _filt, interlace = ihdr
+    W, H, depth, ct, comp, filt, interlace = ihdr
     if seqs != list(range(len(seqs))):
         raise ValueError(f"APNG sequence numbers out of order: {seqs}")
     if len(frames_meta) != actl[0]:
@@ -1403,9 +1403,14 @@ def decode_apng_frames(data: bytes):
             raise ValueError("APNG frame region outside the canvas")
         if not raw:
             raise ValueError(f"APNG frame {i} has no image data")
+        # Pass the parent's compression/filter methods through unchanged
+        # so _decode_png rejects an APNG whose IHDR declares invalid
+        # methods instead of silently decoding it as if they were 0/0.
         mini = _PNG_MAGIC + chunk(
             b"IHDR",
-            struct.pack(">IIBBBBB", fm["w"], fm["h"], depth, ct, 0, 0, interlace),
+            struct.pack(
+                ">IIBBBBB", fm["w"], fm["h"], depth, ct, comp, filt, interlace
+            ),
         )
         if plte is not None:
             mini += chunk(b"PLTE", plte)

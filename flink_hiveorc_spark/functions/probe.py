@@ -448,9 +448,7 @@ def _probe_mp3(data: bytes) -> dict:
         pos = 10 + size + (10 if flags & 0x10 else 0)
         if pos > len(data):
             raise ValueError("ID3v2 tag overflows the file")
-    samples = 0
-    rate = None
-    mode = None
+    duration = 0.0
     n_frames = 0
     while pos < len(data):
         if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
@@ -479,8 +477,6 @@ def _probe_mp3(data: bytes) -> dict:
         if sr_idx == 3:
             raise ValueError("reserved MP3 sample rate index")
         frate = _MP3_RATES[ver_bits][sr_idx]
-        if rate is None:
-            rate = frate
         kbps = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
         padding = (b2 >> 1) & 1
         if layer == 1:
@@ -492,8 +488,10 @@ def _probe_mp3(data: bytes) -> dict:
             fsamples = 1152 if (layer == 2 or vgroup == 1) else 576
         if fsize < 4 or pos + fsize > len(data):
             raise ValueError("MP3 frame overflows the file")
-        mode = (b3 >> 6) & 3
-        samples += fsamples
+        # Per-frame accumulation: a version-switching VBR stream changes
+        # sample rate mid-stream, so dividing a global sample sum by the
+        # first frame's rate would skew the duration.
+        duration += fsamples / frate
         n_frames += 1
         pos += fsize
     if n_frames == 0:
@@ -501,7 +499,7 @@ def _probe_mp3(data: bytes) -> dict:
     return {
         "container": "mp3",
         "brand": "mp3",
-        "duration_s": samples / rate,
+        "duration_s": duration,
         "width": 0,
         "height": 0,
         "n_video": 0,

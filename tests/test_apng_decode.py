@@ -210,3 +210,21 @@ def test_pil_equivalence_apng():
     assert len(theirs) == len(ours)
     for a, b in zip(ours, theirs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_apng_invalid_ihdr_methods_rejected():
+    # r12: the frame re-synthesis passes the parent IHDR's compression/
+    # filter methods through, so invalid declared methods are rejected
+    # instead of being silently decoded as 0/0.
+    rng = np.random.default_rng(40)
+    good = _apng(2, 2, [(_rgba(rng, 2, 2), 0, 0, 0, 0)])
+    ihdr_off = 8 + 8  # magic + length/type of IHDR
+    for byte_idx, field in ((10, "compression"), (11, "filter")):
+        bad = bytearray(good)
+        bad[ihdr_off + byte_idx] = 7  # invalid method
+        # fix the IHDR CRC so the chunk walk reaches the decode
+        body = bytes(bad[ihdr_off : ihdr_off + 13])
+        crc = zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+        bad[ihdr_off + 13 : ihdr_off + 17] = struct.pack(">I", crc)
+        with pytest.raises(ValueError):
+            decode_apng_frames(bytes(bad))

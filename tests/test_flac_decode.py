@@ -401,3 +401,27 @@ def test_fuzz_byte_flips_keep_error_contract():
             decode_flac(bytes(bad))
         except (ValueError, NotImplementedError):
             pass  # classified — never a raw struct/index/overflow error
+
+
+def test_surplus_samples_vs_declared_total_raise():
+    # Strict contract (r12): frames carrying MORE samples than STREAMINFO
+    # declares raise, mirroring the ended-early case — never silent trim.
+    wave = np.arange(-96, 96, dtype=np.int64)
+    p = _streaminfo(8000, 1, 16, 100)  # declares 100, frame carries 192
+    p += _frame([wave], 4, 16, 4, 0, 0,
+                [lambda b, s: _sub_verbatim(b, s, 16)])
+    with pytest.raises(ValueError, match="declares 100"):
+        decode_flac(p)
+
+
+def test_sample_cap_counts_channels():
+    # The cap bounds total allocated samples across channels: a stereo
+    # stream with total*nch just over the cap must be rejected up front.
+    p = _streaminfo(8000, 2, 16, 300)
+    with pytest.raises(ValueError, match="cap"):
+        decode_flac(p, max_samples=599)
+    # and a mono stream with the same declared total passes the gate
+    # (failing later for having no frames — proves the gate scales by nch).
+    p1 = _streaminfo(8000, 1, 16, 300)
+    with pytest.raises(ValueError, match="no audio frames"):
+        decode_flac(p1, max_samples=599)

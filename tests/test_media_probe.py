@@ -259,14 +259,14 @@ def test_mp3_frame_walk():
     for pad in (0, 17, 1000):
         r = probe_media(_mp3_bytes(pad))
         assert r["container"] == "mp3"
-        assert r["duration_s"] == 3 * 1152 / 44100, pad
+        assert r["duration_s"] == pytest.approx(3 * 1152 / 44100), pad
     r = probe_media(_mp3_bytes(5, n_frames=7, id3v1=True))
-    assert r["duration_s"] == 7 * 1152 / 44100
+    assert r["duration_s"] == pytest.approx(7 * 1152 / 44100)
     # MPEG2 layer III: half the samples per frame (index 9 = 80 kbps)
     f2 = bytes([0xFF, 0xF3, 0x90, 0x00])
     f2 += b"\x00" * (72 * 80000 // 22050 - 4)
     r = probe_media(f2 * 2)
-    assert r["duration_s"] == 2 * 576 / 22050
+    assert r["duration_s"] == pytest.approx(2 * 576 / 22050)
     with pytest.raises(ValueError, match="bitrate index 15"):
         probe_media(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 40)
     with pytest.raises(NotImplementedError, match="free-format"):
@@ -336,3 +336,13 @@ def test_media_probe_query_all_branches(spark, sf_dir):
             assert r["duration_s"] == 3456 / 44100
             assert (r["n_video"], r["n_audio"]) == (0, 1)
     assert seen == {0, 1, 2, 3}
+
+
+def test_mp3_mixed_rate_duration_per_frame():
+    # r12: duration accumulates per-frame samples/rate, so a version-
+    # switching VBR stream (MPEG1@44100 then MPEG2@22050) gets the exact
+    # sum rather than a first-frame-rate division.
+    f1 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * (144 * 128000 // 44100 - 4)
+    f2 = bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\xbb" * (72 * 80000 // 22050 - 4)
+    r = probe_media(f1 + f2)
+    assert r["duration_s"] == pytest.approx(1152 / 44100 + 576 / 22050)

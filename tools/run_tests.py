@@ -128,11 +128,19 @@ def main() -> int:
         t.join()
     wall = time.monotonic() - t0
 
+    # Merge into the existing duration map rather than replacing it: a
+    # subset run (e.g. `run_tests.py tests/test_cdc.py`) must not discard
+    # every other file's recorded duration, or longest-first scheduling
+    # degrades on the next full run.
+    prev: dict = {}
+    try:
+        with open(DUR_PATH) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = {}
+    prev.update({r["file"]: round(r["dur"], 1) for r in results})
     with open(DUR_PATH, "w") as fh:
-        json.dump(
-            {r["file"]: round(r["dur"], 1) for r in results}, fh, indent=0,
-            sort_keys=True,
-        )
+        json.dump(prev, fh, indent=0, sort_keys=True)
 
     bad = [r for r in results if r["rc"] != 0]
     # pytest exit code 5 = no tests collected — treat as failure too
