@@ -34,6 +34,7 @@ partition count should target ~128 MB of blobs per task.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1907,7 +1908,22 @@ def decode_image(payload: bytes):
                 raise native_gap from None
         except Exception as e:
             raise ValueError(f"malformed JPEG payload: {e}") from e
-    # formats needing a transform codec (WebP/AVIF/...): PIL only
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless VP8L decodes natively (prefix codes + LZ77 + the
+        # four reversible transforms — pure numpy); lossy VP8 is a
+        # transform codec and keeps the PIL gate
+        from flink_hiveorc_spark.functions.webp import decode_webp
+
+        try:
+            return decode_webp(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError as native_gap:
+            try:
+                return _pil_decode(payload)
+            except NotImplementedError:
+                raise native_gap from None
+        except Exception as e:
+            raise ValueError(f"malformed WebP payload: {e}") from e
+    # formats needing a transform codec (AVIF/...): PIL only
     return _pil_decode(payload)
 
 
@@ -4507,6 +4523,409 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, jpg_prog)
         .otherwise(jpg_sa)
     )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return image_stats(payloads)
+
+
+def _vp8l_segments() -> dict:
+    """Constant byte segments + per-byte lookup tables for the WebP
+    VP8L rotation legs (r12): eight feature legs, each a complete
+    lossless WebP whose entropy-coded body is a FIXED-LENGTH
+    byte-aligned function of the digest bytes, written from the
+    public VP8L spec (RFC 9649 §3) independently of webp.py.
+
+    The byte-alignment trick: the "green" code assigns all 256
+    literals length 8 (canonical ⇒ code(s) = s), and the red/blue/
+    alpha/distance codes are single-symbol (zero-cost), so one pixel
+    is exactly one stream byte — the bit-reversal of the literal
+    value, since prefix codes are written MSB-first into the
+    LSB-first stream (table ``rev``). Headers are padded to a byte
+    boundary with semantically-null knobs (extra all-zero slots in
+    the code-length table, 3 bits each, and the 8-bit vs 1-bit
+    simple-code symbol representation, +7 bits), searched
+    automatically. Per leg:
+    0 plain literals (green = digest byte, red/blue 0);
+    1 SUBTRACT-GREEN transform (inverse makes r = b = g: gray);
+    2 PREDICTOR transform, mode-0 tile: digest bytes in the 3×3
+      interior, zero residuals on the edges — exercises the black/
+      L-edge/T-edge rules and the transform-tile sub-image;
+    3 COLOR CACHE (2 bits): each digest byte ships as a 13-bit
+      literal + its own 3-bit cache-hit symbol (alphabet 284:
+      literals@13, cache@3, Kraft-filling unused length symbols);
+    4 COLOR-INDEXING: 16-gray palette (17·i), width_bits=1 pixel
+      bundling — packed green = nibble-swapped digest byte;
+    5 META-PREFIX (8×2, two groups: left = digest literals, right =
+      a zero-cost group) + an LZ77 backref of length 12 through
+      SHORT distance code 24 ((4,0) in the neighbor map ⇒ dist 4),
+      replicating the 4 digest bytes across the image;
+    6 COLOR TRANSFORM with all multipliers 32 ((32·s8(g))>>5 = s8(g)
+      exactly): red = g, blue = 2g mod 256 — signed-delta path with
+      a digest-arithmetic oracle;
+    7 alpha_is_used: green and alpha both carry digest bytes (2-byte
+      units), 4-channel output.
+    """
+    cl_order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                13, 14, 15)
+
+    class W:
+        def __init__(self):
+            self.bits: list[int] = []
+
+        def w(self, v, n):
+            for k in range(n):
+                self.bits.append((v >> k) & 1)
+
+        def code(self, c, n):
+            for k in range(n - 1, -1, -1):
+                self.bits.append((c >> k) & 1)
+
+        def tobytes(self):
+            out = bytearray((len(self.bits) + 7) // 8)
+            for i, b in enumerate(self.bits):
+                out[i >> 3] |= b << (i & 7)
+            return bytes(out)
+
+    def canon(lengths):
+        syms = sorted((ln, s) for s, ln in lengths.items())
+        out = {}
+        codev, prev = 0, syms[0][0]
+        for ln, s in syms:
+            codev <<= ln - prev
+            prev = ln
+            out[s] = (codev, ln)
+            codev += 1
+        return out
+
+    def single(w, sym, wide=False):
+        w.w(1, 1)
+        w.w(0, 1)
+        if sym < 2 and not wide:
+            w.w(0, 1)
+            w.w(sym, 1)
+        else:
+            w.w(1, 1)
+            w.w(sym, 8)
+
+    def simple2(w, s0, s1):
+        w.w(1, 1)
+        w.w(1, 1)
+        if s0 < 2:
+            w.w(0, 1)
+            w.w(s0, 1)
+        else:
+            w.w(1, 1)
+            w.w(s0, 8)
+        w.w(s1, 8)
+
+    def normal(w, cl_lengths, seq, extra_slots=0, max_sym=None):
+        """Code-length-coded definition. seq items are (cl_symbol,
+        extra_bits, extra_value) reads in stream order; max_sym is
+        the read COUNT for the early-stop counter (None = absent)."""
+        cl_codes = canon(cl_lengths)
+        w.w(0, 1)
+        need = max(max(cl_order.index(s) for s in cl_lengths) + 1, 4)
+        need += extra_slots
+        assert need <= 19
+        w.w(need - 4, 4)
+        for i in range(need):
+            w.w(cl_lengths.get(cl_order[i], 0), 3)
+        if max_sym is None:
+            w.w(0, 1)
+        else:
+            w.w(1, 1)
+            nb = 2
+            while (1 << nb) <= max_sym - 2:
+                nb += 2
+            w.w((nb - 2) // 2, 3)
+            w.w(max_sym - 2, nb)
+        onecl = len(cl_lengths) == 1
+        for s, eb, ev in seq:
+            if not onecl:
+                c, n = cl_codes[s]
+                w.code(c, n)
+            w.w(ev, eb)
+
+    def green256(w, extra):
+        # all 256 literals at length 8: canonical code(s) = s
+        normal(w, {8: 1}, [(8, 0, 0)] * 256, extra_slots=extra, max_sym=256)
+
+    def const_subimage(w, a, r, g, b):
+        # 1x1 transform tile: five single-symbol codes, 0-bit pixel
+        w.w(0, 1)
+        single(w, g)
+        single(w, r)
+        single(w, b)
+        single(w, a)
+        single(w, 0)
+
+    def hdr(w, width, height, alpha):
+        w.w(width - 1, 14)
+        w.w(height - 1, 14)
+        w.w(alpha, 1)
+        w.w(0, 3)
+
+    def trailer(w, wides, alpha_sym=255):
+        single(w, 0, wides & 1)  # red
+        single(w, 0, wides & 2)  # blue
+        if alpha_sym < 2:
+            single(w, alpha_sym, wides & 8)
+        else:
+            single(w, alpha_sym)
+        single(w, 0, wides & 4)  # distance
+
+    def leg0(w, extra, wides):
+        hdr(w, 4, 4, 0)
+        w.w(0, 3)  # no transforms, no cache, no meta
+        green256(w, extra)
+        trailer(w, wides)
+
+    def leg1(w, extra, wides):
+        hdr(w, 4, 4, 0)
+        w.w(1, 1)
+        w.w(2, 2)  # subtract-green
+        w.w(0, 3)
+        green256(w, extra)
+        trailer(w, wides)
+
+    def leg2(w, extra, wides):
+        hdr(w, 4, 4, 0)
+        w.w(1, 1)
+        w.w(0, 2)  # predictor transform
+        w.w(0, 3)  # size_bits = 2 → one 4×4 tile
+        const_subimage(w, 255, 0, 0, 0)  # tile green = mode 0
+        w.w(0, 3)
+        green256(w, extra)
+        trailer(w, wides, alpha_sym=0)  # alpha residual is 0
+
+    def leg3(w, extra, wides):
+        hdr(w, 4, 4, 0)
+        w.w(0, 1)  # no transforms
+        w.w(1, 1)
+        w.w(2, 4)  # color cache, 2 bits
+        w.w(0, 1)  # no meta
+        seq = [(13, 0, 0)] * 256
+        seq += [(2, 0, 0), (3, 0, 0), (4, 0, 0), (5, 0, 0)]
+        seq += [(18, 7, 9)]  # 20 zeros (11 + 9) for symbols 260..279
+        seq += [(3, 0, 0)] * 4  # cache symbols 280..283
+        normal(w, {13: 1, 3: 2, 2: 4, 4: 4, 5: 4, 18: 4}, seq,
+               extra_slots=extra)
+        trailer(w, wides)
+
+    def leg4(w, extra, wides):
+        hdr(w, 4, 4, 0)
+        w.w(1, 1)
+        w.w(3, 2)  # color-indexing transform
+        w.w(15, 8)  # 16 palette entries
+        # palette sub-image 16×1: deltas (255,0,0,0) then 15×(0,17,17,17)
+        w.w(0, 1)
+        simple2(w, 0, 17)  # green
+        simple2(w, 0, 17)  # red
+        simple2(w, 0, 17)  # blue
+        simple2(w, 0, 255)  # alpha
+        single(w, 0)  # dist
+        w.code(0, 1), w.code(0, 1), w.code(0, 1), w.code(1, 1)
+        for _ in range(15):
+            w.code(1, 1), w.code(1, 1), w.code(1, 1), w.code(0, 1)
+        w.w(0, 3)  # end transforms, no cache, no meta
+        green256(w, extra)
+        trailer(w, wides)
+
+    def leg5(w, extra, wides):
+        hdr(w, 8, 2, 0)
+        w.w(0, 2)  # no transforms, no cache
+        w.w(1, 1)
+        w.w(0, 3)  # meta-prefix bits = 2 → entropy image 2×1
+        w.w(0, 1)
+        simple2(w, 0, 1)  # entropy greens: group 0 then group 1
+        single(w, 0)
+        single(w, 0)
+        single(w, 255)
+        single(w, 0)
+        w.code(0, 1)
+        w.code(1, 1)
+        # group 0 (left half): digest literals
+        green256(w, extra)
+        single(w, 0, wides & 1)
+        single(w, 0, wides & 2)
+        single(w, 255)
+        single(w, 0, wides & 4)
+        # group 1 (right half): green = single length-code symbol 262
+        # (262 zeros via two repeat-18s, then one length-1)
+        normal(w, {18: 1, 1: 1},
+               [(18, 7, 127), (18, 7, 113), (1, 0, 0)], max_sym=3)
+        single(w, 0, wides & 8)
+        single(w, 0, wides & 16)
+        single(w, 255)
+        single(w, 8)  # distance prefix code 8 → plane 24 = (4,0) → dist 4
+
+    def leg6(w, extra, wides):
+        hdr(w, 4, 4, 0)
+        w.w(1, 1)
+        w.w(1, 2)  # color transform
+        w.w(0, 3)  # size_bits = 2
+        # tile: red=red_to_blue=32, green=green_to_blue=32,
+        # blue=green_to_red=32
+        const_subimage(w, 255, 32, 32, 32)
+        w.w(0, 3)
+        green256(w, extra)
+        trailer(w, wides)
+
+    def leg7(w, extra, wides):
+        hdr(w, 4, 2, 1)
+        w.w(0, 3)
+        green256(w, extra)
+        single(w, 0, wides & 1)  # red
+        single(w, 0, wides & 2)  # blue
+        green256(w, 0)  # alpha carries digest bytes too
+        single(w, 0, wides & 4)  # dist
+
+    def aligned(build) -> bytes:
+        for wides in range(32):
+            for extra in range(8):
+                w = W()
+                try:
+                    build(w, extra, wides)
+                except AssertionError:
+                    continue
+                if len(w.bits) % 8 == 0:
+                    return w.tobytes()
+        raise AssertionError("no byte-aligned VP8L header variant")
+
+    def container(hdr_bytes: bytes, unit_len: int, tail: bytes = b"") -> bytes:
+        # VP8L is the final chunk, so an odd size carries no pad byte
+        # (walkers only pad BETWEEN chunks) — the RIFF size is exact
+        chunk = 1 + len(hdr_bytes) + unit_len + len(tail)
+        riff = 4 + 8 + chunk
+        return (
+            b"RIFF" + struct.pack("<I", riff) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", chunk) + b"\x2f" + hdr_bytes
+        )
+
+    rev = bytes(int(f"{s:08b}"[::-1], 2) for s in range(256))
+    # leg 3 per-byte unit: 13-bit literal code 7936+b, then the 3-bit
+    # cache-hit code 3+idx for the pixel 0xFF000000 | (b << 8)
+    t3 = bytearray()
+    for b in range(256):
+        w = W()
+        w.code(7936 + b, 13)
+        px = 0xFF000000 | (b << 8)
+        idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> 30
+        w.code(3 + idx, 3)
+        t3 += w.tobytes()
+    # leg 4: packed green = nibble swap (first pixel in low bits)
+    t4 = bytes(rev[((b >> 4) | ((b & 15) << 4))] for b in range(256))
+    tail5 = W()
+    tail5.w(3, 2)  # length 12 = prefix code 6 + extra 3
+    tail5.w(7, 3)  # plane 24 = prefix code 8 + extra 7
+    hdrs = [aligned(f) for f in
+            (leg0, leg1, leg2, leg3, leg4, leg5, leg6, leg7)]
+    unit_lens = [16, 16, 16, 16, 8, 4, 16, 16]
+    tails = [b""] * 8
+    tails[5] = tail5.tobytes()
+    return {
+        "rev": rev,
+        "t3": bytes(t3),
+        "t4": t4,
+        "full": [
+            container(hdrs[i], unit_lens[i], tails[i]) for i in range(8)
+        ],
+        "tails": tails,
+    }
+
+
+@query(
+    "multimodal_webp_decode_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 8 AS m, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id, m, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN m IN (5, 7) THEN 2 ELSE 4 END AS BIGINT) AS height,
+           CAST(CASE WHEN m = 5 THEN 8 ELSE 4 END AS BIGINT) AS width,
+           CAST(CASE WHEN m = 7 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+           CAST(sum(CASE
+             WHEN m = 0 THEN byte
+             WHEN m = 1 THEN 3 * byte
+             WHEN m = 2 THEN CASE WHEN i = 0 THEN 7 * byte
+                                  WHEN i <= 9 THEN byte ELSE 0 END
+             WHEN m = 3 THEN CASE WHEN i < 8 THEN 2 * byte ELSE 0 END
+             WHEN m = 4 THEN CASE WHEN i < 8
+                  THEN 51 * ((byte // 16) + (byte % 16)) ELSE 0 END
+             WHEN m = 5 THEN CASE WHEN i < 4 THEN 4 * byte ELSE 0 END
+             WHEN m = 6 THEN 2 * byte + (2 * byte) % 256
+             ELSE byte END) AS DOUBLE)
+           / CASE WHEN m = 7 THEN 32 ELSE 48 END AS mean_byte
+    FROM b GROUP BY doc_id, m
+    """,
+)
+def multimodal_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native VP8L decoder (webp.py, r12) under the external
+    oracle across its feature matrix, doc_id % 8 — see
+    _vp8l_segments' docstring for the eight legs (literals,
+    subtract-green, predictor, color cache, palette bundling,
+    meta-prefix + short-distance LZ77, color transform, alpha).
+    Every leg's entropy body is a per-digest-byte substr into a
+    literal table, so the payload concat stays JVM-side; the oracle
+    is pure digest arithmetic (a Huffman, transform, cache-hash,
+    palette-delta, neighbor-map, or signed-multiplier divergence
+    flips the hash). Reference has no media surface (SURVEY.md §0);
+    need is BASELINE.json's "multimodal columns" north star — WebP
+    is the #2 still-image format in scraped web corpora after JPEG,
+    and its lossless mode is fully entropy-domain (no DCT), so it
+    belongs in the native envelope."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    dv = [
+        F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    seg = _vp8l_segments()
+    rev = F.lit(seg["rev"])
+
+    def lk(i):
+        return rev.substr(dv[i] + 1, F.lit(1))
+
+    legs = []
+    # leg 0/1/6: header + all 16 digest bytes bit-reversed
+    for leg in (0, 1, 6):
+        legs.append((leg, F.concat(F.lit(seg["full"][leg]),
+                                   *[lk(i) for i in range(16)])))
+    # leg 2: digest at (0,0) and the 3×3 interior, zero on the edges
+    z = bytes(1)
+    order2 = [lk(0), F.lit(z * 4), lk(1), lk(2), lk(3), F.lit(z),
+              lk(4), lk(5), lk(6), F.lit(z), lk(7), lk(8), lk(9)]
+    legs.append((2, F.concat(F.lit(seg["full"][2]), *order2)))
+    # leg 3: 2-byte literal+cache units for the first 8 digest bytes
+    legs.append((3, F.concat(
+        F.lit(seg["full"][3]),
+        *[F.lit(seg["t3"]).substr(dv[i] * 2 + 1, F.lit(2))
+          for i in range(8)],
+    )))
+    # leg 4: packed palette indices = nibble-swapped digest bytes
+    legs.append((4, F.concat(
+        F.lit(seg["full"][4]),
+        *[F.lit(seg["t4"]).substr(dv[i] + 1, F.lit(1)) for i in range(8)],
+    )))
+    # leg 5: 4 digest literals + the constant backref tail
+    legs.append((5, F.concat(
+        F.lit(seg["full"][5]), *[lk(i) for i in range(4)],
+        F.lit(seg["tails"][5]),
+    )))
+    # leg 7: interleaved green/alpha digest bytes (2-byte pixels)
+    legs.append((7, F.concat(F.lit(seg["full"][7]),
+                             *[lk(i) for i in range(16)])))
+    m = F.col("doc_id") % 8
+    expr_by_leg = dict(legs)
+    payload = expr_by_leg[7]
+    for leg in range(6, -1, -1):
+        payload = F.when(m == leg, expr_by_leg[leg]).otherwise(payload)
     payloads = docs.select("doc_id", payload.alias("payload"))
     return image_stats(payloads)
 

@@ -52,6 +52,7 @@ from test_media_probe import (
     _trak,
 )
 from test_tiff_decode import _tiff_bytes, _tiff_tiled_bytes
+from test_webp_decode import encode_vp8l
 from test_y4m_decode import _y4m_bytes
 
 _CONTRACT = (NotImplementedError, ValueError)
@@ -229,6 +230,17 @@ def _valid_payloads():
             + _ogg_page(4, 312 + 4800, 6, 1, [b"\x00" * 16]),
         ),
         (probe_media, "mp3", _mp3_bytes(25, n_frames=4)),
+        # --- r12 formats ---
+        (
+            decode_image,
+            "webp_vp8l",
+            encode_vp8l(
+                _rng(618).integers(0, 256, (6, 7, 3)).astype(np.uint8),
+                transforms=[("subtract_green",)],
+                cache_bits=2,
+                use_lz77=True,
+            ),
+        ),
     ]
 
 
@@ -263,6 +275,8 @@ def test_fuzz_random_bytes_with_magic_prefixes():
         b"FORM", b".snd", b"qoif", b"P1\n", b"P3\n", b"P4\n",
         b"caff", b"farbfeld", b"RIFF\x00\x00\x00\x00AVI ",
         b"RIFF\xff\xff\xff\xffAVI LIST",
+        b"RIFF\x20\x00\x00\x00WEBPVP8L",
+        b"RIFF\xff\xff\xff\xffWEBP",
     ]
     for magic in magics:
         for trial in range(40):

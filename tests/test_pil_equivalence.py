@@ -406,3 +406,31 @@ def test_equiv_gif_animation_full_opaque_frames():
         np.testing.assert_array_equal(
             np.asarray(im.convert("RGBA")), frames[k]
         )
+
+
+# ---------------------------------------------------------------- WebP
+
+
+def test_equiv_webp_lossless_rgb():
+    from test_webp_decode import encode_vp8l
+
+    rng = np.random.default_rng(700)
+    img = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    _check(encode_vp8l(img, transforms=[("subtract_green",)]), img)
+
+
+def test_equiv_webp_lossless_rgba():
+    from test_webp_decode import encode_vp8l
+
+    rng = np.random.default_rng(701)
+    img = rng.integers(0, 256, (5, 6, 4)).astype(np.uint8)
+    _check(encode_vp8l(img, alpha=True), img)
+
+
+def test_equiv_webp_lossless_predictor_palette():
+    from test_webp_decode import encode_vp8l
+
+    rng = np.random.default_rng(702)
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    grid = [[11, 12], [13, 7]]
+    _check(encode_vp8l(img, transforms=[("predictor", 2, grid)]), img)
