@@ -1457,3 +1457,123 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ----------------------------------------------------------------------
+# L1c: exact-substring dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", ACL 2022 — the ExactSubstr operator).
+# Pretraining pipelines remove MAXIMAL substrings of >= L tokens that
+# occur more than once in the corpus; chunk dedup and n-gram
+# containment only approximate this. Distributed formulation for fixed
+# L: hash every L-gram -> group -> keep grams with >= 2 occurrences
+# (across docs AND within a doc) -> mark every token position covered
+# by a duplicated gram -> merge adjacent covered positions into
+# maximal spans (gaps-and-islands).
+#
+# 100 TB posture: one shuffle on the gram (map-side partial agg
+# collapses per-partition repeats before the exchange), one shuffle
+# joining grams back to the duplicate set, and a per-doc window whose
+# partition is bounded by document length. Unlike the pair-based
+# near-dup operators there is NO quadratic candidate blowup to guard:
+# a gram occurring k times contributes k*L coverage rows — linear in
+# occurrence count — so a viral boilerplate gram costs O(corpus), not
+# O(corpus^2), and no df_cap is needed. (The suffix-array formulation
+# of the paper finds variable-L maximal matches in O(n log n); the
+# fixed-L gram formulation is its standard distributed counterpart
+# and finds the same spans for matches >= L.)
+
+EXACT_SUBSTR_MIN_TOKENS = 5
+
+
+def exact_substring_spans(
+    docs: DataFrame, min_tokens: int = EXACT_SUBSTR_MIN_TOKENS
+) -> DataFrame:
+    """(doc_id, text) -> maximal duplicated spans (doc_id, span_start,
+    span_end, span_tokens), token positions 1-based inclusive.
+
+    A span is a maximal run of token positions each covered by some
+    L-gram (L = min_tokens, whitespace tokens) that occurs >= 2 times
+    in the corpus (counting all positions, including repeats within
+    one document)."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (
+        toks.where(F.size("w") >= min_tokens)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {min_tokens - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {min_tokens})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .count()
+        .where(F.col("count") >= 2)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    win = Window.partitionBy("doc_id").orderBy("j")
+    isl = cov.withColumn("grp", F.col("j") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("j").alias("span_start"),
+            F.max("j").alias("span_end"),
+            F.count("j").alias("span_tokens"),
+        )
+        .drop("grp")
+    )
+
+
+@query(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[i:i+{EXACT_SUBSTR_MIN_TOKENS - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(w) - {EXACT_SUBSTR_MIN_TOKENS - 2})) AS r(i)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, u.j
+      FROM g JOIN dup USING (gram),
+           UNNEST(range(g.pos, g.pos + {EXACT_SUBSTR_MIN_TOKENS})) AS u(j)
+    ),
+    isl AS (
+      SELECT doc_id, j,
+             j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+      FROM cov
+    )
+    SELECT doc_id,
+           CAST(min(j) AS BIGINT) AS span_start,
+           CAST(max(j) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1c: maximal exact-substring duplicate spans (>= 5 whitespace
+    tokens, Lee et al. 2022 class) over the documents table — the one
+    canonical LLM-curation dedup operator the L1/L2 battery did not
+    yet cover. See exact_substring_spans for semantics and the 100 TB
+    plan shape (linear in occurrences; no quadratic candidates).
+    Reference has no text surface (SURVEY.md §0); need is
+    BASELINE.json's dedup north star."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_spans(docs)

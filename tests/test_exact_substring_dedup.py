@@ -1,0 +1,85 @@
+"""exact_substring_spans (Lee et al. 2022 class, L1c): hand-built
+corpora pin the span semantics — cross-doc duplication, within-doc
+repeats, overlap merging into maximal spans, and the min-length gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_hiveorc_spark.functions.dedup import exact_substring_spans
+
+
+def _spans(spark, rows, min_tokens=3):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = exact_substring_spans(df, min_tokens=min_tokens)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in out.collect()
+    )
+
+
+def test_cross_doc_duplicate_span(spark):
+    rows = [
+        (1, "a b c d e unique1 tail1"),
+        (2, "prefix2 a b c d e tail2"),
+    ]
+    # 'a b c d e' (5 tokens) duplicated across docs; with L=3 every
+    # 3-gram inside it is duplicated -> one maximal span each
+    assert _spans(spark, rows) == [
+        (1, 1, 5, 5),
+        (2, 2, 6, 5),
+    ]
+
+
+def test_within_doc_repeat_counts(spark):
+    # the gram repeats only inside one document: still a duplicate
+    rows = [(7, "x y z filler1 filler2 x y z")]
+    assert _spans(spark, rows) == [(7, 1, 3, 3), (7, 6, 8, 3)]
+
+
+def test_adjacent_matches_merge_into_maximal_span(spark):
+    # two overlapping duplicated regions merge into one island
+    rows = [
+        (1, "a b c d mid e f g h"),
+        (2, "a b c d other1 other2"),
+        (3, "zz e f g h"),
+    ]
+    got = _spans(spark, rows)
+    assert (1, 1, 4, 4) in got and (1, 6, 9, 4) in got
+    assert (2, 1, 4, 4) in got and (3, 2, 5, 4) in got
+    # doc 1's two spans stay separate (position 5 'mid' uncovered)
+    assert not any(r[0] == 1 and r[1] == 1 and r[2] == 9 for r in got)
+
+
+def test_short_docs_and_no_duplicates(spark):
+    rows = [(1, "a b"), (2, "c d e f g"), (3, "h i j k l")]
+    assert _spans(spark, rows) == []
+
+
+def test_min_tokens_gate(spark):
+    # 4-token repeat is invisible at L=5, visible at L=4
+    rows = [(1, "p q r s one"), (2, "two p q r s")]
+    assert _spans(spark, rows, min_tokens=5) == []
+    assert _spans(spark, rows, min_tokens=4) == [
+        (1, 1, 4, 4),
+        (2, 2, 5, 4),
+    ]
+
+
+def test_full_doc_duplicate(spark):
+    rows = [(1, "same doc text here"), (2, "same doc text here")]
+    assert _spans(spark, rows, min_tokens=4) == [
+        (1, 1, 4, 4),
+        (2, 1, 4, 4),
+    ]
+
+
+@pytest.mark.parametrize("min_tokens", [2, 3])
+def test_viral_gram_is_linear_not_quadratic(spark, min_tokens):
+    # one gram occurring k times yields k spans (k*L coverage rows),
+    # never k^2 pairs — the no-df_cap-needed property
+    k = 40
+    rows = [(i, f"viral gram here sep{i}") for i in range(k)]
+    got = _spans(spark, rows, min_tokens=min_tokens)
+    assert len(got) == k
+    assert all(r[1] == 1 and r[2] == 3 for r in got)
