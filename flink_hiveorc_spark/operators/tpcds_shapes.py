@@ -552,3 +552,354 @@ def tpcds_nation_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qoq") > 1.2)
         .select("nation", "y", "qtr", F.col("rev").cast("double").alias("rev"), "qoq")
     )
+
+
+@query(
+    "tpcds_rollup_topk_per_group",
+    oracle="""
+    WITH base AS (
+      SELECT p.p_type AS category, p.p_brand AS brand,
+             year(l.l_shipdate) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(25,6)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    r AS (
+      SELECT COALESCE(category, 'ALL') AS category,
+             COALESCE(brand, 'ALL') AS brand,
+             COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+             sum(rev) AS sales, count(*) AS n_rows
+      FROM base GROUP BY ROLLUP (category, brand, yr)
+    ),
+    rk AS (
+      SELECT category, brand, yr, sales, n_rows,
+             rank() OVER (PARTITION BY category
+                          ORDER BY sales DESC, brand, yr) AS rnk
+      FROM r
+    )
+    SELECT category, brand, yr, CAST(sales AS DOUBLE) AS sales, n_rows,
+           rnk
+    FROM rk WHERE rnk <= 5
+    """,
+)
+def tpcds_rollup_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: sales rolled up over the product hierarchy ×
+    time (ROLLUP(category, brand, year) — p_type stands in for the DS
+    i_category level, this corpus' part table carrying no mfgr),
+    then a per-top-level-group
+    top-k window (rank() PARTITION BY category ORDER BY sales DESC,
+    rank <= 5) — q67's signature combination of a grouping-set
+    aggregate feeding a ranked-within-category filter. Determinism:
+    exact DECIMAL sales order the rank, with the COALESCE'd (brand,
+    yr) pair as a unique in-partition tiebreak; doubles only in the
+    projection. Scale: part broadcasts under the fact scan; the
+    rollup partially aggregates before the exchange; the window
+    partitions by mfgr over already-aggregated rows (bounded by the
+    hierarchy size, never by fact cardinality)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand"
+    )
+    base = (
+        l.filter(
+            (F.col("l_shipdate") >= _ts("1995-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(_DEC)
+            .alias("rev"),
+        )
+    )
+    rolled = (
+        base.rollup("category", "brand", "yr")
+        .agg(F.sum("rev").alias("sales"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("category", F.lit("ALL")).alias("category"),
+            F.coalesce("brand", F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            "sales",
+            "n_rows",
+        )
+    )
+    win = Window.partitionBy("category").orderBy(
+        F.col("sales").desc(), F.col("brand"), F.col("yr")
+    )
+    return (
+        rolled.withColumn("rnk", F.rank().over(win))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "category", "brand", "yr",
+            F.col("sales").cast("double").alias("sales"),
+            "n_rows", "rnk",
+        )
+    )
+
+
+@query(
+    "tpcds_cumulative_channel_alignment",
+    oracle="""
+    WITH cn AS (
+      SELECT c.c_custkey, n.n_name AS nation
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    line_m AS (
+      SELECT cn.nation, year(l.l_shipdate) * 100 + month(l.l_shipdate) AS ym,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN cn ON cn.c_custkey = o.o_custkey
+      GROUP BY cn.nation, year(l.l_shipdate) * 100 + month(l.l_shipdate)
+    ),
+    ord_m AS (
+      SELECT cn.nation, year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+             sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders o JOIN cn ON cn.c_custkey = o.o_custkey
+      GROUP BY cn.nation, year(o.o_orderdate) * 100 + month(o.o_orderdate)
+    ),
+    lc AS (
+      SELECT nation, ym,
+             sum(rev) OVER (PARTITION BY nation ORDER BY ym
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM line_m
+    ),
+    oc AS (
+      SELECT nation, ym,
+             sum(rev) OVER (PARTITION BY nation ORDER BY ym
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ord_m
+    ),
+    j AS (
+      SELECT COALESCE(lc.nation, oc.nation) AS nation,
+             COALESCE(lc.ym, oc.ym) AS ym,
+             lc.cum AS lcum, oc.cum AS ocum
+      FROM lc FULL OUTER JOIN oc
+        ON lc.nation = oc.nation AND lc.ym = oc.ym
+    ),
+    filled AS (
+      SELECT nation, ym,
+             max(lcum) OVER (PARTITION BY nation ORDER BY ym
+                             ROWS UNBOUNDED PRECEDING) AS cum_line,
+             max(ocum) OVER (PARTITION BY nation ORDER BY ym
+                             ROWS UNBOUNDED PRECEDING) AS cum_order
+      FROM j
+    )
+    SELECT nation, ym,
+           CAST(cum_line AS DOUBLE) AS cum_line,
+           CAST(cum_order AS DOUBLE) AS cum_order
+    FROM filled WHERE cum_line > cum_order
+    """,
+)
+def tpcds_cumulative_channel_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q51 shape: two channels of different granularity
+    (line-level ship-month revenue vs order-level order-month
+    totals), each with a per-nation cumulative sum over months, FULL
+    OUTER JOINed on (nation, month) and forward-filled through the
+    q51 max()-over-running-window idiom (max over ROWS UNBOUNDED
+    PRECEDING carries the last seen cumulative across gap months on
+    either side); rows where the line cumulative leads the order
+    cumulative survive. Determinism: cumulative sums in exact
+    DECIMAL, the month key is unique per nation so every window has
+    a total order; 3VL on the initial-NULL comparison is identical
+    in both engines. Scale: both inputs pre-aggregate to
+    (nation, month) grain BEFORE the join and windows — partitions
+    bounded by the calendar, never by fact cardinality."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cn = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("nation")
+        )
+    )
+    ym_l = F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    ym_o = F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    line_m = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
+        .groupBy("nation", ym_l.alias("ym"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("rev")
+        )
+    )
+    ord_m = (
+        o.join(cn, F.col("o_custkey") == cn.c_custkey)
+        .groupBy("nation", ym_o.alias("ym"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+    )
+    cumw = (
+        Window.partitionBy("nation")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc = line_m.select(
+        F.col("nation").alias("l_nation"),
+        F.col("ym").alias("l_ym"),
+        F.sum("rev")
+        .over(cumw.partitionBy("nation").orderBy("ym"))
+        .alias("lcum"),
+    )
+    oc = ord_m.select(
+        F.col("nation").alias("o_nation"),
+        F.col("ym").alias("o_ym"),
+        F.sum("rev")
+        .over(cumw.partitionBy("nation").orderBy("ym"))
+        .alias("ocum"),
+    )
+    j = lc.join(
+        oc,
+        (F.col("l_nation") == F.col("o_nation"))
+        & (F.col("l_ym") == F.col("o_ym")),
+        "full_outer",
+    ).select(
+        F.coalesce("l_nation", "o_nation").alias("nation"),
+        F.coalesce("l_ym", "o_ym").alias("ym"),
+        "lcum",
+        "ocum",
+    )
+    fillw = (
+        Window.partitionBy("nation")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            "nation",
+            "ym",
+            F.max("lcum").over(fillw).alias("cum_line"),
+            F.max("ocum").over(fillw).alias("cum_order"),
+        )
+        .filter(F.col("cum_line") > F.col("cum_order"))
+        .select(
+            "nation", "ym",
+            F.col("cum_line").cast("double").alias("cum_line"),
+            F.col("cum_order").cast("double").alias("cum_order"),
+        )
+    )
+
+
+@query(
+    "tpcds_returned_sales_two_year_chain",
+    oracle="""
+    WITH ret AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    base AS (
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             year(o.o_orderdate) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(25,6)) AS rev
+      FROM lineitem l
+      JOIN ret r ON r.l_orderkey = l.l_orderkey
+                AND r.l_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 15
+      WHERE year(o.o_orderdate) IN (1995, 1996)
+    ),
+    g AS (
+      SELECT cust_nation, supp_nation, yr,
+             count(*) AS cnt, sum(rev) AS rev
+      FROM base GROUP BY cust_nation, supp_nation, yr
+    )
+    SELECT g1.cust_nation, g1.supp_nation,
+           g1.cnt AS cnt_y1, CAST(g1.rev AS DOUBLE) AS rev_y1,
+           g2.cnt AS cnt_y2, CAST(g2.rev AS DOUBLE) AS rev_y2
+    FROM g g1
+    JOIN g g2 ON g2.cust_nation = g1.cust_nation
+             AND g2.supp_nation = g1.supp_nation
+    WHERE g1.yr = 1995 AND g2.yr = 1996 AND g2.cnt >= g1.cnt
+    """,
+)
+def tpcds_returned_sales_two_year_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q64 shape: the long multi-join chain — returned sales
+    only (a LEFT SEMI join of the fact against its own returns
+    subset on the (order, part) compound key, mirroring q64's
+    store_sales ⨝ store_returns ticket+item equi-join), through
+    orders, customer→nation, supplier→nation, and a filtered part
+    dim (8 joins), aggregated to (cust_nation, supp_nation, year)
+    grain and SELF-JOINED across two consecutive years (1995/1996, the corpus' first full years) on the same
+    grain keeping pairs where the later year's volume held or grew
+    (q64's cnt2 >= cnt1 cross-period condition). Determinism: exact
+    DECIMAL revenue; the grain is a unique key of the aggregate so
+    the self-join is 1:1. Scale: dims broadcast; the returns semi
+    join shuffles on the compound fact key; the two-year self-join
+    runs on already-aggregated frames (grain-bounded)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    ret = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_partkey"
+    )
+    cn = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    base = (
+        l.join(ret, ["l_orderkey", "l_partkey"], "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(cn, F.col("o_custkey") == cn.c_custkey)
+        .join(sn, F.col("l_suppkey") == sn.s_suppkey)
+        .join(
+            F.broadcast(p.filter(F.col("p_size") <= 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(_DEC)
+            .alias("rev"),
+        )
+    )
+    g = base.groupBy("cust_nation", "supp_nation", "yr").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev").alias("rev")
+    )
+    g1 = g.filter(F.col("yr") == 1995).select(
+        "cust_nation", "supp_nation",
+        F.col("cnt").alias("cnt_y1"), F.col("rev").alias("rev_y1"),
+    )
+    g2 = g.filter(F.col("yr") == 1996).select(
+        "cust_nation", "supp_nation",
+        F.col("cnt").alias("cnt_y2"), F.col("rev").alias("rev_y2"),
+    )
+    return (
+        g1.join(g2, ["cust_nation", "supp_nation"])
+        .filter(F.col("cnt_y2") >= F.col("cnt_y1"))
+        .select(
+            "cust_nation", "supp_nation",
+            "cnt_y1",
+            F.col("rev_y1").cast("double").alias("rev_y1"),
+            "cnt_y2",
+            F.col("rev_y2").cast("double").alias("rev_y2"),
+        )
+    )

@@ -23,6 +23,11 @@ BROADCAST_EXPECTED = [
     # the eval side of the contamination join is benchmark-sized; the
     # corpus must never shuffle for it
     "text_contamination_eval_overlap",
+    # r12 TPC-DS shapes: part / customer+nation / supplier+nation dims
+    # must broadcast under the fact scans
+    "tpcds_rollup_topk_per_group",
+    "tpcds_cumulative_channel_alignment",
+    "tpcds_returned_sales_two_year_chain",
 ]
 
 # ngram_jaccard self-joins on exploded shingles — it is quadratic by
