@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.functions.flac import decode_flac
 from flink_hiveorc_spark.functions.jpeg import decode_jpeg
-from flink_hiveorc_spark.functions.probe import probe_media
+from flink_hiveorc_spark.functions.probe import probe_media, riff_chunks
 from flink_hiveorc_spark.registry import query
 
 FEATURE_SCHEMA = T.StructType(
@@ -2927,23 +2927,9 @@ def media_probe(assets: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(assets, _MEDIA_PROBE_SCHEMA, probe_media, quarantine)
 
 
-def _avi_chunks(data: bytes, pos: int, end: int):
-    """Iterate RIFF chunks as (fourcc, body_start, body_size); LISTs
-    yield their list-type as fourcc with the body EXCLUDING it, so
-    callers can recurse. Sizes are validated against the buffer — a
-    declared size past EOF is malformed, not silently short."""
-    import struct
-
-    while pos + 8 <= end:
-        fourcc = data[pos : pos + 4]
-        size = struct.unpack_from("<I", data, pos + 4)[0]
-        body = pos + 8
-        if body + size > end:
-            raise ValueError(
-                f"truncated AVI chunk {fourcc.decode('latin1')!r}"
-            )
-        yield fourcc, body, size
-        pos = body + size + (size & 1)  # chunks pad to even offsets
+# RIFF chunk iteration is shared with the structural AVI probe —
+# one walker, one set of size-validation semantics (probe.riff_chunks).
+_avi_chunks = riff_chunks
 
 
 def _decode_avi(payload: bytes):
@@ -4136,6 +4122,72 @@ def _media_probe_segments() -> dict:
     # skip arithmetic under the oracle), then three constant CBR
     # frames (MPEG1 Layer III 128 kbps 44.1 kHz → 417 bytes each)
     mp3_frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * 413
+
+    # --- Ogg FLAC leg (r12): FLAC mapping 1.0 BOS packet (0x7F FLAC
+    # maj min nheaders + verbatim fLaC + STREAMINFO at 32 kHz); the
+    # EOS page template is byte-identical to the Opus leg's, so the
+    # same GF(2) CRC tables serve both granule splices
+    flac_si = bytearray(34)
+    flac_si[10] = (32000 >> 12) & 0xFF
+    flac_si[11] = (32000 >> 4) & 0xFF
+    flac_si[12] = (32000 & 0xF) << 4
+    flac_map = (
+        b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0)
+        + b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(flac_si)
+    )
+    flac_page0 = ogg_page(2, 0, 0, flac_map)
+
+    # --- ADTS AAC leg (r12): two 7-byte-header frames at 16 kHz
+    # (sampling index 8), 8-byte bodies; byte 6's low 2 bits (the
+    # raw-data-block count − 1) are digest-derived, so the per-frame
+    # 1024·blocks sample accounting sits under the oracle
+    adts_body = b"\xaa" * 8
+    flen = 7 + len(adts_body)
+    adts_hdr6 = bytes([
+        0xFF, 0xF1, (1 << 6) | (8 << 2),
+        (1 << 6) | ((flen >> 11) & 3), (flen >> 3) & 0xFF,
+        ((flen & 7) << 5) | 0x1F,
+    ])
+
+    # --- AVI leg (r12): RIFF('AVI ') → hdrl{avih, strl{strh}} with
+    # the canvas dims (avih) and the video stream length (strh, at
+    # scale 1 / rate 1000 ⇒ milliseconds) spliced from digest bytes
+    avih = bytearray(struct.pack(
+        "<14I", 0, 0, 0, 0, 0, 0, 1, 0, 0xEE, 0xEE, 0, 0, 0, 0
+    ))
+    # the two 0xEE DWORDs render as [EE 00 00 00]; keep only their
+    # low byte as the splice marker
+    strh = bytearray(b"vids" + b"\x00" * 4 + struct.pack("<I", 0))
+    strh += struct.pack("<HH", 0, 0) + struct.pack("<III", 0, 1, 1000)
+    strh += struct.pack("<I", 0) + b"\xee\xee\x00\x00"  # dwLength lo/hi
+    strh += struct.pack("<III", 0, 0, 0) + b"\x00" * 8
+
+    def riff_list(ltype: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    def riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    hdrl = riff_list(
+        b"hdrl",
+        riff_chunk(b"avih", bytes(avih))
+        + riff_list(b"strl", riff_chunk(b"strh", bytes(strh))),
+    )
+    avi_raw = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    # splice order of appearance: avih width (d2), avih height (d3),
+    # strh dwLength lo (d1), hi (d0)
+    parts = []
+    last = 0
+    for idx, di in zip(
+        (i for i in range(len(avi_raw)) if avi_raw[i] == 0xEE), (2, 3, 1, 0)
+    ):
+        parts.append(avi_raw[last:idx])
+        parts.append((V, di))
+        last = idx + 1
+    parts.append(avi_raw[last:])
+    avi_chunks_r, avi_tail = render(parts)
+
     return {
         "mp4": (mp4_chunks, mp4_tail),
         "webm": (webm_chunks, webm_tail),
@@ -4152,6 +4204,9 @@ def _media_probe_segments() -> dict:
             "zeros": b"\x00" * 127,
             "frames": mp3_frame * 3,
         },
+        "oggflac_page0": flac_page0,
+        "adts": {"hdr6": adts_hdr6, "body": adts_body},
+        "avi": (avi_chunks_r, avi_tail),
     }
 
 
@@ -5285,34 +5340,45 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) GROUP BY doc_id
     )
     SELECT doc_id,
-           CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
-                WHEN 2 THEN 'ogg' ELSE 'mp3' END AS container,
-           CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'webm'
-                WHEN 2 THEN 'opus' ELSE 'mp3' END AS brand,
-           CASE doc_id % 4
+           CASE doc_id % 7 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+                WHEN 2 THEN 'ogg' WHEN 3 THEN 'mp3' WHEN 4 THEN 'adts'
+                WHEN 5 THEN 'ogg' ELSE 'avi' END AS container,
+           CASE doc_id % 7 WHEN 0 THEN 'isom' WHEN 1 THEN 'webm'
+                WHEN 2 THEN 'opus' WHEN 3 THEN 'mp3' WHEN 4 THEN 'aac'
+                WHEN 5 THEN 'flac' ELSE 'avi' END AS brand,
+           CASE doc_id % 7
                 WHEN 0 THEN CAST(d0 * 256 + d1 AS DOUBLE) / 1000
                 WHEN 1 THEN CAST(2.0 AS DOUBLE)
                 WHEN 2 THEN
                   CAST(d0 * 65536 + d1 * 256 + d2 AS DOUBLE) / 48000
-                ELSE CAST(3456 AS DOUBLE) / 44100 END AS duration_s,
-           CAST(CASE doc_id % 4 WHEN 0 THEN d2
-                     WHEN 1 THEN d4 * 256 + d5 ELSE 0 END
+                WHEN 3 THEN CAST(3456 AS DOUBLE) / 44100
+                WHEN 4 THEN
+                  CAST(((d4 % 4) + (d5 % 4) + 2) * 1024 AS DOUBLE) / 16000
+                WHEN 5 THEN
+                  CAST(d0 * 65536 + d1 * 256 + d2 AS DOUBLE) / 32000
+                ELSE CAST(d0 * 256 + d1 AS DOUBLE) / 1000 END AS duration_s,
+           CAST(CASE doc_id % 7 WHEN 0 THEN d2
+                     WHEN 1 THEN d4 * 256 + d5
+                     WHEN 6 THEN d2 ELSE 0 END
                 AS BIGINT) AS width,
-           CAST(CASE doc_id % 4 WHEN 0 THEN d3
-                     WHEN 1 THEN d6 * 256 + d7 ELSE 0 END
+           CAST(CASE doc_id % 7 WHEN 0 THEN d3
+                     WHEN 1 THEN d6 * 256 + d7
+                     WHEN 6 THEN d3 ELSE 0 END
                 AS BIGINT) AS height,
-           CAST(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END
+           CAST(CASE WHEN doc_id % 7 IN (0, 1, 6) THEN 1 ELSE 0 END
                 AS BIGINT) AS n_video,
-           CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+           CAST(CASE WHEN doc_id % 7 IN (0, 6) THEN 0 ELSE 1 END
                 AS BIGINT) AS n_audio,
-           CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'A_OPUS,V_VP9'
-                WHEN 2 THEN 'opus' ELSE 'mp3' END AS codecs
+           CASE doc_id % 7 WHEN 0 THEN 'avc1' WHEN 1 THEN 'A_OPUS,V_VP9'
+                WHEN 2 THEN 'opus' WHEN 3 THEN 'mp3' WHEN 4 THEN 'aac'
+                WHEN 5 THEN 'flac' ELSE 'rgb' END AS codecs
     FROM b
     """,
 )
 def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structural media probing under the external oracle (r11),
-    doc_id % 4 across all four probe.py container walks:
+    """Structural media probing under the external oracle (r11,
+    widened r12), doc_id % 7 across all seven probe.py container
+    walks:
     0 MP4 — spec-shaped ftyp isom + full moov tree: mvhd at timescale
       1000 with the movie duration's low bytes = digest bytes 0-1,
       one video trak whose tkhd 16.16 dimensions carry bytes 2/3,
@@ -5329,8 +5395,18 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the skip arithmetic under the oracle: a wrong skip loses frame
       sync and kills the row) followed by three constant CBR frames
       (MPEG1 Layer III, 128 kbps, 44.1 kHz, 417-byte steps ⇒
-      duration 3456/44100 from the frame walk).
-    All four payloads run through the REAL probe.py parsers via the
+      duration 3456/44100 from the frame walk);
+    4 ADTS AAC [r12] — two 16 kHz frames whose raw-data-block-count
+      bits (header byte 6) are digest-derived, so the per-frame
+      1024·blocks accounting is oracle-pinned;
+    5 Ogg FLAC [r12] — FLAC mapping 1.0 BOS packet (verbatim fLaC +
+      STREAMINFO, rate parsed from the 20-bit field) and the SAME
+      digest-granule EOS page as the Opus leg (shared CRC tables);
+      duration X/32000 with no pre-skip;
+    6 AVI [r12] — RIFF hdrl walk shared with the decoder: avih canvas
+      dims from digest bytes 2/3, video strh dwLength (ms at
+      scale 1/rate 1000) from bytes 0/1.
+    All payloads run through the REAL probe.py parsers via the
     `media_probe` featurizer — no frame decoded. A box-size, vint,
     fixed-point, handler-routing, timescale, granule, page-CRC,
     syncsafe, bitrate-table, or frame-step divergence flips the hash.
@@ -5345,7 +5421,7 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(8)]
     dv = [
         F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-        for i in range(4)
+        for i in range(6)
     ]
     seg = _media_probe_segments()
 
@@ -5360,30 +5436,46 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.concat(*parts)
 
     og = seg["ogg"]
-    granule = F.lit(312) + dv[0] * 65536 + dv[1] * 256 + dv[2]
-    gbytes = [
-        _int_byte(F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)))
-        for k in range(4)
-    ]
-    crc = F.lit(og["base"]).cast("long")
-    for k, pos in enumerate((6, 7, 8, 9)):
-        lut = F.lit(og["tables"][pos]).substr(
-            F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)) * 4 + 1,
-            F.lit(4),
-        )
-        crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
-    crc_le = F.concat(
-        *(
-            _int_byte(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255)))
+
+    def ogg_eos_payload(page0: bytes, granule):
+        """BOS page + the shared EOS template with a digest-derived
+        granule and its GF(2)-table CRC (identical template for the
+        Opus and FLAC legs — the CRC correction is layout-linear)."""
+        gbytes = [
+            _int_byte(F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)))
             for k in range(4)
+        ]
+        crc = F.lit(og["base"]).cast("long")
+        for k, pos in enumerate((6, 7, 8, 9)):
+            lut = F.lit(og["tables"][pos]).substr(
+                F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)) * 4 + 1,
+                F.lit(4),
+            )
+            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+        crc_le = F.concat(
+            *(
+                _int_byte(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255)))
+                for k in range(4)
+            )
         )
-    )
-    ogg_payload = F.concat(
-        F.lit(og["page0"] + og["p1_pre"]),
-        *gbytes,
-        F.lit(og["p1_mid"]),
-        crc_le,
-        F.lit(og["p1_post"]),
+        return F.concat(
+            F.lit(page0 + og["p1_pre"]),
+            *gbytes,
+            F.lit(og["p1_mid"]),
+            crc_le,
+            F.lit(og["p1_post"]),
+        )
+
+    x24 = dv[0] * 65536 + dv[1] * 256 + dv[2]
+    ogg_payload = ogg_eos_payload(og["page0"], F.lit(312) + x24)
+    oggflac_payload = ogg_eos_payload(seg["oggflac_page0"], x24)
+    ad = seg["adts"]
+    adts_payload = F.concat(
+        F.lit(ad["hdr6"]),
+        _int_byte(dv[4].bitwiseAND(F.lit(3)) + 252),
+        F.lit(ad["body"] + ad["hdr6"]),
+        _int_byte(dv[5].bitwiseAND(F.lit(3)) + 252),
+        F.lit(ad["body"]),
     )
     m3 = seg["mp3"]
     pad = dv[3].bitwiseAND(F.lit(0x7F))
@@ -5393,12 +5485,15 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(m3["zeros"]).substr(F.lit(1), pad),
         F.lit(m3["frames"]),
     )
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 7
     payload = (
         F.when(m == 0, assemble("mp4"))
         .when(m == 1, assemble("webm"))
         .when(m == 2, ogg_payload)
-        .otherwise(mp3_payload)
+        .when(m == 3, mp3_payload)
+        .when(m == 4, adts_payload)
+        .when(m == 5, oggflac_payload)
+        .otherwise(assemble("avi"))
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return media_probe(payloads)

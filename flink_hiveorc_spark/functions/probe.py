@@ -292,16 +292,28 @@ def _probe_matroska(data: bytes) -> dict:
 def probe_media(payload: bytes) -> dict:
     """Structural container probe → {container, brand, duration_s,
     width, height, n_video, n_audio, codecs}. Routes ISO BMFF (ftyp),
-    Matroska/WebM (EBML magic), Ogg (OggS capture pattern — Opus and
-    Vorbis identification headers), and MP3 (ID3v2 prefix or raw
-    frame sync). See module docstring for field sources and the
-    error contract."""
+    Matroska/WebM (EBML magic), Ogg (OggS capture pattern — Opus,
+    Vorbis, and FLAC mapping headers), AVI (RIFF walk shared with the
+    decoder), ADTS AAC (layer-00 sync, checked before MP3 whose
+    layer bits are never 00), and MP3 (ID3v2 prefix or raw frame
+    sync). See module docstring for field sources and the error
+    contract."""
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _probe_mp4(payload)
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return _probe_matroska(payload)
     if payload[:4] == b"OggS":
         return _probe_ogg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _probe_avi(payload)
+    if (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xF6) == 0xF0
+    ):
+        # 0xFFF sync with layer bits 00: ADTS AAC (an MP3 frame sync
+        # always carries nonzero layer bits)
+        return _probe_adts(payload)
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
@@ -310,8 +322,145 @@ def probe_media(payload: bytes) -> dict:
         return _probe_mp3(payload)
     raise NotImplementedError(
         "unrecognized media container (structural probing covers ISO BMFF, "
-        "Matroska/WebM, Ogg Opus/Vorbis, and MP3 frame streams)"
+        "Matroska/WebM, Ogg Opus/Vorbis/FLAC, AVI, ADTS AAC, and MP3 "
+        "frame streams)"
     )
+
+
+def riff_chunks(data: bytes, pos: int, end: int):
+    """Iterate RIFF chunks as (fourcc, body_start, body_size); LISTs
+    yield their list-type as fourcc with the body EXCLUDING it, so
+    callers can recurse. Sizes are validated against the buffer — a
+    declared size past EOF is malformed, not silently short. Shared
+    by the AVI decoder (multimodal._decode_avi) and the AVI probe."""
+    import struct as _s
+
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = _s.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated RIFF chunk {fourcc.decode('latin1')!r}"
+            )
+        yield fourcc, body, size
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+
+
+def _probe_avi(data: bytes) -> dict:
+    """AVI structural probe: RIFF('AVI ') → LIST hdrl → avih (canvas
+    dims, total frames, frame interval) + per-stream LIST strl/strh
+    (type, handler fourcc, scale/rate/length). Duration prefers the
+    first video stream's dwLength·dwScale/dwRate, falling back to
+    avih dwTotalFrames·dwMicroSecPerFrame. Codec string joins each
+    stream's handler fourcc (or 'rgb' for unset video handlers —
+    BI_RGB DIB streams commonly leave it zero)."""
+    import struct as _s
+
+    width = height = 0
+    n_video = n_audio = 0
+    codecs: list[str] = []
+    duration = None
+    avih_duration = None
+    saw_hdrl = False
+    for fourcc, body, size in riff_chunks(data, 12, len(data)):
+        if fourcc != b"LIST" or data[body : body + 4] != b"hdrl":
+            continue
+        saw_hdrl = True
+        for f2, b2, s2 in riff_chunks(data, body + 4, body + size):
+            if f2 == b"avih" and s2 >= 40:
+                (usec_pf,) = _s.unpack_from("<I", data, b2)
+                (total_frames,) = _s.unpack_from("<I", data, b2 + 16)
+                width, height = _s.unpack_from("<II", data, b2 + 32)
+                if usec_pf and total_frames:
+                    avih_duration = total_frames * usec_pf / 1e6
+            elif f2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                for f3, b3, s3 in riff_chunks(data, b2 + 4, b2 + s2):
+                    if f3 != b"strh" or s3 < 36:
+                        continue
+                    ftype = data[b3 : b3 + 4]
+                    handler = data[b3 + 4 : b3 + 8]
+                    scale, rate = _s.unpack_from("<II", data, b3 + 20)
+                    (length,) = _s.unpack_from("<I", data, b3 + 32)
+                    name = handler.strip(b"\x00 ").decode(
+                        "latin1"
+                    ).lower()
+                    if ftype == b"vids":
+                        n_video += 1
+                        codecs.append(name or "rgb")
+                        if (
+                            duration is None
+                            and scale and rate and length
+                        ):
+                            duration = length * scale / rate
+                    elif ftype == b"auds":
+                        n_audio += 1
+                        codecs.append(name or "pcm")
+    if not saw_hdrl:
+        raise ValueError("AVI has no hdrl header list")
+    if n_video + n_audio == 0:
+        raise ValueError("AVI declares no streams")
+    if duration is None:
+        duration = avih_duration
+    if duration is None:
+        raise ValueError("AVI has no usable duration source")
+    return {
+        "container": "avi",
+        "brand": "avi",
+        "duration_s": duration,
+        "width": int(width),
+        "height": int(height),
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "codecs": ",".join(codecs),
+    }
+
+
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+
+
+def _probe_adts(data: bytes, pos: int = 0) -> dict:
+    """ADTS AAC frame walk (ISO 14496-3 §1.A.2): 0xFFF sync with
+    layer bits 00, 7/9-byte headers (protection_absent toggles the
+    CRC), 13-bit frame length, 1024 samples per raw data block,
+    per-frame rate accumulation (mixed-rate streams sum exactly, as
+    in the MP3 walk). ID3v1 tails tolerated."""
+    duration = 0.0
+    n_frames = 0
+    while pos < len(data):
+        if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
+            break  # ID3v1 tail
+        if pos + 7 > len(data):
+            raise ValueError("truncated ADTS frame header")
+        b = data[pos : pos + 7]
+        if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+            raise ValueError(f"lost ADTS frame sync at offset {pos}")
+        sr_idx = (b[2] >> 2) & 0x0F
+        if sr_idx >= len(_ADTS_RATES):
+            raise ValueError(f"reserved ADTS sampling index {sr_idx}")
+        frame_len = ((b[3] & 0x03) << 11) | (b[4] << 3) | (b[5] >> 5)
+        min_len = 7 if (b[1] & 0x01) else 9  # CRC adds 2 bytes
+        if frame_len < min_len:
+            raise ValueError(f"ADTS frame length {frame_len} too short")
+        if pos + frame_len > len(data):
+            raise ValueError("ADTS frame overflows the file")
+        n_blocks = (b[6] & 0x03) + 1
+        duration += n_blocks * 1024 / _ADTS_RATES[sr_idx]
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("ADTS stream has no audio frames")
+    return {
+        "container": "adts",
+        "brand": "aac",
+        "duration_s": duration,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 1,
+        "codecs": "aac",
+    }
 
 
 # ------------------------------------------------------------------- Ogg
@@ -344,7 +493,7 @@ def _probe_ogg(data: bytes) -> dict:
     """Ogg page walk (RFC 3533): CRC-verified pages; codec and
     parameters from the BOS packet (OpusHead / Vorbis identification),
     duration from the last page's granule position (Opus: 48 kHz
-    ticks minus pre-skip; Vorbis: sample ticks at the declared
+    ticks minus pre-skip; Vorbis/FLAC: sample ticks at the declared
     rate)."""
     import struct as _s
 
@@ -389,10 +538,27 @@ def _probe_ogg(data: bytes) -> dict:
                 rate = _s.unpack_from("<I", body, 12)[0]
                 if rate == 0:
                     raise ValueError("Vorbis sample rate is zero")
+            elif body[:5] == b"\x7fFLAC":
+                # Ogg FLAC mapping 1.0: 0x7F 'FLAC' maj min nheaders
+                # then a verbatim fLaC signature + STREAMINFO block;
+                # granules are sample ticks at the STREAMINFO rate
+                codec = "flac"
+                if len(body) < 9 + 4 + 4 + 34:
+                    raise ValueError("truncated Ogg FLAC mapping packet")
+                if body[9:13] != b"fLaC":
+                    raise ValueError("Ogg FLAC mapping lacks fLaC signature")
+                if body[13] & 0x7F != 0:
+                    raise ValueError(
+                        "first Ogg FLAC metadata block is not STREAMINFO"
+                    )
+                si = body[17:51]
+                rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+                if rate == 0:
+                    raise ValueError("FLAC sample rate is zero")
             else:
                 raise NotImplementedError(
-                    "unrecognized Ogg codec (OpusHead/Vorbis identification "
-                    "headers are structurally probed)"
+                    "unrecognized Ogg codec (OpusHead, Vorbis, and FLAC "
+                    "mapping identification headers are structurally probed)"
                 )
         if granule >= 0:
             last_granule = granule

@@ -44,6 +44,8 @@ from test_jpeg_decode import _safe_random_blocks, encode_jpeg
 from test_jpeg_progressive import _full_script as _jpeg_script
 from test_jpeg_progressive import encode_progressive
 from test_media_probe import (
+    _adts_frame,
+    _flac_mapping_packet,
     _mkv,
     _mp3_bytes,
     _mp4,
@@ -231,6 +233,13 @@ def _valid_payloads():
         ),
         (probe_media, "mp3", _mp3_bytes(25, n_frames=4)),
         # --- r12 formats ---
+        (probe_media, "adts_aac", _adts_frame() * 3),
+        (
+            probe_media,
+            "ogg_flac",
+            _ogg_page(2, 0, 11, 0, [_flac_mapping_packet()])
+            + _ogg_page(4, 32000 * 2, 11, 1, [b"\xffdata"]),
+        ),
         (
             decode_image,
             "webp_vp8l",

@@ -142,8 +142,12 @@ def test_matroska_variants():
 
 
 def test_error_contract():
-    with pytest.raises(NotImplementedError, match="unrecognized media"):
+    # AVI routes to the structural probe since r12: a bare RIFF shell
+    # with no header list is malformed, not unrecognized
+    with pytest.raises(ValueError, match="no hdrl"):
         probe_media(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with pytest.raises(NotImplementedError, match="unrecognized media"):
+        probe_media(b"FORM\x00\x00\x00\x00AIFF")
     good = _mp4([_trak(b"vide", 8, 8)])
     with pytest.raises(ValueError, match="overflows|truncated"):
         probe_media(good[:-10])
@@ -293,7 +297,7 @@ def test_ogg_mp3_fuzz_byte_flips():
 
 def test_media_probe_query_all_branches(spark, sf_dir):
     """multimodal_media_probe_stats at sf0.001 equals a local
-    recomputation; all four doc_id % 4 container legs exercised."""
+    recomputation; all seven doc_id % 7 container legs exercised."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -309,7 +313,7 @@ def test_media_probe_query_all_branches(spark, sf_dir):
     assert len(rows) == len(docs["doc_id"])
     seen = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        m = doc_id % 4
+        m = doc_id % 7
         seen.add(m)
         dg = hashlib.md5(text.encode()).digest()
         r = rows[doc_id]
@@ -331,11 +335,26 @@ def test_media_probe_query_all_branches(spark, sf_dir):
             X = dg[0] * 65536 + dg[1] * 256 + dg[2]
             assert r["duration_s"] == X / 48000
             assert (r["n_video"], r["n_audio"]) == (0, 1)
-        else:
+        elif m == 3:
             assert (r["container"], r["codecs"]) == ("mp3", "mp3")
             assert r["duration_s"] == 3456 / 44100
             assert (r["n_video"], r["n_audio"]) == (0, 1)
-    assert seen == {0, 1, 2, 3}
+        elif m == 4:
+            assert (r["container"], r["brand"]) == ("adts", "aac")
+            want = ((dg[4] % 4) + (dg[5] % 4) + 2) * 1024 / 16000
+            assert r["duration_s"] == pytest.approx(want)
+            assert (r["n_video"], r["n_audio"]) == (0, 1)
+        elif m == 5:
+            assert (r["container"], r["brand"]) == ("ogg", "flac")
+            X = dg[0] * 65536 + dg[1] * 256 + dg[2]
+            assert r["duration_s"] == X / 32000
+            assert (r["n_video"], r["n_audio"]) == (0, 1)
+        else:
+            assert (r["container"], r["codecs"]) == ("avi", "rgb")
+            assert r["duration_s"] == (dg[0] * 256 + dg[1]) / 1000
+            assert (r["width"], r["height"]) == (dg[2], dg[3])
+            assert (r["n_video"], r["n_audio"]) == (1, 0)
+    assert seen == {0, 1, 2, 3, 4, 5, 6}
 
 
 def test_mp3_mixed_rate_duration_per_frame():
@@ -346,3 +365,81 @@ def test_mp3_mixed_rate_duration_per_frame():
     f2 = bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\xbb" * (72 * 80000 // 22050 - 4)
     r = probe_media(f1 + f2)
     assert r["duration_s"] == pytest.approx(1152 / 44100 + 576 / 22050)
+
+
+# ------------------------------------------------------- r12 new branches
+
+
+def _flac_mapping_packet(rate=32000):
+    # Ogg FLAC mapping 1.0 BOS packet: 0x7F FLAC maj min nheaders +
+    # verbatim fLaC + STREAMINFO(34) with the rate at bit offset 80
+    si = bytearray(34)
+    si[10] = (rate >> 12) & 0xFF
+    si[11] = (rate >> 4) & 0xFF
+    si[12] = (rate & 0xF) << 4
+    return (
+        b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0)
+        + b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+    )
+
+
+def test_ogg_flac_mapping():
+    p = _ogg_page(2, 0, 11, 0, [_flac_mapping_packet(32000)])
+    p += _ogg_page(4, 32000 * 5, 11, 1, [b"\xffdata"])
+    r = probe_media(p)
+    assert r["codecs"] == "flac" and r["brand"] == "flac"
+    assert r["duration_s"] == 5.0
+    # structural damage stays classified
+    with pytest.raises(ValueError, match="fLaC signature"):
+        probe_media(_ogg_page(2, 0, 11, 0,
+                              [_flac_mapping_packet()[:9] + b"XXXX" * 12]))
+
+
+def _adts_frame(sr_idx=8, n_blocks=1, body_len=20, no_crc=True):
+    flen = 7 + body_len
+    b = bytearray(7)
+    b[0] = 0xFF
+    b[1] = 0xF0 | (1 if no_crc else 0)
+    b[2] = (1 << 6) | (sr_idx << 2)
+    b[3] = (1 << 6) | ((flen >> 11) & 3)
+    b[4] = (flen >> 3) & 0xFF
+    b[5] = ((flen & 7) << 5) | 0x1F
+    b[6] = 0xFC | (n_blocks - 1)
+    return bytes(b) + b"\xaa" * body_len
+
+
+def test_adts_aac_frame_walk():
+    # sr_idx 8 = 16000 Hz; 3 frames of 1 block each
+    r = probe_media(_adts_frame() * 3)
+    assert r["container"] == "adts" and r["codecs"] == "aac"
+    assert r["duration_s"] == pytest.approx(3 * 1024 / 16000)
+    # multi-block frame and mixed rates accumulate per frame
+    r = probe_media(_adts_frame(sr_idx=8, n_blocks=2) + _adts_frame(sr_idx=4))
+    assert r["duration_s"] == pytest.approx(2 * 1024 / 16000 + 1024 / 44100)
+    # ID3v1 tail tolerated
+    r = probe_media(_adts_frame() + b"TAG" + b"\x00" * 125)
+    assert r["duration_s"] == pytest.approx(1024 / 16000)
+    with pytest.raises(ValueError, match="reserved ADTS sampling"):
+        probe_media(_adts_frame(sr_idx=14))
+    with pytest.raises(ValueError, match="overflows"):
+        probe_media(_adts_frame()[:-4])
+    # MP3 sync (nonzero layer bits) must NOT route to ADTS
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\xaa" * (144 * 128000 // 44100 - 4)
+    assert probe_media(mp3)["container"] == "mp3"
+
+
+def test_avi_probe_shares_riff_walker():
+    from test_avi_decode import _BI_RGB, _avi_bytes, _rgb_frame
+
+    rng = np.random.default_rng(77)
+    frames = [
+        _rgb_frame(rng.integers(0, 256, (4, 4, 3)).astype(np.uint8), 24, False)
+        for _ in range(3)
+    ]
+    payload = _avi_bytes(frames, 4, 4, 24, _BI_RGB)
+    r = probe_media(payload)
+    assert r["container"] == "avi" and r["n_video"] == 1
+    assert r["width"] == 4 and r["height"] == 4
+    assert r["duration_s"] > 0
+    with pytest.raises(ValueError, match="truncated RIFF"):
+        probe_media(payload[: len(payload) // 2])
