@@ -2927,6 +2927,300 @@ def media_probe(assets: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(assets, _MEDIA_PROBE_SCHEMA, probe_media, quarantine)
 
 
+_DECOMPRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("in_len", T.LongType()),
+        T.StructField("sum_byte", T.LongType()),
+    ]
+)
+
+MAX_DECOMPRESSED_BYTES = 1 << 26
+
+
+def _decompress_route(payload: bytes, max_out: int) -> tuple[str, bytes]:
+    """Magic-routed decompression through the stdlib codecs, with an
+    incremental output cap so a crafted bomb can never materialize
+    more than `max_out` bytes (zlib/bz2/lzma all support max_length
+    streaming)."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import zlib as _zlib
+
+    if payload[:2] == b"\x1f\x8b":
+        out = bytearray()
+        rest = bytes(payload)
+        while rest:
+            if rest[:2] != b"\x1f\x8b":
+                raise ValueError("trailing garbage after a gzip member")
+            d = _zlib.decompressobj(wbits=31)
+            out += d.decompress(rest, max_out - len(out) + 1)
+            if len(out) > max_out:
+                raise ValueError(
+                    f"decompressed output exceeds {max_out} bytes "
+                    "(decompression-bomb guard)"
+                )
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            rest = d.unused_data
+        return "gzip", bytes(out)
+    if (
+        len(payload) >= 2
+        and (payload[0] & 0x0F) == 8
+        and ((payload[0] << 8) | payload[1]) % 31 == 0
+    ):
+        d = _zlib.decompressobj(wbits=15)
+        out = d.decompress(bytes(payload), max_out + 1)
+        if len(out) > max_out:
+            raise ValueError(
+                f"decompressed output exceeds {max_out} bytes "
+                "(decompression-bomb guard)"
+            )
+        if not d.eof:
+            raise ValueError("truncated zlib stream")
+        if d.unused_data:
+            raise ValueError("trailing garbage after the zlib stream")
+        return "zlib", out
+    if payload[:3] == b"BZh":
+        d = _bz2.BZ2Decompressor()
+        out = bytearray(d.decompress(bytes(payload), max_out + 1))
+        if len(out) > max_out:
+            raise ValueError(
+                f"decompressed output exceeds {max_out} bytes "
+                "(decompression-bomb guard)"
+            )
+        if not d.eof:
+            raise ValueError("truncated bzip2 stream")
+        if d.unused_data:
+            raise ValueError("trailing garbage after the bzip2 stream")
+        return "bz2", bytes(out)
+    if payload[:6] == b"\xfd7zXZ\x00":
+        d = _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ)
+        out = bytearray(d.decompress(bytes(payload), max_out + 1))
+        if len(out) > max_out:
+            raise ValueError(
+                f"decompressed output exceeds {max_out} bytes "
+                "(decompression-bomb guard)"
+            )
+        if not d.eof:
+            raise ValueError("truncated xz stream")
+        if d.unused_data:
+            raise ValueError("trailing garbage after the xz stream")
+        return "xz", bytes(out)
+    if payload[:4] in (b"\x28\xb5\x2f\xfd", b"\x04\x22\x4d\x18"):
+        raise NotImplementedError(
+            "zstd/lz4 payloads need a codec library this build lacks "
+            "(stdlib covers gzip/zlib/bz2/xz)"
+        )
+    raise ValueError("unrecognized compressed payload magic")
+
+
+def decompress_payload(
+    payload: bytes, max_out: int = MAX_DECOMPRESSED_BYTES
+) -> bytes:
+    """Decompress a blob column value: gzip (incl. concatenated
+    multi-member files, per RFC 1952 §2.2), zlib, bzip2, and xz via
+    the stdlib codecs — each of which VERIFIES its integrity trailer
+    (gzip CRC-32 + ISIZE, zlib Adler-32, bz2 stream CRC, xz check),
+    so corruption classifies as ValueError, never silent garbage.
+    zstd/lz4 are honestly codec-gated (NotImplementedError). At
+    100 TB: compressed text shards arrive as binary columns
+    (jsonl.gz in object storage, zlib-framed API payloads); this is
+    the decode step in front of every text operator, map-only and
+    bomb-guarded per blob."""
+    try:
+        return _decompress_route(payload, max_out)[1]
+    except (NotImplementedError, ValueError):
+        raise
+    except Exception as e:  # stdlib codec errors (zlib.error, ...)
+        raise ValueError(f"malformed compressed payload: {e}") from e
+
+
+def _decompress_features(payload: bytes) -> dict:
+    try:
+        codec, out = _decompress_route(payload, MAX_DECOMPRESSED_BYTES)
+    except (NotImplementedError, ValueError):
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed compressed payload: {e}") from e
+    import numpy as _np
+
+    return {
+        "codec": codec,
+        "out_len": len(out),
+        "in_len": len(payload),
+        "sum_byte": int(
+            _np.frombuffer(out, dtype=_np.uint8).sum(dtype=_np.int64)
+        ),
+    }
+
+
+def decompress_stats(blobs: DataFrame, quarantine: bool = False) -> DataFrame:
+    """Distributed decompress+featurize over (doc_id, payload) blobs —
+    same mapInPandas + quarantine contract as the decode featurizers."""
+    return _stats_df(blobs, _DECOMPRESS_SCHEMA, _decompress_features, quarantine)
+
+
+def _crc32_tables(msg_len: int) -> tuple[int, list[bytes]]:
+    """CRC-32 of an `msg_len`-byte message as a GF(2)-linear form:
+    crc(m) = base ⊕ ⊕_i T_i[m_i] with base = crc(zeros) — the same
+    wire-byte table construction as the Ogg page CRC legs."""
+    import zlib as _zlib
+
+    base = _zlib.crc32(bytes(msg_len))
+    tables = []
+    for i in range(msg_len):
+        tbl = bytearray()
+        for v in range(256):
+            m = bytearray(msg_len)
+            m[i] = v
+            tbl += struct.pack(">I", _zlib.crc32(bytes(m)) ^ base)
+        tables.append(bytes(tbl))
+    return base, tables
+
+
+def _stored_deflate(length: int) -> bytes:
+    """One final DEFLATE stored block header for `length` content
+    bytes: BFINAL=1/BTYPE=00 (3 bits, byte-aligned) + LEN + NLEN."""
+    return bytes([0x01]) + struct.pack("<HH", length, length ^ 0xFFFF)
+
+
+_GZIP_HDR = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"
+_BZ2_CONTENT = b"bzip2 constant leg: decompress_stats external oracle"
+_XZ_CONTENT = b"xz constant leg: decompress_stats external oracle!"
+
+
+def _bz2_leg() -> bytes:
+    import bz2 as _bz2
+
+    return _bz2.compress(_BZ2_CONTENT, 1)
+
+
+def _xz_leg() -> bytes:
+    import lzma as _lzma
+
+    return _lzma.compress(_XZ_CONTENT, format=_lzma.FORMAT_XZ)
+
+
+_BZ2_PAYLOAD = _bz2_leg()
+_XZ_PAYLOAD = _xz_leg()
+
+
+@query(
+    "multimodal_decompress_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, doc_id % 5 AS m, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id, m, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' WHEN 2 THEN 'gzip'
+                WHEN 3 THEN 'bz2' ELSE 'xz' END AS codec,
+           CAST(CASE WHEN m <= 2 THEN 16
+                     WHEN m = 3 THEN {len(_BZ2_CONTENT)}
+                     ELSE {len(_XZ_CONTENT)} END AS BIGINT) AS out_len,
+           CAST(CASE m WHEN 0 THEN 39 WHEN 1 THEN 27 WHEN 2 THEN 62
+                     WHEN 3 THEN {len(_BZ2_PAYLOAD)}
+                     ELSE {len(_XZ_PAYLOAD)} END AS BIGINT) AS in_len,
+           CAST(CASE WHEN m <= 2 THEN sum(byte)
+                     WHEN m = 3 THEN {sum(_BZ2_CONTENT)}
+                     ELSE {sum(_XZ_CONTENT)} END AS BIGINT) AS sum_byte
+    FROM b GROUP BY doc_id, m
+    """,
+)
+def multimodal_decompress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob decompression under the external oracle, doc_id % 5:
+    0 gzip, one member whose DEFLATE body is a final STORED block
+      carrying the 16 digest bytes — the trailer CRC-32 ships as a
+      GF(2)-linear form of the digest (16 wire-byte table lookups
+      XORed onto the zero-message CRC, the same construction as the
+      Ogg page legs) and the stdlib VERIFIES it, so a wrong CRC
+      table, stored-block header, or ISIZE kills the row;
+    1 zlib, same stored block, Adler-32 trailer as MOD-FREE linear
+      arithmetic (s1 = 1 + Σb ≤ 4081, s2 = 16 + Σ(16−i)·bᵢ ≤ 34696,
+      both under 65521 — no modulus needed), big-endian per RFC 1950;
+    2 gzip MULTI-MEMBER (RFC 1952 §2.2 concatenation): two members of
+      8 digest bytes each with their own 8-position CRC tables;
+    3 bzip2 and 4 xz: constant literal payloads compressed at build
+      time (no stored mode exists in either format), pinning the
+      stdlib decode path, integrity check, and length/sum accounting.
+    All legs run through decompress_stats' REAL mapInPandas
+    featurizer. Reference has no blob surface (SURVEY.md §0); need:
+    100 TB text corpora arrive as compressed blobs (jsonl.gz shards,
+    zlib API payloads) — decompression is the step in front of every
+    text operator."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    hx = F.col("hx")
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    base16, t16 = _crc32_tables(16)
+    base8, t8 = _crc32_tables(8)
+
+    def crc_le(base: int, tables: list, dvals: list):
+        crc = F.lit(base).cast("long")
+        for i, d in enumerate(dvals):
+            lut = F.lit(tables[i]).substr(d * 4 + 1, F.lit(4))
+            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+        return F.concat(
+            *(
+                _int_byte(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255)))
+                for k in range(4)
+            )
+        )
+
+    content16 = F.concat(*db)
+    gz0 = F.concat(
+        F.lit(_GZIP_HDR + _stored_deflate(16)),
+        content16,
+        crc_le(base16, t16, dv),
+        F.lit(struct.pack("<I", 16)),
+    )
+    s1 = F.lit(1)
+    s2 = F.lit(16)
+    for i in range(16):
+        s1 = s1 + dv[i]
+        s2 = s2 + dv[i] * (16 - i)
+    zl1 = F.concat(
+        F.lit(b"\x78\x01" + _stored_deflate(16)),
+        content16,
+        _int_be32(s2 * 65536 + s1),
+    )
+    mem_a = F.concat(
+        F.lit(_GZIP_HDR + _stored_deflate(8)),
+        F.concat(*db[:8]),
+        crc_le(base8, t8, dv[:8]),
+        F.lit(struct.pack("<I", 8)),
+    )
+    mem_b = F.concat(
+        F.lit(_GZIP_HDR + _stored_deflate(8)),
+        F.concat(*db[8:]),
+        crc_le(base8, t8, dv[8:]),
+        F.lit(struct.pack("<I", 8)),
+    )
+    m = F.col("doc_id") % 5
+    payload = (
+        F.when(m == 0, gz0)
+        .when(m == 1, zl1)
+        .when(m == 2, F.concat(mem_a, mem_b))
+        .when(m == 3, F.lit(_BZ2_PAYLOAD))
+        .otherwise(F.lit(_XZ_PAYLOAD))
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return decompress_stats(payloads)
+
+
 # RIFF chunk iteration is shared with the structural AVI probe —
 # one walker, one set of size-validation semantics (probe.riff_chunks).
 _avi_chunks = riff_chunks
