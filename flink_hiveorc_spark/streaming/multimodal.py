@@ -34,6 +34,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from flink_hiveorc_spark.functions.multimodal import (
     audio_stats,
+    decompress_stats,
     image_stats,
     media_probe,
     video_stats,
@@ -48,6 +49,10 @@ _FEATURIZERS = {
     # 'unsupported' and re-enter via the repair leg once a codec
     # cluster picks them up
     "probe": media_probe,
+    # blob decompression (r12): gzip/zlib/bz2/xz text shards decode
+    # in-stream; zstd/lz4 quarantine as 'unsupported' until a codec
+    # lands, corrupt streams as 'malformed' — same repair leg
+    "decompress": decompress_stats,
 }
 
 

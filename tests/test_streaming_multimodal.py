@@ -152,3 +152,48 @@ def test_streaming_media_probe_with_quarantine(spark, tmp_path):
     assert len(bad) == 1 and bad[0]["doc_id"] == 100
     assert bad[0]["error"].startswith("unsupported:")
     assert bytes(bad[0]["payload"]).startswith(b"FLV")
+
+
+def test_streaming_decompress_with_quarantine(spark, tmp_path):
+    """modality='decompress' (r12): gzip/zlib/bz2/xz blobs stream to
+    feature rows; a zstd frame quarantines as 'unsupported' (repair
+    leg re-enters it once a codec lands), corrupt gzip as
+    'malformed' — both with verbatim payloads."""
+    import bz2
+    import gzip
+    import lzma
+    import zlib
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dfeat")
+    dlq = str(tmp_path / "ddlq")
+    ckpt = str(tmp_path / "dckpt")
+    bad_gz = bytearray(gzip.compress(b"damaged"))
+    bad_gz[-3] ^= 0xFF
+    _write_blobs(
+        spark,
+        src,
+        [
+            (0, gzip.compress(b"alpha text")),
+            (1, zlib.compress(b"beta")),
+            (2, bz2.compress(b"gamma!")),
+            (3, lzma.compress(b"delta payload")),
+            (100, b"\x28\xb5\x2f\xfd zstd frame"),
+            (101, bytes(bad_gz)),
+        ],
+    )
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="decompress", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert feats[0]["codec"] == "gzip" and feats[0]["out_len"] == 10
+    assert feats[1]["codec"] == "zlib" and feats[1]["sum_byte"] == sum(b"beta")
+    assert feats[2]["codec"] == "bz2"
+    assert feats[3]["codec"] == "xz" and feats[3]["out_len"] == 13
+    assert 100 not in feats and 101 not in feats
+    dlq_rows = {r["doc_id"]: r for r in spark.read.parquet(dlq).collect()}
+    assert dlq_rows[100]["error"].startswith("unsupported:")
+    assert dlq_rows[101]["error"].startswith("malformed:")
+    assert bytes(dlq_rows[100]["payload"]).startswith(b"\x28\xb5\x2f\xfd")

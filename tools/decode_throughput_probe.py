@@ -66,12 +66,14 @@ from test_media_probe import (  # noqa: E402
     _opus_head,
     _trak,
 )
+from test_webp_decode import encode_vp8l  # noqa: E402
 from test_y4m_decode import _y4m_bytes  # noqa: E402
 from test_png_g711_decode import ALL_FILTERS, _png_from_array  # noqa: E402
 from test_tiff_decode import _tiff_bytes  # noqa: E402
 
 from flink_hiveorc_spark.functions.multimodal import (  # noqa: E402
     audio_stats,
+    decompress_stats,
     gif_frame_sample,
     image_stats,
     media_probe,
@@ -83,6 +85,7 @@ from flink_hiveorc_spark.session import get_spark  # noqa: E402
 def _corpus(n_per_format: int):
     rng = np.random.default_rng(7)
     images, audio, video, anim, probes = [], [], [], [], []
+    blobs = []
     for i in range(n_per_format):
         img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
         images.append(_png_from_array(img, ALL_FILTERS))
@@ -143,7 +146,20 @@ def _corpus(n_per_format: int):
             + _ogg_page(4, 312 + 48000 * 30, 11, 1, [b"\x00" * 64])
         )
         probes.append(_mp3_bytes(40, n_frames=20))
-    return images, audio, video, anim, probes
+        # r12 formats: VP8L lossless WebP + compressed blobs
+        wimg = rng.integers(0, 256, size=(48, 48, 3)).astype(np.uint8)
+        images.append(encode_vp8l(wimg, transforms=[("subtract_green",)]))
+        images.append(encode_vp8l(wimg, cache_bits=4, use_lz77=True))
+        import bz2 as _bz2
+        import gzip as _gzip
+        import lzma as _lzma
+        import zlib as _zlib
+        text = rng.integers(32, 127, size=32768, dtype=np.uint8).tobytes()
+        blobs.append(_gzip.compress(text, 6))
+        blobs.append(_zlib.compress(text, 6))
+        blobs.append(_bz2.compress(text, 1))
+        blobs.append(_lzma.compress(text, preset=0))
+    return images, audio, video, anim, probes, blobs
 
 
 def _time(df_builder, frame):
@@ -155,7 +171,7 @@ def _time(df_builder, frame):
 def main() -> None:
     n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     spark = get_spark("decode-probe", cpus=32, shuffle_partitions=32)
-    images, audio, video, anim, probes = _corpus(n_per)
+    images, audio, video, anim, probes, blobs = _corpus(n_per)
     out = {"n_per_format": n_per, "scales": {}}
     for scale in (1, 8):
         img_rows = [(i, bytearray(p)) for i in range(scale) for p in images]
@@ -163,6 +179,7 @@ def main() -> None:
         vid_rows = [(i, bytearray(p)) for i in range(scale) for p in video]
         gif_rows = [(i, bytearray(p)) for i in range(scale) for p in anim]
         prb_rows = [(i, bytearray(p)) for i in range(scale) for p in probes]
+        blb_rows = [(i, bytearray(p)) for i in range(scale) for p in blobs]
         img_df = spark.createDataFrame(
             img_rows, "doc_id long, payload binary"
         ).repartition(64).cache()
@@ -178,18 +195,23 @@ def main() -> None:
         prb_df = spark.createDataFrame(
             prb_rows, "doc_id long, payload binary"
         ).repartition(64).cache()
+        blb_df = spark.createDataFrame(
+            blb_rows, "doc_id long, payload binary"
+        ).repartition(64).cache()
         img_df.count(), aud_df.count()  # materialize cache out of the timer
-        vid_df.count(), gif_df.count(), prb_df.count()
+        vid_df.count(), gif_df.count(), prb_df.count(), blb_df.count()
         img_mb = sum(len(p) for p in images) * scale / 1e6
         aud_mb = sum(len(p) for p in audio) * scale / 1e6
         vid_mb = sum(len(p) for p in video) * scale / 1e6
         gif_mb = sum(len(p) for p in anim) * scale / 1e6
         prb_mb = sum(len(p) for p in probes) * scale / 1e6
+        blb_mb = sum(len(p) for p in blobs) * scale / 1e6
         n_i, t_i = _time(image_stats, img_df)
         n_a, t_a = _time(audio_stats, aud_df)
         n_v, t_v = _time(video_stats, vid_df)
         n_g, t_g = _time(lambda df: gif_frame_sample(df, every_n=2), gif_df)
         n_p, t_p = _time(media_probe, prb_df)
+        n_b, t_b = _time(decompress_stats, blb_df)
         out["scales"][f"{scale}x"] = {
             "image": {
                 "rows": n_i,
@@ -221,10 +243,16 @@ def main() -> None:
                 "rows_per_s": round(n_p / t_p),
                 "mb_per_s": round(prb_mb / t_p, 1),
             },
+            "decompress": {
+                "rows": n_b,
+                "sec": round(t_b, 2),
+                "rows_per_s": round(n_b / t_b),
+                "mb_per_s": round(blb_mb / t_b, 1),
+            },
         }
         img_df.unpersist(), aud_df.unpersist()
         vid_df.unpersist(), gif_df.unpersist()
-        prb_df.unpersist()
+        prb_df.unpersist(), blb_df.unpersist()
     s1 = out["scales"]["1x"]
     s8 = out["scales"]["8x"]
     out["scale_ratio"] = {
@@ -235,6 +263,9 @@ def main() -> None:
             s8["gif_anim_frames"]["sec"] / s1["gif_anim_frames"]["sec"], 2
         ),
         "probe": round(s8["probe"]["sec"] / s1["probe"]["sec"], 2),
+        "decompress": round(
+            s8["decompress"]["sec"] / s1["decompress"]["sec"], 2
+        ),
     }
     print(json.dumps(out))
     spark.stop()
