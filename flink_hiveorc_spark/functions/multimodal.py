@@ -1875,6 +1875,70 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed farbfeld payload: {e}") from e
+    if payload[:4] == struct.pack(">I", 0x59A66A95):
+        from flink_hiveorc_spark.functions.rasters import decode_sun_raster
+
+        try:
+            return decode_sun_raster(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed Sun raster payload: {e}") from e
+    if payload[:2] == b"\x01\xda":
+        from flink_hiveorc_spark.functions.rasters import decode_sgi
+
+        try:
+            return decode_sgi(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed SGI payload: {e}") from e
+    if payload[:4] == b"DDS ":
+        from flink_hiveorc_spark.functions.rasters import decode_dds
+
+        try:
+            return decode_dds(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed DDS payload: {e}") from e
+    if (
+        len(payload) >= 128
+        and payload[0] == 0x0A
+        and payload[1] in (0, 2, 3, 4, 5)
+        and payload[2] in (0, 1)
+        and payload[3] in (1, 2, 4, 8)
+    ):
+        from flink_hiveorc_spark.functions.rasters import decode_pcx
+
+        try:
+            return decode_pcx(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed PCX payload: {e}") from e
+    if b"#define" in payload[:128]:
+        from flink_hiveorc_spark.functions.rasters import decode_xbm
+
+        try:
+            return decode_xbm(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed XBM payload: {e}") from e
+    if payload[:2] == b"\x00\x00" and payload[2:4] not in (
+        b"\x01\x00", b"\x02\x00"
+    ):
+        # WBMP type 0 has NO signature (00 00 w h ...), so — like the
+        # footer-less-TGA precedent — it routes only when a full
+        # plausibility decode succeeds; anything else falls to the
+        # codec gate rather than risking a noise mis-classification
+        from flink_hiveorc_spark.functions.rasters import decode_wbmp
+
+        try:
+            return decode_wbmp(payload, max_pixels=MAX_IMAGE_PIXELS)
+        except Exception:
+            pass  # fall through to the PIL gate
     if payload[-18:] == _TGA_FOOTER:
         try:
             return _decode_tga(payload)
@@ -3219,6 +3283,164 @@ def multimodal_decompress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return decompress_stats(payloads)
+
+
+def _raster_segments() -> dict[str, bytes]:
+    """Constant header/trailer bytes for the legacy-raster rotation
+    (r12), built from the published layouts independently of
+    functions/rasters.py: a PCX header (8-bit, RLE, 4x4, identity
+    gray VGA palette trailer), a Sun raster header (8-bit standard,
+    4x4, no colormap -> gray), an SGI header (verbatim, 1 channel,
+    8x2), the XBM text skeleton, the WBMP 8x4 prefix, and a DDS
+    DXT1 4x4 header."""
+    pcx_hdr = bytearray(128)
+    pcx_hdr[0], pcx_hdr[1], pcx_hdr[2], pcx_hdr[3] = 0x0A, 5, 1, 8
+    struct.pack_into("<4H", pcx_hdr, 4, 0, 0, 3, 3)
+    pcx_hdr[65] = 1
+    struct.pack_into("<H", pcx_hdr, 66, 4)
+    gray_pal = bytes(v for v in range(256) for _ in range(3))
+    sun_hdr = struct.pack(">8I", 0x59A66A95, 4, 4, 8, 16, 1, 0, 0)
+    sgi_hdr = bytearray(512)
+    struct.pack_into(">HBB", sgi_hdr, 0, 474, 0, 1)
+    struct.pack_into(">4H", sgi_hdr, 4, 3, 8, 2, 1)
+    dds_hdr = bytearray(128)
+    dds_hdr[0:4] = b"DDS "
+    struct.pack_into("<I", dds_hdr, 4, 124)
+    struct.pack_into("<II", dds_hdr, 12, 4, 4)
+    struct.pack_into("<I", dds_hdr, 76, 32)
+    struct.pack_into("<I", dds_hdr, 80, 0x4)
+    dds_hdr[84:88] = b"DXT1"
+    return {
+        "pcx_hdr": bytes(pcx_hdr),
+        "pcx_tail": b"\x0c" + gray_pal,
+        "sun_hdr": sun_hdr,
+        "sgi_hdr": bytes(sgi_hdr),
+        "xbm_pre": b"#define r_width 8\n#define r_height 4\n"
+        b"static unsigned char r_bits[] = {0x",
+        "xbm_sep": b",0x",
+        "xbm_tail": b"};\n",
+        "wbmp_pre": b"\x00\x00\x08\x04",
+        "dds_hdr": bytes(dds_hdr),
+    }
+
+
+@query(
+    "multimodal_raster_decode_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 AS m, md5(text) AS hx FROM documents
+    ),
+    b AS (
+      SELECT doc_id, m, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    a AS (
+      SELECT doc_id, m,
+             sum(byte) AS s,
+             sum(CASE WHEN i < 4 THEN bit_count(byte) ELSE 0 END) AS bc03,
+             sum(CASE WHEN i BETWEEN 4 AND 7
+                      THEN bit_count(byte & 85) ELSE 0 END) AS n1,
+             max(CASE WHEN i = 0 THEN byte END)
+               + 256 * max(CASE WHEN i = 1 THEN byte END) AS c0,
+             max(CASE WHEN i = 2 THEN byte END)
+               + 256 * max(CASE WHEN i = 3 THEN byte END) AS c1
+      FROM b GROUP BY doc_id, m
+    )
+    SELECT doc_id,
+           CAST(CASE m WHEN 2 THEN 2 ELSE 4 END AS BIGINT) AS height,
+           CAST(CASE WHEN m IN (2, 3, 4) THEN 8 ELSE 4 END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN m IN (0, 5) THEN 3 ELSE 1 END
+                AS BIGINT) AS channels,
+           CASE m
+             WHEN 0 THEN CAST(s AS DOUBLE) / 16
+             WHEN 1 THEN CAST(s AS DOUBLE) / 16
+             WHEN 2 THEN CAST(s AS DOUBLE) / 16
+             WHEN 3 THEN CAST(255 * (32 - bc03) AS DOUBLE) / 32
+             WHEN 4 THEN CAST(255 * bc03 AS DOUBLE) / 32
+             ELSE CAST(
+               (16 - n1) * ((c0 // 2048) * 8 + (c0 // 2048) // 4
+                          + ((c0 // 32) % 64) * 4 + ((c0 // 32) % 64) // 16
+                          + (c0 % 32) * 8 + (c0 % 32) // 4)
+               + n1 * ((c1 // 2048) * 8 + (c1 // 2048) // 4
+                     + ((c1 // 32) % 64) * 4 + ((c1 // 32) % 64) // 16
+                     + (c1 % 32) * 8 + (c1 % 32) // 4)
+               AS DOUBLE) / 48 END AS mean_byte
+    FROM a
+    """,
+)
+def multimodal_raster_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The legacy/texture raster decoders (functions/rasters.py, r12)
+    under the external oracle, doc_id % 6:
+    0 PCX 8-bit RLE: every digest byte ships in the 2-byte run form
+      (0xC1, v — mandatory for values >= 0xC0, legal for all), with
+      an identity-gray VGA palette trailer -> RGB mean = sum/16;
+    1 Sun raster, 8-bit standard, no colormap -> gray plane;
+    2 SGI verbatim, 1 channel, 8x2, bottom-up rows (sum-invariant);
+    3 XBM — a TEXT payload: the digest bytes render as lowercase hex
+      literals inside the C source (wrong hex rendering, bit order,
+      or ink convention flips the hash); set bit = 0 gray, LSB-first;
+    4 WBMP type 0: same 4 digest bytes, MSB-first, 1 = 255 — legs 3/4
+      share geometry but opposite conventions, so a bit-order or
+      polarity swap between them cannot cancel;
+    5 DDS DXT1: endpoint colors c0/c1 ARE digest bytes (RGB565 LE)
+      and the 2-bit selectors are digest bytes masked to 0x55 (every
+      texel picks an exact endpoint, so no oracle row depends on the
+      S3TC interpolation rounding choice); mean from the bit-
+      replicated 565 expansion weighted by selector popcount.
+    Reference has no media surface (SURVEY.md §0); need: legacy web
+    archives and game-asset corpora carry these formats, and DXT
+    textures are the canonical GPU asset payload."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    hx = F.col("hx")
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(8)
+    ]
+    seg = _raster_segments()
+    pcx_parts = [F.lit(seg["pcx_hdr"])]
+    for i in range(16):
+        pcx_parts += [F.lit(b"\xc1"), db[i]]
+    pcx_parts.append(F.lit(seg["pcx_tail"]))
+    pcx = F.concat(*pcx_parts)
+    sun = F.concat(F.lit(seg["sun_hdr"]), *db)
+    sgi = F.concat(F.lit(seg["sgi_hdr"]), *db)
+    hex2 = [
+        F.lpad(F.lower(F.hex(dv[i])), 2, "0") for i in range(4)
+    ]
+    xbm_txt = F.concat(
+        F.lit(seg["xbm_pre"].decode("latin1")),
+        hex2[0],
+        *[
+            part
+            for i in range(1, 4)
+            for part in (F.lit(seg["xbm_sep"].decode("latin1")), hex2[i])
+        ],
+        F.lit(seg["xbm_tail"].decode("latin1")),
+    )
+    xbm = F.encode(xbm_txt, "UTF-8")
+    wbmp = F.concat(F.lit(seg["wbmp_pre"]), *db[:4])
+    dds = F.concat(
+        F.lit(seg["dds_hdr"]),
+        *db[:4],
+        *[_int_byte(dv[i].bitwiseAND(F.lit(0x55))) for i in range(4, 8)],
+    )
+    m = F.col("doc_id") % 6
+    payload = (
+        F.when(m == 0, pcx)
+        .when(m == 1, sun)
+        .when(m == 2, sgi)
+        .when(m == 3, xbm)
+        .when(m == 4, wbmp)
+        .otherwise(dds)
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    return image_stats(payloads)
 
 
 # RIFF chunk iteration is shared with the structural AVI probe —

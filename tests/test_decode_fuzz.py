@@ -54,6 +54,13 @@ from test_media_probe import (
     _trak,
 )
 from test_tiff_decode import _tiff_bytes, _tiff_tiled_bytes
+from test_raster_decode import (
+    _dds_header,
+    _pcx,
+    _sgi,
+    _sun,
+    _sun_rle,
+)
 from test_webp_decode import encode_vp8l
 from test_y4m_decode import _y4m_bytes
 
@@ -242,6 +249,49 @@ def _valid_payloads():
         ),
         (
             decode_image,
+            "pcx",
+            _pcx(
+                6, 6,
+                [[bytes(_rng(620).integers(0, 256, 6, dtype=np.uint8))
+                  for _ in range(6)]],
+                8, 1,
+                palette256=_rng(621).integers(
+                    0, 256, (256, 3), dtype=np.uint8
+                ),
+            ),
+        ),
+        (
+            decode_image,
+            "sun_raster",
+            _sun(
+                6, 6, 8,
+                _sun_rle(bytes(_rng(622).integers(0, 256, 36,
+                                                  dtype=np.uint8))),
+                2,
+                _rng(623).integers(0, 256, (256, 3), dtype=np.uint8),
+            ),
+        ),
+        (
+            decode_image,
+            "sgi_rle",
+            _sgi(_rng(624).integers(0, 256, (5, 7, 3),
+                                    dtype=np.uint8), True),
+        ),
+        (
+            decode_image,
+            "dds_dxt5",
+            _dds_header(8, 8, b"DXT5")
+            + bytes(_rng(625).integers(0, 256, 64, dtype=np.uint8)),
+        ),
+        (
+            decode_image,
+            "xbm",
+            b"#define f_width 8\n#define f_height 2\n"
+            b"static char f_bits[] = {0x12, 0x34};",
+        ),
+        (decode_image, "wbmp", b"\x00\x00\x08\x02\xa5\x5a"),
+        (
+            decode_image,
             "webp_vp8l",
             encode_vp8l(
                 _rng(618).integers(0, 256, (6, 7, 3)).astype(np.uint8),
@@ -286,6 +336,8 @@ def test_fuzz_random_bytes_with_magic_prefixes():
         b"RIFF\xff\xff\xff\xffAVI LIST",
         b"RIFF\x20\x00\x00\x00WEBPVP8L",
         b"RIFF\xff\xff\xff\xffWEBP",
+        b"\x59\xa6\x6a\x95", b"\x01\xda", b"DDS ",
+        b"\x0a\x05\x01\x08", b"#define ",
     ]
     for magic in magics:
         for trial in range(40):

@@ -434,3 +434,53 @@ def test_equiv_webp_lossless_predictor_palette():
     img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
     grid = [[11, 12], [13, 7]]
     _check(encode_vp8l(img, transforms=[("predictor", 2, grid)]), img)
+
+
+# ------------------------------------------------------- legacy rasters
+
+
+def test_equiv_pcx_8bit():
+    from test_raster_decode import _pcx
+
+    rng = np.random.default_rng(710)
+    idx = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    payload = _pcx(8, 6, [[idx[y].tobytes() for y in range(6)]], 8, 1,
+                   palette256=pal)
+    _check(payload, pal[idx])
+
+
+def test_equiv_sgi_rgb_both_storages():
+    from test_raster_decode import _sgi
+
+    rng = np.random.default_rng(711)
+    img = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    for rle in (False, True):
+        _check(_sgi(img, rle), img)
+
+
+def test_equiv_sun_raster_native_only():
+    # PIL's SUN plugin mishandles some colormap layouts; keep the
+    # native leg authoritative and skip the PIL comparison
+    from test_raster_decode import _sun
+
+    rng = np.random.default_rng(712)
+    idx = rng.integers(0, 200, (4, 6), dtype=np.uint8)
+    cmap = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    stride = ((6 * 8 + 15) // 16) * 2
+    raw = b"".join(
+        idx[y].tobytes() + b"\x00" * (stride - 6) for y in range(4)
+    )
+    _check(_sun(6, 4, 8, raw, 1, cmap), cmap[idx], pil_leg=False)
+
+
+def test_equiv_xbm():
+    rng = np.random.default_rng(713)
+    bits = rng.integers(0, 2, (4, 10), dtype=np.uint8)
+    rows = np.packbits(bits, axis=1, bitorder="little")
+    hexes = ", ".join(f"0x{b:02x}" for row in rows for b in row)
+    src = (
+        "#define e_width 10\n#define e_height 4\n"
+        f"static unsigned char e_bits[] = {{{hexes}}};\n"
+    ).encode()
+    _check(src, ((1 - bits) * np.uint8(255)).reshape(4, 10, 1))
