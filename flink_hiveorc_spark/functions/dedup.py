@@ -1577,3 +1577,124 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.json's dedup north star."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_spans(docs)
+
+
+def exact_substring_clean(
+    docs: DataFrame, min_tokens: int = EXACT_SUBSTR_MIN_TOKENS
+) -> DataFrame:
+    """The dedup OUTPUT of the Lee et al. operator: each document with
+    its duplicated spans removed — (doc_id, cleaned_text,
+    n_tokens_kept, n_tokens_removed). Tokens covered by any
+    duplicated >= L-gram are dropped; survivors rejoin in order with
+    single spaces. Docs with no duplicated span pass through intact
+    (cleaned_text = the space-normalized original). Same plan shape
+    as exact_substring_spans plus one anti-join of token positions
+    against the coverage set and a per-doc ordered re-aggregation
+    (sort_array over (pos, token) structs — bounded by doc length,
+    deterministic)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    pos_tok = toks.select(
+        "doc_id",
+        F.posexplode("w").alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    grams = (
+        toks.where(F.size("w") >= min_tokens)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {min_tokens - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {min_tokens})))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    dup = (
+        grams.groupBy("gram").count().where(F.col("count") >= 2).select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(cov, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, tok)))"
+                       ", x -> x.tok)"),
+                " ",
+            ).alias("cleaned_text"),
+            F.count("pos").alias("n_tokens_kept"),
+        )
+        .join(
+            pos_tok.groupBy("doc_id").agg(F.count("pos").alias("n_total")),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            (F.col("n_total") - F.coalesce("n_tokens_kept", F.lit(0))).alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_exact_substring_clean",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS tok
+      FROM t, UNNEST(range(1, len(w) + 1)) AS r(i)
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[i:i+{EXACT_SUBSTR_MIN_TOKENS - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(w) - {EXACT_SUBSTR_MIN_TOKENS - 2})) AS r(i)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, u.j
+      FROM g JOIN dup USING (gram),
+           UNNEST(range(g.pos, g.pos + {EXACT_SUBSTR_MIN_TOKENS})) AS u(j)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN cov
+        ON cov.doc_id = tok.doc_id AND cov.j = tok.pos
+      WHERE cov.j IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+             count(*) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_total FROM tok GROUP BY doc_id)
+    SELECT totals.doc_id,
+           COALESCE(agg.cleaned_text, '') AS cleaned_text,
+           CAST(COALESCE(agg.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(totals.n_total - COALESCE(agg.n_tokens_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM totals LEFT JOIN agg ON agg.doc_id = totals.doc_id
+    """,
+)
+def dedup_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1c output side: the CLEANED corpus after exact-substring
+    removal (>= 5-token duplicated spans dropped, Lee et al. 2022) —
+    one row per document with the surviving text and kept/removed
+    token counts. See exact_substring_clean for semantics and scale
+    shape."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_clean(docs)

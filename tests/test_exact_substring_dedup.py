@@ -83,3 +83,55 @@ def test_viral_gram_is_linear_not_quadratic(spark, min_tokens):
     got = _spans(spark, rows, min_tokens=min_tokens)
     assert len(got) == k
     assert all(r[1] == 1 and r[2] == 3 for r in got)
+
+
+def _clean(spark, rows, min_tokens=3):
+    from flink_hiveorc_spark.functions.dedup import exact_substring_clean
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = exact_substring_clean(df, min_tokens=min_tokens)
+    return {
+        r.doc_id: (r.cleaned_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in out.collect()
+    }
+
+
+def test_clean_removes_spans_and_keeps_rest(spark):
+    rows = [
+        (1, "a b c d e unique1 tail1"),
+        (2, "prefix2 a b c d e tail2"),
+    ]
+    got = _clean(spark, rows)
+    assert got[1] == ("unique1 tail1", 2, 5)
+    assert got[2] == ("prefix2 tail2", 2, 5)
+
+
+def test_clean_untouched_docs_pass_through(spark):
+    rows = [(1, "totally unique text one"), (2, "and another thing here")]
+    got = _clean(spark, rows)
+    assert got[1] == ("totally unique text one", 4, 0)
+    assert got[2] == ("and another thing here", 4, 0)
+
+
+def test_clean_fully_duplicated_doc_empties(spark):
+    rows = [(1, "same doc text"), (2, "same doc text")]
+    got = _clean(spark, rows)
+    assert got[1] == ("", 0, 3) and got[2] == ("", 0, 3)
+
+
+def test_clean_matches_spans_accounting(spark):
+    from flink_hiveorc_spark.functions.dedup import exact_substring_spans
+
+    rows = [
+        (i, f"head{i} x y z common run here tail{i} x y z")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = exact_substring_spans(df, min_tokens=3).collect()
+    removed_by_doc = {}
+    for r in spans:
+        removed_by_doc[r.doc_id] = removed_by_doc.get(r.doc_id, 0) + r.span_tokens
+    got = _clean(spark, rows)
+    for doc_id, (_, kept, removed) in got.items():
+        assert removed == removed_by_doc.get(doc_id, 0)
+        assert kept + removed == 11
