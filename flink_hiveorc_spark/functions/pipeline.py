@@ -611,3 +611,90 @@ def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", "lang", "source", "n_chars", "priority")
     )
+
+
+# ----------------------------------------------------------------------
+# Context-window chunking (r12): split documents into fixed-size token
+# windows with overlap — the pretraining-prep step between cleaning and
+# tokenization (every LM pipeline packs long documents into
+# sequence-length windows; stride < window keeps boundary context).
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_token_windows(
+    docs: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, text) -> (doc_id, chunk_idx, start_pos, n_tokens,
+    chunk_text): whitespace-token windows of exactly `window` tokens
+    at `stride` steps, plus a clamped tail window ending at the last
+    token when the stride does not land there exactly (deduplicated
+    when it does); documents at or under `window` tokens yield one
+    whole-document chunk. Map-side only until the final per-doc
+    window numbering (bounded by chunks-per-doc) — no corpus-sized
+    shuffle. start_pos is 1-based."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.expr(
+        f"CASE WHEN size(w) <= {window} THEN array(1) "
+        f"ELSE array_distinct(concat("
+        f"  transform(sequence(0, (size(w) - {window}) div {stride}),"
+        f"            k -> 1 + k * {stride}),"
+        f"  array(size(w) - {window} + 1))) END"
+    )
+    exploded = toks.select(
+        "doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start_pos")
+    )
+    # the starts array ascends (regular grid + clamped tail), so the
+    # posexplode index IS the chunk index — assert via a window-free
+    # projection; n_tokens is `window` except for short docs
+    n_tok = F.least(F.lit(window), F.size("w"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start_pos"), n_tok), " "
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "pipeline_chunk_token_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, 1 + k * {CHUNK_STRIDE} AS start_pos
+      FROM t, UNNEST(range(0,
+           (len(w) - {CHUNK_WINDOW}) // {CHUNK_STRIDE} + 1)) AS r(k)
+      WHERE len(w) > {CHUNK_WINDOW}
+      UNION
+      SELECT doc_id, len(w) - {CHUNK_WINDOW} + 1 FROM t
+      WHERE len(w) > {CHUNK_WINDOW}
+      UNION
+      SELECT doc_id, 1 FROM t WHERE len(w) <= {CHUNK_WINDOW}
+    )
+    SELECT s.doc_id,
+           CAST(row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY s.start_pos) - 1
+                AS BIGINT) AS chunk_idx,
+           CAST(s.start_pos AS BIGINT) AS start_pos,
+           CAST(least({CHUNK_WINDOW}, len(t.w)) AS BIGINT) AS n_tokens,
+           array_to_string(
+             t.w[s.start_pos :
+                 s.start_pos + least({CHUNK_WINDOW}, len(t.w)) - 1],
+             ' ') AS chunk_text
+    FROM s JOIN t ON t.doc_id = s.doc_id
+    """,
+)
+def pipeline_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking over the documents table: 32-token
+    windows at stride 24 (8-token overlap) with a clamped tail — see
+    chunk_token_windows. The value hash covers every chunk's exact
+    text, start, and numbering, so an off-by-one in the stride grid,
+    tail clamp, dedup, or slice bounds flips it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_token_windows(docs)

@@ -135,3 +135,55 @@ def test_clean_matches_spans_accounting(spark):
     for doc_id, (_, kept, removed) in got.items():
         assert removed == removed_by_doc.get(doc_id, 0)
         assert kept + removed == 11
+
+
+def test_chunk_token_windows_semantics(spark):
+    from flink_hiveorc_spark.functions.pipeline import chunk_token_windows
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(1, 11))),  # 10 tokens
+        (2, "a b c"),                                   # short doc
+        (3, " ".join(f"u{i}" for i in range(1, 9))),    # exact grid
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for r in chunk_token_windows(df, window=4, stride=3).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_pos, r.n_tokens, r.chunk_text)
+        )
+    for v in out.values():
+        v.sort()
+    # doc 1: n=10, w=4, s=3 -> regular starts 1,4,7 + tail 7 (dup) -> 1,4,7
+    assert out[1] == [
+        (0, 1, 4, "t1 t2 t3 t4"),
+        (1, 4, 4, "t4 t5 t6 t7"),
+        (2, 7, 4, "t7 t8 t9 t10"),
+    ]
+    # doc 2: short -> single whole-doc chunk
+    assert out[2] == [(0, 1, 3, "a b c")]
+    # doc 3: n=8 -> starts 1,4 + tail 5
+    assert out[3] == [
+        (0, 1, 4, "u1 u2 u3 u4"),
+        (1, 4, 4, "u4 u5 u6 u7"),
+        (2, 5, 4, "u5 u6 u7 u8"),
+    ]
+
+
+def test_chunk_token_windows_full_coverage_property(spark):
+    from flink_hiveorc_spark.functions.pipeline import chunk_token_windows
+
+    rows = [(n, " ".join(f"w{i}" for i in range(1, n + 1)))
+            for n in (1, 5, 6, 7, 12, 13, 29)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_token_windows(df, window=6, stride=4).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, rs in by_doc.items():
+        covered = set()
+        for r in rs:
+            assert r.start_pos + r.n_tokens - 1 <= n
+            covered.update(range(r.start_pos, r.start_pos + r.n_tokens))
+        assert covered == set(range(1, n + 1)), n  # no token left behind
+        idxs = sorted(r.chunk_idx for r in rs)
+        assert idxs == list(range(len(rs)))  # dense numbering
