@@ -81,6 +81,12 @@ HEADLINE = [
     # per-core throughput constant, tracked round-over-round like
     # every other headline number (map-only, 0-exchange plan)
     "multimodal_image_decode_stats",
+    # round 12 additions: the exact-substring dedup shuffle (the one
+    # corpus-sized exchange class the L1/L2 battery had not yet
+    # benched) and the VP8L decode rotation (entropy-coded image
+    # decode throughput, per-payload Huffman table builds)
+    "dedup_exact_substring_spans",
+    "multimodal_webp_decode_stats",
 ]
 
 

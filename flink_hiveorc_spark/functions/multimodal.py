@@ -3443,6 +3443,308 @@ def multimodal_raster_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return image_stats(payloads)
 
 
+_BLOCKHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blockhash", T.StringType()),
+        T.StructField("n_dark_blocks", T.LongType()),
+    ]
+)
+
+
+def blockhash_bits(payload: bytes, grid: int = 8) -> tuple[str, int]:
+    """Perceptual image fingerprint, blockhash-class (Yang/Weng/
+    Preneel, "Robust image hashing", blockhash.io family): decode →
+    integer BT.601 luma → grid×grid block sums with floor(i·H/g)
+    boundaries → bit i = (block i is brighter than the median block)
+    — all integer arithmetic, no floats, so the hash is engine- and
+    platform-exact. Median of the g² block VALUES uses the
+    even-count convention 2·s > (m_lo + m_hi) (strict >, ties dark),
+    keeping everything in integers. Returns (hex string of g² bits
+    MSB-first, number of dark blocks).
+
+    Near-dup use: Hamming-close hashes ⇒ visually-close images; pair
+    generation buckets hash BANDS exactly like the MinHash LSH path
+    (no all-pairs scan). 100 TB posture: map-only per blob, 16-byte
+    output per image."""
+    import numpy as np
+
+    arr = decode_image(payload)
+    h, w = arr.shape[:2]
+    if h < grid or w < grid:
+        raise ValueError(f"image {h}x{w} smaller than the {grid}x{grid} grid")
+    if arr.shape[2] >= 3:
+        r = arr[:, :, 0].astype(np.int64)
+        g = arr[:, :, 1].astype(np.int64)
+        b = arr[:, :, 2].astype(np.int64)
+        luma = 299 * r + 587 * g + 114 * b  # BT.601 ×1000, exact
+    else:
+        luma = arr[:, :, 0].astype(np.int64) * 1000
+    ys = [h * i // grid for i in range(grid + 1)]
+    xs = [w * i // grid for i in range(grid + 1)]
+    sums = np.empty(grid * grid, dtype=np.int64)
+    for by in range(grid):
+        for bx in range(grid):
+            block = luma[ys[by] : ys[by + 1], xs[bx] : xs[bx + 1]]
+            # normalize by block area ×LCM so unequal blocks compare
+            # fairly in exact integers: sum × (total/area)
+            area = block.shape[0] * block.shape[1]
+            sums[by * grid + bx] = int(block.sum()) * (h * w) // area
+    order = np.sort(sums)
+    n = grid * grid
+    m_lo = int(order[(n - 1) // 2])
+    m_hi = int(order[n // 2])
+    bits = [(1 if 2 * int(v) > m_lo + m_hi else 0) for v in sums]
+    val = 0
+    for bit in bits:
+        val = (val << 1) | bit
+    hex_len = (n + 3) // 4
+    return format(val, f"0{hex_len}x"), n - sum(bits)
+
+
+def _blockhash_features(payload: bytes) -> dict:
+    hx, dark = blockhash_bits(payload)
+    return {"blockhash": hx, "n_dark_blocks": dark}
+
+
+def image_blockhash(images: DataFrame, quarantine: bool = False) -> DataFrame:
+    """Distributed blockhash over (doc_id, payload) images — the
+    image-side near-dup fingerprint (the dedup battery's text/
+    embedding ops don't see pixels). Same quarantine contract."""
+    return _stats_df(images, _BLOCKHASH_SCHEMA, _blockhash_features, quarantine)
+
+
+@query(
+    "multimodal_image_blockhash",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    blocks AS (
+      -- 8x8 PGM, grid 8: every block is ONE pixel; pixel (r, c) for
+      -- r in 0..7 is digest byte (2r + c div 4) bit-sliced? No — the
+      -- payload repeats each digest byte 4 times per row pair: pixel
+      -- value at (r, c) = byte[(r div 2) * 4 + (c div 2)] — a 4x4
+      -- digest grid doubled to 8x8, so block sums equal byte*1000
+      -- with the doubled grid collapsing back to the byte value.
+      SELECT doc_id, i, byte * 1000 AS s FROM b
+    ),
+    med AS (
+      SELECT doc_id,
+             max(CASE WHEN rk = 8 THEN s END) AS m_lo,
+             max(CASE WHEN rk = 9 THEN s END) AS m_hi
+      FROM (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s, i) AS rk
+        FROM blocks
+      ) GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT blocks.doc_id, blocks.i,
+             CASE WHEN 2 * blocks.s > med.m_lo + med.m_hi
+                  THEN 1 ELSE 0 END AS bit
+      FROM blocks JOIN med ON med.doc_id = blocks.doc_id
+    ),
+    g AS (
+      -- 16 digest positions -> 64 pixels: position i covers the four
+      -- grid cells (2*(i div 4) + dr, 2*(i mod 4) + dc); emit each
+      -- bit at its bit index 63 - cell
+      SELECT doc_id,
+             sum(bit * power_of_two) AS hash_val,
+             64 - sum(bit) AS dark
+      FROM (
+        SELECT bits.doc_id, bits.bit,
+               CAST(pow(2.0, 63 - ((2 * (bits.i // 4) + u.dr) * 8
+                                  + 2 * (bits.i % 4) + u.dc))
+                    AS HUGEINT) AS power_of_two
+        FROM bits, (VALUES (0,0),(0,1),(1,0),(1,1)) AS u(dr, dc)
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           lpad(lower(hex(CAST(hash_val AS HUGEINT))), 16, '0') AS blockhash,
+           CAST(dark AS BIGINT) AS n_dark_blocks
+    FROM g
+    """,
+)
+def multimodal_image_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blockhash fingerprint under the external oracle: each doc
+    ships an 8×8 P5 PGM whose pixels are the 16 digest bytes each
+    doubled 2×2 (pixel (r,c) = byte[(r div 2)·4 + (c div 2)]), so
+    with the default 8×8 grid every block is one pixel and the block
+    sums collapse to byte·1000 — the median rank logic, strict-
+    greater tie convention, bit order (MSB-first row-major), and hex
+    rendering are all pinned by pure digest arithmetic. A luma-
+    weight, boundary, median, or endianness divergence flips the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    db = [
+        F.unhex(F.substring(F.col("hx"), 2 * i + 1, 2)) for i in range(16)
+    ]
+    parts = [F.lit(b"P5\n8 8\n255\n")]
+    for r in range(8):
+        for c in range(8):
+            parts.append(db[(r // 2) * 4 + (c // 2)])
+    payloads = docs.select(
+        "doc_id", F.concat(*parts).alias("payload")
+    )
+    return image_blockhash(payloads)
+
+
+def image_blockhash_pairs(
+    hashes: DataFrame, bands: int = 4, max_hamming: int = 8
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from blockhash fingerprints:
+    banded-bucket candidate generation (split the 16-hex-char hash
+    into `bands` substrings; only docs sharing at least one exact
+    band ever meet — the MinHash-LSH shape, never all-pairs) then an
+    exact Hamming filter computed nibble-wise on the hex strings
+    (engine-portable: no 64-bit unsigned arithmetic). Input:
+    (doc_id, blockhash). Output: (doc_a, doc_b, hamming)."""
+    width = 16 // bands
+    ex = hashes.select(
+        "doc_id",
+        F.col("blockhash").alias("h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("blockhash", i * width + 1, width)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h").alias("ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h").alias("hb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = None
+    for i in range(16):
+        na = F.conv(F.substring("ha", i + 1, 1), 16, 10).cast("int")
+        nb = F.conv(F.substring("hb", i + 1, 1), 16, 10).cast("int")
+        term = F.bit_count(na.bitwiseXOR(nb))
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_image_blockhash_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 4 < 2
+                      THEN CAST(doc_id - (doc_id % 2) AS VARCHAR)
+                      ELSE CAST(doc_id AS VARCHAR) END) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM base, UNNEST(range(0, 16)) AS t(i)
+    ),
+    med AS (
+      SELECT doc_id,
+             max(CASE WHEN rk = 8 THEN s END) AS m_lo,
+             max(CASE WHEN rk = 9 THEN s END) AS m_hi
+      FROM (
+        SELECT doc_id, byte * 1000 AS s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY byte * 1000, i) AS rk
+        FROM b
+      ) GROUP BY doc_id
+    ),
+    g AS (
+      SELECT b.doc_id,
+             sum(CASE WHEN 2 * b.byte * 1000 > med.m_lo + med.m_hi
+                      THEN CAST(pow(2.0, 63 - ((2 * (b.i // 4) + u.dr) * 8
+                                             + 2 * (b.i % 4) + u.dc))
+                           AS HUGEINT) ELSE 0 END) AS hash_val
+      FROM b JOIN med ON med.doc_id = b.doc_id,
+           (VALUES (0,0),(0,1),(1,0),(1,1)) AS u(dr, dc)
+      GROUP BY b.doc_id
+    ),
+    hx AS (
+      SELECT doc_id,
+             lpad(lower(hex(CAST(hash_val AS HUGEINT))), 16, '0') AS h
+      FROM g
+    ),
+    ex AS (
+      SELECT doc_id, h, k AS band_idx, substr(h, k * 4 + 1, 4) AS band_val
+      FROM hx, UNNEST(range(0, 4)) AS r(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.h AS ha, b2.h AS hb
+      FROM ex a JOIN ex b2
+        ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+       AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST((
+             SELECT sum(bit_count(
+               xor(strpos('0123456789abcdef', substr(ha, j, 1)) - 1,
+                   strpos('0123456789abcdef', substr(hb, j, 1)) - 1)))
+             FROM UNNEST(range(1, 17)) AS n(j)
+           ) AS BIGINT) AS hamming
+    FROM cand
+    WHERE (
+      SELECT sum(bit_count(
+        xor(strpos('0123456789abcdef', substr(ha, j, 1)) - 1,
+            strpos('0123456789abcdef', substr(hb, j, 1)) - 1)))
+      FROM UNNEST(range(1, 17)) AS n(j)
+    ) <= 8
+    """,
+)
+def dedup_image_blockhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs end-to-end under the external oracle:
+    every doc ships an 8×8 PGM derived from md5 of its PAIR KEY
+    (docs with doc_id % 4 < 2 share the key doc_id−(doc_id%2) —
+    guaranteed exact-duplicate images at Hamming 0; the rest hash
+    their own id — random 64-bit fingerprints whose band collisions,
+    if any, are filtered by the Hamming cut), decodes through the
+    real blockhash path, and pairs via 4-band buckets + nibble-wise
+    Hamming ≤ 8. The oracle replicates decode-free digest arithmetic
+    for the hash AND the full pair pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.when(
+        F.col("doc_id") % 4 < 2,
+        (F.col("doc_id") - F.col("doc_id") % 2).cast("string"),
+    ).otherwise(F.col("doc_id").cast("string"))
+    hx = F.md5(key)
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
+    parts = [F.lit(b"P5\n8 8\n255\n")]
+    for r in range(8):
+        for c in range(8):
+            parts.append(db[(r // 2) * 4 + (c // 2)])
+    payloads = docs.select("doc_id", F.concat(*parts).alias("payload"))
+    hashes = image_blockhash(payloads).select("doc_id", "blockhash")
+    return image_blockhash_pairs(hashes)
+
+
 # RIFF chunk iteration is shared with the structural AVI probe —
 # one walker, one set of size-validation semantics (probe.riff_chunks).
 _avi_chunks = riff_chunks
