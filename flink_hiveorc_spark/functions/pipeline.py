@@ -698,3 +698,83 @@ def pipeline_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail clamp, dedup, or slice bounds flips it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_token_windows(docs)
+
+
+# ----------------------------------------------------------------------
+# Corpus snapshot diff (r12): the incremental-refresh primitive — what
+# changed between two corpus versions, by content hash. Drives delta
+# re-tokenization (only 'added'/'modified' docs re-enter the pipeline)
+# and retention audits.
+
+
+def corpus_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, text) x2 -> (doc_id, change, old_hash, new_hash) with
+    change in {'added', 'removed', 'modified'}; unchanged documents
+    (same md5) emit nothing. One full-outer join on doc_id over
+    pre-hashed projections — at 100 TB both sides carry only
+    (doc_id, 32-byte hash) into the shuffle, never the text."""
+    oh = old.select(
+        F.col("doc_id"), F.md5("text").alias("old_hash")
+    )
+    nh = new.select(
+        F.col("doc_id"), F.md5("text").alias("new_hash")
+    )
+    j = oh.join(nh, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("modified"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select("doc_id", "change", "old_hash", "new_hash")
+    )
+
+
+@query(
+    "pipeline_corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' [edited]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 5
+      UNION ALL
+      SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    oh AS (SELECT doc_id, md5(text) AS old_hash FROM old),
+    nh AS (SELECT doc_id, md5(text) AS new_hash FROM new)
+    SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+           CASE WHEN oh.doc_id IS NULL THEN 'added'
+                WHEN nh.doc_id IS NULL THEN 'removed'
+                ELSE 'modified' END AS change,
+           oh.old_hash, nh.new_hash
+    FROM oh FULL OUTER JOIN nh ON nh.doc_id = oh.doc_id
+    WHERE oh.doc_id IS NULL OR nh.doc_id IS NULL
+       OR oh.old_hash <> nh.new_hash
+    """,
+)
+def pipeline_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the documents table and a derived 'v2'
+    (doc_id % 7 == 3 edited, % 7 == 5 dropped, one synthetic new doc
+    per % 11 == 0) — the three change classes and the
+    unchanged-silence property all under the value oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = docs.where(F.col("doc_id") % 7 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat("text", F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    return corpus_snapshot_diff(docs, edited.unionByName(added))

@@ -238,8 +238,12 @@ def _emit_body(
         bw.write(meta_bits - 2, 3)
         ew = (width + (1 << meta_bits) - 1) >> meta_bits
         eh = (height + (1 << meta_bits) - 1) >> meta_bits
-        # vertical stripes: group = block_x % meta_groups, in the
-        # (red<<8)|green channel of the entropy image
+        # vertical stripes: group = block_x % n, in the (red<<8)|green
+        # channel. The decoder derives its group count from the MAX
+        # index in the entropy image, so clamp to the blocks that
+        # actually exist — asking for more groups than blocks would
+        # emit definitions the decoder never reads.
+        meta_groups = min(meta_groups, ew)
         epix = [
             (0xFF << 24) | (((bx % meta_groups) & 0xFFFF) << 8)
             for _ in range(eh)

@@ -131,6 +131,23 @@ PROBE = [
     # counts and tar verification stay deterministic).
     "multimodal_image_decode_stats",
     "webdataset_export_verify",
+    # round 12: map-only decode rotations (VP8L, legacy rasters,
+    # blob decompression, blockhash — per-row featurizers, expect
+    # near-linear), the exact-substring gram shuffle (replication
+    # makes every gram duplicated: one full-doc span per doc, output
+    # linear in N), window chunking (map-only fan-out), and two DS
+    # shapes (rollup+rank aggregate; the 8-join returned-sales
+    # chain). dedup_image_blockhash_pairs excluded as a pair-finder
+    # (replicated identical images explode buckets N² by
+    # construction, same class as dedup_sorted_neighborhood).
+    "multimodal_webp_decode_stats",
+    "multimodal_raster_decode_stats",
+    "multimodal_decompress_stats",
+    "multimodal_image_blockhash",
+    "dedup_exact_substring_spans",
+    "pipeline_chunk_token_windows",
+    "tpcds_rollup_topk_per_group",
+    "tpcds_returned_sales_two_year_chain",
 ]
 
 
