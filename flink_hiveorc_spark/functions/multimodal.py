@@ -3745,6 +3745,122 @@ def dedup_image_blockhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_blockhash_pairs(hashes)
 
 
+@query(
+    "multimodal_webp_animation_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 12)) AS t(i)
+    ),
+    f AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx, sum(byte) AS sb
+      FROM b WHERE i < 8 GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT) AS frame_idx,
+             sum(CASE WHEN i IN (0, 1, 4, 5, 8, 9, 10, 11) THEN byte
+                      ELSE 0 END) AS sb
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, frame_idx,
+           CAST(2 AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(sb AS DOUBLE) / 8 AS mean_byte
+    FROM f
+    """,
+)
+def multimodal_webp_animation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANIMATED-WEBP compositing under the external oracle (r12) —
+    the VP8X/ANIM/ANMF twin of the GIF and APNG animation queries,
+    SAME oracle, same expected canvases: per document a 2-frame
+    lossless animation on a 4×2 canvas — frame 1 the full rect of
+    digest bytes 0..7, frame 2 a 2×2 sub-rect at (2,0) of bytes
+    8..11, both with blending method 1 (overwrite) so the composite
+    is integer-exact. Frames are the subtract-green VP8L
+    construction (gray: r = b = g after the inverse), each pixel one
+    bit-reversed stream byte; the ANMF even-offset rule (stored
+    x = 1 → pixel x = 2), frame-geometry cross-check against the
+    VP8L header, chunk padding, and the VP8X animation flag are all
+    on the decode path. The payload fans out through
+    `gif_frame_sample` (which routes RIFF/WEBP to
+    decode_webp_frames) into `image_stats`. A placement, blend-flag,
+    offset-doubling, chunk-walk, or compositing divergence flips the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    seg = _vp8l_segments()
+    rev = F.lit(seg["rev"])
+    dv = [
+        F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(12)
+    ]
+
+    def lk(i):
+        return rev.substr(dv[i] + 1, F.lit(1))
+
+    def anmf_const(x_px, y_px, w_, h_, hdr: bytes, n_units: int) -> tuple:
+        """(constant ANMF prefix through the VP8L header, pad bytes
+        after the digest units)."""
+        chunk_len = 1 + len(hdr) + n_units
+        sub_pad = b"\x00" if chunk_len & 1 else b""
+        body_len = 16 + 8 + chunk_len
+        anmf_pad = b"\x00" if body_len & 1 else b""
+        prefix = (
+            b"ANMF" + struct.pack("<I", body_len)
+            + (x_px // 2).to_bytes(3, "little")
+            + (y_px // 2).to_bytes(3, "little")
+            + (w_ - 1).to_bytes(3, "little")
+            + (h_ - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")
+            + bytes([0x02])  # blending method 1 (overwrite)
+            + b"VP8L" + struct.pack("<I", chunk_len) + b"\x2f" + hdr
+        )
+        return prefix, sub_pad + anmf_pad
+
+    pre1, pad1 = anmf_const(0, 0, 4, 2, seg["anim1_hdr"], 8)
+    pre2, pad2 = anmf_const(2, 0, 2, 2, seg["anim2_hdr"], 4)
+    # total chunk bytes after "WEBP": VP8X(8+10) + ANIM(8+6) + both
+    # ANMF chunks (prefix already includes their VP8L headers)
+    chunks_len = (
+        8 + 10 + 8 + 6
+        + len(pre1) + 8 + len(pad1)
+        + len(pre2) + 4 + len(pad2)
+    )
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + b"\x00" * 3
+        + (3).to_bytes(3, "little") + (1).to_bytes(3, "little")
+    )
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\x00" * 4 + struct.pack("<H", 0)
+    riff = b"RIFF" + struct.pack("<I", 4 + chunks_len) + b"WEBP"
+    payload = F.concat(
+        F.lit(riff + vp8x + anim + pre1),
+        *[lk(i) for i in range(8)],
+        F.lit(pad1 + pre2),
+        *[lk(i) for i in range(8, 12)],
+        F.lit(pad2),
+    )
+    payloads = docs.select("doc_id", payload.alias("payload"))
+    frames = gif_frame_sample(payloads)
+    packed = frames.select(
+        (F.col("doc_id") * 2 + F.col("frame_idx")).alias("doc_id"), "payload"
+    )
+    stats = image_stats(packed)
+    return stats.select(
+        (F.col("doc_id") / 2).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 2).alias("frame_idx"),
+        "height",
+        "width",
+        "channels",
+        "mean_byte",
+    )
+
+
 # RIFF chunk iteration is shared with the structural AVI probe —
 # one walker, one set of size-validation semantics (probe.riff_chunks).
 _avi_chunks = riff_chunks
@@ -4100,9 +4216,25 @@ def _gif_frames_checked(raw: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed APNG payload: {e}") from e
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        # animated lossless WebP rides the same sampler (r12):
+        # identical frames/delays contract, identical quarantine
+        # classes; lossy-frame animations gate as unsupported
+        from flink_hiveorc_spark.functions.webp import decode_webp_frames
+
+        try:
+            return decode_webp_frames(
+                raw,
+                max_pixels=MAX_IMAGE_PIXELS,
+                max_total_pixels=MAX_GIF_TOTAL_PIXELS,
+            )
+        except (NotImplementedError, ValueError):
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed animated WebP payload: {e}") from e
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError(
-            "gif_frame_sample requires a GIF or APNG payload"
+            "gif_frame_sample requires a GIF, APNG, or WebP payload"
         )
     try:
         return decode_gif_frames(raw)
@@ -5643,6 +5775,24 @@ def _vp8l_segments() -> dict:
         green256(w, extra)
         trailer(w, wides)
 
+    def legA1(w, extra, wides):
+        # animation frame 1: 4x2 subtract-green gray (full canvas)
+        hdr(w, 4, 2, 0)
+        w.w(1, 1)
+        w.w(2, 2)
+        w.w(0, 3)
+        green256(w, extra)
+        trailer(w, wides)
+
+    def legA2(w, extra, wides):
+        # animation frame 2: 2x2 subtract-green gray (sub-rect)
+        hdr(w, 2, 2, 0)
+        w.w(1, 1)
+        w.w(2, 2)
+        w.w(0, 3)
+        green256(w, extra)
+        trailer(w, wides)
+
     def leg7(w, extra, wides):
         hdr(w, 4, 2, 1)
         w.w(0, 3)
@@ -5692,6 +5842,7 @@ def _vp8l_segments() -> dict:
     tail5.w(7, 3)  # plane 24 = prefix code 8 + extra 7
     hdrs = [aligned(f) for f in
             (leg0, leg1, leg2, leg3, leg4, leg5, leg6, leg7)]
+    anim_hdrs = [aligned(legA1), aligned(legA2)]
     unit_lens = [16, 16, 16, 16, 8, 4, 16, 16]
     tails = [b""] * 8
     tails[5] = tail5.tobytes()
@@ -5703,6 +5854,8 @@ def _vp8l_segments() -> dict:
             container(hdrs[i], unit_lens[i], tails[i]) for i in range(8)
         ],
         "tails": tails,
+        "anim1_hdr": anim_hdrs[0],
+        "anim2_hdr": anim_hdrs[1],
     }
 
 

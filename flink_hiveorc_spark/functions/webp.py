@@ -627,7 +627,12 @@ def decode_webp(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
             raise ValueError(f"truncated WebP chunk {fourcc!r}")
         if fourcc == b"VP8L":
             return decode_vp8l(body, max_pixels=max_pixels)
-        if fourcc in (b"VP8 ", b"ANMF"):
+        if fourcc == b"ANMF":
+            # animated lossless: the still view is the first
+            # composited frame (the GIF/APNG decode_image convention)
+            frames, _ = decode_webp_frames(payload, max_pixels=max_pixels)
+            return frames[0]
+        if fourcc == b"VP8 ":
             saw_lossy = True
         pos += 8 + size + (size & 1)  # RIFF pads odd chunks
     if saw_lossy:
@@ -636,3 +641,157 @@ def decode_webp(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
             "natively (PIL gate)"
         )
     raise ValueError("WebP container has no image chunk")
+
+
+def decode_webp_frames(
+    payload: bytes,
+    max_pixels: int | None = None,
+    max_total_pixels: int | None = None,
+):
+    """Animated WebP (VP8X + ANIM/ANMF) with LOSSLESS frames →
+    (composited frames (N, H, W, 4) uint8 RGBA, per-frame durations
+    in ms) — the same contract as decode_gif_frames /
+    decode_apng_frames so one sampler covers all three animation
+    containers.
+
+    Compositing per the WebP Container Specification: the canvas
+    starts fully transparent (the spec leaves initialization to the
+    application — MAY use the background color — and browsers render
+    transparent; documented choice); each ANMF places its frame at
+    (2·frame_x, 2·frame_y); blending method B=0 alpha-composites
+    with straight alpha (the same 'over' math as the APNG/GIF
+    compositors), B=1 overwrites; disposal D=1 fills the frame
+    rectangle with the ANIM background color (BGRA byte order, as
+    the spec REQUIRES for disposal) after the frame is shown, D=0
+    keeps it. A still lossless WebP yields one frame of duration 0,
+    so the sampler is safe over mixed still/animated columns. Lossy
+    (VP8) or ALPH-carrying frames gate with NotImplementedError."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("RIFF size overflows the WebP payload")
+    end = 8 + riff_size
+    pos = 12
+
+    def chunks(p, e):
+        while p + 8 <= e:
+            fourcc = payload[p : p + 4]
+            (size,) = struct.unpack_from("<I", payload, p + 4)
+            body = p + 8
+            if body + size > e:
+                raise ValueError(f"truncated WebP chunk {fourcc!r}")
+            yield fourcc, body, size
+            p = body + size + (size & 1)
+
+    canvas_wh = None
+    animated = False
+    bg = (0, 0, 0, 0)
+    frames_meta = []
+    still = None
+    for fourcc, body, size in chunks(pos, end):
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X header")
+            flags = payload[body]
+            animated = bool(flags & 0x02)
+            cw = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+            ch = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+            canvas_wh = (cw, ch)
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise ValueError("truncated ANIM chunk")
+            b_, g_, r_, a_ = payload[body : body + 4]  # BGRA order
+            bg = (r_, g_, b_, a_)
+        elif fourcc == b"ANMF":
+            if size < 16:
+                raise ValueError("truncated ANMF header")
+            fx = int.from_bytes(payload[body : body + 3], "little") * 2
+            fy = int.from_bytes(payload[body + 3 : body + 6], "little") * 2
+            fw = int.from_bytes(payload[body + 6 : body + 9], "little") + 1
+            fh = int.from_bytes(payload[body + 9 : body + 12], "little") + 1
+            dur = int.from_bytes(payload[body + 12 : body + 15], "little")
+            fflags = payload[body + 15]
+            sub = None
+            for fc2, b2, s2 in chunks(body + 16, body + size):
+                if fc2 == b"VP8L":
+                    sub = payload[b2 : b2 + s2]
+                elif fc2 in (b"VP8 ", b"ALPH"):
+                    raise NotImplementedError(
+                        "animated WebP with lossy VP8/ALPH frames needs a "
+                        "transform codec this build lacks natively"
+                    )
+            if sub is None:
+                raise ValueError("ANMF frame carries no image chunk")
+            frames_meta.append(
+                (fx, fy, fw, fh, dur, (fflags >> 1) & 1, fflags & 1, sub)
+            )
+        elif fourcc == b"VP8L":
+            still = payload[body : body + size]
+        elif fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP needs a transform codec this build lacks "
+                "natively (PIL gate)"
+            )
+    if not frames_meta:
+        if still is None:
+            raise ValueError("WebP container has no image chunk")
+        rgba = decode_vp8l(still, max_pixels=max_pixels)
+        if rgba.shape[2] == 3:
+            rgba = np.concatenate(
+                [rgba, np.full(rgba.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        return rgba[None, :, :, :], [0.0]
+    if not animated:
+        raise ValueError("ANMF frames without the VP8X animation flag")
+    if canvas_wh is None:
+        raise ValueError("animated WebP lacks a VP8X canvas")
+    W, H = canvas_wh
+    if max_pixels is not None and W * H > max_pixels:
+        raise ValueError(f"WebP canvas {W}x{H} exceeds {max_pixels} pixels")
+    if (
+        max_total_pixels is not None
+        and len(frames_meta) * W * H > max_total_pixels
+    ):
+        raise ValueError(
+            f"WebP animation {len(frames_meta)}x{W}x{H} exceeds "
+            f"{max_total_pixels} pixels (decompression-bomb guard)"
+        )
+    canvas = np.zeros((H, W, 4), dtype=np.uint8)
+    out = []
+    durations = []
+    for fx, fy, fw, fh, dur, no_blend, dispose_bg, sub in frames_meta:
+        if fx + fw > W or fy + fh > H:
+            raise ValueError("ANMF frame rectangle outside the canvas")
+        rgba = decode_vp8l(sub, max_pixels=max_pixels)
+        if (rgba.shape[1], rgba.shape[0]) != (fw, fh):
+            raise ValueError(
+                "ANMF declared geometry differs from the frame bitstream"
+            )
+        if rgba.shape[2] == 3:
+            rgba = np.concatenate(
+                [rgba, np.full((fh, fw, 1), 255, np.uint8)], axis=2
+            )
+        region = (slice(fy, fy + fh), slice(fx, fx + fw))
+        if no_blend:
+            canvas[region] = rgba
+        else:
+            dst = canvas[region].astype(np.float64)
+            src = rgba.astype(np.float64)
+            sa = src[:, :, 3:4] / 255.0
+            da = dst[:, :, 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = np.where(
+                oa > 0,
+                (src[:, :, :3] * sa + dst[:, :, :3] * da * (1.0 - sa))
+                / np.maximum(oa, 1e-12),
+                0.0,
+            )
+            canvas[region] = np.clip(
+                np.rint(np.concatenate([rgb, oa * 255.0], axis=2)), 0, 255
+            ).astype(np.uint8)
+        out.append(canvas.copy())
+        durations.append(float(dur))
+        if dispose_bg:
+            canvas[region] = np.array(bg, dtype=np.uint8)
+    return np.stack(out), durations

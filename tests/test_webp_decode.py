@@ -816,3 +816,180 @@ def test_oracle_leg_constructions_pin_decoder():
                 f["height"], f["width"], f["channels"]
             ) == expect[leg][:3], (leg, text)
             assert f["mean_byte"] == pytest.approx(expect[leg][3]), (leg, text)
+
+
+# ------------------------------------------------------- animated WebP
+
+
+def _vp8l_chunk_of(webp_file: bytes) -> bytes:
+    off = webp_file.index(b"VP8L")
+    (size,) = struct.unpack_from("<I", webp_file, off + 4)
+    return webp_file[off + 8 : off + 8 + size]
+
+
+def _anmf(x, y, frame_vp8l: bytes, dur=40, blend_none=False,
+          dispose_bg=False) -> bytes:
+    import numpy as _np  # noqa: F401
+
+    body = (
+        (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+    )
+    # width/height from the frame's own VP8L header (14-bit fields)
+    w = ((frame_vp8l[1] | (frame_vp8l[2] << 8)) & 0x3FFF) + 1
+    bits = int.from_bytes(frame_vp8l[1:5], "little")
+    h = ((bits >> 14) & 0x3FFF) + 1
+    body += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    body += dur.to_bytes(3, "little")
+    body += bytes([(2 if blend_none else 0) | (1 if dispose_bg else 0)])
+    sub = b"VP8L" + struct.pack("<I", len(frame_vp8l)) + frame_vp8l
+    if len(frame_vp8l) & 1:
+        sub += b"\x00"
+    body += sub
+    out = b"ANMF" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+def _awebp(W, H, frames, bg=(0, 0, 0, 0), loops=0) -> bytes:
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + b"\x00" * 3
+    vp8x += (W - 1).to_bytes(3, "little") + (H - 1).to_bytes(3, "little")
+    anim_body = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", loops)
+    anim = b"ANIM" + struct.pack("<I", len(anim_body)) + anim_body
+    chunks = vp8x + anim + b"".join(frames)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def test_animated_webp_regions_blend_dispose():
+    from flink_hiveorc_spark.functions.webp import decode_webp_frames
+
+    rng = np.random.default_rng(50)
+    base = rng.integers(0, 256, (4, 6, 4)).astype(np.uint8)
+    base[:, :, 3] = 255
+    patch = rng.integers(0, 256, (2, 2, 4)).astype(np.uint8)
+    patch[:, :, 3] = 255
+    f0 = _vp8l_chunk_of(encode_vp8l(base, alpha=True))
+    f1 = _vp8l_chunk_of(encode_vp8l(patch, alpha=True))
+    payload = _awebp(6, 4, [
+        _anmf(0, 0, f0, dur=30, blend_none=True),
+        _anmf(2, 2, f1, dur=70, blend_none=True, dispose_bg=True),
+        _anmf(0, 0, f0, dur=10, blend_none=True),
+    ], bg=(9, 8, 7, 255))
+    frames, durs = decode_webp_frames(payload)
+    assert durs == [30.0, 70.0, 10.0]
+    np.testing.assert_array_equal(frames[0], base)
+    exp1 = base.copy()
+    exp1[2:4, 2:4] = patch
+    np.testing.assert_array_equal(frames[1], exp1)
+    # dispose-to-background filled the patch rect BEFORE frame 2's
+    # full-canvas overwrite; frame 2 covers everything again
+    np.testing.assert_array_equal(frames[2], base)
+    # dispose visible when the next frame does NOT cover the rect:
+    payload2 = _awebp(6, 4, [
+        _anmf(0, 0, f0, blend_none=True),
+        _anmf(2, 2, f1, blend_none=True, dispose_bg=True),
+        _anmf(0, 0, f1, blend_none=True),  # top-left patch only
+    ], bg=(9, 8, 7, 255))
+    frames2, _ = decode_webp_frames(payload2)
+    exp2 = exp1.copy()
+    exp2[2:4, 2:4] = [9, 8, 7, 255]  # disposed to ANIM background
+    exp2[0:2, 0:2] = patch
+    np.testing.assert_array_equal(frames2[2], exp2)
+
+
+def test_animated_webp_alpha_blending_matches_apng_math():
+    from flink_hiveorc_spark.functions.webp import decode_webp_frames
+
+    base = np.zeros((2, 2, 4), dtype=np.uint8)
+    base[:, :] = [100, 150, 200, 255]
+    over = np.zeros((2, 2, 4), dtype=np.uint8)
+    over[:, :] = [20, 40, 60, 128]
+    f0 = _vp8l_chunk_of(encode_vp8l(base, alpha=True))
+    f1 = _vp8l_chunk_of(encode_vp8l(over, alpha=True))
+    payload = _awebp(2, 2, [
+        _anmf(0, 0, f0, blend_none=True),
+        _anmf(0, 0, f1, blend_none=False),  # alpha 'over'
+    ])
+    frames, _ = decode_webp_frames(payload)
+    sa = 128 / 255.0
+    exp_rgb = np.rint(
+        np.array([20, 40, 60]) * sa + np.array([100, 150, 200]) * (1 - sa)
+    )
+    np.testing.assert_array_equal(frames[1][0, 0, :3], exp_rgb)
+    assert frames[1][0, 0, 3] == 255
+
+
+def test_animated_webp_still_and_dispatch():
+    from flink_hiveorc_spark.functions.multimodal import decode_image
+    from flink_hiveorc_spark.functions.webp import decode_webp_frames
+
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (3, 5, 3)).astype(np.uint8)
+    still = encode_vp8l(img)
+    frames, durs = decode_webp_frames(still)
+    assert frames.shape == (1, 3, 5, 4) and durs == [0.0]
+    np.testing.assert_array_equal(frames[0][:, :, :3], img)
+    # decode_image of an animation = first composited frame
+    base = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    f0 = _vp8l_chunk_of(encode_vp8l(base, alpha=True))
+    anim = _awebp(4, 4, [_anmf(0, 0, f0, blend_none=True)])
+    np.testing.assert_array_equal(decode_image(anim), base)
+
+
+def test_animated_webp_error_contract():
+    from flink_hiveorc_spark.functions.webp import decode_webp_frames
+
+    rng = np.random.default_rng(52)
+    base = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    f0 = _vp8l_chunk_of(encode_vp8l(base, alpha=True))
+    # frame outside the canvas
+    with pytest.raises(ValueError, match="outside the canvas"):
+        decode_webp_frames(_awebp(4, 4, [_anmf(2, 2, f0)]))
+    # ANMF without the animation flag
+    good = _awebp(4, 4, [_anmf(0, 0, f0)])
+    bad = bytearray(good)
+    off = good.index(b"VP8X") + 8
+    bad[off] = 0x00
+    with pytest.raises(ValueError, match="animation flag"):
+        decode_webp_frames(bytes(bad))
+    # geometry mismatch between ANMF header and the frame bitstream
+    bad2 = bytearray(good)
+    a_off = good.index(b"ANMF") + 8
+    bad2[a_off + 6] = 0x01  # declared width-1 = 1 (frame is 4 wide)
+    with pytest.raises(ValueError, match="differs from the frame"):
+        decode_webp_frames(bytes(bad2))
+    # lossy frame gates
+    lossy_sub = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    body = b"\x00" * 15 + b"\x02" + lossy_sub
+    anmf = b"ANMF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp_frames(_awebp(4, 4, [anmf]))
+    # fuzz: byte flips stay classified
+    for _ in range(150):
+        b = bytearray(good)
+        i = int(rng.integers(12, len(b)))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_webp_frames(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_frame_sampler_routes_animated_webp(spark):
+    from flink_hiveorc_spark.functions.multimodal import gif_frame_sample
+
+    rng = np.random.default_rng(53)
+    base = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    base[:, :, 3] = 255
+    f0 = _vp8l_chunk_of(encode_vp8l(base, alpha=True))
+    anim = _awebp(4, 4, [_anmf(0, 0, f0, blend_none=True)] * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, b"not media")],
+        "doc_id long, payload binary",
+    )
+    rows = gif_frame_sample(df, every_n=2, quarantine=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.frame_idx for r in by_doc[1]] == [0, 2]
+    assert by_doc[2][0].error.startswith("unsupported:")
