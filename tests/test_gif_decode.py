@@ -451,7 +451,10 @@ def test_gif_frame_sample_composes_with_image_stats(spark):
     df = spark.createDataFrame(
         [
             (600, bytearray(payload)),
-            (601, bytearray(b"RIFF\x00\x00\x00\x00WEBPnotagif")),
+            # WebP routes through the sampler since r12: a corrupt
+            # RIFF shell is now MALFORMED, not unsupported; a plain
+            # non-animation container stays unsupported
+            (601, bytearray(b"FORM\x00\x00\x00\x00AIFFnotagif")),
             (602, bytearray(payload[:30])),
         ],
         "doc_id long, payload binary",
