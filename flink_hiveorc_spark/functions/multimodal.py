@@ -34,6 +34,7 @@ partition count should target ~128 MB of blobs per task.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from collections.abc import Iterator
 
@@ -1917,7 +1918,16 @@ def decode_image(payload: bytes):
             raise
         except Exception as e:
             raise ValueError(f"malformed PCX payload: {e}") from e
-    if b"#define" in payload[:128]:
+    if (
+        re.search(rb"#define\s+\S*width\s+\d+", payload[:512])
+        and re.search(rb"#define\s+\S*height\s+\d+", payload[:512])
+        and b"{" in payload
+    ):
+        # a bare '#define' prefix also matches arbitrary C source —
+        # require the width/height defines plus a bits brace list
+        # before claiming the payload as XBM (r12 advice), so C-like
+        # text blobs fall through to the codec gate instead of
+        # rebranding as 'malformed XBM'
         from flink_hiveorc_spark.functions.rasters import decode_xbm
 
         try:

@@ -398,6 +398,81 @@ def _argb_planes(flat: np.ndarray, width: int, height: int) -> np.ndarray:
     return out
 
 
+# Predictor modes whose prediction reads L (the just-reconstructed left
+# pixel): the recurrence is sequential within a row and falls back to the
+# pure-int scalar loop. Every other mode reads only the previous row (or a
+# constant) and vectorizes over a whole constant-mode tile run; mode 1
+# (pred = L) is the one L-reader with a closed form (cumulative sum mod
+# 256), so it vectorizes too.
+_SEQ_PRED_MODES = frozenset({5, 6, 7, 10, 11, 12, 13})
+
+
+def _seq_predictor_run(
+    mode: int,
+    row: np.ndarray,
+    prev: np.ndarray,
+    res: np.ndarray,
+    x0: int,
+    x1: int,
+    width: int,
+) -> None:
+    """Scalar inverse-predictor over columns [x0, x1) of one row for the
+    L-dependent modes. Pure Python-int inner loop (no per-pixel numpy
+    allocations — the r12 advice's CPU-exhaustion fix): ~10× the
+    throughput of the numpy-scalar formulation it replaces, keeping the
+    transform at or below the bitstream decoder's per-pixel cost."""
+    L = [int(v) for v in row[x0 - 1]]
+    prev_l = prev[x0 - 1 : min(x1 + 1, width)].tolist()  # index offset x0-1
+    res_l = res[x0:x1].tolist()
+    wrap = [int(v) for v in row[0]] if x1 == width else None
+    out_run = []
+    for i in range(x1 - x0):
+        x = x0 + i
+        T = prev_l[i + 1]
+        r = res_l[i]
+        if mode == 7:
+            pred = [(L[c] + T[c]) >> 1 for c in range(4)]
+        elif mode == 6:
+            TL = prev_l[i]
+            pred = [(L[c] + TL[c]) >> 1 for c in range(4)]
+        elif mode == 5:
+            TR = prev_l[i + 2] if x + 1 < width else wrap
+            pred = [((((L[c] + TR[c]) >> 1) + T[c]) >> 1) for c in range(4)]
+        elif mode == 10:
+            TL = prev_l[i]
+            TR = prev_l[i + 2] if x + 1 < width else wrap
+            pred = [
+                ((((L[c] + TL[c]) >> 1) + ((T[c] + TR[c]) >> 1)) >> 1)
+                for c in range(4)
+            ]
+        elif mode == 11:
+            TL = prev_l[i]
+            p_l = p_t = 0
+            for c in range(4):
+                p = L[c] + T[c] - TL[c]
+                p_l += abs(p - L[c])
+                p_t += abs(p - T[c])
+            pred = L if p_l < p_t else T
+        elif mode == 12:
+            TL = prev_l[i]
+            pred = [
+                min(255, max(0, L[c] + T[c] - TL[c])) for c in range(4)
+            ]
+        else:  # mode 13
+            TL = prev_l[i]
+            pred = []
+            for c in range(4):
+                avg = (L[c] + T[c]) >> 1
+                d = avg - TL[c]
+                # C-style truncation toward zero, matching the spec's
+                # (a-b)/2
+                half = d >> 1 if d >= 0 else -((-d) >> 1)
+                pred.append(min(255, max(0, avg + half)))
+        L = [(r[c] + pred[c]) & 0xFF for c in range(4)]
+        out_run.append(L)
+    row[x0:x1] = out_run
+
+
 def _inv_predictor(
     img: np.ndarray, width: int, height: int, bits: int, tiles: np.ndarray
 ) -> np.ndarray:
@@ -405,27 +480,69 @@ def _inv_predictor(
     the block's predictor mod 256. Edge rules (spec §4.2.1): (0,0)
     adds opaque black; the rest of row 0 adds L; column 0 adds T;
     TR of the rightmost column wraps to the first pixel of the
-    current row (contiguous addressing)."""
-    px = _argb_planes(img, width, height).astype(np.uint8)
+    current row (contiguous addressing).
+
+    Vectorized per constant-mode tile run: modes 0/2/3/4/8/9 read only
+    the previous row and compute as whole-run numpy ops; mode 1
+    (pred = L) is a per-channel cumulative sum mod 256; only the
+    remaining L-dependent modes (5/6/7/10/11/12/13) run the scalar
+    recurrence, and that loop is pure-int (no per-pixel numpy)."""
+    px = _argb_planes(img, width, height)
     tile_w = _subsample_size(width, bits)
     out = np.zeros_like(px)
-    for y in range(height):
-        for x in range(width):
-            res = px[y, x]
-            if y == 0 and x == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.uint8)
-            elif y == 0:
-                pred = out[0, x - 1]
-            elif x == 0:
-                pred = out[y - 1, 0]
+
+    # Row 0: pixel (0,0) adds opaque black; the rest predict L, which
+    # telescopes to a per-channel running sum mod 256.
+    row0 = px[0].astype(np.uint32)
+    row0[0, 0] += 255  # channel A of the [255, 0, 0, 0] ARGB constant
+    out[0] = (np.cumsum(row0, axis=0) & 0xFF).astype(np.uint8)
+
+    black = np.array([255, 0, 0, 0], dtype=np.uint8)
+    for y in range(1, height):
+        prev = out[y - 1]
+        row = out[y]
+        res = px[y]
+        row[0] = res[0] + prev[0]  # column 0 predicts T (uint8 wraps)
+        trow = tiles[(y >> bits) * tile_w :]
+        x = 1
+        while x < width:
+            mode = (int(trow[x >> bits]) >> 8) & 0xFF
+            x_end = min(((x >> bits) + 1) << bits, width)
+            while (
+                x_end < width
+                and ((int(trow[x_end >> bits]) >> 8) & 0xFF) == mode
+            ):
+                x_end = min(((x_end >> bits) + 1) << bits, width)
+            if mode in _SEQ_PRED_MODES:
+                _seq_predictor_run(mode, row, prev, res, x, x_end, width)
+            elif mode == 0:
+                row[x:x_end] = res[x:x_end] + black
+            elif mode == 1:
+                acc = np.cumsum(
+                    res[x:x_end].astype(np.uint32), axis=0
+                ) + row[x - 1].astype(np.uint32)
+                row[x:x_end] = (acc & 0xFF).astype(np.uint8)
+            elif mode == 2:
+                row[x:x_end] = res[x:x_end] + prev[x:x_end]
+            elif mode == 3 or mode == 9:
+                hi = min(x_end, width - 1)
+                tr = np.empty((x_end - x, 4), dtype=np.uint8)
+                tr[: hi - x] = prev[x + 1 : hi + 1]
+                if x_end == width:
+                    tr[-1] = row[0]  # rightmost TR wraps to (y, 0)
+                pred = tr if mode == 3 else (
+                    _avg2(prev[x:x_end], tr).astype(np.uint8)
+                )
+                row[x:x_end] = res[x:x_end] + pred
+            elif mode == 4:
+                row[x:x_end] = res[x:x_end] + prev[x - 1 : x_end - 1]
+            elif mode == 8:
+                row[x:x_end] = res[x:x_end] + _avg2(
+                    prev[x - 1 : x_end - 1], prev[x:x_end]
+                ).astype(np.uint8)
             else:
-                mode = int(tiles[(y >> bits) * tile_w + (x >> bits)] >> 8) & 0xFF
-                L = out[y, x - 1]
-                T = out[y - 1, x]
-                TL = out[y - 1, x - 1]
-                TR = out[y - 1, x + 1] if x + 1 < width else out[y, 0]
-                pred = _predict(mode, L, T, TL, TR)
-            out[y, x] = res + pred  # uint8 wraps mod 256
+                raise ValueError(f"invalid predictor mode {mode}")
+            x = x_end
     o = out.astype(np.uint32)
     return (
         (o[:, :, 0] << 24) | (o[:, :, 1] << 16) | (o[:, :, 2] << 8) | o[:, :, 3]
@@ -629,8 +746,14 @@ def decode_webp(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
             return decode_vp8l(body, max_pixels=max_pixels)
         if fourcc == b"ANMF":
             # animated lossless: the still view is the first
-            # composited frame (the GIF/APNG decode_image convention)
-            frames, _ = decode_webp_frames(payload, max_pixels=max_pixels)
+            # composited frame (the GIF/APNG decode_image convention).
+            # limit_frames=1 bounds the still path at one canvas —
+            # a crafted VP8X with thousands of tiny ANMF frames must
+            # not allocate N*W*H*4 bytes just to return frame 0 (the
+            # MAX_GIF_TOTAL_PIXELS bomb class, r12 advice)
+            frames, _ = decode_webp_frames(
+                payload, max_pixels=max_pixels, limit_frames=1
+            )
             return frames[0]
         if fourcc == b"VP8 ":
             saw_lossy = True
@@ -647,6 +770,7 @@ def decode_webp_frames(
     payload: bytes,
     max_pixels: int | None = None,
     max_total_pixels: int | None = None,
+    limit_frames: int | None = None,
 ):
     """Animated WebP (VP8X + ANIM/ANMF) with LOSSLESS frames →
     (composited frames (N, H, W, 4) uint8 RGBA, per-frame durations
@@ -749,18 +873,18 @@ def decode_webp_frames(
     W, H = canvas_wh
     if max_pixels is not None and W * H > max_pixels:
         raise ValueError(f"WebP canvas {W}x{H} exceeds {max_pixels} pixels")
-    if (
-        max_total_pixels is not None
-        and len(frames_meta) * W * H > max_total_pixels
-    ):
+    n_eff = len(frames_meta)
+    if limit_frames is not None:
+        n_eff = min(n_eff, limit_frames)
+    if max_total_pixels is not None and n_eff * W * H > max_total_pixels:
         raise ValueError(
-            f"WebP animation {len(frames_meta)}x{W}x{H} exceeds "
+            f"WebP animation {n_eff}x{W}x{H} exceeds "
             f"{max_total_pixels} pixels (decompression-bomb guard)"
         )
     canvas = np.zeros((H, W, 4), dtype=np.uint8)
     out = []
     durations = []
-    for fx, fy, fw, fh, dur, no_blend, dispose_bg, sub in frames_meta:
+    for fx, fy, fw, fh, dur, no_blend, dispose_bg, sub in frames_meta[:n_eff]:
         if fx + fw > W or fy + fh > H:
             raise ValueError("ANMF frame rectangle outside the canvas")
         rgba = decode_vp8l(sub, max_pixels=max_pixels)

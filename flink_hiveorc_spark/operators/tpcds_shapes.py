@@ -596,7 +596,7 @@ def tpcds_rollup_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     yr) pair as a unique in-partition tiebreak; doubles only in the
     projection. Scale: part broadcasts under the fact scan; the
     rollup partially aggregates before the exchange; the window
-    partitions by mfgr over already-aggregated rows (bounded by the
+    partitions by category over already-aggregated rows (bounded by the
     hierarchy size, never by fact cardinality)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select(

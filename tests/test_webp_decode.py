@@ -993,3 +993,114 @@ def test_frame_sampler_routes_animated_webp(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert [r.frame_idx for r in by_doc[1]] == [0, 2]
     assert by_doc[2][0].error.startswith("unsupported:")
+
+
+# ------------------------------------------- r12 advice regressions
+
+
+def _inv_predictor_reference(img, width, height, bits, tiles):
+    """The pre-r13 per-pixel inverse predictor, kept as the equality
+    oracle for the vectorized rewrite (r12 advice: the production
+    version now vectorizes constant-mode tile runs)."""
+    from flink_hiveorc_spark.functions.webp import _argb_planes, _predict
+
+    px = _argb_planes(img, width, height).astype(np.uint8)
+    from flink_hiveorc_spark.functions.webp import _subsample_size
+
+    tile_w = _subsample_size(width, bits)
+    out = np.zeros_like(px)
+    for y in range(height):
+        for x in range(width):
+            res = px[y, x]
+            if y == 0 and x == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.uint8)
+            elif y == 0:
+                pred = out[0, x - 1]
+            elif x == 0:
+                pred = out[y - 1, 0]
+            else:
+                mode = (
+                    int(tiles[(y >> bits) * tile_w + (x >> bits)]) >> 8
+                ) & 0xFF
+                L = out[y, x - 1]
+                T = out[y - 1, x]
+                TL = out[y - 1, x - 1]
+                TR = out[y - 1, x + 1] if x + 1 < width else out[y, 0]
+                pred = _predict(mode, L, T, TL, TR)
+            out[y, x] = res + pred
+    o = out.astype(np.uint32)
+    return (
+        (o[:, :, 0] << 24) | (o[:, :, 1] << 16) | (o[:, :, 2] << 8)
+        | o[:, :, 3]
+    ).reshape(-1)
+
+
+@pytest.mark.parametrize("bits,w,h", [(2, 17, 9), (3, 23, 11), (4, 16, 16)])
+def test_inv_predictor_vectorized_matches_per_pixel_reference(bits, w, h):
+    """Randomized residuals + a tile grid cycling ALL 14 modes (incl.
+    TR-wrap at the right edge and runs that are not tile-aligned):
+    the vectorized inverse predictor must be bit-identical to the
+    per-pixel reference it replaced."""
+    from flink_hiveorc_spark.functions.webp import (
+        _inv_predictor,
+        _subsample_size,
+    )
+
+    rng = np.random.default_rng(1000 + bits)
+    img = rng.integers(0, 1 << 32, w * h, dtype=np.uint64).astype(np.uint32)
+    tw, th = _subsample_size(w, bits), _subsample_size(h, bits)
+    modes = (np.arange(tw * th, dtype=np.uint32) % 14).astype(np.uint32)
+    tiles = (0xFF << 24) | (modes << 8)
+    got = _inv_predictor(img.copy(), w, h, bits, tiles)
+    want = _inv_predictor_reference(img.copy(), w, h, bits, tiles)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_still_decode_of_animation_composites_one_frame_only():
+    """decode_webp on an animated WebP returns frame 0 WITHOUT
+    materializing the rest (r12 advice: the N*W*H*4 bomb class).
+    limit_frames=1 both caps the output and scopes the
+    max_total_pixels guard to the frames actually composited."""
+    from flink_hiveorc_spark.functions.webp import (
+        decode_webp,
+        decode_webp_frames,
+    )
+
+    rng = np.random.default_rng(54)
+    base = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    f0 = _vp8l_chunk_of(encode_vp8l(base, alpha=True))
+    anim = _awebp(4, 4, [_anmf(0, 0, f0, blend_none=True)] * 6)
+    # full compositing trips a 2-frame budget ...
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_webp_frames(anim, max_total_pixels=2 * 16)
+    # ... the frame-limited still path does not, and returns frame 0
+    frames, durs = decode_webp_frames(
+        anim, max_total_pixels=2 * 16, limit_frames=1
+    )
+    assert frames.shape == (1, 4, 4, 4) and len(durs) == 1
+    np.testing.assert_array_equal(frames[0], base)
+    np.testing.assert_array_equal(decode_webp(anim), base)
+
+
+def test_xbm_sniff_requires_dimension_defines():
+    """A C-source-like blob with '#define' must NOT classify as
+    malformed XBM (r12 advice): it falls through to the codec gate.
+    A real XBM still decodes natively."""
+    from flink_hiveorc_spark.functions.multimodal import decode_image
+
+    c_source = (
+        b"#define MAX_RETRIES 3\n"
+        b"static int table[] = {1, 2, 3};\n" + b"x" * 200
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(c_source)
+    xbm = (
+        b"#define img_width 8\n#define img_height 2\n"
+        b"static unsigned char img_bits[] = { 0x0F, 0xF0 };\n"
+    )
+    out = decode_image(xbm)
+    assert out.shape == (2, 8, 1)
+    # set bit = ink (0), LSB-first within each byte
+    np.testing.assert_array_equal(
+        out[0, :, 0], [0, 0, 0, 0, 255, 255, 255, 255]
+    )
