@@ -187,3 +187,61 @@ def test_chunk_token_windows_full_coverage_property(spark):
         assert covered == set(range(1, n + 1)), n  # no token left behind
         idxs = sorted(r.chunk_idx for r in rs)
         assert idxs == list(range(len(rs)))  # dense numbering
+
+
+def _brute_force_spans(rows, min_tokens):
+    """Position-level reference (the pre-r13 formulation): mark every
+    token position covered by a corpus-duplicated L-gram, merge
+    consecutive positions."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for doc_id, text in rows:
+        w = text.split(" ")
+        per_doc[doc_id] = w
+        for i in range(len(w) - min_tokens + 1):
+            grams[" ".join(w[i : i + min_tokens])] += 1
+    out = []
+    for doc_id, w in per_doc.items():
+        covered = set()
+        for i in range(len(w) - min_tokens + 1):
+            if grams[" ".join(w[i : i + min_tokens])] >= 2:
+                covered.update(range(i + 1, i + min_tokens + 1))
+        for j in sorted(covered):
+            if j - 1 in covered:
+                out[-1] = (doc_id, out[-1][1], j, out[-1][3] + 1)
+            else:
+                out.append((doc_id, j, j, 1))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_interval_merge_matches_position_reference(spark, seed):
+    """Randomized corpora over a tiny alphabet (dense duplication,
+    plenty of exactly-adjacent and overlapping intervals): the r13
+    interval-merge formulation must equal the per-position reference
+    it replaced."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (d, " ".join(rng.choice("abc") for _ in range(rng.randint(1, 30))))
+        for d in range(12)
+    ]
+    got = _spans(spark, rows, min_tokens=3)
+    assert got == _brute_force_spans(rows, min_tokens=3)
+
+
+def test_exactly_adjacent_intervals_merge(spark):
+    """Two duplicated grams whose intervals touch end-to-end with no
+    overlap ([1,3] then [4,6]) form ONE span — the s <= max_end + 1
+    boundary case of the interval merge."""
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c zz1 zz2 zz3"),
+        (3, "yy1 yy2 yy3 d e f"),
+    ]
+    got = _spans(spark, rows, min_tokens=3)
+    assert (1, 1, 6, 6) in got
+    assert (2, 1, 3, 3) in got and (3, 4, 6, 3) in got
