@@ -3607,7 +3607,10 @@ def multimodal_image_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def image_blockhash_pairs(
-    hashes: DataFrame, bands: int = 4, max_hamming: int = 8
+    hashes: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 8,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs from blockhash fingerprints:
     banded-bucket candidate generation (split the 16-hex-char hash
@@ -3615,7 +3618,23 @@ def image_blockhash_pairs(
     band ever meet — the MinHash-LSH shape, never all-pairs) then an
     exact Hamming filter computed nibble-wise on the hex strings
     (engine-portable: no 64-bit unsigned arithmetic). Input:
-    (doc_id, blockhash). Output: (doc_a, doc_b, hamming)."""
+    (doc_id, blockhash). Output: (doc_a, doc_b, hamming).
+
+    `band_cap` is the hot-band guard (r12 verdict; the df_cap
+    semantics from the shingle path, dedup.py): a degenerate corpus —
+    thousands of identical or near-black images — puts every doc in
+    the same (band_idx, band_val) bucket and the band self-join
+    degenerates to all-pairs WITHIN that bucket (k docs → k²/2
+    candidate rows per hot band). With band_cap=c, bands shared by
+    more than c docs are dropped before the join, bounding candidates
+    at bands·c²/2 per bucket. Loss bound: a pair is missed only if
+    EVERY band both docs share is hot — for genuinely distinct
+    near-dups that is the boilerplate-only-pair case (a band carried
+    by >c docs identifies nothing); for exact-duplicate floods the
+    dropped pairs are precisely the quadratic duplicate×duplicate
+    grid a downstream exact-dedup pass (L1) already removes at linear
+    cost. The oracle-checked query runs uncapped, like the shingle
+    precedent."""
     width = 16 // bands
     ex = hashes.select(
         "doc_id",
@@ -3629,6 +3648,19 @@ def image_blockhash_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+    if band_cap is not None:
+        from pyspark.sql.window import Window as _W
+
+        # repartition puts the frame on the join key so the window
+        # count adds NO extra shuffle and both self-join sides reuse
+        # the same exchange (the shingle df_cap plan shape)
+        ex = ex.repartition(F.col("band_idx"), F.col("band_val"))
+        n_docs = F.count("*").over(_W.partitionBy("band_idx", "band_val"))
+        ex = (
+            ex.select("*", n_docs.alias("_bf"))
+            .filter(F.col("_bf") <= band_cap)
+            .drop("_bf")
+        )
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         F.col("h").alias("ha"),

@@ -122,3 +122,40 @@ def test_quarantine_channel(spark):
     assert out[2]["blockhash"] is None and out[2]["error"].startswith(
         "malformed"
     ) or out[2]["error"].startswith("unsupported")
+
+
+def test_band_cap_drops_hot_bands_keeps_cool_pairs(spark):
+    """Hot-band guard (r12 verdict): a flood of identical images fills
+    one band bucket; band_cap drops those bands before the self-join
+    (bounding the k² candidate grid) while pairs whose shared bands
+    stay under the cap are still found."""
+    rng = np.random.default_rng(7)
+    flood = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cool = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    k = 20
+    rows = [(i, _pgm(flood)) for i in range(1, k + 1)]
+    rows += [(100, _pgm(cool)), (101, _pgm(cool))]  # one cool dup pair
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = image_blockhash(df).select("doc_id", "blockhash")
+    uncapped = image_blockhash_pairs(hashes).collect()
+    capped = image_blockhash_pairs(hashes, band_cap=5).collect()
+    # uncapped: the flood contributes k*(k-1)/2 pairs + the cool pair
+    assert len(uncapped) == k * (k - 1) // 2 + 1
+    # capped: every flood band holds k=20 > 5 docs -> dropped; the
+    # cool pair's bands hold 2 docs each -> kept
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+    assert capped[0].hamming == 0
+
+
+def test_band_cap_none_is_identity(spark):
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(6)]
+    rows = [(i, _pgm(im)) for i, im in enumerate(imgs)]
+    rows.append((99, _pgm(imgs[0])))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = image_blockhash(df).select("doc_id", "blockhash")
+    base = {(r.doc_a, r.doc_b, r.hamming)
+            for r in image_blockhash_pairs(hashes).collect()}
+    wide = {(r.doc_a, r.doc_b, r.hamming)
+            for r in image_blockhash_pairs(hashes, band_cap=1000).collect()}
+    assert base == wide and (0, 99, 0) in base
