@@ -903,3 +903,371 @@ def tpcds_returned_sales_two_year_chain(
             F.col("rev_y2").cast("double").alias("rev_y2"),
         )
     )
+
+
+@query(
+    "tpcds_crosschannel_intersect",
+    oracle="""
+    WITH sold AS (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 'urgent'
+                  WHEN o.o_orderpriority = '3-MEDIUM' THEN 'medium'
+                  ELSE 'relaxed' END AS channel,
+             p.p_brand, p.p_type, l.l_shipdate,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(25,6)) AS amt
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    cross_items AS (
+      SELECT p_brand, p_type FROM sold WHERE channel = 'urgent'
+      INTERSECT
+      SELECT p_brand, p_type FROM sold WHERE channel = 'medium'
+      INTERSECT
+      SELECT p_brand, p_type FROM sold WHERE channel = 'relaxed'
+    ),
+    grp AS (
+      SELECT channel, p_brand, p_type,
+             CAST(CAST(sum(amt) * 1000000 AS DECIMAL(25,0)) AS BIGINT)
+               AS s_q,
+             count(*) AS n_rows
+      FROM sold GROUP BY channel, p_brand, p_type
+    ),
+    thresh AS (
+      SELECT sum(s_q) AS t_q, count(*) AS n_g FROM grp
+    )
+    SELECT g.channel, g.p_brand, g.p_type,
+           CAST(g.s_q / 1e6 AS DOUBLE) AS sales, g.n_rows
+    FROM grp g
+    JOIN cross_items ci
+      ON ci.p_brand = g.p_brand AND ci.p_type = g.p_type,
+         thresh t
+    WHERE CAST(g.s_q AS HUGEINT) * t.n_g > CAST(t.t_q AS HUGEINT)
+    """,
+)
+def tpcds_crosschannel_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q14 shape: INTERSECT-driven cross-channel item
+    selection + an average-sales scalar threshold. Three 'channels'
+    derive from order priority (urgent/medium/relaxed); cross_items
+    keeps the (brand, type) pairs sold in ALL three (two INTERSECTs —
+    the q14 ss/cs/ws item intersection); the scalar threshold is the
+    mean per-(channel, brand, type) sales, and only above-average
+    groups of intersecting items survive — q14's
+    sales-above-average-by-scalar-subquery gate.
+
+    Determinism: the threshold comparison NEVER divides — sales are
+    quantized to exact millionths (BIGINT; the DECIMAL(25,6) * 1e6
+    value is an integer, so DuckDB's rounding BIGINT cast and Spark's
+    truncating cast agree) and the mean test cross-multiplies
+    (s_q · n_groups > total_q) in DECIMAL(38,0)/HUGEINT — immune to
+    the DECIMAL→DOUBLE 1-ulp class that a divided threshold would
+    risk on a filter. Scale: part broadcasts under the fact scan; the
+    INTERSECT runs on per-channel DISTINCT (brand, type) sets
+    (hierarchy-bounded, never fact-sized); the threshold is a 1-row
+    broadcast cross join over the already-aggregated group frame."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    channel = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent"
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("relaxed")
+    )
+    sold = (
+        l.filter(
+            (F.col("l_shipdate") >= _ts("1995-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            channel.alias("channel"),
+            "p_brand",
+            "p_type",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(_DEC)
+            .alias("amt"),
+        )
+    )
+    def items(ch):
+        return sold.filter(F.col("channel") == ch).select(
+            "p_brand", "p_type"
+        )
+
+    cross_items = (
+        items("urgent")
+        .intersect(items("medium"))
+        .intersect(items("relaxed"))
+    )
+    grp = sold.groupBy("channel", "p_brand", "p_type").agg(
+        (F.sum("amt") * 1000000)
+        .cast("decimal(25,0)")
+        .cast("long")
+        .alias("s_q"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    thresh = grp.agg(
+        F.sum("s_q").alias("t_q"), F.count(F.lit(1)).alias("n_g")
+    )
+    return (
+        grp.join(cross_items, ["p_brand", "p_type"])
+        .crossJoin(F.broadcast(thresh))
+        .filter(
+            F.col("s_q").cast("decimal(38,0)") * F.col("n_g")
+            > F.col("t_q").cast("decimal(38,0)")
+        )
+        .select(
+            "channel",
+            "p_brand",
+            "p_type",
+            (F.col("s_q") / 1e6).alias("sales"),
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "tpcds_frequent_best_customer",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_partkey, o.o_custkey, o.o_orderkey,
+             year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(25,6)) AS amt
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    freq_items AS (
+      SELECT l_partkey FROM lo GROUP BY l_partkey
+      HAVING count(DISTINCT ym) >= 4
+    ),
+    csales AS (
+      SELECT o_custkey,
+             CAST(CAST(sum(amt) * 1000000 AS DECIMAL(25,0)) AS BIGINT)
+               AS c_q
+      FROM lo GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(c_q) AS max_q FROM csales),
+    best_cust AS (
+      SELECT o_custkey FROM csales, mx
+      WHERE CAST(c_q AS HUGEINT) * 100 > CAST(max_q AS HUGEINT) * 95
+    ),
+    line_ch AS (
+      SELECT CAST(sum(lo.amt) AS DOUBLE) AS sales, count(*) AS n_rows
+      FROM lo
+      JOIN freq_items fi ON fi.l_partkey = lo.l_partkey
+      JOIN best_cust bc ON bc.o_custkey = lo.o_custkey
+      WHERE lo.ym = 199603
+    ),
+    ord_ch AS (
+      SELECT CAST(sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sales,
+             count(*) AS n_rows
+      FROM orders o
+      JOIN best_cust bc ON bc.o_custkey = o.o_custkey
+      WHERE year(o.o_orderdate) * 100 + month(o.o_orderdate) = 199603
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          JOIN freq_items fi ON fi.l_partkey = l.l_partkey
+          WHERE l.l_orderkey = o.o_orderkey
+        )
+    )
+    SELECT 'line' AS channel, sales, n_rows FROM line_ch
+    UNION ALL
+    SELECT 'order' AS channel, sales, n_rows FROM ord_ch
+    """,
+)
+def tpcds_frequent_best_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q23 shape: two expensive CTEs — frequent items (parts
+    sold in >= 4 distinct order-months over 1995-1997) and best
+    customers (total sales within 5% of the maximum customer's, the
+    q23 `> 0.95 * max(csales)` scalar subquery) — each REUSED by two
+    sales channels (line-level revenue; order-level totals gated on
+    carrying a frequent item via EXISTS semi-join), final one-row
+    aggregate per channel UNION ALL'd.
+
+    Determinism: the 0.95·max gate cross-multiplies quantized
+    millionth sums (c_q·100 > max_q·95, HUGEINT/DECIMAL exact — no
+    double threshold on a filter); channel sums project to double
+    only in the output. Scale: both CTEs aggregate to key grain
+    before any reuse (parts / customers, never fact rows); max is a
+    1-row broadcast; the EXISTS is a semi-join on the order key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    lo = (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= _ts("1995-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            "o_custkey",
+            "o_orderkey",
+            ym,
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast(_DEC)
+            .alias("amt"),
+        )
+    )
+    freq_items = (
+        lo.groupBy("l_partkey")
+        .agg(F.countDistinct("ym").alias("n_ym"))
+        .filter(F.col("n_ym") >= 4)
+        .select("l_partkey")
+    )
+    csales = lo.groupBy("o_custkey").agg(
+        (F.sum("amt") * 1000000)
+        .cast("decimal(25,0)")
+        .cast("long")
+        .alias("c_q")
+    )
+    mx = csales.agg(F.max("c_q").alias("max_q"))
+    best_cust = (
+        csales.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("c_q").cast("decimal(38,0)") * 100
+            > F.col("max_q").cast("decimal(38,0)") * 95
+        )
+        .select("o_custkey")
+    )
+    line_ch = (
+        lo.filter(F.col("ym") == 199603)
+        .join(freq_items, "l_partkey")
+        .join(best_cust, "o_custkey")
+        .agg(
+            F.sum("amt").cast("double").alias("sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(F.lit("line").alias("channel"), "sales", "n_rows")
+    )
+    has_freq = (
+        l.join(freq_items, "l_partkey")
+        .select(F.col("l_orderkey").alias("fk_orderkey"))
+        .distinct()
+    )
+    ord_ch = (
+        o.filter(
+            F.year("o_orderdate") * 100 + F.month("o_orderdate") == 199603
+        )
+        .join(best_cust, "o_custkey")
+        .join(
+            has_freq,
+            F.col("o_orderkey") == F.col("fk_orderkey"),
+            "left_semi",
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(F.lit("order").alias("channel"), "sales", "n_rows")
+    )
+    return line_ch.unionAll(ord_ch)
+
+
+@query(
+    "tpcds_inventory_date_chain",
+    oracle="""
+    WITH inv AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 100 + weekofyear(l_shipdate) AS yw,
+             CAST(sum(l_quantity) AS DECIMAL(25,6)) AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_partkey, year(l_shipdate) * 100 + weekofyear(l_shipdate)
+    )
+    SELECT p.p_brand,
+           year(o.o_orderdate) * 100 + weekofyear(o.o_orderdate) AS yw,
+           count(*) AS n_late,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             AS demand_qty
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN inv ON inv.l_partkey = l.l_partkey
+           AND inv.yw = year(o.o_orderdate) * 100
+                      + weekofyear(o.o_orderdate)
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 5 DAY
+      AND inv.ret_qty < CAST(l.l_quantity AS DECIMAL(25,6))
+    GROUP BY p.p_brand, year(o.o_orderdate) * 100
+                      + weekofyear(o.o_orderdate)
+    """,
+)
+def tpcds_inventory_date_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS q72 shape: the inventory/date-chain wide join with
+    THREE date roles — d1 the order week (demand), d2 the inventory
+    week (the returned-stock fact, equi-joined to d1 on the week
+    key, q72's d_week_seq alignment), d3 the ship date (non-equi:
+    shipped more than 5 days after ordering, q72's
+    d3.d_date > d1.d_date + 5) — plus the quantity shortage predicate
+    (on-hand < demanded, q72's inv_quantity_on_hand <
+    cs_quantity). The 'inventory' fact is the returned-lines
+    quantity per (part, week) — a second scan of the fact at a
+    different grain, exactly q72's two-fact join. Output: late
+    shortage counts and demanded quantity per (brand, order-week).
+
+    Determinism: week keys are ISO weekofyear (identical in both
+    engines) paired with calendar year; counts exact; quantity sums
+    DECIMAL with one final double projection. Scale: the inventory
+    side pre-aggregates to (part, week) BEFORE the join (never
+    fact x fact row-level); part broadcasts; the date/quantity
+    inequalities are post-join filters on an equi-keyed
+    (part, week) join, no cross product."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    inv = (
+        l.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.col("l_partkey").alias("inv_partkey"),
+            (
+                F.year("l_shipdate") * 100 + F.weekofyear("l_shipdate")
+            ).alias("inv_yw"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("ret_qty"))
+    )
+    yw_o = (F.year("o_orderdate") * 100 + F.weekofyear("o_orderdate"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS")
+        )
+        .withColumn("yw", yw_o)
+        .join(
+            inv,
+            (F.col("l_partkey") == F.col("inv_partkey"))
+            & (F.col("yw") == F.col("inv_yw")),
+        )
+        .filter(F.col("ret_qty") < F.col("l_quantity").cast(_DEC))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "yw")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.sum(F.col("l_quantity").cast(_DEC))
+            .cast("double")
+            .alias("demand_qty"),
+        )
+    )

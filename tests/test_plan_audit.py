@@ -28,6 +28,11 @@ BROADCAST_EXPECTED = [
     "tpcds_rollup_topk_per_group",
     "tpcds_cumulative_channel_alignment",
     "tpcds_returned_sales_two_year_chain",
+    # r13 TPC-DS shapes: part dim + 1-row scalar threshold/max frames
+    # must broadcast (q14 intersect, q23 best-customer, q72 chain)
+    "tpcds_crosschannel_intersect",
+    "tpcds_frequent_best_customer",
+    "tpcds_inventory_date_chain",
 ]
 
 # ngram_jaccard self-joins on exploded shingles — it is quadratic by
