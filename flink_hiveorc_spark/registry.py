@@ -90,6 +90,7 @@ def _load_all() -> None:
         archive,
         cluster,
         dedup,
+        html,
         multimodal,
         pipeline,
         similarity,

@@ -1,0 +1,113 @@
+"""HTML text extraction: the strip/decode contract pinned on
+adversarial fixtures, plus composition with the WARC envelope."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.functions.html import (
+    html_links,
+    html_stats,
+    html_title,
+    html_to_text,
+)
+
+
+def _extract(spark, html: str) -> dict:
+    row = (
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+        .select(
+            html_to_text("html").alias("text"),
+            html_title("html").alias("title"),
+            html_links("html").alias("links"),
+        )
+        .collect()[0]
+    )
+    return {"text": row.text, "title": row.title, "links": row.links}
+
+
+def test_basic_page(spark):
+    got = _extract(
+        spark,
+        "<html><head><title> My Page </title></head>"
+        "<body><h1>Hello</h1><p>World <b>bold</b> text.</p></body></html>",
+    )
+    assert got["text"] == "My Page Hello World bold text."
+    assert got["title"] == "My Page"
+    assert got["links"] == []
+
+
+def test_script_style_comment_content_dropped(spark):
+    got = _extract(
+        spark,
+        "<style>p { margin: 0; }</style>"
+        "<script>\nif (a < b && c > d) { alert('<p>'); }\n</script>"
+        "<!-- hidden <em>markup</em> -->visible"
+        "<SCRIPT>upper case too</SCRIPT>",
+    )
+    assert got["text"] == "visible"
+
+
+def test_script_ends_at_first_close_tag_like_html5(spark):
+    # the HTML5 raw-text rule: '</script>' inside a JS string still
+    # terminates the element; the remainder is parsed as markup
+    got = _extract(spark, "<script>var s = 'x</script>rest';<p>tail</p>")
+    assert got["text"] == "rest'; tail"
+
+
+def test_entity_decode_order_guards_double_decode(spark):
+    got = _extract(
+        spark,
+        "<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; more&nbsp;"
+        "and &amp;lt; stays</p>",
+    )
+    assert got["text"] == "a <tag> \"q\" 's' & more and &lt; stays"
+
+
+def test_unknown_entities_pass_through(spark):
+    got = _extract(spark, "<p>&copy; &hearts; &#x1F600;</p>")
+    assert got["text"] == "&copy; &hearts; &#x1F600;"
+
+
+def test_links_both_quote_styles_and_title_absent(spark):
+    got = _extract(
+        spark,
+        '<a href="https://a.test/1">one</a> mid '
+        "<A HREF='/rel/path'>two</A> <a name=anchor>no href</a>",
+    )
+    assert got["links"] == ["https://a.test/1", "/rel/path"]
+    assert got["title"] == ""
+    assert got["text"] == "one mid two no href"
+
+
+def test_whitespace_collapse_and_multiline(spark):
+    got = _extract(
+        spark, "<div>\n  line one\n\t<span>line\ntwo</span>\n</div>\n"
+    )
+    assert got["text"] == "line one line two"
+
+
+def test_html_stats_composes_with_warc_blocks(spark):
+    """The intended pipeline: WARC response blocks (HTML bytes) →
+    web_archive_records → cast → html_stats."""
+    from tests.test_web_archive import _warc_record
+    from flink_hiveorc_spark.functions.archive import web_archive_records
+
+    page = (
+        b"<html><head><title>T1</title></head>"
+        b'<body><p>crawled body</p><a href="https://l.test/x">l</a>'
+        b"</body></html>"
+    )
+    warc = _warc_record("response", "https://l.test", page)
+    recs = web_archive_records(
+        spark.createDataFrame(
+            [(5, bytearray(warc))], "doc_id long, payload binary"
+        )
+    )
+    out = html_stats(
+        recs.select("doc_id", F.decode("block", "utf-8").alias("html"))
+    ).collect()[0]
+    assert out.title == "T1"
+    assert out.body_text == "T1 crawled body l"
+    assert out.n_links == 1
+    assert out.text_chars == len("T1 crawled body l")
