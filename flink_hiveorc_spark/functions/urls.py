@@ -1,0 +1,169 @@
+"""URL parsing + canonical normalization — the dedup key step right
+after link extraction (functions/html.py): crawl pipelines dedup and
+join on NORMALIZED URLs (case-folded scheme/host, default ports
+dropped, fragments dropped, query parameters sorted), because the raw
+strings 'HTTPS://X.COM:443/a?b=2&a=1#top' and 'https://x.com/a?a=1&b=2'
+name the same resource.
+
+All column functions, JVM-side: try_parse_url (Spark's builtin URL
+component extractor; the try_ form nulls on invalid input) plus regexp/array expressions — zero Python,
+whole-stage codegen. Limitations, documented: IPv6 bracket authorities
+and percent-encoding equivalence (%41 vs A) are out of scope — the
+normalizer canonicalizes structure, not encoding; userinfo@ survives
+inside the host field as parse_url reports it.
+
+Reference repo has no text/URL surface (SURVEY.md §0); need comes from
+the r13 archive/HTML envelope (WARC → HTML → links → URL dedup keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.registry import query
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_scheme(col) -> Column:
+    """Lowercased scheme ('' when unparseable)."""
+    return F.coalesce(
+        F.lower(F.try_parse_url(_c(col), F.lit("PROTOCOL"))), F.lit("")
+    )
+
+
+def url_host(col) -> Column:
+    """Lowercased host, port excluded ('' when unparseable)."""
+    return F.coalesce(F.lower(F.try_parse_url(_c(col), F.lit("HOST"))), F.lit(""))
+
+
+def url_domain(col) -> Column:
+    """Registered-domain APPROXIMATION: the last two host labels.
+    (A public-suffix-list lookup — co.uk and friends — is a broadcast
+    join against a PSL table when one ships with the cluster; this
+    container has none, so the two-label fallback is the documented
+    approximation.)"""
+    return F.regexp_extract(url_host(col), r"([^.]+\.[^.]+)$", 1)
+
+
+def url_path(col) -> Column:
+    return F.coalesce(F.try_parse_url(_c(col), F.lit("PATH")), F.lit(""))
+
+
+def url_port(col) -> Column:
+    """Explicit port digits from the authority ('' when none)."""
+    return F.regexp_extract(
+        _c(col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1
+    )
+
+
+def url_query_normalized(col) -> Column:
+    """Query string with '&'-separated parameters SORTED (byte order)
+    — the canonical form for URL-equality joins ('' when absent)."""
+    q = F.try_parse_url(_c(col), F.lit("QUERY"))
+    return F.when(
+        q.isNull() | (q == ""), F.lit("")
+    ).otherwise(F.array_join(F.array_sort(F.split(q, "&")), "&"))
+
+
+def url_normalize(col) -> Column:
+    """Canonical URL: lowercased scheme/host, default ports dropped
+    (http:80, https:443 — explicit non-default ports KEPT), fragment
+    dropped, query params sorted. The normalization used as the dedup
+    join key."""
+    scheme = url_scheme(col)
+    port = url_port(col)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    q = url_query_normalized(col)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        url_host(col),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        url_path(col),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url) → parsed + normalized URL features."""
+    return df.select(
+        "doc_id",
+        url_scheme(url_col).alias("scheme"),
+        url_host(url_col).alias("host"),
+        url_domain(url_col).alias("domain"),
+        url_path(url_col).alias("path"),
+        url_query_normalized(url_col).alias("query_norm"),
+        url_normalize(url_col).alias("url_norm"),
+    )
+
+
+@query(
+    "text_url_normalize",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, lower(source) AS src, doc_id % 3 AS m,
+             doc_id % 7 AS h, doc_id % 5 AS z
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'https' WHEN 1 THEN 'http'
+                  ELSE 'https' END AS scheme,
+           CASE m WHEN 0 THEN 'www.example-' || h || '.com'
+                  WHEN 1 THEN 'host-' || h || '.test.org'
+                  ELSE src || '.site.net' END AS host,
+           CASE m WHEN 0 THEN 'example-' || h || '.com'
+                  WHEN 1 THEN 'test.org'
+                  ELSE 'site.net' END AS domain,
+           CASE m WHEN 0 THEN '/Doc/' || doc_id
+                  WHEN 1 THEN '/p/' || doc_id
+                  ELSE '/a/' || doc_id END AS path,
+           CASE m WHEN 0 THEN 'a=1&b=2&z=' || z
+                  WHEN 1 THEN ''
+                  ELSE 'q=' || lang END AS query_norm,
+           CASE m
+             WHEN 0 THEN 'https://www.example-' || h || '.com/Doc/'
+                         || doc_id || '?a=1&b=2&z=' || z
+             WHEN 1 THEN 'http://host-' || h || '.test.org:8080/p/'
+                         || doc_id
+             ELSE 'https://' || src || '.site.net/a/' || doc_id
+                  || '?q=' || lang
+           END AS url_norm
+    FROM base
+    """,
+)
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization under a GROUND-TRUTH oracle (the HTML-extract
+    construction discipline): three raw-URL shapes per doc_id % 3 —
+    uppercase scheme+host with the default :443 AND a fragment AND
+    unsorted query params (all must normalize away), an explicit
+    non-default :8080 (must survive), and a source/lang-derived host
+    and query — and DuckDB recomputes every expected component by
+    plain string concat of the raw columns, no URL logic oracle-side.
+    Scale: one projection, zero exchanges, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    z = (F.col("doc_id") % 5).cast("string")
+    m = F.col("doc_id") % 3
+    u0 = F.concat(
+        F.lit("HTTPS://WWW.Example-"), h, F.lit(".COM:443/Doc/"), did,
+        F.lit("?b=2&z="), z, F.lit("&a=1#section-2"),
+    )
+    u1 = F.concat(
+        F.lit("http://Host-"), h, F.lit(".test.ORG:8080/p/"), did
+    )
+    u2 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".site.NET/a/"), did,
+        F.lit("?q="), F.col("lang"),
+    )
+    url = F.when(m == 0, u0).when(m == 1, u1).otherwise(u2)
+    return url_features(d.select("doc_id", url.alias("url")))

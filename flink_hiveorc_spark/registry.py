@@ -97,6 +97,7 @@ def _load_all() -> None:
         skew,
         text,
         tokenizer,
+        urls,
     )
     from flink_hiveorc_spark.sources import pyds  # noqa: F401
     from flink_hiveorc_spark.streaming import batch_checks  # noqa: F401

@@ -1,0 +1,57 @@
+"""URL parsing + canonical normalization: component extraction and
+the normalization equivalences (case folding, default-port drop,
+fragment drop, query-param sort) pinned on hand fixtures."""
+
+from __future__ import annotations
+
+from flink_hiveorc_spark.functions.urls import url_features
+
+
+def _feat(spark, url: str) -> dict:
+    row = url_features(
+        spark.createDataFrame([(1, url)], "doc_id long, url string")
+    ).collect()[0]
+    return row.asDict()
+
+
+def test_full_normalization(spark):
+    got = _feat(
+        spark, "HTTPS://WWW.Example.COM:443/A/b?b=2&a=1&c=0#frag"
+    )
+    assert got["scheme"] == "https"
+    assert got["host"] == "www.example.com"
+    assert got["domain"] == "example.com"
+    assert got["path"] == "/A/b"  # path case is significant, kept
+    assert got["query_norm"] == "a=1&b=2&c=0"
+    assert got["url_norm"] == "https://www.example.com/A/b?a=1&b=2&c=0"
+
+
+def test_non_default_port_survives(spark):
+    got = _feat(spark, "http://h.test:8080/x")
+    assert got["url_norm"] == "http://h.test:8080/x"
+    got2 = _feat(spark, "http://h.test:80/x")
+    assert got2["url_norm"] == "http://h.test/x"
+    got3 = _feat(spark, "https://h.test:8443/")
+    assert got3["url_norm"] == "https://h.test:8443/"
+
+
+def test_equivalent_urls_share_a_key(spark):
+    a = _feat(spark, "HTTPS://X.COM:443/a?b=2&a=1#top")["url_norm"]
+    b = _feat(spark, "https://x.com/a?a=1&b=2")["url_norm"]
+    assert a == b == "https://x.com/a?a=1&b=2"
+
+
+def test_no_query_no_fragment(spark):
+    got = _feat(spark, "https://single.label.io/deep/path")
+    assert got["query_norm"] == "" and got["url_norm"].endswith("/deep/path")
+    assert got["domain"] == "label.io"
+
+
+def test_single_label_host_has_no_registered_domain(spark):
+    got = _feat(spark, "http://localhost/x")
+    assert got["host"] == "localhost" and got["domain"] == ""
+
+
+def test_unparseable_url_yields_empty_components(spark):
+    got = _feat(spark, "not a url at all")
+    assert got["scheme"] == "" and got["host"] == ""
