@@ -89,6 +89,7 @@ def _load_all() -> None:
         analytics,
         archive,
         cluster,
+        columnar,
         dedup,
         html,
         multimodal,
