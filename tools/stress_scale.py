@@ -148,6 +148,20 @@ PROBE = [
     "pipeline_chunk_token_windows",
     "tpcds_rollup_topk_per_group",
     "tpcds_returned_sales_two_year_chain",
+    # round 13: the envelope fan-outs (WARC/ARC split, zip/tar
+    # expansion — map-only, expect near-linear), the cleaned-corpus
+    # side of exact-substring (same gram shuffle as spans plus the
+    # anti-join), and the three new DS shapes (INTERSECT sets and
+    # CTE/grain reuse are dup-insensitive: replication scales sums
+    # uniformly, so thresholds/ratios keep the same survivors; the
+    # date-chain join output scales linearly — the inventory side
+    # stays pre-aggregated to (part, week) grain).
+    "multimodal_warc_stats",
+    "multimodal_archive_stats",
+    "dedup_exact_substring_clean",
+    "tpcds_crosschannel_intersect",
+    "tpcds_frequent_best_customer",
+    "tpcds_inventory_date_chain",
 ]
 
 
