@@ -56,6 +56,26 @@ _FEATURIZERS = {
 }
 
 
+def _register_r13_modalities() -> None:
+    # archive.py/columnar.py import LAZILY (they reach back into
+    # multimodal mid-import on workers — the registry circular-import
+    # hazard), so their featurizers register here at call time instead
+    # of at module load.
+    from flink_hiveorc_spark.functions.archive import (
+        archive_member_stats,
+        web_archive_stats,
+    )
+    from flink_hiveorc_spark.functions.columnar import columnar_blob_stats
+
+    # WARC/ARC envelope splitting (r13): crawl shards fan out to
+    # per-record stat rows in-stream; zip/tar drops expand to member
+    # rows; parquet/ORC blobs probe footers + values — all with the
+    # same quarantine/repair contract
+    _FEATURIZERS.setdefault("warc", web_archive_stats)
+    _FEATURIZERS.setdefault("archive", archive_member_stats)
+    _FEATURIZERS.setdefault("columnar", columnar_blob_stats)
+
+
 def blob_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File stream of (doc_id, payload) parquet blobs — the stand-in
     for a Kafka/object-store blob feed, same role as file_raw_stream
@@ -79,6 +99,7 @@ def start_multimodal_featurize(
     on doc_id to recover the original payload bytes for the DLQ
     (doc_id is the blob key and must be unique within a batch — the
     same uniqueness the downstream exactly-once dedup keys on)."""
+    _register_r13_modalities()
     featurize = _FEATURIZERS.get(modality)
     if featurize is None:
         raise ValueError(f"unknown modality {modality!r} (want {sorted(_FEATURIZERS)})")

@@ -197,3 +197,71 @@ def test_streaming_decompress_with_quarantine(spark, tmp_path):
     assert dlq_rows[100]["error"].startswith("unsupported:")
     assert dlq_rows[101]["error"].startswith("malformed:")
     assert bytes(dlq_rows[100]["payload"]).startswith(b"\x28\xb5\x2f\xfd")
+
+
+def test_streaming_warc_and_archive_with_quarantine(spark, tmp_path):
+    """modality='warc'/'archive'/'columnar' (r13): crawl shards fan
+    out to per-record rows IN-STREAM (one payload → many output rows),
+    zip drops to member rows, parquet blobs to probe rows; junk
+    quarantines with verbatim payload through the same repair leg."""
+    import io
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_web_archive import _warc_record
+
+    # --- warc leg
+    src, out, dlq, ckpt = (str(tmp_path / d) for d in
+                           ("wsrc", "wfeat", "wdlq", "wckpt"))
+    warc = _warc_record("request", "https://s.test", b"rq")
+    warc += _warc_record("response", "https://s.test", b"<html>ok</html>")
+    _write_blobs(spark, src, [(0, warc), (9, b"not an archive")])
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="warc", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = sorted(
+        (r["doc_id"], r["record_idx"], r["rec_type"], r["sum_byte"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert feats == [
+        (0, 0, "request", sum(b"rq")),
+        (0, 1, "response", sum(b"<html>ok</html>")),
+    ]
+    dlq_rows = {r["doc_id"]: r for r in spark.read.parquet(dlq).collect()}
+    assert dlq_rows[9]["error"].startswith("malformed:")
+
+    # --- archive + columnar legs share one stream each
+    t = pa.table({"v": pa.array([4, 5], pa.int64())})
+    pqb = io.BytesIO()
+    pq.write_table(t, pqb)
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("inner.parquet", pqb.getvalue())
+    src2, out2, dlq2, ckpt2 = (str(tmp_path / d) for d in
+                               ("asrc", "afeat", "adlq", "ackpt"))
+    _write_blobs(spark, src2, [(1, zbuf.getvalue())])
+    q2 = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src2), out2, dlq2, ckpt2,
+        modality="archive", available_now=True,
+    )
+    q2.awaitTermination(120)
+    members = spark.read.parquet(out2).collect()
+    assert [(r["fmt"], r["name"], r["size"]) for r in members] == [
+        ("zip", "inner.parquet", len(pqb.getvalue()))
+    ]
+    src3, out3, dlq3, ckpt3 = (str(tmp_path / d) for d in
+                               ("csrc", "cfeat", "cdlq", "cckpt"))
+    _write_blobs(spark, src3, [(2, pqb.getvalue())])
+    q3 = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src3), out3, dlq3, ckpt3,
+        modality="columnar", available_now=True,
+    )
+    q3.awaitTermination(120)
+    probe = spark.read.parquet(out3).collect()
+    assert [(r["fmt"], r["n_rows"], r["sum_first_int"]) for r in probe] == [
+        ("parquet", 2, 9)
+    ]
