@@ -142,3 +142,83 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('">first</a>\n<a href=\'/rel\'>second</a>\n</body></html>'),
     )
     return html_stats(d.select("doc_id", html.alias("html")))
+
+
+@query(
+    "pipeline_crawl_extract",
+    oracle="""
+    SELECT doc_id,
+           'warc' AS fmt,
+           'response' AS rec_type,
+           'Doc ' || doc_id AS title,
+           'Doc ' || doc_id || ' ' || source || ' & friends ' || text
+             || ' first second' AS body_text,
+           CAST(2 AS BIGINT) AS n_links,
+           'https://example.com/' || doc_id AS first_url_norm
+    FROM documents
+    """,
+)
+def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END crawl pipeline under one ground-truth oracle:
+    each doc's synthetic HTML page (the text_html_extract
+    construction) is FRAMED AS A WARC RESPONSE RECORD Spark-side
+    (Content-Length = octet_length of the page, computed in the same
+    projection — the framing is data-dependent, so a wrong byte count
+    anywhere kills the split), then flows through the REAL envelope
+    chain: web_archive_records (mapInPandas record split) → block
+    decode → html extraction (tags/script/comment elision, entity
+    decode) → link capture → URL normalization of the first link.
+    DuckDB recomputes every expected output by plain string concat of
+    the raw columns — no WARC, HTML, or URL logic oracle-side.
+    Scale: map-only end to end (fan-out + projections), zero
+    exchanges, Python only in the record splitter."""
+    from flink_hiveorc_spark.functions.archive import web_archive_records
+    from flink_hiveorc_spark.functions.urls import url_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<!DOCTYPE html>\n<html><head><title>Doc "),
+        did,
+        F.lit(
+            "</title>\n<style>body { color: #000; }</style>\n"
+            '<script type="text/javascript">var x = 1 < 2;</script>\n'
+            "</head>\n<body>\n<!-- comment <b>with tags</b> -->\n"
+            '<h1 class="hd">'
+        ),
+        F.col("source"),
+        F.lit(" &amp; friends</h1>\n<p>"),
+        F.col("text"),
+        F.lit('</p>\n<a href="https://example.com/'),
+        did,
+        F.lit('">first</a>\n<a href=\'/rel\'>second</a>\n</body></html>'),
+    )
+    hdr = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Record-ID: <urn:uuid:0d9c2a7e-6d4f-4b5e-9a1c-"
+            "0000000000cc>\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            "WARC-Target-URI: https://example.com/"
+        ),
+        did,
+        F.lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.octet_length(page).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    warc = F.encode(F.concat(hdr, page, F.lit("\r\n\r\n")), "utf-8")
+    recs = web_archive_records(
+        d.select("doc_id", warc.alias("payload"))
+    )
+    html = F.decode(F.col("block"), "utf-8")
+    return recs.select(
+        "doc_id",
+        "fmt",
+        "rec_type",
+        html_title(html).alias("title"),
+        html_to_text(html).alias("body_text"),
+        F.size(html_links(html)).cast("long").alias("n_links"),
+        url_normalize(F.element_at(html_links(html), 1)).alias(
+            "first_url_norm"
+        ),
+    )
