@@ -92,6 +92,7 @@ def _load_all() -> None:
         columnar,
         dedup,
         html,
+        mail,
         multimodal,
         pipeline,
         similarity,

@@ -66,14 +66,17 @@ def _register_r13_modalities() -> None:
         web_archive_stats,
     )
     from flink_hiveorc_spark.functions.columnar import columnar_blob_stats
+    from flink_hiveorc_spark.functions.mail import mail_part_stats
 
     # WARC/ARC envelope splitting (r13): crawl shards fan out to
     # per-record stat rows in-stream; zip/tar drops expand to member
-    # rows; parquet/ORC blobs probe footers + values — all with the
-    # same quarantine/repair contract
+    # rows; parquet/ORC blobs probe footers + values; mbox/MIME mail
+    # dumps split to decoded part rows — all with the same
+    # quarantine/repair contract
     _FEATURIZERS.setdefault("warc", web_archive_stats)
     _FEATURIZERS.setdefault("archive", archive_member_stats)
     _FEATURIZERS.setdefault("columnar", columnar_blob_stats)
+    _FEATURIZERS.setdefault("mail", mail_part_stats)
 
 
 def blob_stream(spark: SparkSession, src_dir: str) -> DataFrame:
