@@ -66,6 +66,7 @@ from test_media_probe import (  # noqa: E402
     _opus_head,
     _trak,
 )
+from test_web_archive import _warc_record  # noqa: E402
 from test_webp_decode import encode_vp8l  # noqa: E402
 from test_y4m_decode import _y4m_bytes  # noqa: E402
 from test_png_g711_decode import ALL_FILTERS, _png_from_array  # noqa: E402
@@ -85,7 +86,7 @@ from flink_hiveorc_spark.session import get_spark  # noqa: E402
 def _corpus(n_per_format: int):
     rng = np.random.default_rng(7)
     images, audio, video, anim, probes = [], [], [], [], []
-    blobs = []
+    blobs, envelopes, archives, mails = [], [], [], []
     for i in range(n_per_format):
         img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
         images.append(_png_from_array(img, ALL_FILTERS))
@@ -159,7 +160,50 @@ def _corpus(n_per_format: int):
         blobs.append(_zlib.compress(text, 6))
         blobs.append(_bz2.compress(text, 1))
         blobs.append(_lzma.compress(text, preset=0))
-    return images, audio, video, anim, probes, blobs
+        # r13 envelopes: WARC (plain + per-record gzip), zip/tar.gz, mbox
+        import io as _io
+        import tarfile as _tarfile
+        import zipfile as _zipfile
+
+        page = b"<html><body>" + text[:8192] + b"</body></html>"
+        w = _warc_record("request", f"https://p.test/{i}", b"GET /")
+        w += _warc_record("response", f"https://p.test/{i}", page)
+        envelopes.append(w)
+        envelopes.append(
+            _gzip.compress(
+                _warc_record("response", f"https://p.test/gz{i}", page), 6
+            )
+        )
+        zbuf = _io.BytesIO()
+        with _zipfile.ZipFile(zbuf, "w") as zf:
+            zf.writestr("a.txt", text[:8192], _zipfile.ZIP_DEFLATED)
+            zf.writestr("b.txt", text[8192:16384], _zipfile.ZIP_DEFLATED)
+        archives.append(zbuf.getvalue())
+        tbuf = _io.BytesIO()
+        with _tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+            ti = _tarfile.TarInfo("m.txt")
+            ti.size = 8192
+            tf.addfile(ti, _io.BytesIO(text[:8192]))
+        archives.append(tbuf.getvalue())
+        import base64 as _b64
+
+        mails.append(
+            (
+                "From a@b Mon Jan  1 00:00:00 2024\n"
+                f"Subject: probe {i}\nContent-Type: text/plain\n\n"
+            ).encode()
+            + text[:4096]
+            + (
+                "\nFrom c@d Mon Jan  1 00:00:01 2024\n"
+                "Subject: att\nMIME-Version: 1.0\n"
+                'Content-Type: multipart/mixed; boundary="XB"\n\n'
+                "--XB\nContent-Type: application/octet-stream\n"
+                "Content-Transfer-Encoding: base64\n\n"
+            ).encode()
+            + _b64.encodebytes(text[:4096])
+            + b"--XB--\n"
+        )
+    return images, audio, video, anim, probes, blobs, envelopes, archives, mails
 
 
 def _time(df_builder, frame):
@@ -171,101 +215,48 @@ def _time(df_builder, frame):
 def main() -> None:
     n_per = int(sys.argv[1]) if len(sys.argv) > 1 else 250
     spark = get_spark("decode-probe", cpus=32, shuffle_partitions=32)
-    images, audio, video, anim, probes, blobs = _corpus(n_per)
+    corpora = _corpus(n_per)
+    from flink_hiveorc_spark.functions.archive import (
+        archive_member_stats,
+        web_archive_stats,
+    )
+    from flink_hiveorc_spark.functions.mail import mail_part_stats
+
+    lanes = [
+        ("image", corpora[0], image_stats),
+        ("audio", corpora[1], audio_stats),
+        ("video", corpora[2], video_stats),
+        ("gif_anim_frames", corpora[3], lambda df: gif_frame_sample(df, every_n=2)),
+        ("probe", corpora[4], media_probe),
+        ("decompress", corpora[5], decompress_stats),
+        # r13 envelope lanes
+        ("warc", corpora[6], web_archive_stats),
+        ("archive", corpora[7], archive_member_stats),
+        ("mail", corpora[8], mail_part_stats),
+    ]
     out = {"n_per_format": n_per, "scales": {}}
     for scale in (1, 8):
-        img_rows = [(i, bytearray(p)) for i in range(scale) for p in images]
-        aud_rows = [(i, bytearray(p)) for i in range(scale) for p in audio]
-        vid_rows = [(i, bytearray(p)) for i in range(scale) for p in video]
-        gif_rows = [(i, bytearray(p)) for i in range(scale) for p in anim]
-        prb_rows = [(i, bytearray(p)) for i in range(scale) for p in probes]
-        blb_rows = [(i, bytearray(p)) for i in range(scale) for p in blobs]
-        img_df = spark.createDataFrame(
-            img_rows, "doc_id long, payload binary"
-        ).repartition(64).cache()
-        aud_df = spark.createDataFrame(
-            aud_rows, "doc_id long, payload binary"
-        ).repartition(64).cache()
-        vid_df = spark.createDataFrame(
-            vid_rows, "doc_id long, payload binary"
-        ).repartition(64).cache()
-        gif_df = spark.createDataFrame(
-            gif_rows, "doc_id long, payload binary"
-        ).repartition(64).cache()
-        prb_df = spark.createDataFrame(
-            prb_rows, "doc_id long, payload binary"
-        ).repartition(64).cache()
-        blb_df = spark.createDataFrame(
-            blb_rows, "doc_id long, payload binary"
-        ).repartition(64).cache()
-        img_df.count(), aud_df.count()  # materialize cache out of the timer
-        vid_df.count(), gif_df.count(), prb_df.count(), blb_df.count()
-        img_mb = sum(len(p) for p in images) * scale / 1e6
-        aud_mb = sum(len(p) for p in audio) * scale / 1e6
-        vid_mb = sum(len(p) for p in video) * scale / 1e6
-        gif_mb = sum(len(p) for p in anim) * scale / 1e6
-        prb_mb = sum(len(p) for p in probes) * scale / 1e6
-        blb_mb = sum(len(p) for p in blobs) * scale / 1e6
-        n_i, t_i = _time(image_stats, img_df)
-        n_a, t_a = _time(audio_stats, aud_df)
-        n_v, t_v = _time(video_stats, vid_df)
-        n_g, t_g = _time(lambda df: gif_frame_sample(df, every_n=2), gif_df)
-        n_p, t_p = _time(media_probe, prb_df)
-        n_b, t_b = _time(decompress_stats, blb_df)
-        out["scales"][f"{scale}x"] = {
-            "image": {
-                "rows": n_i,
-                "sec": round(t_i, 2),
-                "rows_per_s": round(n_i / t_i),
-                "mb_per_s": round(img_mb / t_i, 1),
-            },
-            "audio": {
-                "rows": n_a,
-                "sec": round(t_a, 2),
-                "rows_per_s": round(n_a / t_a),
-                "mb_per_s": round(aud_mb / t_a, 1),
-            },
-            "video": {
-                "rows": n_v,
-                "sec": round(t_v, 2),
-                "rows_per_s": round(n_v / t_v),
-                "mb_per_s": round(vid_mb / t_v, 1),
-            },
-            "gif_anim_frames": {
-                "rows": n_g,
-                "sec": round(t_g, 2),
-                "rows_per_s": round(n_g / t_g),
-                "mb_per_s": round(gif_mb / t_g, 1),
-            },
-            "probe": {
-                "rows": n_p,
-                "sec": round(t_p, 2),
-                "rows_per_s": round(n_p / t_p),
-                "mb_per_s": round(prb_mb / t_p, 1),
-            },
-            "decompress": {
-                "rows": n_b,
-                "sec": round(t_b, 2),
-                "rows_per_s": round(n_b / t_b),
-                "mb_per_s": round(blb_mb / t_b, 1),
-            },
-        }
-        img_df.unpersist(), aud_df.unpersist()
-        vid_df.unpersist(), gif_df.unpersist()
-        prb_df.unpersist(), blb_df.unpersist()
+        stats = {}
+        for name, payloads, featurize in lanes:
+            rows = [(i, bytearray(p)) for i in range(scale) for p in payloads]
+            df = spark.createDataFrame(
+                rows, "doc_id long, payload binary"
+            ).repartition(64).cache()
+            df.count()  # materialize cache out of the timer
+            mb = sum(len(p) for p in payloads) * scale / 1e6
+            n, t = _time(featurize, df)
+            stats[name] = {
+                "rows": n,
+                "sec": round(t, 2),
+                "rows_per_s": round(n / t),
+                "mb_per_s": round(mb / t, 1),
+            }
+            df.unpersist()
+        out["scales"][f"{scale}x"] = stats
     s1 = out["scales"]["1x"]
     s8 = out["scales"]["8x"]
     out["scale_ratio"] = {
-        "image": round(s8["image"]["sec"] / s1["image"]["sec"], 2),
-        "audio": round(s8["audio"]["sec"] / s1["audio"]["sec"], 2),
-        "video": round(s8["video"]["sec"] / s1["video"]["sec"], 2),
-        "gif_anim_frames": round(
-            s8["gif_anim_frames"]["sec"] / s1["gif_anim_frames"]["sec"], 2
-        ),
-        "probe": round(s8["probe"]["sec"] / s1["probe"]["sec"], 2),
-        "decompress": round(
-            s8["decompress"]["sec"] / s1["decompress"]["sec"], 2
-        ),
+        name: round(s8[name]["sec"] / s1[name]["sec"], 2) for name, _, _ in lanes
     }
     print(json.dumps(out))
     spark.stop()
