@@ -94,6 +94,7 @@ def _load_all() -> None:
         html,
         mail,
         multimodal,
+        pdf,
         pipeline,
         similarity,
         skew,

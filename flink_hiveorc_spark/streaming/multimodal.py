@@ -67,6 +67,7 @@ def _register_r13_modalities() -> None:
     )
     from flink_hiveorc_spark.functions.columnar import columnar_blob_stats
     from flink_hiveorc_spark.functions.mail import mail_part_stats
+    from flink_hiveorc_spark.functions.pdf import pdf_stats
 
     # WARC/ARC envelope splitting (r13): crawl shards fan out to
     # per-record stat rows in-stream; zip/tar drops expand to member
@@ -77,6 +78,7 @@ def _register_r13_modalities() -> None:
     _FEATURIZERS.setdefault("archive", archive_member_stats)
     _FEATURIZERS.setdefault("columnar", columnar_blob_stats)
     _FEATURIZERS.setdefault("mail", mail_part_stats)
+    _FEATURIZERS.setdefault("pdf", pdf_stats)
 
 
 def blob_stream(spark: SparkSession, src_dir: str) -> DataFrame:
