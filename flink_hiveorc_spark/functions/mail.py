@@ -64,6 +64,24 @@ def split_mbox(payload: bytes, max_messages: int = MAX_MAIL_MESSAGES) -> list[by
     return msgs
 
 
+def _decode_rfc2047(value: str) -> str:
+    """RFC 2047 encoded-word header decode, paid only when the header
+    actually carries one (the compat32 parser below leaves headers
+    raw; policy.default would decode them but parses 13× slower —
+    measured 879 vs 68 µs/message, the r13 outlier-sweep fix)."""
+    if "=?" not in value:
+        return value
+    from email.header import decode_header
+
+    out = []
+    for piece, charset in decode_header(value):
+        if isinstance(piece, bytes):
+            out.append(piece.decode(charset or "ascii", "replace"))
+        else:
+            out.append(piece)
+    return "".join(out)
+
+
 def parse_mime_parts(
     message: bytes, max_part_bytes: int = MAX_PART_BYTES
 ) -> list[dict]:
@@ -71,16 +89,17 @@ def parse_mime_parts(
     encoding decoded (base64 / quoted-printable / 7bit/8bit), with
     the top-level Subject/From propagated onto every part row.
     Defective encodings classify as malformed (stdlib's permissive
-    fallback would silently yield garbage bytes — re-raised here)."""
+    fallback would silently yield garbage bytes — re-raised here).
+    Parses under the compat32 policy for throughput (see
+    _decode_rfc2047)."""
     import email
-    import email.policy
 
     try:
-        msg = email.message_from_bytes(message, policy=email.policy.default)
+        msg = email.message_from_bytes(message)
     except Exception as e:
         raise ValueError(f"malformed MIME message: {e}") from e
-    subject = str(msg.get("Subject", ""))
-    sender = str(msg.get("From", ""))
+    subject = _decode_rfc2047(str(msg.get("Subject", "")))
+    sender = _decode_rfc2047(str(msg.get("From", "")))
     parts: list[dict] = []
     for part in msg.walk():
         if part.is_multipart():
@@ -99,18 +118,25 @@ def parse_mime_parts(
             raise ValueError(
                 f"MIME part exceeds {max_part_bytes} bytes (bomb guard)"
             )
-        parts.append(
-            {
+        try:
+            # compat32 hands back Header objects (not str) for headers
+            # carrying raw 8-bit data — str() them; any other stdlib
+            # surprise on garbage input is malformed, not a crash
+            row = {
                 "subject": subject,
                 "sender": sender,
-                "content_type": part.get_content_type(),
-                "encoding": (
+                "content_type": str(part.get_content_type()),
+                "encoding": str(
                     part.get("Content-Transfer-Encoding", "7bit") or "7bit"
                 ).lower(),
-                "filename": part.get_filename() or "",
+                "filename": str(part.get_filename() or ""),
                 "content": bytes(content),
             }
-        )
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:
+            raise ValueError(f"malformed MIME part headers: {e}") from e
+        parts.append(row)
     if not parts:
         raise ValueError("MIME message has no leaf parts")
     return parts

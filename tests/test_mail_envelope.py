@@ -151,3 +151,14 @@ def test_mail_part_budget_matches_decompress_budget():
     )
 
     assert mail.MAX_PART_BYTES == MAX_DECOMPRESSED_BYTES
+
+
+def test_rfc2047_subject_decodes_under_fast_parser():
+    # the compat32 fast path must still decode encoded-word headers
+    m = _msg(
+        "Subject: =?utf-8?B?Y2Fmw6k=?= =?iso-8859-1?Q?_men=FC?=\n"
+        "Content-Type: text/plain",
+        "body",
+    )
+    (part,) = parse_mime_parts(m)
+    assert part["subject"] == "café menü"
