@@ -87,6 +87,13 @@ HEADLINE = [
     # decode throughput, per-payload Huffman table builds)
     "dedup_exact_substring_spans",
     "multimodal_webp_decode_stats",
+    # round 13 additions: the WARC/ARC envelope split (the Common
+    # Crawl ingest constant — per-record framing walk + per-record
+    # gzip) and the end-to-end crawl chain (WARC split → HTML
+    # extraction regex battery → URL normalization), the two new
+    # throughput classes of the r13 surface
+    "multimodal_warc_stats",
+    "pipeline_crawl_extract",
 ]
 
 
@@ -258,14 +265,17 @@ def compose_summary_line(
         norm_extra,
         {},
     ):
-        line = json.dumps({**required, **extras})
+        # compact separators: ~2 chars per query entry, the margin
+        # that keeps the grown headline set inside the driver window
+        line = json.dumps({**required, **extras}, separators=(",", ":"))
         if len(line) <= TAIL_BUDGET:
             return line
     # Envelope alone exceeds the budget (would need ~45+ headline
     # queries): keep metric/value parseable and move per-query detail
     # to the diagnostics line's sibling field.
     return json.dumps(
-        {k: v for k, v in required.items() if k != "queries"}
+        {k: v for k, v in required.items() if k != "queries"},
+        separators=(",", ":"),
     )
 
 
