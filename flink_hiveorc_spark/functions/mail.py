@@ -96,6 +96,10 @@ def parse_mime_parts(
 
     try:
         msg = email.message_from_bytes(message)
+    except RecursionError:
+        # pathological multipart nesting depth — classify, don't crash
+        # (an uncaught RecursionError would escape the quarantine)
+        raise ValueError("MIME nesting exceeds the parser depth")
     except Exception as e:
         raise ValueError(f"malformed MIME message: {e}") from e
     subject = _decode_rfc2047(str(msg.get("Subject", "")))

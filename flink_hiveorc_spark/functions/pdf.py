@@ -174,11 +174,33 @@ def parse_pdf(payload: bytes) -> dict:
     tm = re.search(rb"trailer\s*<<(.*?)>>", payload[xref_off:], re.S)
     if not tm or b"/Root" not in tm.group(1):
         raise ValueError("PDF trailer lacks /Root")
-    # streams: << dict >> stream\n ... endstream, /Length mandatory
+    # streams: << dict >> stream\n ... endstream, /Length mandatory.
+    # Scanned by locating each `stream` keyword and looking BACK a
+    # bounded window for its dict — a single lazy `<<(.*?)>>\s*stream`
+    # regex over the whole payload backtracks quadratically on
+    # adversarial `<<<<...` input (CPU-exhaustion class); this walk is
+    # linear. 4 KB bounds any realistic stream dict.
     n_streams = 0
     texts: list[bytes] = []
-    for sm in re.finditer(rb"<<(.*?)>>\s*stream\r?\n", payload, re.S):
-        d = sm.group(1)
+    spos = 0
+    while True:
+        sk = payload.find(b"stream", spos)
+        if sk < 0:
+            break
+        spos = sk + 6
+        body_start = sk + 6
+        if payload[body_start : body_start + 2] == b"\r\n":
+            body_start += 2
+        elif payload[body_start : body_start + 1] == b"\n":
+            body_start += 1
+        else:
+            continue  # 'endstream', '/XRefStm', ... — not the keyword
+        window = payload[max(0, sk - 4096) : sk]
+        do = window.rfind(b"<<")
+        dc = window.rfind(b">>")
+        if do < 0 or dc < do or window[dc + 2 :].strip():
+            continue  # no adjacent dict: not a stream object
+        d = window[do + 2 : dc]
         lm = re.search(rb"/Length\s+(\d+)", d)
         if not lm:
             raise ValueError("content stream lacks a literal /Length")
@@ -188,7 +210,7 @@ def parse_pdf(payload: bytes) -> dict:
                 f"PDF stream declares {n} bytes > {MAX_PDF_STREAM_BYTES} "
                 "(bomb guard)"
             )
-        body = payload[sm.end() : sm.end() + n]
+        body = payload[body_start : body_start + n]
         if len(body) != n:
             raise ValueError("PDF stream overruns the payload")
         n_streams += 1
