@@ -854,3 +854,212 @@ def multimodal_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = docs.select("doc_id", payload.alias("payload"))
     return archive_member_stats(payloads)
+
+
+# ------------------------------------------------- JSONL text shards
+
+_SHARD_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("line_idx", T.IntegerType()),
+        T.StructField("line", T.StringType()),
+    ]
+)
+
+
+def text_shard_lines(
+    payloads: DataFrame, quarantine: bool = False
+) -> DataFrame:
+    """(doc_id, payload) text-shard blobs — jsonl / jsonl.gz(.bz2/.xz),
+    THE standard LLM pretraining shard format — to one row per line.
+    Python touches only the envelope (magic-routed decompression via
+    the r12 layer + a newline split); the JSON parsing belongs
+    downstream in the JVM (from_json), where Catalyst keeps it in
+    codegen. Trailing newline does not fabricate an empty last line;
+    interior empty lines are preserved (they are real records to a
+    JSONL validator)."""
+
+    def split(payload: bytes):
+        if payload[:2] == b"\x1f\x8b" or payload[:3] == b"BZh" or (
+            payload[:6] == b"\xfd7zXZ\x00"
+        ):
+            from flink_hiveorc_spark.functions.multimodal import (
+                decompress_payload,
+            )
+
+            payload = decompress_payload(bytes(payload))
+        text = payload.decode("utf-8", "replace")
+        lines = text.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        return "jsonl", [{"line": ln} for ln in lines]
+
+    # reuse the archive fan-out shape: cols = (doc_id, idx, fmt-less)
+    cols = tuple(f.name for f in _SHARD_LINE_SCHEMA.fields)
+    out_schema = (
+        T.StructType(_SHARD_LINE_SCHEMA.fields + [_error_field()])
+        if quarantine
+        else _SHARD_LINE_SCHEMA
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from flink_hiveorc_spark.functions.multimodal import (
+            _quarantine_error,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            if quarantine:
+                out["error"] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    _, items = split(bytes(payload))
+                except (NotImplementedError, ValueError) as e:
+                    if not quarantine:
+                        raise
+                    out["doc_id"].append(doc_id)
+                    out["line_idx"].append(None)
+                    out["line"].append(None)
+                    out["error"].append(_quarantine_error(e))
+                    continue
+                for idx, item in enumerate(items):
+                    out["doc_id"].append(doc_id)
+                    out["line_idx"].append(idx)
+                    out["line"].append(item["line"])
+                    if quarantine:
+                        out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(gen, out_schema)
+
+
+def _error_field():
+    from flink_hiveorc_spark.functions.multimodal import _ERROR_FIELD
+
+    return _ERROR_FIELD
+
+
+@query(
+    "pipeline_jsonl_gz_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS hx, doc_id % 2 AS m
+      FROM documents
+    )
+    SELECT doc_id, CAST(0 AS INTEGER) AS line_idx,
+           CAST(doc_id AS VARCHAR) AS rec_id,
+           lang AS val, CAST(n_chars AS BIGINT) AS n
+    FROM base WHERE m = 0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER),
+           CAST(doc_id + 1000000 AS VARCHAR),
+           'line-two', CAST(doc_id % 97 AS BIGINT)
+    FROM base WHERE m = 0
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER),
+           lpad(CAST(doc_id AS VARCHAR), 10, '0'),
+           hx, CAST(32 AS BIGINT)
+    FROM base WHERE m = 1
+    """,
+)
+def pipeline_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonl / jsonl.gz shard ingest end-to-end under the external
+    oracle, doc_id % 2:
+    0 PLAIN two-line JSONL built from raw columns (data-dependent
+      lengths everywhere);
+    1 GZIP whose DEFLATE body is one stored block carrying a
+      FIXED-WIDTH JSON line (10-digit zero-padded id + the 32-char
+      md5) — fixed width makes the member's CRC-32 expressible as the
+      GF(2)-linear form over the 42 varying byte positions (the
+      decompress-oracle construction generalized to a constant
+      TEMPLATE: crc = crc(template-with-zeros) XOR the per-position
+      tables), and the stdlib VERIFIES it, so a wrong template, pad
+      width, or table offset kills the row.
+    The envelope split (text_shard_lines) is the only Python; the
+    JSON itself parses JVM-side via from_json, staying in codegen.
+    Scale: map-only fan-out + projection, zero exchanges."""
+    import zlib as _zlib
+
+    from flink_hiveorc_spark.functions.multimodal import (
+        _GZIP_HDR,
+        _crc32_tables,
+        _stored_deflate,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("hx")
+    )
+    did = F.col("doc_id").cast("string")
+    # m=0: plain, data-dependent JSONL
+    plain = F.concat(
+        F.lit('{"id":"'), did, F.lit('","v":"'), F.col("lang"),
+        F.lit('","n":'), F.col("n_chars").cast("string"), F.lit("}\n"),
+        F.lit('{"id":"'), (F.col("doc_id") + 1000000).cast("string"),
+        F.lit('","v":"line-two","n":'),
+        (F.col("doc_id") % 97).cast("string"), F.lit("}\n"),
+    )
+    # m=1: gzip of the fixed-width template line
+    pre = b'{"id":"'
+    mid = b'","v":"'
+    post = b'","n":32}\n'
+    L = len(pre) + 10 + len(mid) + 32 + len(post)
+    id_at = len(pre)
+    hx_at = len(pre) + 10 + len(mid)
+    template = pre + bytes(10) + mid + bytes(32) + post
+    base = _zlib.crc32(template)
+    _, tables = _crc32_tables(L)
+    lp = F.lpad(did, 10, "0")
+    crc = F.lit(base).cast("long")
+    for k in range(10):
+        v = F.ascii(F.substring(lp, k + 1, 1)).cast("long")
+        lut = F.lit(tables[id_at + k]).substr(v * 4 + 1, F.lit(4))
+        crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+    for k in range(32):
+        v = F.ascii(F.substring("hx", k + 1, 1)).cast("long")
+        lut = F.lit(tables[hx_at + k]).substr(v * 4 + 1, F.lit(4))
+        crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+    crc_le = F.concat(
+        *(
+            F.unhex(
+                F.lpad(
+                    F.hex(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255))),
+                    2,
+                    "0",
+                )
+            )
+            for k in range(4)
+        )
+    )
+    content = F.encode(
+        F.concat(
+            F.lit(pre.decode()), lp, F.lit(mid.decode()), F.col("hx"),
+            F.lit(post.decode()),
+        ),
+        "utf-8",
+    )
+    gz = F.concat(
+        F.lit(_GZIP_HDR + _stored_deflate(L)),
+        content,
+        crc_le,
+        F.lit(struct.pack("<I", L)),
+    )
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.encode(plain, "utf-8")
+    ).otherwise(gz)
+    lines = text_shard_lines(d.select("doc_id", payload.alias("payload")))
+    parsed = lines.select(
+        "doc_id",
+        "line_idx",
+        F.from_json(
+            F.col("line"), "id string, v string, n long"
+        ).alias("j"),
+    )
+    return parsed.select(
+        "doc_id",
+        "line_idx",
+        F.col("j.id").alias("rec_id"),
+        F.col("j.v").alias("val"),
+        F.col("j.n").alias("n"),
+    )

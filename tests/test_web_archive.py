@@ -401,3 +401,51 @@ def test_archive_budget_equals_decompress_budget():
 
     assert archive.MAX_MEMBER_BYTES == MAX_DECOMPRESSED_BYTES
     assert archive.MAX_TOTAL_BYTES == MAX_DECOMPRESSED_BYTES
+
+
+# ------------------------------------------------ JSONL text shards
+
+
+def test_text_shard_lines_plain_and_compressed(spark):
+    import bz2
+    import lzma
+
+    from flink_hiveorc_spark.functions.archive import text_shard_lines
+
+    body = b'{"a":1}\n\n{"a":2}\n'  # interior empty line is a record
+    rows = text_shard_lines(
+        spark.createDataFrame(
+            [
+                (1, body),
+                (2, gzip.compress(body, mtime=0)),
+                (3, bz2.compress(body)),
+                (4, lzma.compress(body)),
+            ],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.line_idx, r.line))
+    want = [(0, '{"a":1}'), (1, ""), (2, '{"a":2}')]
+    for doc in (1, 2, 3, 4):
+        assert sorted(by_doc[doc]) == want, doc
+
+
+def test_text_shard_lines_quarantine(spark):
+    from flink_hiveorc_spark.functions.archive import text_shard_lines
+
+    bad_gz = bytearray(gzip.compress(b"x\n"))
+    bad_gz[-2] ^= 0xFF
+    rows = text_shard_lines(
+        spark.createDataFrame(
+            [(1, b"ok line\n"), (2, bytes(bad_gz))],
+            "doc_id long, payload binary",
+        ),
+        quarantine=True,
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc[1][0].line == "ok line"
+    assert by_doc[2][0].error.startswith("malformed:")
