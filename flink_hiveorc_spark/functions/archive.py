@@ -1063,3 +1063,112 @@ def pipeline_jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.v").alias("val"),
         F.col("j.n").alias("n"),
     )
+
+
+@query(
+    "pipeline_csv_gz_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars, doc_id % 2 AS m FROM documents
+    )
+    SELECT doc_id, CAST(0 AS INTEGER) AS line_idx,
+           CAST(doc_id AS BIGINT) AS rec_id, lang AS val,
+           CAST(n_chars AS BIGINT) AS n
+    FROM base WHERE m = 0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER), CAST(doc_id + 1000000 AS BIGINT),
+           source, CAST(doc_id % 89 AS BIGINT)
+    FROM base WHERE m = 0
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER), CAST(doc_id AS BIGINT),
+           'quoted, comma', CAST(doc_id % 7 AS BIGINT)
+    FROM base WHERE m = 1
+    """,
+)
+def pipeline_csv_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV shard ingest through the same envelope: text_shard_lines
+    splits (gzip leg routed through the decompress layer — built with
+    gzip-module bytes over DATA-DEPENDENT content this time, since
+    from_csv needs no fixed-width trick), from_csv parses JVM-side.
+    The gzip leg's single record carries a QUOTED field with an
+    embedded comma — the dialect detail a naive split would break on.
+    doc_id % 2: 0 = plain two-line CSV from raw columns; 1 = a gzip
+    member built Spark-side as a stored-deflate block (the JSONL-leg
+    construction) with the quoted field constant and the numeric
+    fields varying — 11 CRC table positions. The bigint parse of the
+    zero-padded record id must drop the padding, or the oracle
+    mismatches. Scale: map-only, zero exchanges."""
+    import zlib as _zlib
+
+    from flink_hiveorc_spark.functions.multimodal import (
+        _GZIP_HDR,
+        _crc32_tables,
+        _stored_deflate,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    did = F.col("doc_id").cast("string")
+    plain = F.concat(
+        did, F.lit(","), F.col("lang"), F.lit(","),
+        F.col("n_chars").cast("string"), F.lit("\n"),
+        (F.col("doc_id") + 1000000).cast("string"), F.lit(","),
+        F.col("source"), F.lit(","),
+        (F.col("doc_id") % 89).cast("string"), F.lit("\n"),
+    )
+    # gzip leg: fixed-width record id (10 digits) + constant quoted
+    # field + 1-digit n (doc_id % 7) -> fixed total length
+    pre = b""
+    mid = b',"quoted, comma",'
+    post = b"\n"
+    L = 10 + len(mid) + 1 + len(post)
+    template = bytes(10) + mid + bytes(1) + post
+    base = _zlib.crc32(template)
+    _, tables = _crc32_tables(L)
+    lp = F.lpad(did, 10, "0")
+    n1 = (F.col("doc_id") % 7).cast("string")
+    crc = F.lit(base).cast("long")
+    for k in range(10):
+        v = F.ascii(F.substring(lp, k + 1, 1)).cast("long")
+        lut = F.lit(tables[k]).substr(v * 4 + 1, F.lit(4))
+        crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+    v = F.ascii(n1).cast("long")
+    lut = F.lit(tables[10 + len(mid)]).substr(v * 4 + 1, F.lit(4))
+    crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+    crc_le = F.concat(
+        *(
+            F.unhex(
+                F.lpad(
+                    F.hex(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255))),
+                    2,
+                    "0",
+                )
+            )
+            for k in range(4)
+        )
+    )
+    content = F.encode(
+        F.concat(lp, F.lit(mid.decode()), n1, F.lit(post.decode())), "utf-8"
+    )
+    gz = F.concat(
+        F.lit(_GZIP_HDR + _stored_deflate(L)),
+        content,
+        crc_le,
+        F.lit(struct.pack("<I", L)),
+    )
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, F.encode(plain, "utf-8")
+    ).otherwise(gz)
+    lines = text_shard_lines(d.select("doc_id", payload.alias("payload")))
+    parsed = lines.select(
+        "doc_id",
+        "line_idx",
+        F.from_csv(
+            F.col("line"), "rec_id bigint, val string, n bigint"
+        ).alias("c"),
+    )
+    return parsed.select(
+        "doc_id", "line_idx", F.col("c.rec_id").alias("rec_id"),
+        F.col("c.val").alias("val"), F.col("c.n").alias("n"),
+    )
