@@ -222,3 +222,88 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_url_norm"
         ),
     )
+
+
+# ------------------------------------------------------- Markdown
+
+# Strip order matters: fenced code blocks first (their content is
+# LITERAL — a '# comment' inside a fence is not a heading), then
+# inline code, images before links (the image syntax embeds the link
+# syntax), then the marker classes. RE2-compatible (no backrefs) so
+# the same patterns run in the DuckDB oracle when needed.
+_MD_RULES = (
+    (r"(?s)```.*?```", " "),        # fenced code blocks drop whole
+    (r"`([^`\n]*)`", r"$1"),         # inline code keeps its text
+    (r"!\[([^\]]*)\]\([^)]*\)", r"$1"),  # image -> alt text
+    (r"\[([^\]]*)\]\([^)]*\)", r"$1"),   # link -> anchor text
+    (r"(?m)^#{1,6}\s+", ""),         # ATX heading markers
+    (r"(?m)^\s{0,3}(?:[-*+]|\d+\.)\s+", ""),  # list bullets
+    (r"(?m)^\s{0,3}>\s?", ""),       # blockquote markers
+    (r"(?m)^(?:-{3,}|\*{3,}|_{3,})\s*$", " "),  # thematic breaks
+    (r"\*\*([^*]*)\*\*", r"$1"),     # bold
+    (r"__([^_]*)__", r"$1"),
+    (r"\*([^*\n]*)\*", r"$1"),       # italics
+    (r"(?<![A-Za-z0-9_])_([^_\n]*)_(?![A-Za-z0-9_])", r"$1"),
+)
+
+
+def markdown_to_text(col) -> Column:
+    """Markdown column → plain text (GitHub-corpus README/doc class):
+    fenced code dropped, inline code/links/images keep their text,
+    heading/list/quote/emphasis markers stripped, whitespace
+    collapsed. Pure JVM regexp chain — zero Python."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _MD_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+@query(
+    "text_markdown_extract",
+    oracle="""
+    SELECT doc_id,
+           'Title ' || doc_id || ' intro ' || source || ' bold-' || lang
+             || ' item one item ' || doc_id || ' quoted line anchor-'
+             || doc_id || ' alt-' || doc_id || ' ' || text
+             || ' tail code' AS md_text,
+           CAST(2 AS BIGINT) AS n_headings,
+           CAST(1 AS BIGINT) AS n_code_fences
+    FROM documents
+    """,
+)
+def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown extraction under a GROUND-TRUTH oracle: each doc
+    becomes a synthetic README exercising every rule — two headings,
+    emphasis, a list, a blockquote, a link and an image (both must
+    keep only their text), a fenced block whose CONTENT contains a
+    fake heading (must vanish whole), inline code (text kept), a
+    thematic break — and DuckDB recomputes the expected text by plain
+    concat of raw columns, no Markdown logic oracle-side. Headings count on the
+    fence-stripped source (an in-fence '# ...' is literal text, not
+    a heading); fences count as whole blocks.
+    Scale: one projection, zero exchanges, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("# Title "), did,
+        F.lit("\n\nintro "), F.col("source"),
+        F.lit(" **bold-"), F.col("lang"), F.lit("**\n\n"),
+        F.lit("- item one\n- item "), did, F.lit("\n\n> quoted line\n\n"),
+        F.lit("[anchor-"), did, F.lit("](https://x.test/"), did,
+        F.lit(")\n\n![alt-"), did, F.lit("](img.png)\n\n"),
+        F.lit("```\n# not a heading\ncode body\n```\n\n## "),
+        F.col("text"),
+        F.lit("\n\n---\n\ntail `code`\n"),
+    )
+    body = markdown_to_text(F.col("md"))
+    return d.select("doc_id", md.alias("md")).select(
+        "doc_id",
+        body.alias("md_text"),
+        F.regexp_count(
+            F.regexp_replace(F.col("md"), r"(?s)```.*?```", " "),
+            F.lit(r"(?m)^#{1,6}\s"),
+        ).cast("long").alias("n_headings"),
+        F.regexp_count(F.col("md"), F.lit(r"(?s)```.*?```")).cast(
+            "long"
+        ).alias("n_code_fences"),
+    )

@@ -111,3 +111,50 @@ def test_html_stats_composes_with_warc_blocks(spark):
     assert out.body_text == "T1 crawled body l"
     assert out.n_links == 1
     assert out.text_chars == len("T1 crawled body l")
+
+
+# -------------------------------------------------------- Markdown
+
+
+def _md(spark, md: str) -> str:
+    from flink_hiveorc_spark.functions.html import markdown_to_text
+
+    return (
+        spark.createDataFrame([(1, md)], "doc_id long, md string")
+        .select(markdown_to_text("md").alias("t"))
+        .collect()[0]
+        .t
+    )
+
+
+def test_markdown_basic_strip(spark):
+    md = (
+        "# Head\n\nplain **bold** *ital* __b2__ _i2_\n\n"
+        "- one\n- two\n\n1. first\n2. second\n\n> quote\n"
+    )
+    assert _md(spark, md) == (
+        "Head plain bold ital b2 i2 one two first second quote"
+    )
+
+
+def test_markdown_code_fence_content_is_literal(spark):
+    md = "before\n\n```\n# not a heading\n- not a list\n```\n\nafter"
+    assert _md(spark, md) == "before after"
+
+
+def test_markdown_inline_code_links_images(spark):
+    md = (
+        "see [docs](https://d.test/x) and ![logo alt](l.png) "
+        "plus `inline()` code"
+    )
+    assert _md(spark, md) == "see docs and logo alt plus inline() code"
+
+
+def test_markdown_snake_case_survives_italics_rule(spark):
+    # mid-identifier underscores must NOT parse as emphasis
+    md = "call snake_case_name and _really italic_"
+    assert _md(spark, md) == "call snake_case_name and really italic"
+
+
+def test_markdown_thematic_break_drops(spark):
+    assert _md(spark, "a\n\n---\n\nb") == "a b"
