@@ -188,7 +188,7 @@ def parse_arc_records(
                 else "response",
                 "record_id": "",
                 "uri": url,
-                "content_type": fields[3] if len(fields) == 5 else fields[-2],
+                "content_type": fields[3],
                 "content_length": n,
                 "block": block,
             }

@@ -229,8 +229,10 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Strip order matters: fenced code blocks first (their content is
 # LITERAL — a '# comment' inside a fence is not a heading), then
 # inline code, images before links (the image syntax embeds the link
-# syntax), then the marker classes. RE2-compatible (no backrefs) so
-# the same patterns run in the DuckDB oracle when needed.
+# syntax), then the marker classes. Java-regex only: the underscore
+# italics rule uses lookbehind/lookahead, which RE2 does NOT support —
+# a DuckDB-side oracle must never reuse these patterns (the shipped
+# oracles recompute expected text by plain string concat instead).
 _MD_RULES = (
     (r"(?s)```.*?```", " "),        # fenced code blocks drop whole
     (r"`([^`\n]*)`", r"$1"),         # inline code keeps its text

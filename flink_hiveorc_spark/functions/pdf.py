@@ -213,6 +213,12 @@ def parse_pdf(payload: bytes) -> dict:
         body = payload[body_start : body_start + n]
         if len(body) != n:
             raise ValueError("PDF stream overruns the payload")
+        # jump past the body AND its endstream keyword: Flate bytes
+        # inside the body can contain '<<..>>' + 'stream\n' lookalikes
+        # that would inflate n_streams or raise a spurious /Length
+        # error if the scan re-entered them
+        end_kw = payload.find(b"endstream", body_start + n)
+        spos = end_kw + 9 if end_kw >= 0 else body_start + n
         n_streams += 1
         if b"/Filter" in d:
             if b"/FlateDecode" not in d:

@@ -84,6 +84,22 @@ def test_flate_stream_decodes():
     assert got["n_streams"] == 1
 
 
+def test_stream_body_lookalike_not_rescanned():
+    # regression (r13 advice): stream BODY bytes containing a
+    # '<<..>> stream\n' lookalike must not be rescanned — the old
+    # scan advanced only past the keyword and would count the fake
+    # (inflating n_streams) or trip its bogus /Length bomb guard
+    body = b"BT (clean) Tj ET << /Length 99999999 >>\nstream\nX"
+    got = parse_pdf(_pdf(body))
+    assert got["n_streams"] == 1
+    assert got["pdf_text"] == "clean"
+    # a lookalike WITHOUT /Length used to raise 'lacks a literal
+    # /Length' on a valid PDF
+    body2 = b"BT (ok) Tj ET << /Type /Fake >>\nstream\nY"
+    got2 = parse_pdf(_pdf(body2))
+    assert got2["n_streams"] == 1 and got2["pdf_text"] == "ok"
+
+
 def test_xref_offset_verification_catches_lies():
     good = _pdf(b"BT (x) Tj ET")
     # corrupt object 3's xref offset by one

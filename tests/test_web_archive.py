@@ -155,6 +155,25 @@ def test_arc_split_and_filedesc():
     assert fmt2 == "arc" and len(recs2) == 3
 
 
+def test_arc_v2_ten_field_content_type_is_field_3():
+    # ARC v2 header: URL IP-address Archive-date Content-type
+    # Result-code Checksum Location Offset Filename Archive-length —
+    # Content-type is fields[3] (fields[-2] is Filename; regression
+    # for the r13 advice item that read the Filename column)
+    block = b"<html>v2</html>"
+    p = (
+        b"filedesc://test.arc 0.0.0.0 20240101000000 text/plain 200 "
+        b"- - 0 test.arc 9\n2 0 Test\n\n"
+        + f"https://a.test/v2 1.2.3.4 20240101000000 text/html 200 "
+        f"checksum - 100 test.arc {len(block)}\n".encode()
+        + block
+        + b"\n"
+    )
+    recs = parse_arc_records(p)
+    assert [r["content_type"] for r in recs] == ["text/plain", "text/html"]
+    assert recs[1]["block"] == block
+
+
 def test_arc_error_contract():
     p = _arc_payload([("https://a.test/1", b"x")])
     with pytest.raises(ValueError, match="not an ARC"):
