@@ -150,8 +150,17 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'warc' AS fmt,
            'response' AS rec_type,
+           CASE doc_id % 3 WHEN 0 THEN 200 ELSE NULL END AS http_status,
+           CASE doc_id % 3 WHEN 1 THEN 'windows-1252'
+                ELSE 'utf-8' END AS charset,
+           CASE doc_id % 3 WHEN 2 THEN 'meta'
+                ELSE 'header' END AS charset_source,
            'Doc ' || doc_id AS title,
-           'Doc ' || doc_id || ' ' || source || ' & friends ' || text
+           'Doc ' || doc_id || ' '
+             || CASE doc_id % 3
+                  WHEN 0 THEN 'café crawl '
+                  WHEN 1 THEN 'résumé naïve ' ELSE '' END
+             || source || ' & friends ' || text
              || ' first second' AS body_text,
            CAST(2 AS BIGINT) AS n_links,
            'https://example.com/' || doc_id AS first_url_norm
@@ -162,36 +171,79 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END crawl pipeline under one ground-truth oracle:
     each doc's synthetic HTML page (the text_html_extract
     construction) is FRAMED AS A WARC RESPONSE RECORD Spark-side
-    (Content-Length = octet_length of the page, computed in the same
-    projection — the framing is data-dependent, so a wrong byte count
-    anywhere kills the split), then flows through the REAL envelope
-    chain: web_archive_records (mapInPandas record split) → block
-    decode → html extraction (tags/script/comment elision, entity
-    decode) → link capture → URL normalization of the first link.
-    DuckDB recomputes every expected output by plain string concat of
-    the raw columns — no WARC, HTML, or URL logic oracle-side.
-    Scale: map-only end to end (fan-out + projections), zero
-    exchanges, Python only in the record splitter."""
-    from flink_hiveorc_spark.functions.archive import web_archive_records
+    (Content-Length = octet_length of the block bytes, computed in
+    the same projection — the framing is data-dependent, so a wrong
+    byte count anywhere kills the split), in one of THREE charset
+    shapes (doc_id % 3): a raw application/http response envelope
+    (the real Common Crawl block shape — status line + HTTP headers
+    peeled by split_http_response, charset=utf-8 from the INNER
+    Content-Type, a 'café' literal in the body), a bare block whose
+    record header says charset=iso-8859-1 over cp1252-meaning bytes
+    (the WHATWG alias rule — JVM-encoded ISO-8859-1 'résumé naïve'),
+    and an unlabeled block whose <meta charset="utf-8"> prescan must
+    fire. The records flow through the REAL chain:
+    web_archive_text_records (record split → HTTP peel → charset
+    sniff → transcode) → html extraction (tags/script/comment
+    elision, entity decode) → link capture → URL normalization of
+    the first link. DuckDB recomputes every expected output by plain
+    string concat of the raw columns — no WARC, HTTP, charset, HTML,
+    or URL logic oracle-side. Scale: map-only end to end (fan-out +
+    projections), zero exchanges, Python only in the record
+    splitter/decoder."""
+    from flink_hiveorc_spark.functions.charset import (
+        web_archive_text_records,
+    )
     from flink_hiveorc_spark.functions.urls import url_normalize
 
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
-    page = F.concat(
-        F.lit("<!DOCTYPE html>\n<html><head><title>Doc "),
-        did,
-        F.lit(
-            "</title>\n<style>body { color: #000; }</style>\n"
-            '<script type="text/javascript">var x = 1 < 2;</script>\n'
-            "</head>\n<body>\n<!-- comment <b>with tags</b> -->\n"
-            '<h1 class="hd">'
+    m = F.col("doc_id") % 3
+
+    def page(prefix: str, head_extra: str = "") -> Column:
+        return F.concat(
+            F.lit("<!DOCTYPE html>\n<html><head><title>Doc "),
+            did,
+            F.lit(
+                "</title>\n" + head_extra
+                + "<style>body { color: #000; }</style>\n"
+                '<script type="text/javascript">var x = 1 < 2;</script>\n'
+                "</head>\n<body>\n<!-- comment <b>with tags</b> -->\n"
+                '<h1 class="hd">' + prefix
+            ),
+            F.col("source"),
+            F.lit(" &amp; friends</h1>\n<p>"),
+            F.col("text"),
+            F.lit('</p>\n<a href="https://example.com/'),
+            did,
+            F.lit('">first</a>\n<a href=\'/rel\'>second</a>\n</body></html>'),
+        )
+
+    # m=0: the real Common Crawl shape — the block is a raw HTTP
+    # response; charset comes from the INNER Content-Type header
+    page0 = page("café crawl ")
+    block0 = F.encode(
+        F.concat(
+            F.lit(
+                "HTTP/1.1 200 OK\r\n"
+                "Content-Type: text/html; charset=utf-8\r\n"
+                "Content-Length: "
+            ),
+            F.octet_length(page0).cast("string"),
+            F.lit("\r\n\r\n"),
+            page0,
         ),
-        F.col("source"),
-        F.lit(" &amp; friends</h1>\n<p>"),
-        F.col("text"),
-        F.lit('</p>\n<a href="https://example.com/'),
-        did,
-        F.lit('">first</a>\n<a href=\'/rel\'>second</a>\n</body></html>'),
+        "utf-8",
+    )
+    # m=1: bare block, iso-8859-1 transport label over latin bytes —
+    # decoded through the WHATWG windows-1252 alias
+    block1 = F.encode(page("résumé naïve "), "ISO-8859-1")
+    # m=2: bare block, no label — the <meta charset> prescan decides
+    block2 = F.encode(page("", '<meta charset="utf-8">\n'), "utf-8")
+    block = F.when(m == 0, block0).when(m == 1, block1).otherwise(block2)
+    ctype = (
+        F.when(m == 0, F.lit("application/http; msgtype=response"))
+        .when(m == 1, F.lit("text/html; charset=iso-8859-1"))
+        .otherwise(F.lit("text/html"))
     )
     hdr = F.concat(
         F.lit(
@@ -202,19 +254,24 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WARC-Target-URI: https://example.com/"
         ),
         did,
-        F.lit("\r\nContent-Type: text/html\r\nContent-Length: "),
-        F.octet_length(page).cast("string"),
+        F.lit("\r\nContent-Type: "),
+        ctype,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(block).cast("string"),
         F.lit("\r\n\r\n"),
     )
-    warc = F.encode(F.concat(hdr, page, F.lit("\r\n\r\n")), "utf-8")
-    recs = web_archive_records(
+    warc = F.concat(F.encode(hdr, "utf-8"), block, F.encode(F.lit("\r\n\r\n"), "utf-8"))
+    recs = web_archive_text_records(
         d.select("doc_id", warc.alias("payload"))
     )
-    html = F.decode(F.col("block"), "utf-8")
+    html = F.col("text")
     return recs.select(
         "doc_id",
         "fmt",
         "rec_type",
+        "http_status",
+        "charset",
+        "charset_source",
         html_title(html).alias("title"),
         html_to_text(html).alias("body_text"),
         F.size(html_links(html)).cast("long").alias("n_links"),

@@ -1,0 +1,197 @@
+"""Charset detection + transcoding: the WHATWG sniff chain (BOM >
+header > meta > xml > utf-8 probe > cp1252 fallback), the alias table
+pins (iso-8859-1 → windows-1252, gb2312 → gbk, shift_jis → cp932),
+the HTTP response peel (status/headers/chunked/content-coding), and
+the mojibake regression through the REAL crawl chain."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from flink_hiveorc_spark.functions.charset import (
+    dechunk,
+    decode_text,
+    decoded_text_stats,
+    normalize_charset_label,
+    sniff_charset,
+    split_http_response,
+    web_archive_text_records,
+)
+
+
+def test_bom_beats_any_label():
+    p = "päth".encode("utf-16")  # LE BOM on this platform
+    key, codec, src = sniff_charset(p, "text/plain; charset=koi8-r")
+    assert src == "bom" and key in ("utf-16le", "utf-16be")
+    assert decode_text(p, "text/plain; charset=koi8-r")["text"] == "päth"
+
+
+def test_utf32_bom_not_mistaken_for_utf16():
+    p = "abc".encode("utf-32")  # FF FE 00 00 on LE platforms
+    d = decode_text(p)
+    assert d["charset"] == "utf-32le" and d["text"] == "abc"
+
+
+def test_utf8_bom_stripped():
+    d = decode_text(b"\xef\xbb\xbfhello")
+    assert d["charset"] == "utf-8" and d["charset_source"] == "bom"
+    assert d["text"] == "hello" and d["n_replacements"] == 0
+
+
+def test_whatwg_latin1_alias_is_cp1252():
+    # € is 0x80 in cp1252 and a C1 control in true latin-1 — the
+    # WHATWG rule says the iso-8859-1 LABEL means windows-1252
+    d = decode_text("price €9".encode("cp1252"), "text/html; charset=iso-8859-1")
+    assert d["charset"] == "windows-1252" and d["text"] == "price €9"
+    assert d["n_replacements"] == 0
+    for label in ("latin1", "us-ascii", "ascii", "ANSI_X3.4-1968", "cp819"):
+        assert normalize_charset_label(label) == "windows-1252"
+
+
+def test_cjk_aliases():
+    assert normalize_charset_label("gb2312") == "gbk"
+    assert normalize_charset_label("Shift-JIS") == "shift_jis"
+    assert normalize_charset_label("x-sjis") == "shift_jis"
+    assert normalize_charset_label("ks_c_5601-1987") == "euc-kr"
+    # windows-31j repertoire beyond base shift_jis decodes (cp932)
+    d = decode_text("①".encode("cp932"), "text/plain; charset=shift_jis")
+    assert d["text"] == "①" and d["n_replacements"] == 0
+
+
+def test_meta_prescan_both_forms():
+    p = '<meta charset="shift_jis"><p>こんにちは</p>'.encode("cp932")
+    d = decode_text(p, "text/html")
+    assert d["charset"] == "shift_jis" and d["charset_source"] == "meta"
+    assert "こんにちは" in d["text"]
+    p2 = (
+        '<meta http-equiv="Content-Type" content="text/html; '
+        'charset=gb2312">你好'.encode("gbk")
+    )
+    d2 = decode_text(p2)
+    assert d2["charset"] == "gbk" and "你好" in d2["text"]
+
+
+def test_meta_utf16_lie_becomes_utf8():
+    # WHATWG prescan quirk: an ASCII-readable <meta charset=utf-16>
+    # cannot be utf-16 — treat as utf-8
+    d = decode_text(b'<meta charset="utf-16le">ascii body')
+    assert d["charset"] == "utf-8" and d["charset_source"] == "meta"
+
+
+def test_xml_declaration_pins_8859_15():
+    # € is 0xA4 in -15; a -1/cp1252 decode gives curren/euro confusion
+    p = '<?xml version="1.0" encoding="ISO-8859-15"?><x>€uro</x>'.encode(
+        "iso8859_15"
+    )
+    d = decode_text(p)
+    assert d["charset"] == "iso-8859-15" and d["charset_source"] == "xml"
+    assert "€uro" in d["text"]
+
+
+def test_unknown_label_falls_through():
+    d = decode_text(b"plain", "text/plain; charset=x-klingon")
+    assert d["charset_source"] == "valid-utf8"
+    d2 = decode_text("naïve".encode("cp1252"), "text/plain; charset=x-klingon")
+    assert d2["charset_source"] == "fallback" and d2["text"] == "naïve"
+
+
+def test_replacement_counting_flags_lying_labels():
+    d = decode_text("Привет".encode("koi8_r"), "text/plain; charset=utf-8")
+    assert d["charset"] == "utf-8" and d["n_replacements"] > 0
+
+
+def test_http_peel_chunked_and_gzip():
+    body = gzip.compress("café page".encode("cp1252"), mtime=0)
+    a, b = body[:5], body[5:]
+    chunks = (
+        b"%x\r\n" % len(a) + a + b"\r\n"
+        + b"%x;ext=1\r\n" % len(b) + b + b"\r\n0\r\n\r\n"
+    )
+    resp = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=iso-8859-1\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunks
+    )
+    st, hdrs, out = split_http_response(resp)
+    assert st == 200
+    d = decode_text(out, hdrs["content-type"])
+    assert d["text"] == "café page" and d["charset"] == "windows-1252"
+
+
+def test_http_peel_error_contract():
+    with pytest.raises(ValueError, match="separator"):
+        split_http_response(b"HTTP/1.1 200 OK\r\nno-end")
+    with pytest.raises(ValueError, match="status line"):
+        split_http_response(b"GET / HTTP/1.1\r\n\r\n")
+    with pytest.raises(NotImplementedError, match="content-encoding"):
+        split_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx"
+        )
+    with pytest.raises(ValueError, match="chunk"):
+        dechunk(b"zz\r\nhello\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="overruns"):
+        dechunk(b"ff\r\nshort\r\n0\r\n\r\n")
+
+
+def _warc(records: list[tuple[str, bytes]]) -> bytes:
+    out = b""
+    for ctype, block in records:
+        out += (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:t>\r\n"
+            b"WARC-Target-URI: https://x.test/\r\n"
+            b"Content-Type: " + ctype.encode() + b"\r\n"
+            b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+            + block + b"\r\n\r\n"
+        )
+    return out
+
+
+def test_mojibake_regression_through_crawl_chain(spark):
+    """The r13 chain decoded everything as utf-8 — a Shift_JIS page
+    came out as mojibake. The charset-aware chain must round-trip it."""
+    jp = "<html><body><p>日本語のページです</p></body></html>"
+    payload = _warc(
+        [
+            ("text/html; charset=shift_jis", jp.encode("cp932")),
+            # full HTTP envelope with gzip content-coding
+            (
+                "application/http; msgtype=response",
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=koi8-r\r\n"
+                b"Content-Encoding: gzip\r\n\r\n"
+                + gzip.compress("<p>Русский текст</p>".encode("koi8_r"), mtime=0),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {
+        r["record_idx"]: r
+        for r in web_archive_text_records(df).collect()
+    }
+    assert rows[0]["charset"] == "shift_jis"
+    assert "日本語のページです" in rows[0]["text"]
+    assert rows[0]["n_replacements"] == 0 and rows[0]["http_status"] is None
+    assert rows[1]["charset"] == "koi8-r" and rows[1]["http_status"] == 200
+    assert "Русский текст" in rows[1]["text"]
+    assert rows[1]["content_type"] == "text/html; charset=koi8-r"
+
+
+def test_decoded_text_stats_quarantine(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray("ok".encode()), "text/plain; charset=utf-8"),
+            (2, None, ""),
+        ],
+        "doc_id long, payload binary, content_type string",
+    )
+    rows = {r["doc_id"]: r for r in decoded_text_stats(df, quarantine=True).collect()}
+    assert rows[1]["text"] == "ok" and rows[1]["error"] is None
+    assert rows[2]["text"] is None and rows[2]["error"].startswith("malformed")
+    with pytest.raises(Exception):
+        decoded_text_stats(df, quarantine=False).collect()
