@@ -2,17 +2,24 @@
 highest-frequency document format an LLM curation pipeline ingests
 (academic papers, reports). Scope is stated honestly:
 
-- STRUCTURE (always): header version, classic xref table walk with
-  per-entry offset VERIFICATION (every in-use entry must point at its
-  `N 0 obj` header — a corrupted or lying xref classifies as
+- STRUCTURE (always): header version, xref walk with per-entry
+  offset VERIFICATION (every in-use entry must point at its
+  `N G obj` header — a corrupted or lying xref classifies as
   malformed, never a silent partial parse), trailer /Size /Root,
-  object/stream/page counts.
+  object/stream/page counts. BOTH cross-reference flavors are real:
+  the classic `xref` table (PDF 1.0-1.4) AND the PDF 1.5+
+  cross-reference STREAM (ISO 32000-1 §7.5.8: /W-array column
+  widths, big-endian fields, /Index subsections, PNG Up/Sub/…
+  row predictors reused from the PNG engine's unfilter, /Prev
+  chains) with OBJECT STREAMS (§7.5.7: /N member pairs + /First,
+  members verified against the header's object numbers) — the
+  majority shape of real-world PDFs (Chrome/Word/LaTeX output).
 - TEXT (the simple-text subset): content streams that are plain or
   FlateDecode-compressed (stdlib zlib, output-capped), with literal
   `(...) Tj` / `[(..) ..] TJ` show operators inside BT/ET and PDF
   string escapes (\\( \\) \\\\ \\n \\r \\t \\ddd octal). Anything
-  beyond — xref streams (PDF 1.5 object streams), hex strings, CID/
-  Type0 composite fonts, per-glyph encodings — raises
+  beyond — hex strings, CID/Type0 composite fonts, per-glyph
+  encodings, indirect /Length refs on content streams — raises
   NotImplementedError: decoding those without the font machinery
   silently yields mojibake, the failure class the decode contract
   forbids (same policy as the MP3 analysis, SURVEY.md r12).
@@ -24,6 +31,8 @@ from BASELINE.json's LLM-curation envelope.
 from __future__ import annotations
 
 import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -120,6 +129,285 @@ def _extract_text(content: bytes) -> list[bytes]:
     return shown
 
 
+# ---------------------------------------------- PDF object syntax
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _skip_ws(src: bytes, i: int) -> int:
+    while i < len(src) and src[i : i + 1] in (
+        b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "
+    ):
+        i += 1
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"\s+(\d+)\s+R(?![A-Za-z0-9])")
+
+
+def _parse_pdf_value(src: bytes, i: int):
+    """Minimal PDF object parser for the dictionary subset xref/ObjStm
+    machinery needs: dicts, arrays, names, numbers, indirect refs,
+    booleans/null. → (value, next index). Refs become ('ref', num,
+    gen) tuples; names become strings without the slash."""
+    i = _skip_ws(src, i)
+    if src[i : i + 2] == b"<<":
+        d: dict = {}
+        i += 2
+        while True:
+            i = _skip_ws(src, i)
+            if src[i : i + 2] == b">>":
+                return d, i + 2
+            if src[i : i + 1] != b"/":
+                raise ValueError(
+                    f"PDF dict key is not a name at offset {i}"
+                )
+            key, i = _parse_pdf_value(src, i)
+            val, i = _parse_pdf_value(src, i)
+            d[key] = val
+    if src[i : i + 1] == b"[":
+        arr: list = []
+        i += 1
+        while True:
+            i = _skip_ws(src, i)
+            if src[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_pdf_value(src, i)
+            arr.append(v)
+    if src[i : i + 1] == b"/":
+        j = i + 1
+        while j < len(src) and src[j] not in _WS and src[j] not in _DELIM:
+            j += 1
+        return src[i + 1 : j].decode("ascii", "replace"), j
+    if src[i : i + 4] == b"true":
+        return True, i + 4
+    if src[i : i + 5] == b"false":
+        return False, i + 5
+    if src[i : i + 4] == b"null":
+        return None, i + 4
+    nm = _NUM_RE.match(src, i)
+    if nm:
+        tok = nm.group(0)
+        j = nm.end()
+        if b"." not in tok:
+            rm = _REF_RE.match(src, j)
+            if rm:
+                return ("ref", int(tok), int(rm.group(1))), rm.end()
+            return int(tok), j
+        return float(tok), j
+    raise ValueError(f"unparseable PDF value at offset {i}: {src[i:i+16]!r}")
+
+
+def _apply_predictor(
+    data: bytes, predictor: int, columns: int, colors: int, bpc: int
+) -> bytes:
+    """Reverse the /DecodeParms row predictor on decoded stream data
+    (ISO 32000-1 §7.4.4.4). Predictor 1 = none; 2 = TIFF horizontal
+    differencing (8-bit only); 10-15 = the PNG filters with a
+    per-row filter-type byte — reversed by the PNG engine's
+    _png_unfilter (the same Up/Sub/Average/Paeth code paths PNG
+    decode already pins)."""
+    import numpy as np
+
+    if predictor == 1:
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    row_bytes = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise NotImplementedError(
+                "TIFF predictor with BitsPerComponent != 8"
+            )
+        if len(data) % row_bytes:
+            raise ValueError("predictor data is not a whole row multiple")
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, row_bytes)
+        out = arr.astype(np.int64)
+        for lane in range(bpp):
+            out[:, lane::bpp] = np.cumsum(out[:, lane::bpp], axis=1) % 256
+        return out.astype(np.uint8).tobytes()
+    if 10 <= predictor <= 15:
+        from flink_hiveorc_spark.functions.multimodal import _png_unfilter
+
+        stride = row_bytes
+        if len(data) % (stride + 1):
+            raise ValueError(
+                "PNG-predictor data is not a whole (1+row) multiple"
+            )
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(-1, stride + 1)
+        return _png_unfilter(rows, stride, bpp).tobytes()
+    raise NotImplementedError(f"/Predictor {predictor}")
+
+
+def _read_stream_object(payload: bytes, off: int) -> tuple[int, int, dict, bytes]:
+    """Parse `N G obj << dict >> stream ... endstream` at `off` →
+    (objnum, gen, dict, DECODED stream bytes: Flate inflated under
+    the budget, predictor reversed). Used for xref streams and
+    object streams, where /Length is literal by construction of the
+    writers that emit them (and gated honestly when indirect)."""
+    import zlib
+
+    hm = re.match(rb"(\d+)\s+(\d+)\s+obj\b", payload[off : off + 48])
+    if not hm:
+        raise ValueError(f"offset {off} is not an object header")
+    objnum, gen = int(hm.group(1)), int(hm.group(2))
+    d, j = _parse_pdf_value(payload, off + hm.end())
+    if not isinstance(d, dict):
+        raise ValueError(f"object {objnum} is not a dictionary")
+    j = _skip_ws(payload, j)
+    if payload[j : j + 6] != b"stream":
+        raise ValueError(f"object {objnum} lacks a stream keyword")
+    j += 6
+    if payload[j : j + 2] == b"\r\n":
+        j += 2
+    elif payload[j : j + 1] == b"\n":
+        j += 1
+    n = d.get("Length")
+    if not isinstance(n, int):
+        raise NotImplementedError(
+            f"object {objnum} has a non-literal /Length (indirect "
+            "lengths need full object resolution)"
+        )
+    if n > MAX_PDF_STREAM_BYTES:
+        raise ValueError(
+            f"PDF stream declares {n} bytes > {MAX_PDF_STREAM_BYTES} "
+            "(bomb guard)"
+        )
+    body = payload[j : j + n]
+    if len(body) != n:
+        raise ValueError("PDF stream overruns the payload")
+    filt = d.get("Filter")
+    if filt is not None:
+        filters = filt if isinstance(filt, list) else [filt]
+        if filters != ["FlateDecode"]:
+            raise NotImplementedError(
+                f"PDF stream filter chain {filters} (needs codec)"
+            )
+        try:
+            dec = zlib.decompressobj()
+            body = dec.decompress(body, MAX_PDF_STREAM_BYTES)
+            if dec.unconsumed_tail:
+                raise ValueError("PDF Flate stream exceeds the budget")
+        except zlib.error as e:
+            raise ValueError(f"malformed Flate stream: {e}") from e
+    parms = d.get("DecodeParms") or d.get("DP")
+    if isinstance(parms, dict) and "Predictor" in parms:
+        body = _apply_predictor(
+            body,
+            int(parms["Predictor"]),
+            int(parms.get("Columns", 1)),
+            int(parms.get("Colors", 1)),
+            int(parms.get("BitsPerComponent", 8)),
+        )
+    return objnum, gen, d, body
+
+
+_MAX_XREF_SECTIONS = 64
+
+
+def _parse_xref_stream_chain(
+    payload: bytes, xref_off: int
+) -> tuple[dict[int, tuple], dict]:
+    """Walk the /Prev chain of cross-reference streams starting at
+    `xref_off` → ({objnum: (type, field2, field3)}, the FIRST
+    section's dict — which doubles as the trailer per §7.5.8).
+    Newer sections win on objnum collisions (incremental updates);
+    the chain is loop-guarded."""
+    entries: dict[int, tuple] = {}
+    trailer: dict | None = None
+    seen: set[int] = set()
+    off = xref_off
+    while off is not None:
+        if off in seen or len(seen) >= _MAX_XREF_SECTIONS:
+            raise ValueError("xref /Prev chain loops or is too deep")
+        seen.add(off)
+        objnum, _gen, d, data = _read_stream_object(payload, off)
+        if d.get("Type") != "XRef":
+            raise ValueError(
+                f"object {objnum} at startxref is not /Type /XRef"
+            )
+        w = d.get("W")
+        if (
+            not isinstance(w, list)
+            or len(w) != 3
+            or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        ):
+            raise ValueError(f"bad xref stream /W {w!r}")
+        size = d.get("Size")
+        if not isinstance(size, int):
+            raise ValueError("xref stream lacks /Size")
+        index = d.get("Index", [0, size])
+        if not isinstance(index, list) or len(index) % 2:
+            raise ValueError(f"bad xref stream /Index {index!r}")
+        row = sum(w)
+        if row == 0 or len(data) % row:
+            raise ValueError(
+                f"xref stream data ({len(data)} bytes) is not a "
+                f"multiple of the /W row width ({row})"
+            )
+        n_rows = len(data) // row
+        if n_rows != sum(index[i + 1] for i in range(0, len(index), 2)):
+            raise ValueError("xref stream /Index disagrees with data size")
+        pos = 0
+        for i in range(0, len(index), 2):
+            start, count = index[i], index[i + 1]
+            for k in range(count):
+                fields = []
+                for width in w:
+                    fields.append(
+                        int.from_bytes(data[pos : pos + width], "big")
+                        if width
+                        else None
+                    )
+                    pos += width
+                # a zero-width type field defaults to type 1 (§7.5.8.3)
+                etype = fields[0] if w[0] else 1
+                objnum_k = start + k
+                if objnum_k not in entries:  # newer sections win
+                    entries[objnum_k] = (etype, fields[1], fields[2])
+        if trailer is None:
+            trailer = d
+        off = d.get("Prev")
+        if off is not None and not isinstance(off, int):
+            raise ValueError("xref stream /Prev is not an offset")
+    assert trailer is not None
+    return entries, trailer
+
+
+def _parse_objstm(payload: bytes, off: int, expected_num: int) -> list[tuple[int, bytes]]:
+    """Parse the object stream at `off` → [(objnum, body bytes)] per
+    §7.5.7: the decoded stream is /N (objnum, offset) integer pairs
+    followed by the member objects at /First + offset."""
+    objnum, _gen, d, data = _read_stream_object(payload, off)
+    if objnum != expected_num:
+        raise ValueError(
+            f"xref entry says object stream {expected_num} lives at "
+            f"offset {off}, but that is object {objnum}"
+        )
+    if d.get("Type") != "ObjStm":
+        raise ValueError(f"object {objnum} is not /Type /ObjStm")
+    n, first = d.get("N"), d.get("First")
+    if not isinstance(n, int) or not isinstance(first, int):
+        raise ValueError("ObjStm lacks integer /N or /First")
+    header = data[:first]
+    pairs = header.split()
+    if len(pairs) < 2 * n:
+        raise ValueError("ObjStm header has fewer pairs than /N")
+    nums = [int(pairs[2 * i]) for i in range(n)]
+    offs = [int(pairs[2 * i + 1]) for i in range(n)]
+    if offs != sorted(offs):
+        raise ValueError("ObjStm member offsets are not ascending")
+    members = []
+    for i in range(n):
+        lo = first + offs[i]
+        hi = first + offs[i + 1] if i + 1 < n else len(data)
+        if hi > len(data):
+            raise ValueError("ObjStm member overruns the stream")
+        members.append((nums[i], data[lo:hi]))
+    return members
+
+
 def parse_pdf(payload: bytes) -> dict:
     """Structural parse + simple-text extraction (see module doc)."""
     import zlib
@@ -135,45 +423,85 @@ def parse_pdf(payload: bytes) -> dict:
     if not m:
         raise ValueError("malformed startxref")
     xref_off = int(m.group(1))
-    if payload[xref_off : xref_off + 4] == b"xref":
-        pass
-    elif _OBJ_RE.match(payload[xref_off:]):
-        raise NotImplementedError(
-            "PDF 1.5 cross-reference STREAM (object streams need the "
-            "xref-stream decoder this build scopes out)"
-        )
-    else:
-        raise ValueError("startxref does not point at an xref table")
-    # classic xref subsections
-    lines = payload[xref_off:].split(b"\n")
     n_objects = 0
-    li = 1
-    while li < len(lines):
-        header = lines[li].strip()
-        if header.startswith(b"trailer") or not header:
-            break
-        hm = re.match(rb"^(\d+) (\d+)$", header)
-        if not hm:
-            raise ValueError(f"malformed xref subsection header {header!r}")
-        start, count = int(hm.group(1)), int(hm.group(2))
-        li += 1
-        for k in range(count):
-            em = _XREF_ENTRY_RE.match(lines[li].strip())
-            if not em:
-                raise ValueError(f"malformed xref entry {lines[li]!r}")
-            off, _gen, kind = int(em.group(1)), em.group(2), em.group(3)
-            if kind == b"n":
-                want = f"{start + k} 0 obj".encode()
-                if payload[off : off + len(want)] != want:
+    objstm_pages = 0
+    if payload[xref_off : xref_off + 4] == b"xref":
+        # classic xref subsections
+        lines = payload[xref_off:].split(b"\n")
+        li = 1
+        while li < len(lines):
+            header = lines[li].strip()
+            if header.startswith(b"trailer") or not header:
+                break
+            hm = re.match(rb"^(\d+) (\d+)$", header)
+            if not hm:
+                raise ValueError(
+                    f"malformed xref subsection header {header!r}"
+                )
+            start, count = int(hm.group(1)), int(hm.group(2))
+            li += 1
+            for k in range(count):
+                em = _XREF_ENTRY_RE.match(lines[li].strip())
+                if not em:
+                    raise ValueError(f"malformed xref entry {lines[li]!r}")
+                off, _gen, kind = int(em.group(1)), em.group(2), em.group(3)
+                if kind == b"n":
+                    want = f"{start + k} 0 obj".encode()
+                    if payload[off : off + len(want)] != want:
+                        raise ValueError(
+                            f"xref entry for object {start + k} points at "
+                            f"offset {off}, which is not its header"
+                        )
+                    n_objects += 1
+                li += 1
+        tm = re.search(rb"trailer\s*<<(.*?)>>", payload[xref_off:], re.S)
+        if not tm or b"/Root" not in tm.group(1):
+            raise ValueError("PDF trailer lacks /Root")
+    elif _OBJ_RE.match(payload[xref_off:]):
+        # PDF 1.5+ cross-reference stream (+ object streams)
+        entries, trailer = _parse_xref_stream_chain(payload, xref_off)
+        if "Root" not in trailer:
+            raise ValueError("xref stream trailer lacks /Root")
+        # verify type-1 entries against the headers they point at,
+        # and group type-2 entries per object stream
+        by_objstm: dict[int, list[tuple[int, int]]] = {}
+        for num, (etype, f2, f3) in sorted(entries.items()):
+            if etype == 0:
+                continue  # free
+            if etype == 1:
+                gen = f3 if f3 is not None else 0
+                want = f"{num} {gen} obj".encode()
+                if payload[f2 : f2 + len(want)] != want:
                     raise ValueError(
-                        f"xref entry for object {start + k} points at "
-                        f"offset {off}, which is not its header"
+                        f"xref entry for object {num} points at offset "
+                        f"{f2}, which is not its header"
                     )
                 n_objects += 1
-            li += 1
-    tm = re.search(rb"trailer\s*<<(.*?)>>", payload[xref_off:], re.S)
-    if not tm or b"/Root" not in tm.group(1):
-        raise ValueError("PDF trailer lacks /Root")
+            elif etype == 2:
+                by_objstm.setdefault(f2, []).append((f3, num))
+            else:
+                raise ValueError(f"xref entry type {etype} is unknown")
+        for stm_num, want_members in by_objstm.items():
+            se = entries.get(stm_num)
+            if se is None or se[0] != 1:
+                raise ValueError(
+                    f"object stream {stm_num} has no in-use type-1 "
+                    "xref entry"
+                )
+            members = _parse_objstm(payload, se[1], stm_num)
+            for idx, num in want_members:
+                if idx is None or idx >= len(members) or members[idx][0] != num:
+                    raise ValueError(
+                        f"xref says object {num} is member {idx} of "
+                        f"object stream {stm_num}, but the ObjStm header "
+                        "disagrees"
+                    )
+                n_objects += 1
+                objstm_pages += len(
+                    re.findall(rb"/Type\s*/Page[^s]", members[idx][1])
+                )
+    else:
+        raise ValueError("startxref does not point at an xref table")
     # streams: << dict >> stream\n ... endstream, /Length mandatory.
     # Scanned by locating each `stream` keyword and looking BACK a
     # bounded window for its dict — a single lazy `<<(.*?)>>\s*stream`
@@ -196,11 +524,37 @@ def parse_pdf(payload: bytes) -> dict:
         else:
             continue  # 'endstream', '/XRefStm', ... — not the keyword
         window = payload[max(0, sk - 4096) : sk]
-        do = window.rfind(b"<<")
         dc = window.rfind(b">>")
-        if do < 0 or dc < do or window[dc + 2 :].strip():
+        if dc < 0 or window[dc + 2 :].strip():
             continue  # no adjacent dict: not a stream object
+        # walk BACKWARD to the matching `<<` counting nesting depth —
+        # a plain rfind(b"<<") lands on the innermost nested dict
+        # (/DecodeParms << ... >>, /Resources << /Font << ... >> >>)
+        # and truncates the stream dict
+        depth, j, do = 1, dc - 1, -1
+        while j >= 0:
+            pair = window[j : j + 2]
+            if pair == b">>":
+                depth += 1
+                j -= 2
+            elif pair == b"<<":
+                depth -= 1
+                if depth == 0:
+                    do = j
+                    break
+                j -= 2
+            else:
+                j -= 1
+        if do < 0:
+            continue  # unbalanced: not a stream object dict
         d = window[do + 2 : dc]
+        if re.search(rb"/Length\s+\d+\s+\d+\s+R(?![A-Za-z0-9])", d):
+            # `/Length 8 0 R` would otherwise misparse as Length=8
+            # and frame the wrong byte span
+            raise NotImplementedError(
+                "stream with an indirect /Length reference (needs full "
+                "object resolution)"
+            )
         lm = re.search(rb"/Length\s+(\d+)", d)
         if not lm:
             raise ValueError("content stream lacks a literal /Length")
@@ -232,9 +586,13 @@ def parse_pdf(payload: bytes) -> dict:
                     raise ValueError("PDF Flate stream exceeds the budget")
             except zlib.error as e:
                 raise ValueError(f"malformed Flate stream: {e}") from e
+        if re.search(rb"/Type\s*/(XRef|ObjStm)\b", d):
+            # xref/object stream data is binary/packed — a chance
+            # 'BT' byte pair inside it is not text
+            continue
         if b"BT" in body:
             texts.extend(_extract_text(body))
-    n_pages = len(re.findall(rb"/Type\s*/Page[^s]", payload))
+    n_pages = objstm_pages + len(re.findall(rb"/Type\s*/Page[^s]", payload))
     return {
         "n_objects": n_objects,
         "n_pages": n_pages,
@@ -265,6 +623,92 @@ def pdf_stats(payloads: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(payloads, _PDF_STATS_SCHEMA, featurize, quarantine)
 
 
+def _build_pdf15(
+    content: bytes, predictor: int = 12, prev_of: bytes | None = None
+) -> bytes:
+    """Independent ENCODER twin for the modern-PDF shape: a PDF 1.5
+    file whose catalog/pages/page/font objects live in an ObjStm and
+    whose cross-reference is a /W [1 4 2] XRef STREAM (FlateDecode,
+    PNG-Up /Predictor 12 by default). Byte offsets are computed from
+    the variable `content`, so every fixture is data-dependent. The
+    builder composes bytes from the spec top-down and shares no code
+    with parse_pdf (the usual twin discipline)."""
+    import zlib
+
+    head = b"%PDF-1.5\n"
+    o4 = (
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    members = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        ),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    offs, body = [], b""
+    for _num, src in members:
+        offs.append(len(body))
+        body += src + b"\n"
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(members, offs)
+    ).encode() + b"\n"
+    stm_data = header + body
+    stm_z = zlib.compress(stm_data, 6)
+    o6 = (
+        b"6 0 obj\n<< /Type /ObjStm /N 4 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(stm_z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stm_z
+        + b"\nendstream\nendobj\n"
+    )
+    off4 = len(head)
+    off6 = off4 + len(o4)
+    off7 = off6 + len(o6)
+    rows = [
+        (0, 0, 65535),  # free head
+        (2, 6, 0), (2, 6, 1), (2, 6, 2),   # 1..3 in ObjStm 6
+        (1, off4, 0),
+        (2, 6, 3),                          # 5 in ObjStm 6
+        (1, off6, 0), (1, off7, 0),
+    ]
+    raw = b"".join(
+        t.to_bytes(1, "big") + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+        for t, a, b in rows
+    )
+    cols = 7
+    if predictor == 1:
+        xdata, parms = raw, b""
+    elif predictor == 12:
+        prev = bytes(cols)
+        filtered = b""
+        for i in range(0, len(raw), cols):
+            row = raw[i : i + cols]
+            filtered += b"\x02" + bytes(
+                (c - p) % 256 for c, p in zip(row, prev)
+            )
+            prev = row
+        xdata = filtered
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        raise ValueError(f"builder predictor {predictor}")
+    xz = zlib.compress(xdata, 6)
+    o7 = (
+        b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R"
+        + (b" /Prev " + prev_of if prev_of is not None else b"")
+        + b" /Length " + str(len(xz)).encode()
+        + b" /Filter /FlateDecode" + parms
+        + b" >>\nstream\n" + xz + b"\nendstream\nendobj\n"
+    )
+    return (
+        head + o4 + o6 + o7
+        + b"startxref\n" + str(off7).encode() + b"\n%%EOF\n"
+    )
+
+
 _PDF_FLATE_TEXT = "flate constant leg: pdf_stats external oracle"
 
 
@@ -280,28 +724,40 @@ def _pdf_flate_stream() -> bytes:
     "multimodal_pdf_stats",
     oracle=f"""
     SELECT doc_id,
-           CAST(5 AS BIGINT) AS n_objects,
+           CASE doc_id % 3 WHEN 2 THEN CAST(7 AS BIGINT)
+                ELSE CAST(5 AS BIGINT) END AS n_objects,
            CAST(1 AS BIGINT) AS n_pages,
-           CAST(1 AS BIGINT) AS n_streams,
-           CASE WHEN doc_id % 2 = 0
-                THEN 'Doc ' || doc_id || ' ' || source || ' ' || text
-                ELSE '{_PDF_FLATE_TEXT}' END AS pdf_text
+           CASE doc_id % 3 WHEN 2 THEN CAST(3 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS n_streams,
+           CASE doc_id % 3
+                WHEN 0 THEN 'Doc ' || doc_id || ' ' || source || ' ' || text
+                WHEN 1 THEN '{_PDF_FLATE_TEXT}'
+                ELSE 'Doc ' || doc_id || ' modern ' || source || ' ' || text
+                END AS pdf_text
     FROM documents
     """,
 )
 def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF probing under a GROUND-TRUTH oracle with DATA-DEPENDENT
-    byte offsets: each even doc becomes a complete classic-xref PDF
-    whose content stream carries the doc's text in two Tj strings —
-    the /Length value, object-5 offset, xref offset, and startxref
-    are all octet_length arithmetic over the variable content, and
-    the parser VERIFIES every xref entry against the object header
-    it points at, so one byte of drift anywhere kills the row; odd
-    docs carry a constant FlateDecode content stream (the bz2-leg
-    precedent), pinning the zlib routing. DuckDB recomputes the
-    expected text by plain concat (documents.text is verified free
-    of parens/backslashes at all SFs). Scale: map-only, zero
-    exchanges."""
+    byte offsets, three legs by doc_id % 3:
+    0: a complete classic-xref PDF whose content stream carries the
+       doc's text in two Tj strings — the /Length value, object-5
+       offset, xref offset, and startxref are all octet_length
+       arithmetic over the variable content, and the parser VERIFIES
+       every xref entry against the object header it points at, so
+       one byte of drift anywhere kills the row;
+    1: a constant FlateDecode content stream (the bz2-leg precedent),
+       pinning the zlib routing;
+    2: the MODERN shape (PDF 1.5+): catalog/pages/page/font packed in
+       a FlateDecode ObjStm, cross-reference as a /W [1 4 2] XRef
+       STREAM under PNG-Up /Predictor 12 — built by the independent
+       encoder twin with offsets derived from the variable content,
+       so the /W column decode, predictor reversal, ObjStm member
+       slicing, AND per-entry offset/membership verification all have
+       to agree for the hash to match (7 objects, 3 streams).
+    DuckDB recomputes the expected text by plain concat
+    (documents.text is verified free of parens/backslashes at all
+    SFs). Scale: map-only, zero exchanges."""
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     head = "%PDF-1.4\n"
@@ -331,10 +787,10 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flate = _pdf_flate_stream()
     stream_body = F.when(
-        F.col("doc_id") % 2 == 0, F.encode(stream_plain, "utf-8")
+        F.col("doc_id") % 3 == 0, F.encode(stream_plain, "utf-8")
     ).otherwise(F.lit(flate))
     filter_part = F.when(
-        F.col("doc_id") % 2 == 0, F.lit("")
+        F.col("doc_id") % 3 == 0, F.lit("")
     ).otherwise(F.lit(" /Filter /FlateDecode"))
     o4 = F.concat(
         F.encode(
@@ -370,10 +826,41 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         xref_off.cast("string"),
         F.lit("\n%%EOF\n"),
     )
-    payload = F.concat(
+    payload_classic = F.concat(
         F.lit((head + o1 + o2 + o3).encode()),
         o4,
         F.lit(o5.encode()),
         F.encode(F.concat(xref, trailer), "utf-8"),
     )
-    return pdf_stats(d.select("doc_id", payload.alias("payload")))
+
+    # leg 2 (the modern xref-stream/ObjStm shape) needs binary
+    # big-endian /W columns + PNG-predictor filtering + Flate over
+    # data-dependent offsets — built by the Python encoder twin; the
+    # classic legs pass through untouched
+    src_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def build_modern(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, classic, source, text in zip(
+                pdf["doc_id"], pdf["payload"], pdf["source"], pdf["text"]
+            ):
+                if int(doc_id) % 3 != 2:
+                    payloads.append(classic)
+                    continue
+                content = (
+                    f"BT /F1 12 Tf 72 720 Td (Doc {doc_id} modern) Tj "
+                    f"0 -14 Td ({source} {text}) Tj ET"
+                ).encode()
+                payloads.append(_build_pdf15(content))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = d.select(
+        "doc_id", payload_classic.alias("payload"), "source", "text"
+    ).mapInPandas(build_modern, src_schema)
+    return pdf_stats(blobs)
