@@ -95,6 +95,7 @@ def _load_all() -> None:
         html,
         mail,
         multimodal,
+        office,
         pdf,
         pipeline,
         similarity,
