@@ -461,6 +461,192 @@ def web_archive_text_records(
     return _fanout_df(payloads, _TEXT_RECORD_SCHEMA, split, quarantine)
 
 
+# --------------------------------------- WET / WAT sidecar ingest
+
+# WAT metadata-record JSON envelope (the Common Crawl wat spec's
+# subset a curation pipeline consumes) — parsed JVM-side by
+# from_json, zero Python
+_WAT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "WARC-Header-Metadata",
+                        T.StructType(
+                            [T.StructField("WARC-Target-URI", T.StringType())]
+                        ),
+                    ),
+                    T.StructField(
+                        "Payload-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "Actual-Content-Length", T.LongType()
+                                ),
+                                T.StructField(
+                                    "HTTP-Response-Metadata",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "HTML-Metadata",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "Links",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "url",
+                                                                            T.StringType(),
+                                                                        )
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        )
+                                                    ]
+                                                ),
+                                            )
+                                        ]
+                                    ),
+                                ),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def wet_wat_records(payloads: DataFrame) -> DataFrame:
+    """Common Crawl ships three artifact types per crawl: the raw
+    WARC, the WET text sidecar (conversion records, text/plain), and
+    the WAT metadata sidecar (metadata records, one JSON document
+    per page). This operator ingests BOTH sidecars through the same
+    envelope chain: web_archive_text_records splits + transcodes the
+    records (a WET conversion block is plain text; a WAT metadata
+    block is UTF-8 JSON), warcinfo preamble records are filtered,
+    and the WAT JSON parses JVM-side with from_json against the
+    published envelope schema. → (doc_id, record_idx, kind wet|wat,
+    uri, body_text, content_len, n_links, first_link); the WET leg
+    carries the extracted text, the WAT leg the link graph. Scale:
+    one map-only fan-out + JVM projections, zero exchanges."""
+    recs = web_archive_text_records(payloads)
+    wat = F.from_json(F.col("text"), _WAT_SCHEMA)
+    pm = wat["Envelope"]["Payload-Metadata"]
+    links = pm["HTTP-Response-Metadata"]["HTML-Metadata"]["Links"]
+    is_wet = F.col("rec_type") == "conversion"
+    return recs.filter(
+        F.col("rec_type").isin("conversion", "metadata")
+    ).select(
+        "doc_id",
+        "record_idx",
+        F.when(is_wet, F.lit("wet")).otherwise(F.lit("wat")).alias("kind"),
+        F.when(is_wet, F.col("uri"))
+        .otherwise(wat["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"])
+        .alias("uri"),
+        F.when(is_wet, F.col("text")).otherwise(F.lit("")).alias("body_text"),
+        F.when(is_wet, F.octet_length("text").cast("long"))
+        .otherwise(pm["Actual-Content-Length"])
+        .alias("content_len"),
+        F.when(is_wet, F.lit(0))
+        .otherwise(F.size(links))
+        .cast("long")
+        .alias("n_links"),
+        F.when(is_wet, F.lit(""))
+        .otherwise(F.element_at(links, 1)["url"])
+        .alias("first_link"),
+    )
+
+
+@query(
+    "pipeline_wet_wat_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS record_idx,
+           CASE doc_id % 2 WHEN 0 THEN 'wet' ELSE 'wat' END AS kind,
+           'https://example.com/' || doc_id AS uri,
+           CASE doc_id % 2 WHEN 0
+                THEN 'WET extract ' || source || ' ' || text
+                ELSE '' END AS body_text,
+           CAST(CASE doc_id % 2 WHEN 0
+                THEN length('WET extract ' || source || ' ' || text)
+                ELSE length(text) END AS BIGINT) AS content_len,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 0 ELSE 2 END AS BIGINT)
+             AS n_links,
+           CASE doc_id % 2 WHEN 0 THEN ''
+                ELSE 'https://a.test/' || doc_id END AS first_link
+    FROM documents
+    """,
+)
+def pipeline_wet_wat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET/WAT sidecar ingest under a GROUND-TRUTH oracle: each doc
+    becomes a two-record WARC file — a constant warcinfo preamble
+    (which the operator must FILTER) followed by either a WET
+    conversion record whose text/plain block carries the doc's text
+    (Content-Length = octet_length, data-dependent) or a WAT metadata
+    record whose application/json block is the published Envelope
+    shape with a data-dependent Actual-Content-Length and a two-entry
+    Links array. The records run the REAL chain (record split →
+    charset transcode → JVM from_json for WAT); DuckDB recomputes
+    every expected output by plain string concat/length of the raw
+    columns — no WARC or JSON logic oracle-side. Scale: map-only
+    fan-out + projections, zero exchanges, Python only in the record
+    splitter."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 2
+    wet_body = F.concat(
+        F.lit("WET extract "), F.col("source"), F.lit(" "), F.col("text")
+    )
+    wat_body = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":'
+              '"https://example.com/'),
+        did,
+        F.lit('"},"Payload-Metadata":{"Actual-Content-Length":'),
+        F.length("text").cast("string"),
+        F.lit(',"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":'
+              '[{"url":"https://a.test/'),
+        did,
+        F.lit('"},{"url":"/rel-'),
+        did,
+        F.lit('"}]}}}}}'),
+    )
+    body = F.when(m == 0, wet_body).otherwise(wat_body)
+    info = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        "WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-00000000wi>\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        "Content-Length: 16\r\n\r\nsoftware: graft\n\r\n\r\n"
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: "
+        ),
+        F.when(m == 0, F.lit("conversion")).otherwise(F.lit("metadata")),
+        F.lit(
+            "\r\nWARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-"
+            "00000000cc>\r\nWARC-Target-URI: https://example.com/"
+        ),
+        did,
+        F.lit("\r\nContent-Type: "),
+        F.when(m == 0, F.lit("text/plain")).otherwise(
+            F.lit("application/json")
+        ),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+        F.lit("\r\n\r\n"),
+    )
+    payload = F.encode(F.concat(F.lit(info), rec), "utf-8")
+    return wet_wat_records(d.select("doc_id", payload.alias("payload")))
+
+
 # ------------------------------------------------------ the oracle
 
 # scenario table for the ground-truth query: (canonical key expected,

@@ -182,6 +182,52 @@ def test_mojibake_regression_through_crawl_chain(spark):
     assert rows[1]["content_type"] == "text/html; charset=koi8-r"
 
 
+def test_wet_wat_records(spark):
+    from flink_hiveorc_spark.functions.charset import wet_wat_records
+
+    wat_json = (
+        '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":'
+        '"https://w.test/1"},"Payload-Metadata":{"Actual-Content-Length"'
+        ':77,"HTTP-Response-Metadata":{"HTML-Metadata":{"Links":'
+        '[{"url":"https://l.test/a"},{"url":"/b"},{"url":"/c"}]}}}}}'
+    )
+
+    def rec(rtype, ctype, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + rtype.encode()
+            + b"\r\nWARC-Record-ID: <urn:uuid:t>\r\n"
+            b"WARC-Target-URI: https://w.test/1\r\n"
+            b"Content-Type: " + ctype.encode() + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+
+    payload = (
+        rec("warcinfo", "application/warc-fields", b"software: x\n")
+        + rec("conversion", "text/plain", "wet text päge".encode())
+        + rec("metadata", "application/json", wat_json.encode())
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {r["kind"]: r for r in wet_wat_records(df).collect()}
+    assert set(rows) == {"wet", "wat"}  # warcinfo filtered
+    assert rows["wet"]["body_text"] == "wet text päge"
+    assert rows["wet"]["content_len"] == len("wet text päge".encode())
+    assert rows["wet"]["n_links"] == 0
+    assert rows["wat"]["uri"] == "https://w.test/1"
+    assert rows["wat"]["content_len"] == 77
+    assert rows["wat"]["n_links"] == 3
+    assert rows["wat"]["first_link"] == "https://l.test/a"
+    # malformed WAT JSON → from_json yields NULLs, not a crash
+    bad = rec("metadata", "application/json", b"{not json")
+    df2 = spark.createDataFrame(
+        [(2, bytearray(bad))], "doc_id long, payload binary"
+    )
+    r2 = wet_wat_records(df2).collect()[0]
+    assert r2["kind"] == "wat" and r2["uri"] is None and r2["n_links"] is None
+
+
 def test_decoded_text_stats_quarantine(spark):
     df = spark.createDataFrame(
         [
