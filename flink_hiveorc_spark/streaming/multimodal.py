@@ -80,6 +80,18 @@ def _register_r13_modalities() -> None:
     _FEATURIZERS.setdefault("mail", mail_part_stats)
     _FEATURIZERS.setdefault("pdf", pdf_stats)
 
+    # r14: OOXML text extraction and the charset-aware crawl text
+    # chain (WARC/ARC split → HTTP peel → charset sniff → UTF-8
+    # transcode) run in-stream with the same quarantine/repair
+    # contract
+    from flink_hiveorc_spark.functions.charset import (
+        web_archive_text_records,
+    )
+    from flink_hiveorc_spark.functions.office import office_stats
+
+    _FEATURIZERS.setdefault("office", office_stats)
+    _FEATURIZERS.setdefault("crawltext", web_archive_text_records)
+
 
 def blob_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File stream of (doc_id, payload) parquet blobs — the stand-in

@@ -102,7 +102,7 @@ def test_streaming_featurize_unknown_modality_rejected(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="unknown modality"):
-        sm.start_multimodal_featurize(None, "", "", "", modality="text")
+        sm.start_multimodal_featurize(None, "", "", "", modality="hologram")
 
 
 def test_streaming_media_probe_with_quarantine(spark, tmp_path):
@@ -265,3 +265,49 @@ def test_streaming_warc_and_archive_with_quarantine(spark, tmp_path):
     assert [(r["fmt"], r["n_rows"], r["sum_first_int"]) for r in probe] == [
         ("parquet", 2, 9)
     ]
+
+
+def test_streaming_office_and_crawltext_with_quarantine(spark, tmp_path):
+    """modality='office'/'crawltext' (r14): OOXML blobs extract text
+    in-stream; crawl shards run the full charset-aware text chain
+    (record split → charset sniff → UTF-8 transcode) in-stream; junk
+    quarantines verbatim through the same repair leg."""
+    from flink_hiveorc_spark.functions.office import build_docx
+
+    src, out, dlq, ckpt = (str(tmp_path / d) for d in
+                           ("osrc", "ofeat", "odlq", "ockpt"))
+    _write_blobs(spark, src, [(0, build_docx([["stream doc"]])),
+                              (9, b"not a zip")])
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="office", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = spark.read.parquet(out).collect()
+    assert [(r["kind"], r["office_text"]) for r in feats] == [
+        ("docx", "stream doc")
+    ]
+    dlq_rows = {r["doc_id"]: r for r in spark.read.parquet(dlq).collect()}
+    assert dlq_rows[9]["error"].startswith("malformed:")
+
+    # crawltext: a Shift_JIS-labeled record must transcode in-stream
+    jp = "<p>流れるテキスト</p>"
+    block = jp.encode("cp932")
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:t>\r\n"
+        b"WARC-Target-URI: https://s.test/jp\r\n"
+        b"Content-Type: text/html; charset=shift_jis\r\n"
+        b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+        + block + b"\r\n\r\n"
+    )
+    src2, out2, dlq2, ckpt2 = (str(tmp_path / d) for d in
+                               ("tsrc", "tfeat", "tdlq", "tckpt"))
+    _write_blobs(spark, src2, [(1, rec)])
+    q2 = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src2), out2, dlq2, ckpt2,
+        modality="crawltext", available_now=True,
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out2).collect()
+    assert [(r["charset"], r["text"]) for r in rows] == [("shift_jis", jp)]
