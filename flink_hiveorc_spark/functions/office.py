@@ -182,6 +182,181 @@ def office_stats(payloads: DataFrame, quarantine: bool = False) -> DataFrame:
     return _stats_df(payloads, _OFFICE_SCHEMA, parse_office, quarantine)
 
 
+# --------------------------------------------------------- EPUB
+
+_CONTAINER_XML = "META-INF/container.xml"
+
+
+def _resolve_href(opf_path: str, href: str) -> str:
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    return base + href
+
+
+def parse_epub(payload: bytes) -> dict:
+    """EPUB blob → {title, n_chapters, epub_text}. An EPUB (the book
+    corpus format) is a zip: META-INF/container.xml names the OPF
+    package document; the OPF's <manifest> maps ids to hrefs and its
+    <spine> gives READING ORDER (which may differ from zip member
+    order); chapters are XHTML, parsed as XML with whitespace-
+    collapsed itertext. All layers already owned: expand_zip +
+    ElementTree. Missing container/OPF/spine items classify as
+    malformed (ValueError)."""
+    from flink_hiveorc_spark.functions.archive import expand_zip
+
+    parts = {m["name"]: m["content"] for m in expand_zip(payload)}
+    if _CONTAINER_XML not in parts:
+        raise ValueError("epub lacks META-INF/container.xml")
+    container = _parse_xml(_CONTAINER_XML, parts[_CONTAINER_XML])
+    opf_path = None
+    for el in container.iter():
+        if _local(el.tag) == "rootfile":
+            opf_path = el.get("full-path")
+            break
+    if not opf_path or opf_path not in parts:
+        raise ValueError("epub container names no readable OPF rootfile")
+    opf = _parse_xml(opf_path, parts[opf_path])
+    manifest: dict[str, str] = {}
+    spine: list[str] = []
+    title = ""
+    for el in opf.iter():
+        tag = _local(el.tag)
+        if tag == "item" and el.get("id") and el.get("href"):
+            manifest[el.get("id")] = el.get("href")
+        elif tag == "itemref" and el.get("idref"):
+            spine.append(el.get("idref"))
+        elif tag == "title" and not title:
+            title = (el.text or "").strip()
+    if not spine:
+        raise ValueError("epub OPF has no spine")
+    chapters: list[str] = []
+    for idref in spine:
+        href = manifest.get(idref)
+        if href is None:
+            raise ValueError(f"spine idref {idref!r} is not in the manifest")
+        name = _resolve_href(opf_path, href)
+        if name not in parts:
+            raise ValueError(f"spine item {name!r} is not in the zip")
+        root = _parse_xml(name, parts[name])
+        text = " ".join("".join(root.itertext()).split())
+        chapters.append(text)
+    return {
+        "title": title,
+        "n_chapters": len(chapters),
+        "epub_text": "\n".join(chapters),
+    }
+
+
+_EPUB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("n_chapters", T.LongType()),
+        T.StructField("epub_text", T.StringType()),
+    ]
+)
+
+
+def epub_stats(payloads: DataFrame, quarantine: bool = False) -> DataFrame:
+    """(doc_id, payload) EPUB blobs → title + spine-ordered text
+    through the shared featurize-with-DLQ path."""
+    from flink_hiveorc_spark.functions.multimodal import _stats_df
+
+    return _stats_df(payloads, _EPUB_SCHEMA, parse_epub, quarantine)
+
+
+def build_epub(title: str, chapters: list[tuple[str, str]]) -> bytes:
+    """Independent ENCODER twin: a minimal spec-shaped EPUB. The
+    spine lists chapters in the GIVEN order while the zip stores
+    them reversed, so a reader that ignores the spine fails the
+    oracle."""
+    container = (
+        '<?xml version="1.0"?><container version="1.0" '
+        'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    ).encode()
+    items = "".join(
+        f'<item id="c{i}" href="{name}" '
+        'media-type="application/xhtml+xml"/>'
+        for i, (name, _) in enumerate(chapters)
+    )
+    refs = "".join(f'<itemref idref="c{i}"/>' for i in range(len(chapters)))
+    opf = (
+        '<?xml version="1.0"?><package '
+        'xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>{title}</dc:title></metadata>"
+        f"<manifest>{items}</manifest><spine>{refs}</spine></package>"
+    ).encode()
+    parts: dict[str, bytes] = {
+        "mimetype": b"application/epub+zip",
+        _CONTAINER_XML: container,
+        "OEBPS/content.opf": opf,
+    }
+    for name, body in reversed(chapters):
+        parts["OEBPS/" + name] = (
+            '<?xml version="1.0"?>'
+            '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+            f"{body}</body></html>"
+        ).encode()
+    return _zip_parts(parts)
+
+
+@query(
+    "text_epub_extract",
+    oracle="""
+    SELECT doc_id,
+           'Book ' || doc_id AS title,
+           CAST(2 AS BIGINT) AS n_chapters,
+           'Chapter one ' || source || chr(10) || 'Chapter two ' || text
+             AS epub_text
+    FROM documents
+    """,
+)
+def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB (book-corpus) extraction under a GROUND-TRUTH oracle:
+    each doc becomes a complete EPUB — container.xml → OPF (with a
+    data-dependent dc:title) → two XHTML chapters whose SPINE order
+    is the reverse of the zip member order, so a reader that walks
+    the zip instead of the spine emits the chapters backwards and
+    the value hash dies. Chapter text comes from the raw columns
+    with markup (<p>, <em>) that the XML itertext must strip exactly;
+    DuckDB recomputes the expected text by plain concat. Scale: two
+    map-only Python passes, zero exchanges."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = [
+                build_epub(
+                    f"Book {doc_id}",
+                    [
+                        ("ch1.xhtml", f"<p>Chapter <em>one</em> {source}</p>"),
+                        ("ch2.xhtml", f"<p>Chapter two {text}</p>"),
+                    ],
+                )
+                for doc_id, source, text in zip(
+                    pdf["doc_id"], pdf["source"], pdf["text"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return epub_stats(d.mapInPandas(encode, src_schema))
+
+
 # ------------------------------------------------------ the oracle
 
 _CONTENT_TYPES = (

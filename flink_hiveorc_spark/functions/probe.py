@@ -320,11 +320,65 @@ def probe_media(payload: bytes) -> dict:
         and (payload[1] & 0xE0) == 0xE0
     ):
         return _probe_mp3(payload)
+    head = payload[:256].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if head.startswith(b"<svg") or (
+        head.startswith(b"<?xml") and b"<svg" in payload[:2048]
+    ):
+        return _probe_svg(payload)
     raise NotImplementedError(
         "unrecognized media container (structural probing covers ISO BMFF, "
         "Matroska/WebM, Ogg Opus/Vorbis/FLAC, AVI, ADTS AAC, and MP3 "
         "frame streams)"
     )
+
+
+def _svg_len(value: str | None) -> int | None:
+    """Leading number of an SVG length ('120', '120px', '12.5em');
+    percentages are viewport-relative and carry no absolute pixel
+    meaning → None."""
+    if not value or value.strip().endswith("%"):
+        return None
+    import re as _re
+
+    m = _re.match(r"\s*([0-9]+(?:\.[0-9]+)?)", value)
+    return int(float(m.group(1))) if m else None
+
+
+def _probe_svg(data: bytes) -> dict:
+    """SVG structural probe: dimensions from width/height attributes
+    with a viewBox fallback (the common crawl-asset shapes). SVG is
+    vector TEXT — there is nothing to decode without a renderer, so
+    like the codec containers it probes structurally and routes.
+    stdlib ElementTree; parse failures are malformed (ValueError);
+    external entities are refused by the stdlib parser."""
+    from xml.etree import ElementTree
+
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError as e:
+        raise ValueError(f"malformed SVG XML: {e}") from e
+    if root.tag.rsplit("}", 1)[-1] != "svg":
+        raise ValueError("XML root element is not <svg>")
+    w = _svg_len(root.get("width"))
+    h = _svg_len(root.get("height"))
+    if (w is None or h is None) and root.get("viewBox"):
+        vb = root.get("viewBox").replace(",", " ").split()
+        if len(vb) == 4:
+            try:
+                w = w if w is not None else int(float(vb[2]))
+                h = h if h is not None else int(float(vb[3]))
+            except ValueError as e:
+                raise ValueError(f"malformed SVG viewBox: {e}") from e
+    return {
+        "container": "svg",
+        "brand": root.get("version") or "",
+        "duration_s": None,
+        "width": w,
+        "height": h,
+        "n_video": 0,
+        "n_audio": 0,
+        "codecs": [],
+    }
 
 
 def riff_chunks(data: bytes, pos: int, end: int):

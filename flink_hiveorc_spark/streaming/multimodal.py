@@ -87,9 +87,10 @@ def _register_r13_modalities() -> None:
     from flink_hiveorc_spark.functions.charset import (
         web_archive_text_records,
     )
-    from flink_hiveorc_spark.functions.office import office_stats
+    from flink_hiveorc_spark.functions.office import epub_stats, office_stats
 
     _FEATURIZERS.setdefault("office", office_stats)
+    _FEATURIZERS.setdefault("epub", epub_stats)
     _FEATURIZERS.setdefault("crawltext", web_archive_text_records)
 
 

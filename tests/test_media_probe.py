@@ -443,3 +443,30 @@ def test_avi_probe_shares_riff_walker():
     assert r["duration_s"] > 0
     with pytest.raises(ValueError, match="truncated RIFF"):
         probe_media(payload[: len(payload) // 2])
+
+
+def test_svg_probe_dimensions_and_errors():
+    from flink_hiveorc_spark.functions.probe import probe_media
+
+    got = probe_media(
+        b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg"'
+        b' version="1.1" width="120px" height="80"><rect/></svg>'
+    )
+    assert got["container"] == "svg" and got["brand"] == "1.1"
+    assert (got["width"], got["height"]) == (120, 80)
+    assert got["n_video"] == 0 and got["duration_s"] is None
+    # viewBox fallback, comma-separated, fractional
+    g2 = probe_media(b'<svg viewBox="0,0,300.5 200"/>')
+    assert (g2["width"], g2["height"]) == (300, 200)
+    # percentage width has no absolute meaning; viewBox fills in
+    g3 = probe_media(b'<svg width="100%" viewBox="0 0 64 32"/>')
+    assert (g3["width"], g3["height"]) == (64, 32)
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed SVG"):
+        probe_media(b'<?xml version="1.0"?><svg broken')
+    with pytest.raises(ValueError, match="not <svg>"):
+        probe_media(b'<?xml version="1.0"?><x><svg/></x>')
+    # an XML doc with no <svg> anywhere stays unsupported, not svg
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        probe_media(b'<?xml version="1.0"?><html><body/></html>')

@@ -94,6 +94,49 @@ def test_fuzz_byte_flips_stay_classified():
                 pass
 
 
+def test_epub_spine_order_beats_zip_order():
+    from flink_hiveorc_spark.functions.office import build_epub, parse_epub
+
+    # the builder stores chapters REVERSED in the zip; the parser
+    # must follow the spine
+    got = parse_epub(
+        build_epub("T", [("a.xhtml", "<p>first</p>"), ("b.xhtml", "<p>second</p>")])
+    )
+    assert got["epub_text"] == "first\nsecond" and got["n_chapters"] == 2
+    assert got["title"] == "T"
+
+
+def test_epub_error_contract():
+    from flink_hiveorc_spark.functions.office import build_epub, parse_epub
+
+    with pytest.raises(ValueError, match="container.xml"):
+        parse_epub(_zip_parts({"mimetype": b"application/epub+zip"}))
+    good = build_epub("T", [("a.xhtml", "<p>x</p>")])
+    # drop the spine target from the zip
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(good))
+    parts = {n: src.read(n) for n in src.namelist() if not n.endswith("a.xhtml")}
+    with pytest.raises(ValueError, match="not in the zip"):
+        parse_epub(_zip_parts(parts))
+
+
+def test_epub_fuzz_byte_flips_stay_classified():
+    from flink_hiveorc_spark.functions.office import build_epub, parse_epub
+
+    rng = np.random.default_rng(48)
+    good = build_epub("F", [("c.xhtml", "<p>fuzz body</p>")])
+    for _ in range(150):
+        b = bytearray(good)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            parse_epub(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_spark_operator_and_quarantine(spark):
     df = spark.createDataFrame(
         [
