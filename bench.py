@@ -94,6 +94,12 @@ HEADLINE = [
     # throughput classes of the r13 surface
     "multimodal_warc_stats",
     "pipeline_crawl_extract",
+    # round 14 additions: charset detection + transcoding (the
+    # encode-9-ways → sniff → stdlib-codec decode chain, two Python
+    # passes) and OOXML extraction (zip inflate + XML walk per doc) —
+    # the round's two new throughput classes
+    "text_charset_decode",
+    "text_office_extract",
 ]
 
 

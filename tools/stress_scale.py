@@ -162,6 +162,13 @@ PROBE = [
     "tpcds_crosschannel_intersect",
     "tpcds_frequent_best_customer",
     "tpcds_inventory_date_chain",
+    # round 14: the charset/office/epub/wet-wat chains are all
+    # map-only encode→decode passes (expect near-linear); the three
+    # TPC-DS shapes above carry the r14 materialize-once rewrites
+    "text_charset_decode",
+    "text_office_extract",
+    "text_epub_extract",
+    "pipeline_wet_wat_ingest",
 ]
 
 
