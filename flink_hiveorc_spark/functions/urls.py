@@ -176,3 +176,124 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     url = F.when(m == 0, u0).when(m == 1, u1).otherwise(u2)
     return url_features(d.select("doc_id", url.alias("url")))
+
+
+# ------------------------------------------------ sitemap ingest
+
+_URLSET_SCHEMA = (
+    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, priority: DOUBLE>>"
+)
+_INDEX_SCHEMA = "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+
+
+def sitemap_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """(doc_id, <xml_col>) sitemap documents → one row per entry:
+    (doc_id, kind urlset|index, entry_idx, loc_norm, lastmod,
+    priority). Both sitemaps.org document shapes parse ENTIRELY
+    JVM-side with from_xml (array-of-struct rowTags) — zero Python —
+    and every discovered loc runs through url_normalize, so the
+    output is directly joinable against crawl-frontier dedup keys.
+    A document that is neither shape yields kind=NULL rows of
+    nothing (from_xml nulls → empty after the explode) rather than
+    an error — sitemap fetches are noisy and the frontier must keep
+    moving. Scale: pure projections + one generator, zero
+    exchanges."""
+    x = F.col(xml_col)
+    urlset = F.from_xml(x, _URLSET_SCHEMA)["url"]
+    index = F.from_xml(x, _INDEX_SCHEMA)["sitemap"]
+    is_urlset = x.contains("<urlset")
+    entries = F.when(is_urlset, F.transform(
+        urlset,
+        lambda u: F.struct(
+            u["loc"].alias("loc"),
+            u["lastmod"].alias("lastmod"),
+            u["priority"].alias("priority"),
+        ),
+    )).otherwise(F.transform(
+        index,
+        lambda s: F.struct(
+            s["loc"].alias("loc"),
+            s["lastmod"].alias("lastmod"),
+            F.lit(None).cast("double").alias("priority"),
+        ),
+    ))
+    kind = F.when(is_urlset, F.lit("urlset")).otherwise(F.lit("index"))
+    return (
+        df.select("doc_id", kind.alias("kind"), F.posexplode(entries))
+        .select(
+            "doc_id",
+            "kind",
+            F.col("pos").cast("int").alias("entry_idx"),
+            url_normalize(F.col("col")["loc"]).alias("loc_norm"),
+            F.col("col")["lastmod"].alias("lastmod"),
+            F.col("col")["priority"].alias("priority"),
+        )
+    )
+
+
+@query(
+    "pipeline_sitemap_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS z,
+             doc_id % 9 + 1 AS k
+      FROM documents
+    )
+    SELECT doc_id, 'urlset' AS kind, 0 AS entry_idx,
+           'https://example-' || h || '.com/u/' || doc_id || '?a=1&b=2'
+             AS loc_norm,
+           '2024-01-0' || k AS lastmod,
+           CAST('0.' || z AS DOUBLE) AS priority
+    FROM base WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'urlset', 1,
+           'https://example-' || h || '.com/v/' || doc_id,
+           NULL, NULL
+    FROM base WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'index', 0,
+           'https://example.com/sitemaps/' || doc_id || '/a.xml',
+           '2024-02-02', NULL
+    FROM base WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'index', 1,
+           'https://example.com/sitemaps/' || doc_id || '/b.xml',
+           NULL, NULL
+    FROM base WHERE doc_id % 2 = 1
+    """,
+)
+def pipeline_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingest under a GROUND-TRUTH oracle, doc_id % 2: even
+    docs carry a <urlset> whose first loc is DIRTY (uppercase scheme/
+    host, explicit :443, unsorted query params, a fragment — all of
+    which url_normalize must canonicalize away) plus lastmod/priority
+    fields, and a second minimal loc; odd docs carry a <sitemapindex>
+    with two nested sitemap locs. The XML parses JVM-side via
+    from_xml; DuckDB recomputes every expected row by plain string
+    concat — no XML or URL logic oracle-side. Scale: zero Python,
+    zero exchanges, one generator."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    z = (F.col("doc_id") % 5).cast("string")
+    k = (F.col("doc_id") % 9 + 1).cast("string")
+    urlset = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>HTTPS://Example-"),
+        h, F.lit(".COM:443/u/"), did,
+        F.lit("?b=2&amp;a=1#frag</loc><lastmod>2024-01-0"), k,
+        F.lit("</lastmod><priority>0."), z,
+        F.lit("</priority></url><url><loc>https://example-"),
+        h, F.lit(".com/v/"), did,
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://example.com/sitemaps/"),
+        did,
+        F.lit("/a.xml</loc><lastmod>2024-02-02</lastmod></sitemap>"
+              "<sitemap><loc>https://example.com/sitemaps/"),
+        did,
+        F.lit("/b.xml</loc></sitemap></sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(index)
+    return sitemap_entries(d.select("doc_id", xml.alias("xml")))

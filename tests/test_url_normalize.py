@@ -70,3 +70,34 @@ def test_digit_prefixed_password_is_not_a_port(spark):
     # port at end-of-authority with no path
     got3 = _feat(spark, "https://h.test:8443")
     assert got3["port"] == "8443"
+
+
+def test_sitemap_entries_shapes_and_noise(spark):
+    from flink_hiveorc_spark.functions.urls import sitemap_entries
+
+    urlset = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>HTTPS://A.test:443/x?b=2&amp;a=1#f</loc>"
+        "<lastmod>2024-03-04</lastmod><priority>0.5</priority></url>"
+        "<url><loc>https://a.test/y</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.test/s1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "not xml at all")],
+        "doc_id long, xml string",
+    )
+    rows = sitemap_entries(df).collect()
+    got = {(r["doc_id"], r["entry_idx"]): r for r in rows}
+    # dirty loc canonicalizes: entity-decoded params sorted, :443
+    # dropped, fragment gone, host lowercased
+    assert got[(1, 0)]["loc_norm"] == "https://a.test/x?a=1&b=2"
+    assert got[(1, 0)]["lastmod"] == "2024-03-04"
+    assert got[(1, 0)]["priority"] == 0.5
+    assert got[(1, 1)]["priority"] is None
+    assert got[(2, 0)]["kind"] == "index"
+    assert got[(2, 0)]["loc_norm"] == "https://a.test/s1.xml"
+    # a non-sitemap doc yields ZERO rows, not an error (noisy fetches)
+    assert 3 not in {r["doc_id"] for r in rows}
