@@ -297,3 +297,128 @@ def pipeline_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xml = F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(index)
     return sitemap_entries(d.select("doc_id", xml.alias("xml")))
+
+
+# ------------------------------------------------ RSS/Atom feeds
+
+_RSS_SCHEMA = (
+    "channel STRUCT<title: STRING, item: ARRAY<STRUCT<"
+    "title: STRING, link: STRING, pubDate: STRING>>>"
+)
+_ATOM_SCHEMA = (
+    "title STRING, entry ARRAY<STRUCT<title: STRING, "
+    "link: STRUCT<_href: STRING>, updated: STRING>>"
+)
+
+
+def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """(doc_id, <xml_col>) RSS 2.0 / Atom feed documents → one row
+    per item/entry: (doc_id, kind rss|atom, entry_idx, feed_title,
+    title, link_norm, published). Both feed dialects parse JVM-side
+    with from_xml (Atom's link lives in an href ATTRIBUTE — the
+    attributePrefix '_' schema form); links run through
+    url_normalize for frontier joins. Non-feed documents yield zero
+    rows. Zero Python, zero exchanges."""
+    x = F.col(xml_col)
+    rss = F.from_xml(x, _RSS_SCHEMA)["channel"]
+    atom = F.from_xml(x, _ATOM_SCHEMA)
+    is_rss = x.contains("<rss")
+    entries = F.when(is_rss, F.transform(
+        rss["item"],
+        lambda i: F.struct(
+            i["title"].alias("title"),
+            i["link"].alias("link"),
+            i["pubDate"].alias("published"),
+        ),
+    )).otherwise(F.transform(
+        atom["entry"],
+        lambda e: F.struct(
+            e["title"].alias("title"),
+            e["link"]["_href"].alias("link"),
+            e["updated"].alias("published"),
+        ),
+    ))
+    kind = F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom"))
+    feed_title = F.when(is_rss, rss["title"]).otherwise(atom["title"])
+    return (
+        df.select(
+            "doc_id",
+            kind.alias("kind"),
+            feed_title.alias("feed_title"),
+            F.posexplode(entries),
+        )
+        .select(
+            "doc_id",
+            "kind",
+            F.col("pos").cast("int").alias("entry_idx"),
+            "feed_title",
+            F.col("col")["title"].alias("title"),
+            url_normalize(F.col("col")["link"]).alias("link_norm"),
+            F.col("col")["published"].alias("published"),
+        )
+    )
+
+
+@query(
+    "pipeline_feed_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, doc_id % 9 + 1 AS k FROM documents
+    )
+    SELECT doc_id, 'rss' AS kind, 0 AS entry_idx,
+           'Feed ' || source AS feed_title,
+           'Item A ' || doc_id AS title,
+           'https://news-' || doc_id % 7 || '.test/a/' || doc_id
+             AS link_norm,
+           'Mon, 0' || k || ' Jan 2024 00:00:00 GMT' AS published
+    FROM base WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'rss', 1, 'Feed ' || source,
+           'Item B ' || doc_id,
+           'https://news-' || doc_id % 7 || '.test/b/' || doc_id,
+           NULL
+    FROM base WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'atom', 0, 'Log ' || source,
+           'Entry ' || doc_id,
+           'https://blog-' || doc_id % 7 || '.test/e/' || doc_id
+             || '?a=1&b=2',
+           '2024-02-0' || k AS published
+    FROM base WHERE doc_id % 2 = 1
+    """,
+)
+def pipeline_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingest under a GROUND-TRUTH oracle, doc_id % 2:
+    even docs carry an RSS 2.0 channel (data-dependent feed title,
+    two items — the second without a pubDate), odd docs an Atom feed
+    whose entry link lives in an href ATTRIBUTE and is DIRTY
+    (uppercase host, :443, unsorted entity-encoded params) so
+    url_normalize must canonicalize it. DuckDB recomputes every row
+    by plain concat — no XML or URL logic oracle-side. Zero Python,
+    zero exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    k = (F.col("doc_id") % 9 + 1).cast("string")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Feed '),
+        F.col("source"),
+        F.lit("</title><item><title>Item A "), did,
+        F.lit("</title><link>https://news-"), h, F.lit(".test/a/"), did,
+        F.lit("</link><pubDate>Mon, 0"), k,
+        F.lit(" Jan 2024 00:00:00 GMT</pubDate></item>"
+              "<item><title>Item B "), did,
+        F.lit("</title><link>https://news-"), h, F.lit(".test/b/"), did,
+        F.lit("</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>Log '),
+        F.col("source"),
+        F.lit("</title><entry><title>Entry "), did,
+        F.lit('</title><link href="https://Blog-'), h,
+        F.lit(".test:443/e/"), did,
+        F.lit('?b=2&amp;a=1#top"/><updated>2024-02-0'), k,
+        F.lit("</updated></entry></feed>"),
+    )
+    xml = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+    return feed_entries(d.select("doc_id", xml.alias("xml")))

@@ -101,3 +101,34 @@ def test_sitemap_entries_shapes_and_noise(spark):
     assert got[(2, 0)]["loc_norm"] == "https://a.test/s1.xml"
     # a non-sitemap doc yields ZERO rows, not an error (noisy fetches)
     assert 3 not in {r["doc_id"] for r in rows}
+
+
+def test_feed_entries_rss_atom_and_noise(spark):
+    from flink_hiveorc_spark.functions.urls import feed_entries
+
+    rss = (
+        '<rss version="2.0"><channel><title>C</title>'
+        "<item><title>I1</title><link>https://r.test/1</link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title>I2</title><link>https://r.test/2</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+        '<entry><title>E1</title><link href="HTTPS://B.test:443/e?z=1&amp;a=2#x"/>'
+        "<updated>2024-02-02</updated></entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [(1, rss), (2, atom), (3, "<html>not a feed</html>")],
+        "doc_id long, xml string",
+    )
+    rows = feed_entries(df).collect()
+    got = {(r["doc_id"], r["entry_idx"]): r for r in rows}
+    assert got[(1, 0)]["kind"] == "rss" and got[(1, 0)]["feed_title"] == "C"
+    assert got[(1, 0)]["link_norm"] == "https://r.test/1"
+    assert got[(1, 0)]["published"].startswith("Mon,")
+    assert got[(1, 1)]["published"] is None
+    # Atom href attribute + dirty-link canonicalization
+    assert got[(2, 0)]["kind"] == "atom"
+    assert got[(2, 0)]["link_norm"] == "https://b.test/e?a=2&z=1"
+    assert 3 not in {r["doc_id"] for r in rows}
