@@ -98,6 +98,7 @@ def _load_all() -> None:
         office,
         pdf,
         pipeline,
+        robots,
         similarity,
         skew,
         text,

@@ -1,0 +1,100 @@
+"""robots.txt parsing (the JVM aggregate-fold) + frontier filtering:
+group-header tracking, googlebot-group isolation, longest-match
+precedence with Allow winning ties, empty-Disallow no-op, comments,
+the no-robots allow convention, and the host-grained join path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_hiveorc_spark.functions.robots import (
+    frontier_filter,
+    robots_allowed,
+    robots_rules,
+)
+
+
+def _rules(spark, txt: str):
+    return (
+        spark.createDataFrame([(txt,)], "t string")
+        .select(robots_rules("t").alias("r"))
+        .collect()[0]["r"]
+    )
+
+
+def _allowed(spark, txt: str, path: str) -> bool:
+    return (
+        spark.createDataFrame([(txt, path)], "t string, p string")
+        .select(robots_allowed("p", robots_rules("t")).alias("a"))
+        .collect()[0]["a"]
+    )
+
+
+ROBOTS = """# comments everywhere
+User-agent: googlebot
+Disallow: /
+
+User-agent: other
+User-agent: *
+Disallow:    # empty value: no-op
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /tmp
+"""
+
+
+def test_fold_extracts_only_star_group(spark):
+    rules = [(r["allow"], r["path"]) for r in _rules(spark, ROBOTS)]
+    # the googlebot-group 'Disallow: /' must NOT leak in
+    assert rules == [
+        (False, "/private/"),
+        (True, "/private/pub/"),
+        (False, "/tmp"),
+    ]
+
+
+def test_precedence_longest_match_allow_wins(spark):
+    assert _allowed(spark, ROBOTS, "/private/x") is False
+    assert _allowed(spark, ROBOTS, "/private/pub/y") is True
+    assert _allowed(spark, ROBOTS, "/tmpfile") is False  # prefix match
+    assert _allowed(spark, ROBOTS, "/open/z") is True  # no match
+
+
+def test_star_group_first_and_header_reset(spark):
+    # a * group FOLLOWED by a more specific group: the later group's
+    # rules must not leak into *
+    txt = "User-agent: *\nDisallow: /a\n\nUser-agent: bingbot\nDisallow: /b\n"
+    rules = [(r["allow"], r["path"]) for r in _rules(spark, txt)]
+    assert rules == [(False, "/a")]
+    # two agent lines NOT separated by rules share a group
+    txt2 = "User-agent: x\nUser-agent: *\nDisallow: /c\n"
+    assert [(r["allow"], r["path"]) for r in _rules(spark, txt2)] == [
+        (False, "/c")
+    ]
+    # an agent line AFTER rules starts a NEW group (star resets)
+    txt3 = "User-agent: *\nDisallow: /d\nUser-agent: y\nDisallow: /e\n"
+    assert [(r["allow"], r["path"]) for r in _rules(spark, txt3)] == [
+        (False, "/d")
+    ]
+
+
+def test_frontier_filter_join_path(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.test/private/x"),
+            (2, "https://a.test/private/pub/x"),
+            (3, "https://b.test/anything"),   # host without robots
+            (4, "https://a.test/ok"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", ROBOTS)], "host string, robots_txt string"
+    )
+    got = {r["doc_id"]: r["allowed"] for r in frontier_filter(urls, robots).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: True}
+
+
+def test_empty_robots_allows_everything(spark):
+    assert _allowed(spark, "", "/anything") is True
+    assert _allowed(spark, "User-agent: *\n", "/x") is True
