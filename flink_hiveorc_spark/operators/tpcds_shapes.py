@@ -1306,3 +1306,102 @@ def tpcds_inventory_date_chain(
             F.sum("l_quantity").alias("demand_qty"),
         )
     )
+
+
+@query(
+    "tpcds_yoy_channel_growth",
+    oracle="""
+    WITH line AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(CAST(sum(CASE WHEN year(o.o_orderdate) = 1995
+                      THEN l.l_extendedprice * (1 - l.l_discount) END
+                      * 1000000) AS DECIMAL(25,0)) AS BIGINT) AS l1,
+             CAST(CAST(sum(CASE WHEN year(o.o_orderdate) = 1996
+                      THEN l.l_extendedprice * (1 - l.l_discount) END
+                      * 1000000) AS DECIMAL(25,0)) AS BIGINT) AS l2
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE year(o.o_orderdate) IN (1995, 1996)
+      GROUP BY o.o_custkey
+    ),
+    ord AS (
+      SELECT o_custkey AS custkey,
+             CAST(CAST(sum(CASE WHEN year(o_orderdate) = 1995
+                      THEN o_totalprice END * 1000000)
+                      AS DECIMAL(25,0)) AS BIGINT) AS o1,
+             CAST(CAST(sum(CASE WHEN year(o_orderdate) = 1996
+                      THEN o_totalprice END * 1000000)
+                      AS DECIMAL(25,0)) AS BIGINT) AS o2
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey
+    )
+    SELECT line.custkey,
+           CAST(l1 / 1e6 AS DOUBLE) AS line_1995,
+           CAST(l2 / 1e6 AS DOUBLE) AS line_1996,
+           CAST(o1 / 1e6 AS DOUBLE) AS ord_1995,
+           CAST(o2 / 1e6 AS DOUBLE) AS ord_1996
+    FROM line JOIN ord ON ord.custkey = line.custkey
+    WHERE l1 > 0 AND o1 > 0
+      AND CAST(l2 AS HUGEINT) * o1 > CAST(o2 AS HUGEINT) * l1
+    """,
+)
+def tpcds_yoy_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4/q11 shape: per-customer YEAR-OVER-YEAR growth
+    compared ACROSS channels — customers whose line-level revenue
+    grew 1995→1996 FASTER than their order-total channel did (q11's
+    'web growth > store growth' gate). Each channel aggregates to
+    customer grain with conditional per-year sums in ONE pass (no
+    per-year self-join — the FILTER-agg pivot), then one
+    customer-grain equi-join.
+
+    Determinism: the growth comparison NEVER divides — sums quantize
+    to exact millionths (BIGINT) and the ratio test cross-multiplies
+    (l2·o1 > o2·l1, DECIMAL(38,0)/HUGEINT — q4/q11's
+    NULL-and-zero-guarded ratio CASE collapses to the l1>0 AND o1>0
+    guard under cross-multiplication). Scale: both CTEs pre-aggregate
+    to customer grain BEFORE the join (never fact-sized); the
+    fact⋈fact lineitem-orders join shuffles on the order key; the
+    final join is key-grain⋈key-grain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    oy = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("y"),
+        "o_totalprice",
+    )
+
+    def q(col):
+        return (
+            (F.sum(col) * 1000000).cast("decimal(25,0)").cast("long")
+        )
+
+    amt = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    line = (
+        l.join(oy, l.l_orderkey == oy.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            q(F.when(F.col("y") == 1995, amt)).alias("l1"),
+            q(F.when(F.col("y") == 1996, amt)).alias("l2"),
+        )
+    )
+    ordc = oy.groupBy(F.col("o_custkey").alias("o_custkey2")).agg(
+        q(F.when(F.col("y") == 1995, F.col("o_totalprice"))).alias("o1"),
+        q(F.when(F.col("y") == 1996, F.col("o_totalprice"))).alias("o2"),
+    )
+    d38 = "decimal(38,0)"
+    return (
+        line.join(ordc, line.custkey == ordc.o_custkey2)
+        .filter(
+            (F.col("l1") > 0)
+            & (F.col("o1") > 0)
+            & (
+                F.col("l2").cast(d38) * F.col("o1")
+                > F.col("o2").cast(d38) * F.col("l1")
+            )
+        )
+        .select(
+            "custkey",
+            (F.col("l1") / 1e6).alias("line_1995"),
+            (F.col("l2") / 1e6).alias("line_1996"),
+            (F.col("o1") / 1e6).alias("ord_1995"),
+            (F.col("o2") / 1e6).alias("ord_1996"),
+        )
+    )
