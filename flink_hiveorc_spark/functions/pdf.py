@@ -101,31 +101,40 @@ def _pdf_string(body: bytes, pos: int) -> tuple[bytes, int]:
 
 def _extract_text(content: bytes) -> list[bytes]:
     """Literal strings shown via Tj / TJ inside BT..ET blocks, in
-    stream order."""
+    stream order. The ET terminator is scanned with string literals
+    SKIPPED — shown text containing the bytes 'ET' (or 'Tj') must
+    not truncate the block / flush operators (a real corpus hit:
+    any string with consecutive capitals E,T misclassified the PDF
+    as malformed before r14)."""
     shown: list[bytes] = []
     pos = 0
     while True:
         bt = content.find(b"BT", pos)
         if bt < 0:
             break
-        et = content.find(b"ET", bt + 2)
-        if et < 0:
-            raise ValueError("BT without matching ET in content stream")
-        seg = content[bt:et]
-        i = 0
+        i = bt + 2
         pending: list[bytes] = []
-        while i < len(seg):
-            if seg[i] == 0x28:
-                s, i = _pdf_string(seg, i)
+        closed = False
+        while i < len(content):
+            if content[i] == 0x28:  # string literal — skip atomically
+                s, i = _pdf_string(content, i)
                 pending.append(s)
                 continue
-            if seg[i : i + 2] in (b"Tj", b"TJ") and pending:
-                shown.extend(pending)
-                pending = []
+            two = content[i : i + 2]
+            if two in (b"Tj", b"TJ"):
+                if pending:
+                    shown.extend(pending)
+                    pending = []
                 i += 2
                 continue
+            if two == b"ET":
+                closed = True
+                i += 2
+                break
             i += 1
-        pos = et + 2
+        if not closed:
+            raise ValueError("BT without matching ET in content stream")
+        pos = i
     return shown
 
 

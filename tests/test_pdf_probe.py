@@ -76,6 +76,15 @@ def test_string_escapes_and_tj_array():
     assert got["pdf_text"] == "a(b) c\\d tab\there AB"
 
 
+def test_shown_text_containing_et_and_tj_tokens():
+    # regression (r14, found by the throughput probe's random text):
+    # 'ET' / 'Tj' BYTES inside a string literal must not terminate
+    # the BT block or flush pending strings — the old scan used a
+    # raw find(b"ET") and misclassified such PDFs as malformed
+    got = parse_pdf(_pdf(b"BT (MARKET Tj ET trap) Tj (tail) Tj ET"))
+    assert got["pdf_text"] == "MARKET Tj ET trap tail"
+
+
 def test_nested_parens_unescaped():
     got = parse_pdf(_pdf(b"BT (outer (inner) tail) Tj ET"))
     assert got["pdf_text"] == "outer (inner) tail"

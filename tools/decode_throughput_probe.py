@@ -54,6 +54,12 @@ from test_flac_decode import (  # noqa: E402
     _sub_fixed as _flac_sub_fixed,
 )
 from test_jpeg_decode import _safe_random_blocks, encode_jpeg  # noqa: E402
+from flink_hiveorc_spark.functions.office import (  # noqa: E402
+    build_docx,
+    build_epub,
+    build_xlsx,
+)
+from flink_hiveorc_spark.functions.pdf import _build_pdf15  # noqa: E402
 from test_jpeg_progressive import (  # noqa: E402
     _full_script as _jpeg_script,
     encode_progressive,
@@ -87,6 +93,7 @@ def _corpus(n_per_format: int):
     rng = np.random.default_rng(7)
     images, audio, video, anim, probes = [], [], [], [], []
     blobs, envelopes, archives, mails = [], [], [], []
+    crawltexts, offices, epubs, pdfs = [], [], [], []
     for i in range(n_per_format):
         img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
         images.append(_png_from_array(img, ALL_FILTERS))
@@ -203,7 +210,65 @@ def _corpus(n_per_format: int):
             + _b64.encodebytes(text[:4096])
             + b"--XB--\n"
         )
-    return images, audio, video, anim, probes, blobs, envelopes, archives, mails
+        # r14 lanes: charset-aware crawl text (multi-charset pages in
+        # WARC frames incl. an HTTP envelope with gzip content-coding),
+        # OOXML, EPUB, and the modern xref-stream PDF shape
+        jp = ("<p>" + "\u78ba\u7387\u30c6\u30ad\u30b9\u30c8" * 300 + "</p>").encode("cp932")
+        crawl = _warc_record_ct(
+            "response", f"https://c.test/{i}/jp",
+            "text/html; charset=shift_jis", jp,
+        )
+        latin = ("<p>" + "r\u00e9sum\u00e9 na\u00efve " * 400 + "</p>").encode("cp1252")
+        crawl += _warc_record_ct(
+            "response", f"https://c.test/{i}/lat",
+            "text/html; charset=iso-8859-1", latin,
+        )
+        http_block = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Encoding: gzip\r\n\r\n"
+            + _gzip.compress(page, 6)
+        )
+        crawl += _warc_record_ct(
+            "response", f"https://c.test/{i}/http",
+            "application/http; msgtype=response", http_block,
+        )
+        crawltexts.append(crawl)
+        safe = (
+            text.decode("ascii")
+            .replace("<", " ").replace(">", " ").replace("&", " ")
+        )
+        offices.append(build_docx([[f"Probe {i}"], [safe[:2048]]]))
+        offices.append(build_xlsx(
+            ["alpha", "beta"],
+            [[("s", "0"), ("n", str(i))],
+             [("inlineStr", safe[2048:3072]), ("s", "1")]],
+        ))
+        epubs.append(build_epub(
+            f"Book {i}",
+            [("c1.xhtml", "<p>" + safe[:2048] + "</p>"),
+             ("c2.xhtml", "<p>" + safe[2048:4096] + "</p>")],
+        ))
+        pdfs.append(_build_pdf15(
+            b"BT /F1 12 Tf (" + text[:512].replace(b"(", b" ").replace(
+                b")", b" ").replace(b"\\", b" ") + b") Tj ET"
+        ))
+    return (images, audio, video, anim, probes, blobs, envelopes,
+            archives, mails, crawltexts, offices, epubs, pdfs)
+
+
+def _warc_record_ct(rec_type: str, uri: str, ctype: str, block: bytes) -> bytes:
+    return (
+        (
+            f"WARC/1.0\r\nWARC-Type: {rec_type}\r\n"
+            "WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-0000000000pp>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        + block
+        + b"\r\n\r\n"
+    )
 
 
 def _time(df_builder, frame):
@@ -221,6 +286,11 @@ def main() -> None:
         web_archive_stats,
     )
     from flink_hiveorc_spark.functions.mail import mail_part_stats
+    from flink_hiveorc_spark.functions.charset import (
+        web_archive_text_records,
+    )
+    from flink_hiveorc_spark.functions.office import epub_stats, office_stats
+    from flink_hiveorc_spark.functions.pdf import pdf_stats
 
     lanes = [
         ("image", corpora[0], image_stats),
@@ -233,6 +303,11 @@ def main() -> None:
         ("warc", corpora[6], web_archive_stats),
         ("archive", corpora[7], archive_member_stats),
         ("mail", corpora[8], mail_part_stats),
+        # r14 lanes
+        ("crawltext", corpora[9], web_archive_text_records),
+        ("office", corpora[10], office_stats),
+        ("epub", corpora[11], epub_stats),
+        ("pdf", corpora[12], pdf_stats),
     ]
     out = {"n_per_format": n_per, "scales": {}}
     for scale in (1, 8):
