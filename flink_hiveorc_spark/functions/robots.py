@@ -85,6 +85,25 @@ def robots_rules(col) -> Column:
     return F.aggregate(lines, init, step)["rules"]
 
 
+def robots_sitemaps(col) -> Column:
+    """Array of Sitemap directive URLs from a robots.txt column —
+    per RFC 9309 §2.3 these are GROUP-INDEPENDENT (valid anywhere in
+    the file), so a plain line filter suffices: the discovery hook
+    feeding sitemap_entries (functions/urls.py)."""
+    lines = F.split(_c(col), "\n")
+    return F.transform(
+        F.filter(
+            lines,
+            lambda l: F.lower(F.trim(l)).startswith("sitemap:"),
+        ),
+        lambda l: F.trim(
+            F.substring(
+                F.trim(l), F.instr(F.trim(l), ":") + 1, F.length(l)
+            )
+        ),
+    )
+
+
 def robots_allowed(path_col, rules_col) -> Column:
     """True iff `path_col` is fetchable under `rules_col` (the
     robots_rules output): longest matching prefix rule decides,

@@ -17,6 +17,14 @@ from flink_hiveorc_spark.functions.multimodal import (
     decode_image,
     decode_video,
 )
+from flink_hiveorc_spark.functions.office import (
+    build_docx,
+    build_epub,
+    build_xlsx,
+    parse_epub,
+    parse_office,
+)
+from flink_hiveorc_spark.functions.pdf import _build_pdf15, parse_pdf
 from flink_hiveorc_spark.functions.probe import probe_media
 
 from test_gif_decode import _PAL8, _gif_anim_bytes, _gif_bytes
@@ -299,6 +307,29 @@ def _valid_payloads():
                 cache_bits=2,
                 use_lz77=True,
             ),
+        ),
+        # r14 formats: OOXML / EPUB zips, the modern xref-stream PDF
+        (
+            parse_office,
+            "docx",
+            build_docx([["fuzz title"], ["body ", "runs"]]),
+        ),
+        (
+            parse_office,
+            "xlsx",
+            build_xlsx(["s0", "s1"], [[("s", "0"), ("n", "7")],
+                                      [("inlineStr", "inline"), ("s", "1")]]),
+        ),
+        (
+            parse_epub,
+            "epub",
+            build_epub("F", [("a.xhtml", "<p>one</p>"),
+                             ("b.xhtml", "<p>two</p>")]),
+        ),
+        (
+            parse_pdf,
+            "pdf_xref_stream",
+            _build_pdf15(b"BT (modern fuzz) Tj ET"),
         ),
     ]
 

@@ -98,3 +98,19 @@ def test_frontier_filter_join_path(spark):
 def test_empty_robots_allows_everything(spark):
     assert _allowed(spark, "", "/anything") is True
     assert _allowed(spark, "User-agent: *\n", "/x") is True
+
+
+def test_robots_sitemap_directives(spark):
+    from flink_hiveorc_spark.functions.robots import robots_sitemaps
+
+    txt = (
+        "Sitemap: https://a.test/sitemap.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap:   https://a.test/s2.xml   \n"
+    )
+    got = (
+        spark.createDataFrame([(txt,)], "t string")
+        .select(robots_sitemaps("t").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == ["https://a.test/sitemap.xml", "https://a.test/s2.xml"]
