@@ -6,6 +6,7 @@ at 100 TB these run at scan speed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -593,3 +594,78 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _BOILER_MIN_DF)
         .orderBy(F.col("df").desc(), "gram")
     )
+
+
+# ------------------------------------------- Unicode normalization
+
+def unicode_normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, <text_col>) → NFC + NFKC normalized twins with
+    codepoint counts. Unicode normalization is dedup table stakes:
+    'Café' composed and 'Cafe' + COMBINING ACUTE are byte-different,
+    hash-different, and shingle-different while being the SAME text —
+    an un-normalized corpus silently under-deduplicates; NFKC
+    additionally folds compatibility forms (ﬁ ligature → fi,
+    full-width Ａ → A, ② → 2) that matter for token statistics.
+
+    Spark has no normalization builtin, so this is the documented
+    Arrow path: a vectorized Series→Series pandas_udf over stdlib
+    unicodedata (the same §2.9 shape as udf_pandas_normalize_text) —
+    NOT a row-Python UDF. Map-only, zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+    @pandas_udf("string")
+    def nfkc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFKC", t))
+
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        nfc(c).alias("nfc_text"),
+        nfkc(c).alias("nfkc_text"),
+        F.length(c).cast("long").alias("len_raw"),
+        F.length(nfc(c)).cast("long").alias("len_nfc"),
+        F.length(nfkc(c)).cast("long").alias("len_nfkc"),
+    )
+
+
+@query(
+    "text_unicode_normalize",
+    # the é below are PRECOMPOSED (U+00E9); the ﬁ/②/Ａ stay verbatim
+    # under NFC and fold under NFKC — the oracle recomputes both
+    # expected strings by plain literal concat, no Unicode logic
+    # oracle-side
+    oracle="""
+    SELECT doc_id,
+           'Café ﬁrst ② Ａ ' || source || ' ' || text AS nfc_text,
+           'Café first 2 A ' || source || ' ' || text AS nfkc_text,
+           CAST(16 + length(source) + length(text) AS BIGINT) AS len_raw,
+           CAST(15 + length(source) + length(text) AS BIGINT) AS len_nfc,
+           CAST(16 + length(source) + length(text) AS BIGINT) AS len_nfkc
+    FROM documents
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization under a GROUND-TRUTH oracle: each doc's
+    text is prefixed with a DECOMPOSED 'Cafe' + U+0301 (which NFC
+    must compose to é, shrinking the string by one codepoint) plus
+    three compatibility characters (ﬁ U+FB01, ② U+2461, Ａ U+FF21)
+    that NFC must keep VERBATIM and NFKC must fold to 'fi'/'2'/'A'.
+    DuckDB recomputes both expected strings and all three codepoint
+    counts by literal concat of the raw columns. Scale: map-only
+    Arrow-vectorized UDF, zero exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Cafe\u0301 \ufb01rst \u2461 \uff21 "),
+        F.col("source"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    return unicode_normalized(d.select("doc_id", raw.alias("text")))

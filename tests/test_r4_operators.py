@@ -184,3 +184,18 @@ def test_minhash_accuracy_estimator(spark, sf_dir):
     mean_err = sum(r.est_jaccard - r.jaccard for r in rows) / n
     sigma = math.sqrt(mean_j * (1 - mean_j) / N_MINHASH / n)
     assert abs(mean_err) < 4 * sigma + 0.1
+
+
+def test_unicode_normalized_forms(spark):
+    from flink_hiveorc_spark.functions.text import unicode_normalized
+
+    df = spark.createDataFrame(
+        [(1, "Café ﬁn ②Ａ"), (2, "plain")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unicode_normalized(df).collect()}
+    assert rows[1]["nfc_text"] == "Café ﬁn ②Ａ"
+    assert rows[1]["nfkc_text"] == "Café fin 2A"
+    assert rows[1]["len_raw"] == 10 and rows[1]["len_nfc"] == 9
+    assert rows[1]["len_nfkc"] == 10  # fi expansion cancels composition
+    assert rows[2]["nfc_text"] == "plain" == rows[2]["nfkc_text"]
