@@ -189,13 +189,15 @@ def test_minhash_accuracy_estimator(spark, sf_dir):
 def test_unicode_normalized_forms(spark):
     from flink_hiveorc_spark.functions.text import unicode_normalized
 
+    # explicit escapes: editors/toolchains disagree on whether a
+    # typed e-acute lands composed or decomposed in source
+    raw = "Cafe\u0301 \ufb01n \u2461\uff21"
     df = spark.createDataFrame(
-        [(1, "Café ﬁn ②Ａ"), (2, "plain")],
-        "doc_id long, text string",
+        [(1, raw), (2, "plain")], "doc_id long, text string"
     )
     rows = {r["doc_id"]: r for r in unicode_normalized(df).collect()}
-    assert rows[1]["nfc_text"] == "Café ﬁn ②Ａ"
-    assert rows[1]["nfkc_text"] == "Café fin 2A"
-    assert rows[1]["len_raw"] == 10 and rows[1]["len_nfc"] == 9
-    assert rows[1]["len_nfkc"] == 10  # fi expansion cancels composition
+    assert rows[1]["nfc_text"] == "Caf\u00e9 \ufb01n \u2461\uff21"
+    assert rows[1]["nfkc_text"] == "Caf\u00e9 fin 2A"
+    assert rows[1]["len_raw"] == 11 and rows[1]["len_nfc"] == 10
+    assert rows[1]["len_nfkc"] == 11  # fi expansion cancels composition
     assert rows[2]["nfc_text"] == "plain" == rows[2]["nfkc_text"]
