@@ -669,3 +669,70 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     return unicode_normalized(d.select("doc_id", raw.alias("text")))
+
+
+# ------------------------------------------- invisible chars + wraps
+
+# the invisible/format characters scraped text actually carries:
+# ZWSP/ZWNJ/ZWJ (200B-D), LRM/RLM (200E-F), word joiner (2060),
+# BOM-as-ZWNBSP (FEFF), soft hyphen (00AD)
+_INVISIBLE_RE = "[\\u200b\\u200c\\u200d\\u200e\\u200f\\u2060\\ufeff\\u00ad]"
+
+
+def strip_invisible(col) -> "F.Column":
+    """Remove zero-width/format characters (they break tokenizers,
+    dedup shingles, and length statistics while rendering as
+    nothing). Pure JVM regexp — scan throughput."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _INVISIBLE_RE, "")
+
+
+def count_invisible(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(strip_invisible(c))).cast("long")
+
+
+def dehyphenate_wrapped(col) -> "F.Column":
+    """Repair hard line-wraps in extracted document text (the PDF/
+    column-layout artifact): 'exam-\\nple' rejoins to 'example'
+    (hyphen + line break between word characters), then remaining
+    line breaks become spaces and runs collapse. Pure JVM regexps."""
+    c = F.col(col) if isinstance(col, str) else col
+    rejoined = F.regexp_replace(
+        c, "(\\p{L})-\\r?\\n(\\p{L})", "$1$2"
+    )
+    return F.trim(F.regexp_replace(rejoined, "\\s+", " "))
+
+
+@query(
+    "text_clean_invisible_wraps",
+    oracle="""
+    SELECT doc_id,
+           'soft' || 'wrap example joined ' || source || ' ' || text
+             AS clean_text,
+           CAST(4 AS BIGINT) AS n_invisible
+    FROM documents
+    """,
+)
+def text_clean_invisible_wraps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character stripping + dehyphenation under a
+    GROUND-TRUTH oracle: each doc's text is prefixed with a ZWSP +
+    soft-hyphen-split 'soft\\u00adwrap', a BOM, a ZWJ, and a
+    hyphen+newline hard wrap ('exam-\\nple' style) that must rejoin
+    — DuckDB recomputes the expected clean string by plain concat of
+    visible literals. The invisible count is pinned exactly (4
+    format characters injected). Scale: one projection, zero
+    exchanges, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("\ufeffsoft\u00adwrap\u200b exam-\nple joined\u200d "),
+        F.col("source"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    cleaned = dehyphenate_wrapped(strip_invisible(raw))
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        count_invisible(raw).alias("n_invisible"),
+    )

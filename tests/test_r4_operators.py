@@ -201,3 +201,25 @@ def test_unicode_normalized_forms(spark):
     assert rows[1]["len_raw"] == 11 and rows[1]["len_nfc"] == 10
     assert rows[1]["len_nfkc"] == 11  # fi expansion cancels composition
     assert rows[2]["nfc_text"] == "plain" == rows[2]["nfkc_text"]
+
+
+def test_strip_invisible_and_dehyphenate(spark):
+    from flink_hiveorc_spark.functions.text import (
+        count_invisible,
+        dehyphenate_wrapped,
+        strip_invisible,
+    )
+    from pyspark.sql import functions as F
+
+    raw = "A​B­C﻿D exam-\nple multi-\r\nline x-\ny end-of-line-\n"
+    df = spark.createDataFrame([(raw,)], "t string")
+    row = df.select(
+        strip_invisible("t").alias("s"),
+        count_invisible("t").alias("n"),
+        dehyphenate_wrapped(strip_invisible("t")).alias("d"),
+    ).collect()[0]
+    assert row["s"].startswith("ABCD ")
+    assert row["n"] == 3
+    # letters rejoin across the wrap; the digitless trailing hyphen
+    # (no following letter) is untouched, remaining breaks -> spaces
+    assert row["d"] == "ABCD example multiline xy end-of-line-"
