@@ -16,9 +16,12 @@ highest-frequency document format an LLM curation pipeline ingests
   majority shape of real-world PDFs (Chrome/Word/LaTeX output).
 - TEXT (the simple-text subset): content streams that are plain or
   FlateDecode-compressed (stdlib zlib, output-capped), with literal
-  `(...) Tj` / `[(..) ..] TJ` show operators inside BT/ET and PDF
-  string escapes (\\( \\) \\\\ \\n \\r \\t \\ddd octal). Anything
-  beyond — hex strings, CID/Type0 composite fonts, per-glyph
+  `(...) Tj` / `[(..) ..] TJ` show operators inside BT/ET, PDF
+  string escapes (\\( \\) \\\\ \\n \\r \\t \\ddd octal), and HEX
+  strings `<48656C6C6F>` (§7.3.4.3: whitespace skipped, odd digit
+  count padded with a trailing 0 — pure framing, no font machinery)
+  shown the same way. Anything
+  beyond — CID/Type0 composite fonts, per-glyph
   encodings, indirect /Length refs on content streams — raises
   NotImplementedError: decoding those without the font machinery
   silently yields mojibake, the failure class the decode contract
@@ -99,6 +102,32 @@ def _pdf_string(body: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("unterminated PDF string")
 
 
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _pdf_hex_string(body: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a hex string starting at the '<' at `pos` → (decoded
+    bytes, index past '>'). Whitespace inside is skipped; an odd
+    digit count pads a trailing 0 (ISO 32000-1 §7.3.4.3); any other
+    byte is malformed."""
+    digits = bytearray()
+    i = pos + 1
+    while i < len(body):
+        c = body[i]
+        if c == 0x3E:  # >
+            if len(digits) % 2:
+                digits.append(0x30)
+            return bytes.fromhex(digits.decode("ascii")), i + 1
+        if c in _HEX_DIGITS:
+            digits.append(c)
+        elif c not in b"\x00\t\n\x0c\r ":
+            raise ValueError(
+                f"non-hex byte {bytes([c])!r} inside a PDF hex string"
+            )
+        i += 1
+    raise ValueError("unterminated PDF hex string")
+
+
 def _extract_text(content: bytes) -> list[bytes]:
     """Literal strings shown via Tj / TJ inside BT..ET blocks, in
     stream order. The ET terminator is scanned with string literals
@@ -118,6 +147,10 @@ def _extract_text(content: bytes) -> list[bytes]:
         while i < len(content):
             if content[i] == 0x28:  # string literal — skip atomically
                 s, i = _pdf_string(content, i)
+                pending.append(s)
+                continue
+            if content[i] == 0x3C:  # hex string — same show semantics
+                s, i = _pdf_hex_string(content, i)
                 pending.append(s)
                 continue
             two = content[i : i + 2]
@@ -740,6 +773,7 @@ def _pdf_flate_stream() -> bytes:
                 ELSE CAST(1 AS BIGINT) END AS n_streams,
            CASE doc_id % 3
                 WHEN 0 THEN 'Doc ' || doc_id || ' ' || source || ' ' || text
+                            || ' ' || source
                 WHEN 1 THEN '{_PDF_FLATE_TEXT}'
                 ELSE 'Doc ' || doc_id || ' modern ' || source || ' ' || text
                 END AS pdf_text
@@ -792,7 +826,11 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.lit(" "),
         F.col("text"),
-        F.lit(") Tj ET"),
+        # a data-dependent HEX string shown after the literals — the
+        # §7.3.4.3 path has to hex-decode the source bytes exactly
+        F.lit(") Tj 0 -14 Td <"),
+        F.hex(F.encode(F.col("source"), "utf-8")),
+        F.lit("> Tj ET"),
     )
     flate = _pdf_flate_stream()
     stream_body = F.when(

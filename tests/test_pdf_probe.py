@@ -76,6 +76,16 @@ def test_string_escapes_and_tj_array():
     assert got["pdf_text"] == "a(b) c\\d tab\there AB"
 
 
+def test_hex_strings_show_like_literals():
+    got = parse_pdf(_pdf(b"BT <48656C 6C6F> Tj (lit) Tj <414> Tj ET"))
+    # whitespace skipped inside; odd digit count pads a trailing 0
+    assert got["pdf_text"] == "Hello lit A@"
+    with pytest.raises(ValueError, match="non-hex byte"):
+        parse_pdf(_pdf(b"BT <48ZZ> Tj ET"))
+    with pytest.raises(ValueError, match="unterminated PDF hex"):
+        parse_pdf(_pdf(b"BT <4865"))  # runs off the stream end
+
+
 def test_shown_text_containing_et_and_tj_tokens():
     # regression (r14, found by the throughput probe's random text):
     # 'ET' / 'Tj' BYTES inside a string literal must not terminate
