@@ -241,3 +241,52 @@ def test_decoded_text_stats_quarantine(spark):
     assert rows[2]["text"] is None and rows[2]["error"].startswith("malformed")
     with pytest.raises(Exception):
         decoded_text_stats(df, quarantine=False).collect()
+
+
+# ------------------------------------------------ property tests
+
+def test_charset_roundtrip_property():
+    """Hypothesis: any text encodable in a charset, carried under any
+    of that charset's labels, round-trips through detection + decode
+    byte-exactly with zero replacements. Pure-Python property (no
+    Spark per example)."""
+    from hypothesis import assume, given, settings, strategies as st
+
+    cases = [
+        ("utf-8", "utf-8"),
+        ("iso-8859-1", "cp1252"),
+        ("windows-1252", "cp1252"),
+        ("shift_jis", "cp932"),
+        ("gb2312", "gbk"),
+        ("euc-kr", "cp949"),
+        ("koi8-r", "koi8_r"),
+        ("iso-8859-15", "iso8859_15"),
+        ("windows-1251", "cp1251"),
+        ("big5", "big5"),
+    ]
+    # printable-heavy alphabet spanning latin/cyrillic/cjk so every
+    # charset gets both hits and misses (unencodables are assumed out)
+    alphabet = st.sampled_from(
+        "abcXYZ019 .,!?café€ÄßñПривет日本語中文한국ζω"
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, min_size=0, max_size=60),
+        st.sampled_from(cases),
+    )
+    def prop(text, case):
+        label, codec = case
+        try:
+            payload = text.encode(codec)
+        except (UnicodeEncodeError, LookupError):
+            assume(False)
+        # guard: meta/xml prescan must not fire on arbitrary text
+        assume("<meta" not in text.lower() and "<?xml" not in text.lower())
+        d = decode_text(payload, f"text/html; charset={label}")
+        # BOM-shaped prefixes win over the label by design
+        assume(d["charset_source"] == "header")
+        assert d["text"] == text.encode(codec).decode(codec)
+        assert d["n_replacements"] == 0
+
+    prop()

@@ -114,3 +114,63 @@ def test_robots_sitemap_directives(spark):
         .collect()[0]["s"]
     )
     assert got == ["https://a.test/sitemap.xml", "https://a.test/s2.xml"]
+
+
+def test_robots_fold_differential_vs_reference(spark):
+    """Differential: 200 grammar-generated robots.txt files parsed by
+    the JVM fold must match an INDEPENDENT 15-line Python reference
+    implementation of the same RFC 9309 subset — one DataFrame, one
+    collect (not per-example Spark runs)."""
+    import random
+
+    rng = random.Random(1409)
+
+    def gen_robots() -> str:
+        lines = []
+        for _ in range(rng.randint(1, 14)):
+            r = rng.random()
+            if r < 0.3:
+                agent = rng.choice(["*", "googlebot", "other", "X"])
+                lines.append(f"User-agent: {agent}")
+            elif r < 0.55:
+                lines.append(f"Disallow: /{rng.choice(['a','b','c',''])}")
+            elif r < 0.75:
+                lines.append(f"Allow: /{rng.choice(['a','a/b','d'])}")
+            elif r < 0.85:
+                lines.append("")
+            elif r < 0.95:
+                lines.append("# comment")
+            else:
+                lines.append("Crawl-delay: 5")
+        return "\n".join(lines) + "\n"
+
+    def reference(txt: str) -> list[tuple[bool, str]]:
+        rules, star, in_header = [], False, False
+        for raw in txt.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            low = line.lower()
+            if low.startswith("user-agent:"):
+                agent = line.split(":", 1)[1].strip()
+                star = (star if in_header else False) or agent == "*"
+                in_header = True
+                continue
+            in_header = False
+            for allow, d in ((True, "allow:"), (False, "disallow:")):
+                if low.startswith(d):
+                    path = line.split(":", 1)[1].strip()
+                    if star and path:
+                        rules.append((allow, path))
+        return rules
+
+    texts = [gen_robots() for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    from flink_hiveorc_spark.functions.robots import robots_rules
+
+    got = {
+        r["i"]: [(x["allow"], x["path"]) for x in r["r"]]
+        for r in df.select("i", robots_rules("t").alias("r")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == reference(t), f"case {i}:\n{t!r}"
