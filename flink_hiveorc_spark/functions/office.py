@@ -144,10 +144,43 @@ def xlsx_text(parts: dict[str, bytes]) -> tuple[str, int, int]:
     return "\n".join(sheets), len(sheet_names), n_cells
 
 
+def pptx_text(parts: dict[str, bytes]) -> tuple[str, int]:
+    """ppt/slides/*.xml (sorted by part name = deck order for the
+    single-digit decks corpora carry; the full ordering lives in
+    presentation.xml rels, out of scope and documented) → text: a:t
+    runs joined with spaces within a slide, slides joined with LF."""
+    names = sorted(
+        n for n in parts
+        if n.startswith("ppt/slides/") and n.endswith(".xml")
+    )
+    slides = []
+    for name in names:
+        root = _parse_xml(name, parts[name])
+        slides.append(
+            " ".join(
+                t.text or "" for t in root.iter() if _local(t.tag) == "t"
+            )
+        )
+    return "\n".join(slides), len(names)
+
+
+def odt_text(content_xml: bytes) -> tuple[str, int]:
+    """OpenDocument content.xml → text:p paragraphs (itertext per
+    paragraph), LF-joined — the docx shape in ODF clothing."""
+    root = _parse_xml("content.xml", content_xml)
+    paragraphs = [
+        "".join(p.itertext())
+        for p in root.iter()
+        if _local(p.tag) == "p"
+    ]
+    return "\n".join(paragraphs), len(paragraphs)
+
+
 def parse_office(payload: bytes) -> dict:
-    """OOXML blob → {kind docx|xlsx, n_units (paragraphs | cells),
-    office_text}. Routes on which package part is present; a zip
-    with neither is not an OOXML package (ValueError)."""
+    """Office-document blob → {kind docx|xlsx|pptx|odt, n_units
+    (paragraphs | cells | slides), office_text}. Routes on which
+    package part is present; a zip with none of them is not an
+    office package (ValueError)."""
     from flink_hiveorc_spark.functions.archive import expand_zip
 
     parts = {m["name"]: m["content"] for m in expand_zip(payload)}
@@ -158,9 +191,18 @@ def parse_office(payload: bytes) -> dict:
     if "xl/workbook.xml" in parts:
         text, _n_sheets, n_cells = xlsx_text(parts)
         return {"kind": "xlsx", "n_units": n_cells, "office_text": text}
+    if "ppt/presentation.xml" in parts:
+        text, n_slides = pptx_text(parts)
+        return {"kind": "pptx", "n_units": n_slides, "office_text": text}
+    if "content.xml" in parts and parts.get("mimetype", b"").startswith(
+        b"application/vnd.oasis.opendocument"
+    ):
+        text, n_paragraphs = odt_text(parts["content.xml"])
+        return {"kind": "odt", "n_units": n_paragraphs,
+                "office_text": text}
     raise ValueError(
-        "zip is not an OOXML package (no word/document.xml or "
-        "xl/workbook.xml)"
+        "zip is not an office package (no word/document.xml, "
+        "xl/workbook.xml, ppt/presentation.xml, or ODF content.xml)"
     )
 
 
@@ -433,6 +475,54 @@ def build_xlsx(
     )
 
 
+_P_NS = (
+    "http://schemas.openxmlformats.org/presentationml/2006/main"
+)
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_ODF_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODF_OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+
+
+def build_pptx(slides: list[list[str]]) -> bytes:
+    """Independent ENCODER twin: a minimal pptx — one slide part per
+    entry, one a:t run per string."""
+    parts: dict[str, bytes] = {
+        "[Content_Types].xml": _CONTENT_TYPES,
+        "ppt/presentation.xml": (
+            f'<?xml version="1.0"?><p:presentation xmlns:p="{_P_NS}"/>'
+        ).encode(),
+    }
+    for i, runs in enumerate(slides, 1):
+        body = "".join(
+            f"<a:r><a:t>{run}</a:t></a:r>" for run in runs
+        )
+        parts[f"ppt/slides/slide{i}.xml"] = (
+            f'<?xml version="1.0"?><p:sld xmlns:p="{_P_NS}" '
+            f'xmlns:a="{_A_NS}"><p:cSld><p:spTree><p:sp><p:txBody>'
+            f"<a:p>{body}</a:p></p:txBody></p:sp></p:spTree></p:cSld>"
+            "</p:sld>"
+        ).encode()
+    return _zip_parts(parts)
+
+
+def build_odt(paragraphs: list[str]) -> bytes:
+    """Independent ENCODER twin: a minimal odt — mimetype +
+    content.xml with one text:p per paragraph."""
+    body = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)
+    content = (
+        f'<?xml version="1.0"?><office:document-content '
+        f'xmlns:office="{_ODF_OFFICE_NS}" xmlns:text="{_ODF_TEXT_NS}">'
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    ).encode()
+    return _zip_parts(
+        {
+            "mimetype": b"application/vnd.oasis.opendocument.text",
+            "content.xml": content,
+        }
+    )
+
+
 def _zip_parts(parts: dict[str, bytes]) -> bytes:
     import io
     import zipfile
@@ -450,28 +540,37 @@ def _zip_parts(parts: dict[str, bytes]) -> bytes:
     "text_office_extract",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'xlsx' END AS kind,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(2 AS BIGINT)
-                ELSE CAST(4 AS BIGINT) END AS n_units,
-           CASE WHEN doc_id % 2 = 0
-                THEN 'Title ' || doc_id || chr(10) || source || ' ' || text
-                ELSE 'Name ' || source || chr(10) || doc_id || ' ' || text
+           CASE doc_id % 4 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                WHEN 2 THEN 'pptx' ELSE 'odt' END AS kind,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                WHEN 2 THEN 2 ELSE 2 END AS BIGINT) AS n_units,
+           CASE doc_id % 4
+                WHEN 0 THEN 'Title ' || doc_id || chr(10) || source
+                            || ' ' || text
+                WHEN 1 THEN 'Name ' || source || chr(10) || doc_id
+                            || ' ' || text
+                WHEN 2 THEN 'Deck ' || doc_id || ' ' || source
+                            || chr(10) || 'Slide two ' || text
+                ELSE 'Doc ' || doc_id || chr(10) || source || ' ' || text
                 END AS office_text
     FROM documents
     """,
 )
 def text_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OOXML text extraction under a GROUND-TRUTH oracle, doc_id % 2:
-    even docs become a docx (two paragraphs — a title, then TWO runs
-    that must concatenate seamlessly: 'source ' + text), odd docs an
-    xlsx (a shared-string row 'Name'/source + a row with a numeric
-    cell (doc_id, stored text kept verbatim) and an inlineStr cell
-    (text) — all four cell types' routing pinned across the corpus).
-    The encoder twin writes real deflated zips (stdlib zipfile, CRCs
-    verified on read by expand_zip) and DuckDB recomputes the
-    expected text by plain concat of the raw columns — no zip, XML,
-    or OOXML logic oracle-side. Scale: two map-only Python passes
-    (encoder + extractor), zero exchanges."""
+    """Office text extraction under a GROUND-TRUTH oracle, doc_id % 4:
+    docx (two paragraphs — a title, then TWO runs that must
+    concatenate seamlessly: 'source ' + text), xlsx (a shared-string
+    row 'Name'/source + a row with a numeric cell (doc_id, stored
+    text kept verbatim) and an inlineStr cell (text) — all four cell
+    types' routing pinned across the corpus), pptx (two slides whose
+    part-name order must hold; the first slide's two a:t runs join
+    with a space), and odt (two text:p paragraphs, the second with
+    nested markup itertext must flatten). The encoder twins write
+    real deflated zips (stdlib zipfile, CRCs verified on read by
+    expand_zip) and DuckDB recomputes the expected text by plain
+    concat of the raw columns — no zip, XML, or office logic
+    oracle-side. Scale: two map-only Python passes (encoder +
+    extractor), zero exchanges."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -490,13 +589,14 @@ def text_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, source, text in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
-                if int(doc_id) % 2 == 0:
+                m = int(doc_id) % 4
+                if m == 0:
                     payloads.append(
                         build_docx(
                             [[f"Title {doc_id}"], [f"{source} ", str(text)]]
                         )
                     )
-                else:
+                elif m == 1:
                     payloads.append(
                         build_xlsx(
                             ["Name", str(source)],
@@ -505,6 +605,20 @@ def text_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 [("n", str(doc_id)),
                                  ("inlineStr", str(text))],
                             ],
+                        )
+                    )
+                elif m == 2:
+                    payloads.append(
+                        build_pptx(
+                            [[f"Deck {doc_id}", str(source)],
+                             [f"Slide two {text}"]]
+                        )
+                    )
+                else:
+                    payloads.append(
+                        build_odt(
+                            [f"Doc {doc_id}",
+                             f"<text:span>{source}</text:span> {text}"]
                         )
                     )
             yield pd.DataFrame(

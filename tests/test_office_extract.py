@@ -150,3 +150,27 @@ def test_spark_operator_and_quarantine(spark):
     assert rows[2]["kind"] is None and rows[2]["error"].startswith("malformed")
     with pytest.raises(Exception):
         office_stats(df, quarantine=False).collect()
+
+
+def test_pptx_slides_and_runs():
+    from flink_hiveorc_spark.functions.office import build_pptx
+
+    got = parse_office(build_pptx([["Deck", "one"], ["slide two"]]))
+    assert got["kind"] == "pptx" and got["n_units"] == 2
+    assert got["office_text"] == "Deck one\nslide two"
+
+
+def test_odt_paragraphs_and_nested_markup():
+    from flink_hiveorc_spark.functions.office import build_odt
+
+    got = parse_office(
+        build_odt(["First", "<text:span>nested</text:span> tail"])
+    )
+    assert got["kind"] == "odt" and got["n_units"] == 2
+    assert got["office_text"] == "First\nnested tail"
+
+
+def test_odt_requires_odf_mimetype():
+    # a zip with content.xml but no ODF mimetype is NOT an office doc
+    with pytest.raises(ValueError, match="office package"):
+        parse_office(_zip_parts({"content.xml": b"<x/>"}))
