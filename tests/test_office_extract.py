@@ -72,7 +72,7 @@ def test_xlsx_bad_shared_index_is_malformed():
 def test_error_contract():
     with pytest.raises(ValueError, match="malformed zip"):
         parse_office(b"PK\x03\x04 truncated")
-    with pytest.raises(ValueError, match="OOXML"):
+    with pytest.raises(ValueError, match="office package"):
         parse_office(_zip_parts({"readme.txt": b"hello"}))
     with pytest.raises(ValueError, match="malformed XML"):
         parse_office(_zip_parts({"word/document.xml": b"<w:document"}))
