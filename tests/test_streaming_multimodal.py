@@ -311,3 +311,20 @@ def test_streaming_office_and_crawltext_with_quarantine(spark, tmp_path):
     q2.awaitTermination(120)
     rows = spark.read.parquet(out2).collect()
     assert [(r["charset"], r["text"]) for r in rows] == [("shift_jis", jp)]
+
+
+def test_streaming_epub_lane(spark, tmp_path):
+    from flink_hiveorc_spark.functions.office import build_epub
+
+    src, out, dlq, ckpt = (str(tmp_path / d) for d in
+                           ("esrc", "efeat", "edlq", "eckpt"))
+    _write_blobs(spark, src, [(0, build_epub("S", [("c.xhtml", "<p>in stream</p>")])),
+                              (9, b"PK\x03\x04 bad zip")])
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="epub", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = spark.read.parquet(out).collect()
+    assert [(r["title"], r["epub_text"]) for r in feats] == [("S", "in stream")]
+    assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9
