@@ -439,8 +439,24 @@ def web_archive_text_records(
         for r in recs:
             block, ctype, status = r["block"], r["content_type"], None
             if ctype.lower().split(";")[0].strip() == "application/http":
-                status, hdrs, block = split_http_response(block)
-                ctype = hdrs.get("content-type", "")
+                # Real Common Crawl WARCs carry a request record next
+                # to every response record, both typed application/
+                # http — only the response shape has a status line to
+                # peel. Discriminate on the msgtype parameter (RFC
+                # 2616 media type), falling back to the WARC record
+                # type when the label omits it; request/other blocks
+                # flow through as raw text instead of failing the
+                # whole payload.
+                mm = re.search(r"msgtype\s*=\s*([\w-]+)", ctype.lower())
+                msgtype = mm.group(1) if mm else None
+                is_response = (
+                    msgtype == "response"
+                    if msgtype is not None
+                    else r["rec_type"] == "response"
+                )
+                if is_response:
+                    status, hdrs, block = split_http_response(block)
+                    ctype = hdrs.get("content-type", "")
             d = decode_text(block, ctype)
             items.append(
                 {
@@ -553,8 +569,17 @@ def wet_wat_records(payloads: DataFrame) -> DataFrame:
         F.when(is_wet, F.octet_length("text").cast("long"))
         .otherwise(pm["Actual-Content-Length"])
         .alias("content_len"),
+        # Non-HTML captures (robots.txt, images) carry a WAT envelope
+        # with no HTML-Metadata.Links — that's 0 links, not NULL (and
+        # not -1 under legacy sizeOfNull). NULL stays reserved for a
+        # metadata block whose JSON didn't parse at all.
         F.when(is_wet, F.lit(0))
-        .otherwise(F.size(links))
+        .otherwise(
+            F.when(
+                wat["Envelope"].isNotNull(),
+                F.coalesce(F.size(links), F.lit(0)),
+            )
+        )
         .cast("long")
         .alias("n_links"),
         F.when(is_wet, F.lit(""))
@@ -603,6 +628,10 @@ def pipeline_wet_wat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     wet_body = F.concat(
         F.lit("WET extract "), F.col("source"), F.lit(" "), F.col("text")
     )
+    # JSON-well-formed by construction: the only interpolated values
+    # are doc_id and length(text), both numeric — no free text ever
+    # enters the envelope, so no JSON escaping is needed (the office
+    # twins, which DO interpolate corpus text, escape via saxutils)
     wat_body = F.concat(
         F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":'
               '"https://example.com/'),

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import re
 from xml.etree import ElementTree
+from xml.sax.saxutils import escape as _xml_escape
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -310,7 +311,9 @@ def build_epub(title: str, chapters: list[tuple[str, str]]) -> bytes:
     """Independent ENCODER twin: a minimal spec-shaped EPUB. The
     spine lists chapters in the GIVEN order while the zip stores
     them reversed, so a reader that ignores the spine fails the
-    oracle."""
+    oracle. Chapter BODIES are XHTML markup passed through verbatim
+    (callers escape any interpolated corpus text); the title and
+    member names are escaped here."""
     container = (
         '<?xml version="1.0"?><container version="1.0" '
         'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
@@ -319,7 +322,7 @@ def build_epub(title: str, chapters: list[tuple[str, str]]) -> bytes:
         "</container>"
     ).encode()
     items = "".join(
-        f'<item id="c{i}" href="{name}" '
+        f'<item id="c{i}" href="{_xml_escape(name, {chr(34): "&quot;"})}" '
         'media-type="application/xhtml+xml"/>'
         for i, (name, _) in enumerate(chapters)
     )
@@ -328,7 +331,7 @@ def build_epub(title: str, chapters: list[tuple[str, str]]) -> bytes:
         '<?xml version="1.0"?><package '
         'xmlns="http://www.idpf.org/2007/opf" version="3.0">'
         '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
-        f"<dc:title>{title}</dc:title></metadata>"
+        f"<dc:title>{_xml_escape(title)}</dc:title></metadata>"
         f"<manifest>{items}</manifest><spine>{refs}</spine></package>"
     ).encode()
     parts: dict[str, bytes] = {
@@ -384,8 +387,15 @@ def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 build_epub(
                     f"Book {doc_id}",
                     [
-                        ("ch1.xhtml", f"<p>Chapter <em>one</em> {source}</p>"),
-                        ("ch2.xhtml", f"<p>Chapter two {text}</p>"),
+                        (
+                            "ch1.xhtml",
+                            "<p>Chapter <em>one</em> "
+                            f"{_xml_escape(source)}</p>",
+                        ),
+                        (
+                            "ch2.xhtml",
+                            f"<p>Chapter two {_xml_escape(text)}</p>",
+                        ),
                     ],
                 )
                 for doc_id, source, text in zip(
@@ -421,7 +431,9 @@ def build_docx(paragraphs: list[list[str]]) -> bytes:
     one w:p per paragraph, one w:r/w:t per run."""
     body = "".join(
         "<w:p>"
-        + "".join(f"<w:r><w:t>{run}</w:t></w:r>" for run in runs)
+        + "".join(
+            f"<w:r><w:t>{_xml_escape(run)}</w:t></w:r>" for run in runs
+        )
         + "</w:p>"
         for runs in paragraphs
     )
@@ -443,7 +455,7 @@ def build_xlsx(
     ss = (
         f'<?xml version="1.0"?><sst xmlns="{_S_NS}" '
         f'count="{len(shared)}" uniqueCount="{len(shared)}">'
-        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in shared)
         + "</sst>"
     ).encode()
     rows_xml = []
@@ -451,7 +463,10 @@ def build_xlsx(
         cx = []
         for ctype, val in cells:
             if ctype == "inlineStr":
-                cx.append(f'<c t="inlineStr"><is><t>{val}</t></is></c>')
+                cx.append(
+                    '<c t="inlineStr"><is><t>'
+                    f"{_xml_escape(val)}</t></is></c>"
+                )
             elif ctype == "s":
                 cx.append(f'<c t="s"><v>{val}</v></c>')
             else:
@@ -494,7 +509,7 @@ def build_pptx(slides: list[list[str]]) -> bytes:
     }
     for i, runs in enumerate(slides, 1):
         body = "".join(
-            f"<a:r><a:t>{run}</a:t></a:r>" for run in runs
+            f"<a:r><a:t>{_xml_escape(run)}</a:t></a:r>" for run in runs
         )
         parts[f"ppt/slides/slide{i}.xml"] = (
             f'<?xml version="1.0"?><p:sld xmlns:p="{_P_NS}" '
@@ -505,10 +520,24 @@ def build_pptx(slides: list[list[str]]) -> bytes:
     return _zip_parts(parts)
 
 
+class RawXml(str):
+    """Marks a builder input as intentional XML markup — passed
+    through verbatim instead of entity-escaped. Callers remain
+    responsible for escaping any corpus text interpolated INSIDE the
+    markup."""
+
+
 def build_odt(paragraphs: list[str]) -> bytes:
     """Independent ENCODER twin: a minimal odt — mimetype +
-    content.xml with one text:p per paragraph."""
-    body = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)
+    content.xml with one text:p per paragraph. Plain strings are
+    entity-escaped (well-formed by construction); wrap a paragraph
+    in ``RawXml`` to embed markup (e.g. nested text:span)."""
+    body = "".join(
+        "<text:p>"
+        + (p if isinstance(p, RawXml) else _xml_escape(p))
+        + "</text:p>"
+        for p in paragraphs
+    )
     content = (
         f'<?xml version="1.0"?><office:document-content '
         f'xmlns:office="{_ODF_OFFICE_NS}" xmlns:text="{_ODF_TEXT_NS}">'
@@ -617,8 +646,17 @@ def text_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     payloads.append(
                         build_odt(
-                            [f"Doc {doc_id}",
-                             f"<text:span>{source}</text:span> {text}"]
+                            [
+                                f"Doc {doc_id}",
+                                # markup intentional (pins itertext
+                                # flattening); corpus text escaped
+                                RawXml(
+                                    "<text:span>"
+                                    f"{_xml_escape(str(source))}"
+                                    "</text:span> "
+                                    f"{_xml_escape(str(text))}"
+                                ),
+                            ]
                         )
                     )
             yield pd.DataFrame(

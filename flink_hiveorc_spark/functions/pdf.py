@@ -128,6 +128,35 @@ def _pdf_hex_string(body: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("unterminated PDF hex string")
 
 
+def _skip_pdf_dict(content: bytes, i: int) -> int:
+    """Skip a balanced ``<< ... >>`` dictionary starting at `i`.
+    Nested dicts, literal strings, and hex strings inside are skipped
+    atomically (a '>' inside a string must not close the dict).
+    → index just past the closing ``>>``."""
+    depth = 0
+    while i < len(content):
+        two = content[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+            continue
+        c = content[i]
+        if c == 0x28:  # literal string
+            _, i = _pdf_string(content, i)
+            continue
+        if c == 0x3C:  # lone '<' inside the dict → hex string
+            _, i = _pdf_hex_string(content, i)
+            continue
+        i += 1
+    raise ValueError("unterminated PDF dictionary")
+
+
 def _extract_text(content: bytes) -> list[bytes]:
     """Literal strings shown via Tj / TJ inside BT..ET blocks, in
     stream order. The ET terminator is scanned with string literals
@@ -149,8 +178,15 @@ def _extract_text(content: bytes) -> list[bytes]:
                 s, i = _pdf_string(content, i)
                 pending.append(s)
                 continue
-            if content[i] == 0x3C:  # hex string — same show semantics
-                s, i = _pdf_hex_string(content, i)
+            if content[i] == 0x3C:
+                if content[i : i + 2] == b"<<":
+                    # marked-content property dict — tagged PDFs emit
+                    # '/P <</MCID 0>> BDC' inside BT; it is an operand,
+                    # not shown text, and its bytes must not be read
+                    # as a hex string
+                    i = _skip_pdf_dict(content, i)
+                    continue
+                s, i = _pdf_hex_string(content, i)  # hex string — shown
                 pending.append(s)
                 continue
             two = content[i : i + 2]
@@ -376,6 +412,12 @@ def _parse_xref_stream_chain(
             or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)
         ):
             raise ValueError(f"bad xref stream /W {w!r}")
+        # §7.5.8.2: zero-width fields take their default — field 1
+        # defaults to type 1, field 3 to 0 — but field 2 (the offset /
+        # ObjStm number) has no default; a zero width there makes
+        # every entry meaningless.
+        if w[1] == 0:
+            raise ValueError("xref stream /W field 2 has zero width")
         size = d.get("Size")
         if not isinstance(size, int):
             raise ValueError("xref stream lacks /Size")
@@ -400,7 +442,7 @@ def _parse_xref_stream_chain(
                     fields.append(
                         int.from_bytes(data[pos : pos + width], "big")
                         if width
-                        else None
+                        else 0
                     )
                     pos += width
                 # a zero-width type field defaults to type 1 (§7.5.8.3)

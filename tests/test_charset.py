@@ -226,6 +226,68 @@ def test_wet_wat_records(spark):
     )
     r2 = wet_wat_records(df2).collect()[0]
     assert r2["kind"] == "wat" and r2["uri"] is None and r2["n_links"] is None
+    # non-HTML capture: valid WAT envelope, no HTML-Metadata.Links
+    # (robots.txt / image captures) → 0 links, never NULL/-1
+    nolinks = (
+        '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":'
+        '"https://w.test/robots.txt"},"Payload-Metadata":'
+        '{"Actual-Content-Length":9}}}'
+    )
+    df3 = spark.createDataFrame(
+        [(3, bytearray(rec("metadata", "application/json", nolinks.encode())))],
+        "doc_id long, payload binary",
+    )
+    r3 = wet_wat_records(df3).collect()[0]
+    assert r3["uri"] == "https://w.test/robots.txt"
+    assert r3["n_links"] == 0 and r3["first_link"] is None
+
+
+def test_warc_request_records_pass_through(spark):
+    """Real Common Crawl WARCs interleave a request record with every
+    response record, both labeled application/http. The request block
+    has no status line — it must flow through as raw text (it IS
+    text: the captured HTTP request), not fail the whole payload."""
+    req_block = (
+        b"GET /page HTTP/1.1\r\nHost: x.test\r\n"
+        b"User-Agent: CCBot/2.0\r\n\r\n"
+    )
+    resp_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8"
+        b"\r\n\r\nthe page body"
+    )
+
+    def rec(rtype: str, ctype: str, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + rtype.encode()
+            + b"\r\nWARC-Record-ID: <urn:uuid:t>\r\n"
+            b"WARC-Target-URI: https://x.test/page\r\n"
+            b"Content-Type: " + ctype.encode() + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+
+    payload = (
+        rec("request", "application/http; msgtype=request", req_block)
+        + rec("response", "application/http; msgtype=response", resp_block)
+        # msgtype omitted → fall back to the WARC record type
+        + rec("request", "application/http", req_block)
+        + rec("response", "application/http", resp_block)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {
+        r["record_idx"]: r for r in web_archive_text_records(df).collect()
+    }
+    assert len(rows) == 4
+    for i in (0, 2):  # request legs: raw pass-through, no status
+        assert rows[i]["http_status"] is None
+        assert rows[i]["text"].startswith("GET /page HTTP/1.1")
+        assert rows[i]["content_type"].startswith("application/http")
+    for i in (1, 3):  # response legs: peeled
+        assert rows[i]["http_status"] == 200
+        assert rows[i]["text"] == "the page body"
+        assert rows[i]["charset"] == "utf-8"
 
 
 def test_decoded_text_stats_quarantine(spark):

@@ -24,6 +24,42 @@ def test_docx_paragraphs_and_runs():
     assert got["office_text"] == "One\na b c\n"
 
 
+def test_builders_escape_xml_specials():
+    # regression (r14 advice): '&', '<', '"' in corpus text used to
+    # make the encoder-twin fixtures malformed XML, failing the whole
+    # oracle query instead of being well-formed by construction
+    hostile = 'a & b < c > d "q" \'s\''
+    got = parse_office(build_docx([[hostile]]))
+    assert got["office_text"] == hostile
+    got = parse_office(
+        build_xlsx([hostile], [[("s", "0"), ("inlineStr", hostile)]])
+    )
+    assert got["office_text"] == f"{hostile} {hostile}"
+    from flink_hiveorc_spark.functions.office import (
+        build_epub,
+        build_odt,
+        build_pptx,
+        parse_epub,
+    )
+
+    got = parse_office(build_pptx([[hostile]]))
+    assert got["office_text"] == hostile
+    got = parse_office(build_odt([hostile]))
+    assert got["office_text"] == hostile
+    # the RawXml escape hatch keeps intentional markup working
+    from flink_hiveorc_spark.functions.office import RawXml
+    from xml.sax.saxutils import escape as xesc
+
+    got = parse_office(
+        build_odt([RawXml(f"<text:span>{xesc(hostile)}</text:span> tail")])
+    )
+    assert got["office_text"] == f"{hostile} tail"
+    ep = parse_epub(
+        build_epub(hostile, [("c1.xhtml", "<p>plain body</p>")])
+    )
+    assert ep["title"] == hostile and ep["epub_text"] == "plain body"
+
+
 def test_docx_namespace_prefix_is_irrelevant():
     doc = (
         b'<?xml version="1.0"?><x:document xmlns:x="urn:whatever">'
@@ -161,10 +197,24 @@ def test_pptx_slides_and_runs():
 
 
 def test_odt_paragraphs_and_nested_markup():
-    from flink_hiveorc_spark.functions.office import build_odt
-
+    # nested text:span markup is a PARSER concern (itertext must
+    # flatten it), so the content.xml is hand-built here — the
+    # builder escapes its inputs and can no longer inject markup
+    content = (
+        b'<?xml version="1.0"?><office:document-content '
+        b'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        b'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        b"<office:body><office:text><text:p>First</text:p>"
+        b"<text:p><text:span>nested</text:span> tail</text:p>"
+        b"</office:text></office:body></office:document-content>"
+    )
     got = parse_office(
-        build_odt(["First", "<text:span>nested</text:span> tail"])
+        _zip_parts(
+            {
+                "mimetype": b"application/vnd.oasis.opendocument.text",
+                "content.xml": content,
+            }
+        )
     )
     assert got["kind"] == "odt" and got["n_units"] == 2
     assert got["office_text"] == "First\nnested tail"

@@ -95,6 +95,27 @@ def test_shown_text_containing_et_and_tj_tokens():
     assert got["pdf_text"] == "MARKET Tj ET trap tail"
 
 
+def test_marked_content_property_dict_inside_bt():
+    # regression (r14 advice): tagged PDFs from Word/LibreOffice emit
+    # '/P <</MCID 0>> BDC' INSIDE BT blocks — the '<<' is a property
+    # dict operand, not a hex-string opener, and must be skipped, not
+    # raise 'non-hex byte' / misclassify the document as malformed
+    got = parse_pdf(
+        _pdf(b"BT /P <</MCID 0>> BDC /F1 12 Tf (tagged text) Tj EMC ET")
+    )
+    assert got["pdf_text"] == "tagged text"
+    # nested dicts + strings/hex-strings inside the dict stay inert
+    got = parse_pdf(
+        _pdf(
+            b"BT /Span <</ActualText (alt (ET) text) /E <4554> "
+            b"/Nest <</K 1>> >> BDC (shown) Tj EMC ET"
+        )
+    )
+    assert got["pdf_text"] == "shown"
+    with pytest.raises(ValueError, match="unterminated PDF dict"):
+        parse_pdf(_pdf(b"BT /P <</MCID 0"))
+
+
 def test_nested_parens_unescaped():
     got = parse_pdf(_pdf(b"BT (outer (inner) tail) Tj ET"))
     assert got["pdf_text"] == "outer (inner) tail"
@@ -255,6 +276,35 @@ def test_xref_stream_w_and_index_validation():
     bad = good.replace(b"/W [1 4 2]", b"/W [1 4 3]")
     with pytest.raises(ValueError, match="row width|Index disagrees"):
         parse_pdf(bad)
+
+
+def test_xref_stream_zero_width_w_fields():
+    # regression (r14 advice): /W [1 0 2] stored field 2 as None and
+    # the type-1 verification then sliced payload[None:...] →
+    # TypeError, escaping the (ValueError, NotImplementedError) DLQ
+    # contract. Field 2 has no spec default — reject it as malformed.
+    from flink_hiveorc_spark.functions.pdf import (
+        _build_pdf15,
+        _parse_xref_stream_chain,
+    )
+
+    good = _build_pdf15(b"BT (zero w) Tj ET")
+    bad = good.replace(b"/W [1 4 2]", b"/W [1 0 2]")
+    with pytest.raises(ValueError, match="field 2 has zero width"):
+        parse_pdf(bad)
+    # zero-width field 3 takes the §7.5.8.2 default 0, not None
+    import zlib as _z
+
+    raw = bytes([1]) + (9).to_bytes(4, "big")  # one type-1 row, no f3
+    z = _z.compress(raw, 6)
+    obj = (
+        b"8 0 obj\n<< /Type /XRef /Size 5 /Index [4 1] /W [1 4 0] "
+        b"/Root 1 0 R /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + z
+        + b"\nendstream\nendobj\n"
+    )
+    entries, trailer = _parse_xref_stream_chain(obj, 0)
+    assert entries[4] == (1, 9, 0)
 
 
 def test_indirect_length_gates():
