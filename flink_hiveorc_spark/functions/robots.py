@@ -7,18 +7,27 @@ consecutive User-agent lines form a group header; the following
 Allow/Disallow rules belong to that group) are SEQUENTIAL, which
 column functions usually can't express — here they run as a single
 ``F.aggregate`` FOLD over the split lines with a small struct state
-(are-we-in-a-*-group, was-the-previous-line-a-group-header, rules so
-far), so parsing stays whole-stage-codegen with zero Python.
+(current-group membership flags, was-the-previous-line-a-group-header,
+rules so far), so parsing stays whole-stage-codegen with zero Python.
 
-Matching implements the RFC 9309 precedence subset a deterministic
-engine can own: longest-matching rule wins, Allow beats Disallow on
-ties, no matching rule means allowed. Scope, documented: literal
-PREFIX rules only — ``*`` wildcards and ``$`` anchors inside rule
-paths are matched literally (the overwhelming majority of real rules
-are plain prefixes); percent-encoding equivalence is out of scope as
-in functions/urls.py. Only the ``*`` user-agent group is consulted
-(a per-product crawler would pass its own token — the fold
-generalizes by swapping the comparison literal).
+Group selection is RFC 9309 §2.2.1 complete: the fold carries TWO
+rule lanes — the ``*`` group and the group(s) whose agent token
+case-insensitively equals the crawler's product token — and the
+crawler's effective rule set is the exact-token lane when any group
+named it, else the ``*`` lane (groups repeating a token merge, as the
+RFC requires).
+
+Matching is RFC 9309 §2.2.2/§2.2.3 complete: rule paths support the
+``*`` wildcard (matches any run of octets) and a trailing ``$``
+end-anchor — both MUST-level in the RFC and ubiquitous in real files
+(``Disallow: /*.php$``, ``/*?``). Each wildcard rule compiles to a
+Java regex JVM-side (escape metacharacters, ``*`` → ``.*``, trailing
+``$`` → anchor); plain-prefix rules (the overwhelming majority) keep
+the fast ``startsWith`` path. Precedence: the rule with the most raw
+octets wins, Allow beats Disallow on ties, no matching rule means
+allowed. Rules match against the PATH PLUS QUERY (that is the string
+``/*?session=``-style rules exist for); percent-encoding equivalence
+is out of scope as in functions/urls.py.
 
 Reference repo has no crawl surface (SURVEY.md §0); need comes from
 the r13/r14 crawl envelope (WARC → links → sitemap/feeds → frontier).
@@ -31,7 +40,7 @@ from pyspark.sql import functions as F
 
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
-from flink_hiveorc_spark.functions.urls import url_host, url_path
+from flink_hiveorc_spark.functions.urls import url_host, url_path_query
 
 
 def _c(col) -> Column:
@@ -44,45 +53,126 @@ def _empty_rules() -> Column:
     return F.array().cast("array<struct<allow: boolean, path: string>>")
 
 
-def robots_rules(col) -> Column:
+def robots_rules(col, agent: str | None = None) -> Column:
     """robots.txt text column → array<struct<allow, path>> of the
-    ``*`` group's rules, in file order. A single JVM fold: comments
-    strip, directive names case-fold, consecutive User-agent lines
-    accumulate into a group header (any of them being ``*`` marks
-    the group), Allow/Disallow lines append while the ``*`` group is
-    active, and an empty Disallow value is the spec's no-op."""
+    crawler's effective rules, in file order. A single JVM fold:
+    comments strip, directive names case-fold, consecutive User-agent
+    lines accumulate into a group header, Allow/Disallow lines append
+    to the lane(s) whose token the header matched, and an empty rule
+    value is the spec's no-op. With ``agent`` given, the exact-token
+    group (case-insensitive) wins over ``*`` whenever any group names
+    the token — RFC 9309 §2.2.1 most-specific selection; with
+    ``agent=None`` only the ``*`` group is consulted."""
     lines = F.split(_c(col), "\n")
+    agent_lit = F.lit((agent or "").lower())
+    has_agent = agent is not None
     init = F.struct(
         F.lit(False).alias("star"),
+        F.lit(False).alias("exact"),
         F.lit(False).alias("in_header"),
-        _empty_rules().alias("rules"),
+        F.lit(False).alias("saw_exact"),
+        _empty_rules().alias("star_rules"),
+        _empty_rules().alias("exact_rules"),
     )
 
     def step(acc, raw):
         line = F.trim(F.regexp_replace(raw, "#.*$", ""))
         low = F.lower(line)
         is_agent = low.startswith("user-agent:")
-        agent = F.trim(F.substring_index(line, ":", -1))
+        tok = F.trim(F.substring_index(line, ":", -1))
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")
         path = F.trim(
             F.substring(line, F.instr(line, ":") + 1, F.length(line))
         )
+        # header accumulation: agent lines extend the current header;
+        # the first agent line after anything else starts a new group
+        star_base = F.when(acc["in_header"], acc["star"]).otherwise(
+            F.lit(False)
+        )
+        exact_base = F.when(acc["in_header"], acc["exact"]).otherwise(
+            F.lit(False)
+        )
+        tok_exact = (
+            (F.lower(tok) == agent_lit) if has_agent else F.lit(False)
+        )
         star_next = F.when(
-            is_agent & acc["in_header"], acc["star"] | (agent == "*")
-        ).when(is_agent, agent == "*").otherwise(acc["star"])
+            is_agent, star_base | (tok == "*")
+        ).otherwise(acc["star"])
+        exact_next = F.when(is_agent, exact_base | tok_exact).otherwise(
+            acc["exact"]
+        )
         rule = F.struct(is_allow.alias("allow"), path.alias("path"))
-        rules_next = F.when(
-            (is_allow | is_dis) & acc["star"] & (path != ""),
-            F.array_append(acc["rules"], rule),
-        ).otherwise(acc["rules"])
+        is_rule = (is_allow | is_dis) & (path != "")
+        star_rules_next = F.when(
+            is_rule & acc["star"], F.array_append(acc["star_rules"], rule)
+        ).otherwise(acc["star_rules"])
+        exact_rules_next = F.when(
+            is_rule & acc["exact"],
+            F.array_append(acc["exact_rules"], rule),
+        ).otherwise(acc["exact_rules"])
         return F.struct(
             star_next.alias("star"),
+            exact_next.alias("exact"),
             is_agent.alias("in_header"),
-            rules_next.alias("rules"),
+            (acc["saw_exact"] | exact_next).alias("saw_exact"),
+            star_rules_next.alias("star_rules"),
+            exact_rules_next.alias("exact_rules"),
         )
 
-    return F.aggregate(lines, init, step)["rules"]
+    final = F.aggregate(lines, init, step)
+    return F.when(final["saw_exact"], final["exact_rules"]).otherwise(
+        final["star_rules"]
+    )
+
+
+def robots_rule_regex(path_col) -> Column:
+    """Compile a robots.txt rule path to a Java regex string,
+    JVM-side (RFC 9309 §2.2.3): escape every regex metacharacter,
+    then ``\\*`` (an escaped rule wildcard) → ``.*`` and a TRAILING
+    escaped ``$`` → the end anchor (a ``$`` anywhere else stays a
+    literal octet, per the RFC's grammar). Anchored at the start, so
+    ``regexp_like`` (find semantics) gives prefix matching."""
+    esc = F.regexp_replace(
+        _c(path_col), r"([\\.\[\]{}()+?^$|*])", r"\\$1"
+    )
+    wild = F.regexp_replace(esc, r"\\\*", ".*")
+    anchored = F.regexp_replace(wild, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), anchored)
+
+
+def _rule_matches(p: Column, rule_path: Column) -> Column:
+    """Does one rule match path+query `p`? Plain prefixes (no ``*``,
+    no trailing ``$``) keep the fast literal startsWith; wildcard or
+    anchored rules go through the compiled regex."""
+    needs_regex = rule_path.contains("*") | rule_path.endswith("$")
+    return F.when(
+        needs_regex, F.regexp_like(p, robots_rule_regex(rule_path))
+    ).otherwise(p.startswith(rule_path))
+
+
+def robots_allowed(path_col, rules_col) -> Column:
+    """True iff `path_col` (path + '?query' — use
+    functions/urls.url_path_query) is fetchable under `rules_col`
+    (the robots_rules output): the matching rule with the most raw
+    octets decides, Allow wins length ties, no match allows. Pure
+    array expressions — the struct-compare trick (max over
+    (length, allow_bit)) IS the RFC precedence."""
+    p = _c(path_col)
+    rules = _c(rules_col)
+    matches = F.filter(rules, lambda r: _rule_matches(p, r["path"]))
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["path"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return F.when(F.size(matches) == 0, F.lit(True)).otherwise(
+        best["a"] == 1
+    )
 
 
 def robots_sitemaps(col) -> Column:
@@ -104,47 +194,29 @@ def robots_sitemaps(col) -> Column:
     )
 
 
-def robots_allowed(path_col, rules_col) -> Column:
-    """True iff `path_col` is fetchable under `rules_col` (the
-    robots_rules output): longest matching prefix rule decides,
-    Allow wins length ties, no match allows. Pure array expressions
-    — the struct-compare trick (max over (length, allow_bit)) IS the
-    RFC precedence."""
-    p = _c(path_col)
-    rules = _c(rules_col)
-    matches = F.filter(rules, lambda r: p.startswith(r["path"]))
-    best = F.array_max(
-        F.transform(
-            matches,
-            lambda r: F.struct(
-                F.length(r["path"]).alias("l"),
-                r["allow"].cast("int").alias("a"),
-            ),
-        )
-    )
-    return F.when(F.size(matches) == 0, F.lit(True)).otherwise(
-        best["a"] == 1
-    )
-
-
 def frontier_filter(
-    urls: DataFrame, robots: DataFrame, url_col: str = "url"
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    agent: str | None = None,
 ) -> DataFrame:
     """Filter a frontier (doc_id, url) against per-host robots.txt
     blobs (host, robots_txt): parse each host's rules ONCE (the
     robots frame is host-grained — broadcast when small, shuffle on
     host otherwise; AQE decides), join on the url's host, and keep
     the verdict column. URLs whose host has no robots.txt are
-    allowed (the fetch-404 convention)."""
+    allowed (the fetch-404 convention). `agent` is the crawler's
+    product token for most-specific group selection."""
     parsed = robots.select(
-        "host", robots_rules("robots_txt").alias("rules")
+        "host", robots_rules("robots_txt", agent=agent).alias("rules")
     )
     u = urls.withColumn("_host", url_host(url_col))
     joined = u.join(parsed, u["_host"] == parsed["host"], "left")
     return joined.select(
         *[c for c in urls.columns],
         F.coalesce(
-            robots_allowed(url_path(url_col), F.col("rules")), F.lit(True)
+            robots_allowed(url_path_query(url_col), F.col("rules")),
+            F.lit(True),
         ).alias("allowed"),
     )
 
@@ -152,36 +224,52 @@ def frontier_filter(
 @query(
     "pipeline_robots_filter",
     oracle="""
-    WITH base AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+    WITH base AS (SELECT doc_id, doc_id % 6 AS m FROM documents)
     SELECT doc_id,
            CASE m WHEN 0 THEN 'https://crawl-' || doc_id % 7
                     || '.test/private-' || doc_id || '/x'
                   WHEN 1 THEN 'https://crawl-' || doc_id % 7
                     || '.test/private-' || doc_id || '/pub/y'
+                  WHEN 2 THEN 'https://crawl-' || doc_id % 7
+                    || '.test/open/' || doc_id
+                  WHEN 3 THEN 'https://crawl-' || doc_id % 7
+                    || '.test/page-' || doc_id || '.php'
+                  WHEN 4 THEN 'https://crawl-' || doc_id % 7
+                    || '.test/page-' || doc_id || '.php?x=1'
                   ELSE 'https://crawl-' || doc_id % 7
-                    || '.test/open/' || doc_id END AS url,
-           CASE m WHEN 0 THEN FALSE ELSE TRUE END AS allowed
+                    || '.test/open/' || doc_id || '?session=abc'
+           END AS url,
+           CASE WHEN m IN (0, 3, 5) THEN FALSE ELSE TRUE END AS allowed
     FROM base
     """,
 )
 def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frontier filtering under a GROUND-TRUTH oracle: each doc's
-    host ships a robots.txt with (a) a googlebot group whose rules
-    must be IGNORED (it disallows everything), (b) a two-line group
-    header (``user-agent: other`` + ``user-agent: *``) that must
-    still activate the * rules, (c) a data-dependent
+    """Frontier filtering under a GROUND-TRUTH oracle, crawling as
+    product token "mybot". Each doc's host ships a robots.txt with
+    (a) a googlebot group that disallows everything (must be
+    ignored), (b) a ``MyBot`` group (case-insensitive exact token
+    match) carrying the real rules, and (c) a two-line-header
+    ``other``/``*`` group that ALSO disallows everything — the
+    agent-specific-group decoy: an implementation that only consults
+    the ``*`` group denies every URL here. The mybot rules exercise
+    the RFC 9309 wildcard grammar: a data-dependent
     ``Disallow: /private-N/`` with a LONGER ``Allow:
-    /private-N/pub/`` carve-out, plus comments and an empty
-    Disallow no-op. Three frontier URLs per doc (doc_id % 3) probe
-    deny, carve-out allow (longest-match beats the disallow), and
-    no-match allow. DuckDB recomputes the expected verdicts as CASE
-    literals — the fold, group tracking, and precedence all have to
-    agree. Scale: robots parse once per HOST (host-grain frame),
-    frontier joins on host; here both frames derive map-only."""
+    /private-N/pub/`` carve-out, ``Disallow: /*.php$`` (wildcard +
+    end anchor), and ``Disallow: /*?session=`` (wildcard reaching
+    into the query string), plus comments and an empty Disallow
+    no-op. Six frontier URLs per doc (doc_id % 6) probe: deny by
+    prefix, carve-out allow (longest match beats the disallow),
+    no-match allow (the decoy leg), deny by ``*.php$``, allow when a
+    query breaks the ``$`` anchor (path+query matching), and deny by
+    the query-string wildcard. DuckDB recomputes the expected
+    verdicts as CASE literals — group selection, wildcard compile,
+    and precedence all have to agree. Scale: robots parse once per
+    HOST (host-grain frame), frontier joins on host; here both
+    frames derive map-only."""
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     h = (F.col("doc_id") % 7).cast("string")
-    m = F.col("doc_id") % 3
+    m = F.col("doc_id") % 6
     host = F.concat(F.lit("crawl-"), h, F.lit(".test"))
     robots_txt = F.concat(
         F.lit(
@@ -189,15 +277,22 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "User-agent: googlebot\n"
             "Disallow: /\n"
             "\n"
-            "User-agent: other\n"
-            "User-agent: *\n"
+            "User-agent: MyBot\n"
             "Disallow:   # empty value is a no-op\n"
             "Disallow: /private-"
         ),
         did,
         F.lit("/\nAllow: /private-"),
         did,
-        F.lit("/pub/\n"),
+        F.lit(
+            "/pub/\n"
+            "Disallow: /*.php$\n"
+            "Disallow: /*?session=\n"
+            "\n"
+            "User-agent: other\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        ),
     )
     url = F.when(
         m == 0,
@@ -207,16 +302,28 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         m == 1,
         F.concat(F.lit("https://"), host, F.lit("/private-"), did,
                  F.lit("/pub/y")),
+    ).when(
+        m == 2,
+        F.concat(F.lit("https://"), host, F.lit("/open/"), did),
+    ).when(
+        m == 3,
+        F.concat(F.lit("https://"), host, F.lit("/page-"), did,
+                 F.lit(".php")),
+    ).when(
+        m == 4,
+        F.concat(F.lit("https://"), host, F.lit("/page-"), did,
+                 F.lit(".php?x=1")),
     ).otherwise(
-        F.concat(F.lit("https://"), host, F.lit("/open/"), did)
+        F.concat(F.lit("https://"), host, F.lit("/open/"), did,
+                 F.lit("?session=abc"))
     )
     # fixture note: the rules are doc-dependent (the /private-N/
     # path), so the oracle query parses per doc and filters in place;
     # the host-grained frontier_filter JOIN path is covered by its
     # own test on genuinely host-grained robots frames
-    rules = robots_rules(robots_txt)
+    rules = robots_rules(robots_txt, agent="mybot")
     return d.select(
         "doc_id",
         url.alias("url"),
-        robots_allowed(url_path(url), rules).alias("allowed"),
+        robots_allowed(url_path_query(url), rules).alias("allowed"),
     )

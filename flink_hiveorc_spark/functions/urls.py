@@ -54,6 +54,18 @@ def url_path(col) -> Column:
     return F.coalesce(F.try_parse_url(_c(col), F.lit("PATH")), F.lit(""))
 
 
+def url_path_query(col) -> Column:
+    """Path plus '?query' when a query is present — the string
+    robots.txt rules match against (RFC 9309 §2.2.2 matches the path
+    *and query*: real rules like ``Disallow: /*?`` only make sense
+    with the query included). '' when unparseable."""
+    p = url_path(col)
+    q = F.try_parse_url(_c(col), F.lit("QUERY"))
+    return F.when(
+        q.isNull() | (q == ""), p
+    ).otherwise(F.concat(p, F.lit("?"), q))
+
+
 def url_port(col) -> Column:
     """Explicit port digits from the authority ('' when none).
     Userinfo is consumed first ((?:[^/?#@]*@)?) and the port is

@@ -116,26 +116,133 @@ def test_robots_sitemap_directives(spark):
     assert got == ["https://a.test/sitemap.xml", "https://a.test/s2.xml"]
 
 
+def _allowed_as(spark, txt: str, path: str, agent: str) -> bool:
+    return (
+        spark.createDataFrame([(txt, path)], "t string, p string")
+        .select(
+            robots_allowed("p", robots_rules("t", agent=agent)).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+
+
+WILD = """User-agent: mybot
+Disallow: /*.php$
+Disallow: /*?
+Allow: /shop*.php$
+Disallow: /a$b
+
+User-agent: *
+Disallow: /
+"""
+
+
+def test_wildcard_and_anchor_matching(spark):
+    # one DataFrame, one collect
+    cases = [
+        ("/x.php", False),        # /*.php$
+        ("/x.php?q=1", False),    # $ broken, but /*? fires on query
+        ("/x.phpX", True),        # $ anchor holds
+        ("/dir/deep/y.php", False),  # * spans path segments
+        ("/shop-sale.php", True),  # longer Allow (raw octets) wins
+        ("/plain", True),          # no match (star group ignored!)
+        ("/a$b-literal", False),   # mid-path $ is a literal octet
+    ]
+    df = spark.createDataFrame(
+        [(WILD, p) for p, _ in cases], "t string, p string"
+    )
+    got = df.select(
+        "p",
+        robots_allowed("p", robots_rules("t", agent="mybot")).alias("a"),
+    ).collect()
+    for r, (p, want) in zip(got, cases):
+        assert r["a"] is want, p
+
+
+def test_agent_group_selection(spark):
+    txt = (
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: MyBot\nDisallow: /m\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # exact (case-insensitive) group wins: /m denied, everything else allowed
+    assert _allowed_as(spark, txt, "/m/x", "mybot") is False
+    assert _allowed_as(spark, txt, "/g/x", "mybot") is True
+    assert _allowed_as(spark, txt, "/open", "mybot") is True
+    # unknown agent falls back to the * group
+    assert _allowed_as(spark, txt, "/open", "nobot") is False
+    # repeated groups for the same token MERGE (RFC 9309 §2.2.1)
+    txt2 = (
+        "User-agent: mybot\nDisallow: /a\n\n"
+        "User-agent: mybot\nDisallow: /b\n"
+    )
+    assert _allowed_as(spark, txt2, "/a1", "mybot") is False
+    assert _allowed_as(spark, txt2, "/b1", "mybot") is False
+    assert _allowed_as(spark, txt2, "/c1", "mybot") is True
+    # an exact group that allows everything still SHADOWS the * group
+    txt3 = "User-agent: mybot\nAllow: /\n\nUser-agent: *\nDisallow: /\n"
+    assert _allowed_as(spark, txt3, "/anything", "mybot") is True
+
+
+def test_frontier_filter_agent_and_query(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.test/x.php"),
+            (2, "https://a.test/x.html?session=1"),
+            (3, "https://a.test/x.html"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.test",
+                "User-agent: mybot\nDisallow: /*.php$\n"
+                "Disallow: /*?session=\n\nUser-agent: *\nDisallow: /\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in frontier_filter(urls, robots, agent="mybot").collect()
+    }
+    assert got == {1: False, 2: False, 3: True}
+
+
 def test_robots_fold_differential_vs_reference(spark):
     """Differential: 200 grammar-generated robots.txt files parsed by
-    the JVM fold must match an INDEPENDENT 15-line Python reference
-    implementation of the same RFC 9309 subset — one DataFrame, one
-    collect (not per-example Spark runs)."""
+    the JVM fold must match an INDEPENDENT Python reference
+    implementation of RFC 9309 group selection (exact-token lane vs
+    *, merged across repeated groups) AND the wildcard/anchor
+    matching + longest-match precedence, probing 3 paths per file —
+    one DataFrame, one collect (not per-example Spark runs)."""
     import random
+    import re as _re
 
     rng = random.Random(1409)
+    PATH_POOL = [
+        "/a", "/b", "/c", "/a/b", "/d", "", "/*.php$", "/*?", "/a*c",
+        "/*session=", "/x$", "/shop*.php$",
+    ]
+    PROBE_POOL = [
+        "/a", "/a/b", "/ac", "/abc", "/x.php", "/x.php?q=1", "/shop.php",
+        "/b?session=1", "/x", "/x$y", "/aXc", "/d/e",
+    ]
 
     def gen_robots() -> str:
         lines = []
         for _ in range(rng.randint(1, 14)):
             r = rng.random()
             if r < 0.3:
-                agent = rng.choice(["*", "googlebot", "other", "X"])
+                agent = rng.choice(
+                    ["*", "googlebot", "other", "X", "mybot", "MyBot"]
+                )
                 lines.append(f"User-agent: {agent}")
             elif r < 0.55:
-                lines.append(f"Disallow: /{rng.choice(['a','b','c',''])}")
+                lines.append(f"Disallow: {rng.choice(PATH_POOL)}")
             elif r < 0.75:
-                lines.append(f"Allow: /{rng.choice(['a','a/b','d'])}")
+                lines.append(f"Allow: {rng.choice(PATH_POOL)}")
             elif r < 0.85:
                 lines.append("")
             elif r < 0.95:
@@ -144,33 +251,82 @@ def test_robots_fold_differential_vs_reference(spark):
                 lines.append("Crawl-delay: 5")
         return "\n".join(lines) + "\n"
 
-    def reference(txt: str) -> list[tuple[bool, str]]:
-        rules, star, in_header = [], False, False
+    def ref_rules(txt: str, agent: str | None) -> list[tuple[bool, str]]:
+        star_rules: list[tuple[bool, str]] = []
+        exact_rules: list[tuple[bool, str]] = []
+        star = exact = in_header = saw_exact = False
         for raw in txt.split("\n"):
             line = raw.split("#", 1)[0].strip()
             low = line.lower()
             if low.startswith("user-agent:"):
-                agent = line.split(":", 1)[1].strip()
-                star = (star if in_header else False) or agent == "*"
+                tok = line.split(":", 1)[1].strip()
+                if not in_header:
+                    star = exact = False
+                star = star or tok == "*"
+                exact = exact or (
+                    agent is not None and tok.lower() == agent.lower()
+                )
+                saw_exact = saw_exact or exact
                 in_header = True
                 continue
             in_header = False
             for allow, d in ((True, "allow:"), (False, "disallow:")):
                 if low.startswith(d):
                     path = line.split(":", 1)[1].strip()
-                    if star and path:
-                        rules.append((allow, path))
-        return rules
+                    if path:
+                        if star:
+                            star_rules.append((allow, path))
+                        if exact:
+                            exact_rules.append((allow, path))
+        return exact_rules if saw_exact else star_rules
+
+    def ref_match(rule: str, path: str) -> bool:
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        pat = "".join(
+            ".*" if ch == "*" else _re.escape(ch) for ch in body
+        )
+        return (
+            _re.search("^" + pat + ("$" if anchored else ""), path)
+            is not None
+        )
+
+    def ref_allowed(rules, path: str) -> bool:
+        best = None
+        for allow, rule in rules:
+            if ref_match(rule, path):
+                key = (len(rule), 1 if allow else 0)
+                if best is None or key > best:
+                    best = key
+        return True if best is None else best[1] == 1
 
     texts = [gen_robots() for _ in range(200)]
+    probes = [
+        [rng.choice(PROBE_POOL) for _ in range(3)] for _ in texts
+    ]
     df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        [
+            (i, t, ps[0], ps[1], ps[2])
+            for i, (t, ps) in enumerate(zip(texts, probes))
+        ],
+        "i long, t string, p0 string, p1 string, p2 string",
     )
-    from flink_hiveorc_spark.functions.robots import robots_rules
-
+    rules_col = robots_rules("t", agent="mybot")
     got = {
-        r["i"]: [(x["allow"], x["path"]) for x in r["r"]]
-        for r in df.select("i", robots_rules("t").alias("r")).collect()
+        r["i"]: (
+            [(x["allow"], x["path"]) for x in r["r"]],
+            [r["a0"], r["a1"], r["a2"]],
+        )
+        for r in df.select(
+            "i",
+            rules_col.alias("r"),
+            robots_allowed("p0", rules_col).alias("a0"),
+            robots_allowed("p1", rules_col).alias("a1"),
+            robots_allowed("p2", rules_col).alias("a2"),
+        ).collect()
     }
-    for i, t in enumerate(texts):
-        assert got[i] == reference(t), f"case {i}:\n{t!r}"
+    for i, (t, ps) in enumerate(zip(texts, probes)):
+        rules = ref_rules(t, "mybot")
+        assert got[i][0] == rules, f"case {i}:\n{t!r}"
+        want = [ref_allowed(rules, p) for p in ps]
+        assert got[i][1] == want, f"case {i} probes {ps}:\n{t!r}"
