@@ -32,10 +32,21 @@ next source).
 
 Decoding itself is stdlib ``codecs`` with ``errors="replace"``; the
 U+FFFD count rides along as the confidence signal (0 = clean decode).
-``charset_normalizer`` was probed present in this container but is
-deliberately NOT used here — a statistical detector would make the
-decode non-deterministic across versions; it remains available to
-users as a fallback for the unlabeled-non-utf8 tail.
+
+**Statistical fallback lane (flagged, non-oracle).** The
+deterministic chain's cp1252 fallback is right for the legacy-web
+default but mojibakes unlabeled Shift_JIS/GBK/EUC-KR pages (no BOM,
+no header, no meta — the pre-2005 CJK crawl tail). With
+``statistical=True``, ``sniff_charset_statistical`` consults
+``charset_normalizer`` ONLY when the deterministic chain would have
+fallen back, emitting ``charset_source='statistical'`` plus a
+``confidence`` column. This lane is deliberately kept OUT of every
+oracle path: a statistical detector's guesses change across library
+versions (and are unreliable on short inputs — probed: a 13-char
+cp1252 string misdetects as cp1125), so it would make oracle results
+irreproducible. The deterministic chain's outputs are pinned
+unchanged under the flag (regression-tested); oracle queries never
+set it.
 
 Also here: the **application/http** record shape — Common Crawl WARC
 response blocks are raw captured HTTP responses (status line +
@@ -248,19 +259,73 @@ def sniff_charset(
     return "windows-1252", "cp1252", "fallback"
 
 
-def decode_text(payload: bytes, content_type: str | None = None) -> dict:
-    """bytes → {text (UTF-8 str), charset, charset_source,
-    n_replacements}. Never raises on undecodable byte sequences —
-    they become U+FFFD and are COUNTED (the confidence column: 0 =
-    clean decode, large = the label lied or the bytes are binary)."""
+def sniff_charset_statistical(
+    payload: bytes, content_type: str | None = None
+) -> tuple[str, str, str, float]:
+    """→ (canonical key, python codec, source, confidence). The
+    deterministic chain runs FIRST and is authoritative (confidence
+    1.0 for any deterministic source); only when it lands on the
+    cp1252 fallback is ``charset_normalizer`` consulted, so every
+    labeled/BOM'd/valid-UTF-8 page decodes exactly as the oracle
+    lane would. When the library is absent, returns None, or its
+    guess can't be mapped to a codec, the deterministic fallback
+    stands with confidence 0.0 — the flag can never make decoding
+    FAIL, only re-guess the unlabeled-non-utf8 tail."""
     key, codec, source = sniff_charset(payload, content_type)
+    if source != "fallback":
+        return key, codec, source, 1.0
+    try:
+        import charset_normalizer
+    except ImportError:  # pragma: no cover - probed present, but gate
+        return key, codec, source, 0.0
+    best = charset_normalizer.from_bytes(payload).best()
+    if best is None:
+        return key, codec, source, 0.0
+    enc = best.encoding.replace("_", "-").lower()
+    guess_key = normalize_charset_label(enc) or enc
+    guess_codec = _KEY_TO_CODEC.get(guess_key, best.encoding)
+    try:
+        payload.decode(guess_codec, errors="strict")
+        clean = True
+    except (UnicodeDecodeError, LookupError):
+        clean = False
+    if not clean:
+        return key, codec, source, 0.0
+    # chaos is the library's 0..1 mess score (0 = clean); surface
+    # 1-chaos so bigger = more trustworthy, like n_replacements==0
+    return guess_key, guess_codec, "statistical", round(
+        1.0 - float(best.chaos), 4
+    )
+
+
+def decode_text(
+    payload: bytes,
+    content_type: str | None = None,
+    statistical: bool = False,
+) -> dict:
+    """bytes → {text (UTF-8 str), charset, charset_source,
+    n_replacements[, confidence]}. Never raises on undecodable byte
+    sequences — they become U+FFFD and are COUNTED (the confidence
+    column: 0 = clean decode, large = the label lied or the bytes
+    are binary). With ``statistical=True`` the flagged
+    charset_normalizer lane may replace the cp1252 fallback (see
+    module doc) and a ``confidence`` key rides along."""
+    if statistical:
+        key, codec, source, conf = sniff_charset_statistical(
+            payload, content_type
+        )
+    else:
+        key, codec, source = sniff_charset(payload, content_type)
     text = payload.decode(codec, errors="replace")
-    return {
+    out = {
         "text": text,
         "charset": key,
         "charset_source": source,
         "n_replacements": text.count("�"),
     }
+    if statistical:
+        out["confidence"] = conf
+    return out
 
 
 # ------------------------------------------------- HTTP record shape
@@ -352,23 +417,32 @@ _DECODED_TEXT_SCHEMA = T.StructType(
 
 
 def decoded_text_stats(
-    payloads: DataFrame, quarantine: bool = False
+    payloads: DataFrame,
+    quarantine: bool = False,
+    statistical: bool = False,
 ) -> DataFrame:
     """(doc_id, payload[, content_type]) → charset-detected UTF-8
     text. Map-only mapInPandas per the decode contract (quarantine
     DLQ optional); the payload column never reaches any other plan
-    (column pruning)."""
+    (column pruning). ``statistical=True`` arms the flagged
+    charset_normalizer fallback lane (module doc) and adds a
+    ``confidence`` double column — NEVER set on oracle paths."""
     from flink_hiveorc_spark.functions.multimodal import (
         _ERROR_FIELD,
         _quarantine_error,
     )
 
     has_ct = "content_type" in payloads.columns
-    cols = tuple(f.name for f in _DECODED_TEXT_SCHEMA.fields)
+    base_fields = list(_DECODED_TEXT_SCHEMA.fields)
+    if statistical:
+        base_fields.insert(
+            3, T.StructField("confidence", T.DoubleType())
+        )
+    cols = tuple(f.name for f in base_fields)
     out_schema = (
-        T.StructType(_DECODED_TEXT_SCHEMA.fields + [_ERROR_FIELD])
+        T.StructType(base_fields + [_ERROR_FIELD])
         if quarantine
-        else _DECODED_TEXT_SCHEMA
+        else T.StructType(base_fields)
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -381,7 +455,9 @@ def decoded_text_stats(
                 try:
                     if payload is None:
                         raise ValueError("null payload")
-                    feats = decode_text(bytes(payload), ct)
+                    feats = decode_text(
+                        bytes(payload), ct, statistical=statistical
+                    )
                 except (NotImplementedError, ValueError) as e:
                     if not quarantine:
                         raise

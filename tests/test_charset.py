@@ -352,3 +352,103 @@ def test_charset_roundtrip_property():
         assert d["n_replacements"] == 0
 
     prop()
+
+
+# ------------------------------------------ statistical fallback lane
+
+_JP = (
+    "日本語の長い文章を書き"
+    "ます。東京は日本の首都"
+    "であり、人口が最も多い"
+    "都市です。天気予報によ"
+    "ると明日は晴れでしょう"
+    "。電車で通勤する人々が"
+    "駅に集まります。"
+) * 3
+_ZH = (
+    "这是一段比较长的中文文"
+    "本。北京是首都，也是全"
+    "国的政治文化中心。天气"
+    "预报说明天多云转晴。许"
+    "多人乘坐地铁上班，地铁"
+    "站里人很多。"
+) * 3
+
+
+def test_statistical_fallback_unlabeled_cjk():
+    """Unlabeled Shift_JIS/GBK (no BOM, no header, no meta): the
+    deterministic chain mojibakes them to cp1252 by design; the
+    flagged statistical lane recovers the real encoding with a
+    confidence column. Pinned in pytest only — never an oracle."""
+    pytest.importorskip("charset_normalizer")
+    from flink_hiveorc_spark.functions.charset import (
+        sniff_charset_statistical,
+    )
+
+    jp = _JP.encode("cp932")
+    det = decode_text(jp)
+    assert det["charset"] == "windows-1252"
+    assert det["charset_source"] == "fallback"
+    key, codec, source, conf = sniff_charset_statistical(jp)
+    assert source == "statistical" and key == "shift_jis"
+    assert conf > 0.5
+    got = decode_text(jp, statistical=True)
+    assert got["text"] == _JP and got["n_replacements"] == 0
+    assert got["charset_source"] == "statistical"
+    assert got["confidence"] == conf
+
+    zh = _ZH.encode("gbk")
+    got_zh = decode_text(zh, statistical=True)
+    # gb18030 is a GBK superset: the bytes decode identically
+    assert got_zh["charset"] in ("gbk", "gb18030")
+    assert got_zh["text"] == _ZH and got_zh["n_replacements"] == 0
+    assert got_zh["charset_source"] == "statistical"
+
+
+def test_statistical_flag_never_changes_deterministic_sources():
+    """Regression: for every input the DETERMINISTIC chain resolves
+    (BOM/header/meta/xml/valid-utf8), statistical=True must return
+    byte-identical results with confidence 1.0 — the lane only ever
+    re-guesses the fallback tail."""
+    cases = [
+        (b"\xef\xbb\xbfplain", None),                      # bom
+        ("café".encode("cp1252"), "text/html; charset=iso-8859-1"),
+        (b"<meta charset=koi8-r>\xc1\xc2", None),          # meta
+        ("ascii only".encode(), None),                     # valid-utf8
+        (_JP.encode("utf-8"), None),                       # valid-utf8 CJK
+    ]
+    for payload, ct in cases:
+        det = decode_text(payload, ct)
+        got = decode_text(payload, ct, statistical=True)
+        assert got["confidence"] == 1.0
+        for k in ("text", "charset", "charset_source", "n_replacements"):
+            assert got[k] == det[k], (payload[:20], k)
+        assert det.get("confidence") is None  # flag-off dict unchanged
+
+
+def test_statistical_lane_in_spark_decoded_text_stats(spark):
+    """The flagged lane through the mapInPandas operator: schema gains
+    the confidence column, unlabeled Shift_JIS comes back as
+    shift_jis text, and labeled rows keep deterministic sources."""
+    pytest.importorskip("charset_normalizer")
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_JP.encode("cp932")), ""),
+            (2, bytearray("plain ascii".encode()), ""),
+            (3, bytearray("café".encode("cp1252")),
+             "text/plain; charset=windows-1252"),
+        ],
+        "doc_id long, payload binary, content_type string",
+    )
+    out = decoded_text_stats(df, statistical=True)
+    assert "confidence" in out.columns
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["charset"] == "shift_jis"
+    assert rows[1]["charset_source"] == "statistical"
+    assert rows[1]["text"] == _JP and 0.5 < rows[1]["confidence"] <= 1.0
+    assert rows[2]["charset_source"] == "valid-utf8"
+    assert rows[2]["confidence"] == 1.0
+    assert rows[3]["charset_source"] == "header"
+    assert rows[3]["text"] == "café"
+    # flag off: schema unchanged (no confidence column)
+    assert "confidence" not in decoded_text_stats(df).columns
