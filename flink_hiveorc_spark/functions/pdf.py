@@ -15,13 +15,19 @@ highest-frequency document format an LLM curation pipeline ingests
   members verified against the header's object numbers) — the
   majority shape of real-world PDFs (Chrome/Word/LaTeX output).
 - TEXT (the simple-text subset): content streams that are plain or
-  FlateDecode-compressed (stdlib zlib, output-capped), with literal
+  compressed with any chain of the transform filters — FlateDecode
+  (stdlib zlib), ASCIIHexDecode, ASCII85Decode, RunLengthDecode,
+  LZWDecode (§7.4: own MSB-first dictionary coder with the
+  /EarlyChange width schedule) — all output-capped, with literal
   `(...) Tj` / `[(..) ..] TJ` show operators inside BT/ET, PDF
   string escapes (\\( \\) \\\\ \\n \\r \\t \\ddd octal), and HEX
   strings `<48656C6C6F>` (§7.3.4.3: whitespace skipped, odd digit
   count padded with a trailing 0 — pure framing, no font machinery)
-  shown the same way. Anything
-  beyond — CID/Type0 composite fonts, per-glyph
+  shown the same way. Image-codec filters (DCTDecode/JPX/CCITT/
+  JBIG2) mark image XObjects: counted as streams, skipped as
+  opaque — never a document failure. Encrypted PDFs (/Encrypt in
+  the trailer) classify as unsupported ("encrypted"), not
+  malformed. Anything beyond — CID/Type0 composite fonts, per-glyph
   encodings, indirect /Length refs on content streams — raises
   NotImplementedError: decoding those without the font machinery
   silently yields mojibake, the failure class the decode contract
@@ -318,14 +324,228 @@ def _apply_predictor(
     raise NotImplementedError(f"/Predictor {predictor}")
 
 
-def _read_stream_object(payload: bytes, off: int) -> tuple[int, int, dict, bytes]:
-    """Parse `N G obj << dict >> stream ... endstream` at `off` →
-    (objnum, gen, dict, DECODED stream bytes: Flate inflated under
-    the budget, predictor reversed). Used for xref streams and
-    object streams, where /Length is literal by construction of the
-    writers that emit them (and gated honestly when indirect)."""
+# --------------------------------------------- stream filter codecs
+#
+# ISO 32000-1 §7.4. FlateDecode plus the four "trivial transform"
+# filters a text pipeline actually meets outside image XObjects:
+# ASCIIHex/ASCII85 (transport armor), RunLength, and LZW (the same
+# dictionary coder as TIFF §13 — MSB-first, clear=256/EOD=257, with
+# the /EarlyChange width schedule). Image-codec filters (DCTDecode
+# JPEG, JPXDecode, CCITTFax, JBIG2) mark IMAGE streams — those are
+# counted but never text, so the scan skips them as opaque instead
+# of failing the whole document; genuinely unknown names still gate.
+
+_IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode",
+                  "CCF", "JBIG2Decode"}
+_HEX_DIGITS = b"0123456789abcdefABCDEF"
+_PDF_WS = b"\x00\t\n\x0c\r "
+
+
+def _ascii_hex_decode(body: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, `>` is EOD, an odd
+    trailing digit acts as if followed by 0."""
+    digits = bytearray()
+    for b in body:
+        if b == 0x3E:  # '>'
+            break
+        if b in _PDF_WS:
+            continue
+        if b not in _HEX_DIGITS:
+            raise ValueError(f"ASCIIHexDecode: non-hex byte {b:#x}")
+    else:
+        raise ValueError("ASCIIHexDecode stream lacks the > EOD")
+    for b in body[: body.index(b">")]:
+        if b not in _PDF_WS:
+            digits.append(b)
+    if len(digits) % 2:
+        digits.append(ord("0"))
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(body: bytes) -> bytes:
+    """§7.4.3: 5 chars '!'..'u' encode 4 bytes base-85 big-endian,
+    `z` is the all-zero group shorthand (only between groups), `~>`
+    is EOD, whitespace ignored; a trailing partial group of n chars
+    yields n-1 bytes (decoded high-first)."""
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(body)
+    while True:
+        if i >= n:
+            raise ValueError("ASCII85Decode stream lacks the ~> EOD")
+        b = body[i]
+        if b == 0x7E:  # '~'
+            if body[i : i + 2] != b"~>":
+                raise ValueError("ASCII85Decode: bare ~ without >")
+            break
+        i += 1
+        if b in _PDF_WS:
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85Decode: z inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:  # '!'..'u'
+            raise ValueError(f"ASCII85Decode: byte {b:#x} out of range")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                raise ValueError("ASCII85Decode: group overflows 2^32")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85Decode: lone trailing digit")
+        k = len(group)
+        acc = 0
+        for d in group + [84] * (5 - k):  # pad with 'u' per spec
+            acc = acc * 85 + d
+        if acc > 0xFFFFFFFF:
+            raise ValueError("ASCII85Decode: group overflows 2^32")
+        out += acc.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(body: bytes) -> bytes:
+    """§7.4.5: length byte L — 0..127 copies the next L+1 bytes
+    literally, 129..255 repeats the next byte 257-L times, 128 is
+    EOD. Output is budget-capped (a 2-byte record expands ≤128×, so
+    the cap also bounds work)."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while True:
+        if i >= n:
+            raise ValueError("RunLengthDecode stream lacks the 128 EOD")
+        L = body[i]
+        i += 1
+        if L == 128:
+            return bytes(out)
+        if L < 128:
+            chunk = body[i : i + L + 1]
+            if len(chunk) != L + 1:
+                raise ValueError("RunLengthDecode literal run truncated")
+            out += chunk
+            i += L + 1
+        else:
+            if i >= n:
+                raise ValueError("RunLengthDecode repeat run truncated")
+            out += bytes([body[i]]) * (257 - L)
+            i += 1
+        if len(out) > MAX_PDF_STREAM_BYTES:
+            raise ValueError("RunLengthDecode output exceeds the budget")
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """§7.4.4: the TIFF-variant LZW dictionary coder — 8-bit codes,
+    MSB-first packing, clear=256/EOD=257, width grows at table size
+    2^width − EarlyChange (default 1, the same early schedule as
+    TIFF §13; EarlyChange=0 grows a code later). Output capped at
+    the shared stream budget (bomb guard). Independent of the
+    TIFF engine because PDF has no expected-size side channel."""
+    clear, end = 256, 257
+    base: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = base.copy()
+    width = 9
+    out = bytearray()
+    buf = nbits = pos = 0
+    prev = None
+    while True:
+        while nbits < width and pos < len(data):
+            buf = (buf << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        buf &= (1 << nbits) - 1
+        if code == clear:
+            table = base.copy()
+            width = 9
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(
+                f"bad PDF-LZW code {code} (table size {len(table)})"
+            )
+        out += entry
+        if len(out) > MAX_PDF_STREAM_BYTES:
+            raise ValueError("LZWDecode output exceeds the budget")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - early_change and width < 12:
+            width += 1
+        prev = entry
+    raise ValueError("LZWDecode stream lacks the EOD code")
+
+
+def _flate_decode(body: bytes) -> bytes:
     import zlib
 
+    try:
+        dec = zlib.decompressobj()
+        out = dec.decompress(body, MAX_PDF_STREAM_BYTES)
+        if dec.unconsumed_tail:
+            raise ValueError("PDF Flate stream exceeds the budget")
+    except zlib.error as e:
+        raise ValueError(f"malformed Flate stream: {e}") from e
+    return out
+
+
+def _apply_filters(
+    body: bytes, filters: list[str], parms_list: list[dict | None]
+) -> bytes:
+    """Run a /Filter chain left-to-right (§7.4: the writing order,
+    so decoding applies first-listed first), each filter's
+    /DecodeParms predictor reversed right after it."""
+    for name, parms in zip(filters, parms_list):
+        if name in ("FlateDecode", "Fl"):
+            body = _flate_decode(body)
+        elif name in ("ASCIIHexDecode", "AHx"):
+            body = _ascii_hex_decode(body)
+        elif name in ("ASCII85Decode", "A85"):
+            body = _ascii85_decode(body)
+        elif name in ("RunLengthDecode", "RL"):
+            body = _run_length_decode(body)
+        elif name in ("LZWDecode", "LZW"):
+            ec = 1
+            if isinstance(parms, dict):
+                ec = int(parms.get("EarlyChange", 1))
+            if ec not in (0, 1):
+                raise ValueError(f"LZWDecode /EarlyChange {ec}")
+            body = _lzw_decode(body, early_change=ec)
+        else:
+            raise NotImplementedError(
+                f"PDF stream filter {name} (needs codec)"
+            )
+        if isinstance(parms, dict) and "Predictor" in parms:
+            body = _apply_predictor(
+                body,
+                int(parms["Predictor"]),
+                int(parms.get("Columns", 1)),
+                int(parms.get("Colors", 1)),
+                int(parms.get("BitsPerComponent", 8)),
+            )
+    return body
+
+
+def _read_stream_object(payload: bytes, off: int) -> tuple[int, int, dict, bytes]:
+    """Parse `N G obj << dict >> stream ... endstream` at `off` →
+    (objnum, gen, dict, DECODED stream bytes: the /Filter chain
+    applied under the budget, predictors reversed). Used for xref
+    streams and object streams, where /Length is literal by
+    construction of the writers that emit them (and gated honestly
+    when indirect)."""
     hm = re.match(rb"(\d+)\s+(\d+)\s+obj\b", payload[off : off + 48])
     if not hm:
         raise ValueError(f"offset {off} is not an object header")
@@ -356,21 +576,20 @@ def _read_stream_object(payload: bytes, off: int) -> tuple[int, int, dict, bytes
     if len(body) != n:
         raise ValueError("PDF stream overruns the payload")
     filt = d.get("Filter")
+    parms = d.get("DecodeParms") or d.get("DP")
     if filt is not None:
         filters = filt if isinstance(filt, list) else [filt]
-        if filters != ["FlateDecode"]:
-            raise NotImplementedError(
-                f"PDF stream filter chain {filters} (needs codec)"
+        parms_list = (
+            parms
+            if isinstance(parms, list)
+            else [parms] * len(filters)
+        )
+        if len(parms_list) != len(filters):
+            raise ValueError(
+                "/DecodeParms array length does not match /Filter"
             )
-        try:
-            dec = zlib.decompressobj()
-            body = dec.decompress(body, MAX_PDF_STREAM_BYTES)
-            if dec.unconsumed_tail:
-                raise ValueError("PDF Flate stream exceeds the budget")
-        except zlib.error as e:
-            raise ValueError(f"malformed Flate stream: {e}") from e
-    parms = d.get("DecodeParms") or d.get("DP")
-    if isinstance(parms, dict) and "Predictor" in parms:
+        body = _apply_filters(body, filters, parms_list)
+    elif isinstance(parms, dict) and "Predictor" in parms:
         body = _apply_predictor(
             body,
             int(parms["Predictor"]),
@@ -494,8 +713,6 @@ def _parse_objstm(payload: bytes, off: int, expected_num: int) -> list[tuple[int
 
 def parse_pdf(payload: bytes) -> dict:
     """Structural parse + simple-text extraction (see module doc)."""
-    import zlib
-
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- header)")
     if b"%%EOF" not in payload[-64:]:
@@ -541,11 +758,23 @@ def parse_pdf(payload: bytes) -> dict:
         tm = re.search(rb"trailer\s*<<(.*?)>>", payload[xref_off:], re.S)
         if not tm or b"/Root" not in tm.group(1):
             raise ValueError("PDF trailer lacks /Root")
+        if b"/Encrypt" in tm.group(1):
+            # classify BEFORE the stream scan: encrypted stream
+            # bodies are ciphertext and would misreport as malformed
+            raise NotImplementedError(
+                "encrypted PDF (/Encrypt in trailer — needs the "
+                "standard security handler)"
+            )
     elif _OBJ_RE.match(payload[xref_off:]):
         # PDF 1.5+ cross-reference stream (+ object streams)
         entries, trailer = _parse_xref_stream_chain(payload, xref_off)
         if "Root" not in trailer:
             raise ValueError("xref stream trailer lacks /Root")
+        if "Encrypt" in trailer:
+            raise NotImplementedError(
+                "encrypted PDF (/Encrypt in trailer — needs the "
+                "standard security handler)"
+            )
         # verify type-1 entries against the headers they point at,
         # and group type-2 entries per object stream
         by_objstm: dict[int, list[tuple[int, int]]] = {}
@@ -658,22 +887,38 @@ def parse_pdf(payload: bytes) -> dict:
         end_kw = payload.find(b"endstream", body_start + n)
         spos = end_kw + 9 if end_kw >= 0 else body_start + n
         n_streams += 1
-        if b"/Filter" in d:
-            if b"/FlateDecode" not in d:
-                raise NotImplementedError(
-                    "PDF stream filter beyond FlateDecode (needs codec)"
-                )
-            try:
-                dec = zlib.decompressobj()
-                body = dec.decompress(body, MAX_PDF_STREAM_BYTES)
-                if dec.unconsumed_tail:
-                    raise ValueError("PDF Flate stream exceeds the budget")
-            except zlib.error as e:
-                raise ValueError(f"malformed Flate stream: {e}") from e
         if re.search(rb"/Type\s*/(XRef|ObjStm)\b", d):
-            # xref/object stream data is binary/packed — a chance
-            # 'BT' byte pair inside it is not text
+            # xref/object stream data is binary/packed (and carries
+            # /Predictor DecodeParms): decoded + verified by the
+            # xref-stream walk above, never text — skip here
             continue
+        if b"/Filter" in d:
+            fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", d)
+            if not fm:
+                raise ValueError("unparseable /Filter entry")
+            names = [
+                n.decode("ascii")
+                for n in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+            ]
+            if any(n in _IMAGE_FILTERS for n in names):
+                # image XObject (JPEG/JPX/fax/JBIG2 payload): counted
+                # as a stream, never text — skip as opaque rather
+                # than failing the document
+                continue
+            ec = 1
+            em = re.search(rb"/EarlyChange\s+(\d+)", d)
+            if em:
+                ec = int(em.group(1))
+            if re.search(rb"/Predictor\s+(?!1\b)\d+", d):
+                # content streams don't carry predictors in practice;
+                # decoding one without reversing it would extract
+                # garbage, so gate honestly
+                raise NotImplementedError(
+                    "content stream with a /Predictor DecodeParms"
+                )
+            body = _apply_filters(
+                body, names, [{"EarlyChange": ec}] * len(names)
+            )
         if b"BT" in body:
             texts.extend(_extract_text(body))
     n_pages = objstm_pages + len(re.findall(rb"/Type\s*/Page[^s]", payload))
@@ -804,27 +1049,128 @@ def _pdf_flate_stream() -> bytes:
     )
 
 
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode ENCODER twin (§7.4.5, written from the encode
+    side): repeat records for runs ≥2 (length byte 257-n), literal
+    records otherwise, 128 EOD. Shares nothing with
+    _run_length_decode."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        k = i
+        while k < len(data) and k - i < 128:
+            if k + 2 < len(data) and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """LZWDecode ENCODER twin (§7.4.4 / TIFF §13, EarlyChange=1,
+    written from the encode side): greedy longest-match dictionary,
+    MSB-first bit packing, leading clear code, width grows one code
+    early. Shares nothing with _lzw_decode."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    bits: list[str] = []
+
+    def emit(code: int) -> None:
+        bits.append(format(code, f"0{width}b"))
+
+    emit(256)  # clear
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if nxt < 4096:
+            table[w + c] = nxt
+            nxt += 1
+        if nxt == (1 << width) and width < 12:  # early: next code needs it
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _build_classic_filtered(body: bytes, filter_clause: bytes) -> bytes:
+    """Classic-xref PDF whose object-4 content stream arrives
+    PRE-ENCODED by the caller (`body`) with its /Filter clause — the
+    filtered-leg twin: offsets/xref/startxref recomputed from the
+    variable bytes, mirroring the JVM classic builder."""
+    head = b"%PDF-1.4\n"
+    o1 = b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    o2 = b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    o3 = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\n"
+        b"endobj\n"
+    )
+    o4 = (
+        b"4 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" /Filter " + filter_clause + b" >>\nstream\n"
+        + body + b"\nendstream\nendobj\n"
+    )
+    o5 = (
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b">>\nendobj\n"
+    )
+    offs = []
+    acc = len(head)
+    for o in (o1, o2, o3, o4, o5):
+        offs.append(acc)
+        acc += len(o)
+    xref = b"xref\n0 6\n0000000000 65535 f \n" + b"".join(
+        f"{off:010d}".encode() + b" 00000 n \n" for off in offs
+    )
+    return (
+        head + o1 + o2 + o3 + o4 + o5 + xref
+        + b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+        + str(acc).encode() + b"\n%%EOF\n"
+    )
+
+
 @query(
     "multimodal_pdf_stats",
     oracle=f"""
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 2 THEN CAST(7 AS BIGINT)
+           CASE doc_id % 5 WHEN 2 THEN CAST(7 AS BIGINT)
                 ELSE CAST(5 AS BIGINT) END AS n_objects,
            CAST(1 AS BIGINT) AS n_pages,
-           CASE doc_id % 3 WHEN 2 THEN CAST(3 AS BIGINT)
+           CASE doc_id % 5 WHEN 2 THEN CAST(3 AS BIGINT)
                 ELSE CAST(1 AS BIGINT) END AS n_streams,
-           CASE doc_id % 3
+           CASE doc_id % 5
                 WHEN 0 THEN 'Doc ' || doc_id || ' ' || source || ' ' || text
                             || ' ' || source
                 WHEN 1 THEN '{_PDF_FLATE_TEXT}'
-                ELSE 'Doc ' || doc_id || ' modern ' || source || ' ' || text
+                WHEN 2 THEN 'Doc ' || doc_id || ' modern ' || source
+                            || ' ' || text
+                WHEN 3 THEN 'Doc ' || doc_id || ' a85 ' || source
+                            || ' ' || text
+                ELSE 'Doc ' || doc_id || ' lzw ' || source || ' ' || text
                 END AS pdf_text
     FROM documents
     """,
 )
 def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF probing under a GROUND-TRUTH oracle with DATA-DEPENDENT
-    byte offsets, three legs by doc_id % 3:
+    byte offsets, five legs by doc_id % 5:
     0: a complete classic-xref PDF whose content stream carries the
        doc's text in two Tj strings — the /Length value, object-5
        offset, xref offset, and startxref are all octet_length
@@ -839,7 +1185,14 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        encoder twin with offsets derived from the variable content,
        so the /W column decode, predictor reversal, ObjStm member
        slicing, AND per-entry offset/membership verification all have
-       to agree for the hash to match (7 objects, 3 streams).
+       to agree for the hash to match (7 objects, 3 streams);
+    3: a /Filter [/ASCII85Decode /FlateDecode] chain over the
+       data-dependent content (encoded stdlib a85 over zlib — the
+       decode applies first-listed first: §7.4);
+    4: a /Filter [/ASCIIHexDecode /RunLengthDecode /LZWDecode]
+       3-deep chain, each stage produced by its independent encoder
+       twin over the variable content — hex framing, RLE records,
+       and the MSB-first EarlyChange LZW coder all have to agree.
     DuckDB recomputes the expected text by plain concat
     (documents.text is verified free of parens/backslashes at all
     SFs). Scale: map-only, zero exchanges."""
@@ -876,10 +1229,10 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flate = _pdf_flate_stream()
     stream_body = F.when(
-        F.col("doc_id") % 3 == 0, F.encode(stream_plain, "utf-8")
+        F.col("doc_id") % 5 == 0, F.encode(stream_plain, "utf-8")
     ).otherwise(F.lit(flate))
     filter_part = F.when(
-        F.col("doc_id") % 3 == 0, F.lit("")
+        F.col("doc_id") % 5 == 0, F.lit("")
     ).otherwise(F.lit(" /Filter /FlateDecode"))
     o4 = F.concat(
         F.encode(
@@ -934,19 +1287,51 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_modern(batches):
+        import base64
+        import zlib
+
         for pdf in batches:
             payloads = []
             for doc_id, classic, source, text in zip(
                 pdf["doc_id"], pdf["payload"], pdf["source"], pdf["text"]
             ):
-                if int(doc_id) % 3 != 2:
+                leg = int(doc_id) % 5
+                if leg in (0, 1):
                     payloads.append(classic)
                     continue
+                if leg == 2:
+                    content = (
+                        f"BT /F1 12 Tf 72 720 Td (Doc {doc_id} modern) Tj "
+                        f"0 -14 Td ({source} {text}) Tj ET"
+                    ).encode()
+                    payloads.append(_build_pdf15(content))
+                    continue
+                if leg == 3:
+                    content = (
+                        f"BT /F1 12 Tf 72 720 Td (Doc {doc_id} a85) Tj "
+                        f"0 -14 Td ({source} {text}) Tj ET"
+                    ).encode()
+                    # decode order AHx-less chain: ASCII85 then Flate
+                    body = base64.a85encode(zlib.compress(content, 6))
+                    payloads.append(
+                        _build_classic_filtered(
+                            body + b"~>",
+                            b"[/ASCII85Decode /FlateDecode]",
+                        )
+                    )
+                    continue
                 content = (
-                    f"BT /F1 12 Tf 72 720 Td (Doc {doc_id} modern) Tj "
+                    f"BT /F1 12 Tf 72 720 Td (Doc {doc_id} lzw) Tj "
                     f"0 -14 Td ({source} {text}) Tj ET"
                 ).encode()
-                payloads.append(_build_pdf15(content))
+                body = _rle_encode(_lzw_encode(content))
+                body = body.hex().upper().encode("ascii") + b">"
+                payloads.append(
+                    _build_classic_filtered(
+                        body,
+                        b"[/ASCIIHexDecode /RunLengthDecode /LZWDecode]",
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = d.select(

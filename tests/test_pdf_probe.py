@@ -166,9 +166,14 @@ def test_honest_gates_and_errors():
         parse_pdf(b"PK\x03\x04 not a pdf")
     with pytest.raises(ValueError, match="%%EOF"):
         parse_pdf(good[:-8])
-    # a filter we do not own gates as unsupported
-    with pytest.raises(NotImplementedError, match="FlateDecode"):
-        parse_pdf(_pdf(b"stub", filter_name=b"DCTDecode"))
+    # a filter we do not own gates as unsupported (Crypt needs the
+    # security handler); image-codec filters are opaque-skipped below
+    with pytest.raises(NotImplementedError, match="Crypt"):
+        parse_pdf(_pdf(b"stub", filter_name=b"Crypt"))
+    # a DCTDecode (JPEG XObject) stream is counted, never text, and
+    # never fails the document
+    got_img = parse_pdf(_pdf(b"\xff\xd8 jpeg bytes", filter_name=b"DCTDecode"))
+    assert got_img["n_streams"] == 1 and got_img["pdf_text"] == ""
     # an xref-STREAM object with no stream data is malformed (the
     # r13 gate is gone — xref streams parse for real now)
     xs = good.replace(b"xref\n0 6\n", b"7 0 obj\n<< /Type /XRef >>\n")
@@ -384,3 +389,188 @@ def test_pdf_budget_matches_decompress_budget():
     )
 
     assert pdf.MAX_PDF_STREAM_BYTES == MAX_DECOMPRESSED_BYTES
+
+
+# --------------------------------------- §7.4 transform filter codecs
+
+
+def test_ascii_hex_and_85_and_rle_decoders():
+    from flink_hiveorc_spark.functions.pdf import (
+        _ascii_hex_decode,
+        _ascii85_decode,
+        _run_length_decode,
+    )
+    import base64
+
+    assert _ascii_hex_decode(b"48 65 6C\n6c 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"487>") == b"Hp"   # odd digit pads 0
+    with pytest.raises(ValueError, match="EOD"):
+        _ascii_hex_decode(b"4848")
+    with pytest.raises(ValueError, match="non-hex"):
+        _ascii_hex_decode(b"4X>")
+
+    data = b"Man is distinguished, not only by his reason \x00\xff"
+    assert _ascii85_decode(base64.a85encode(data) + b"~>") == data
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(base64.a85encode(b"ab") + b"~>") == b"ab"
+    with pytest.raises(ValueError, match="EOD"):
+        _ascii85_decode(b"abcd")
+    with pytest.raises(ValueError, match="z inside"):
+        _ascii85_decode(b"!z~>")
+
+    assert _run_length_decode(b"\x02abc\xfeX\x80") == b"abc" + b"X" * 3
+    with pytest.raises(ValueError, match="EOD"):
+        _run_length_decode(b"\x02abc")
+
+
+def test_lzw_differential_roundtrip():
+    """PDF-LZW decode vs an INDEPENDENT in-test encoder (greedy
+    dictionary, MSB-first, EarlyChange=1) over random inputs — and
+    the product encoder twin must agree with the in-test one."""
+    import random
+
+    from flink_hiveorc_spark.functions.pdf import _lzw_decode, _lzw_encode
+
+    def ref_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        bits = []
+
+        def emit(code):
+            bits.append(format(code, f"0{width}b"))
+
+        emit(256)
+        w = b""
+        for ch in data:
+            c = bytes([ch])
+            if w + c in table:
+                w += c
+                continue
+            emit(table[w])
+            if nxt < 4096:
+                table[w + c] = nxt
+                nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            w = c
+        if w:
+            emit(table[w])
+        emit(257)
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    rng = random.Random(1513)
+    for trial in range(40):
+        data = bytes(
+            rng.choice(b"abcdab\x00\xff") for _ in range(rng.randint(0, 3000))
+        )
+        enc = ref_encode(data)
+        assert _lzw_decode(enc) == data, trial
+        assert _lzw_encode(data) == enc, trial
+    with pytest.raises(ValueError, match="EOD"):
+        _lzw_decode(b"")
+
+
+def test_filtered_stream_chains_in_parse_pdf():
+    import base64
+
+    from flink_hiveorc_spark.functions.pdf import (
+        _build_classic_filtered,
+        _lzw_encode,
+        _rle_encode,
+    )
+
+    content = b"BT /F1 12 Tf (chained filters) Tj ET"
+    a85 = _build_classic_filtered(
+        base64.a85encode(zlib.compress(content, 6)) + b"~>",
+        b"[/ASCII85Decode /FlateDecode]",
+    )
+    got = parse_pdf(a85)
+    assert got["pdf_text"] == "chained filters"
+    assert got["n_objects"] == 5 and got["n_streams"] == 1
+
+    hexed = _rle_encode(_lzw_encode(content)).hex().upper().encode() + b">"
+    deep = _build_classic_filtered(
+        hexed, b"[/ASCIIHexDecode /RunLengthDecode /LZWDecode]"
+    )
+    got2 = parse_pdf(deep)
+    assert got2["pdf_text"] == "chained filters"
+    # single LZW with abbreviated name
+    lzw_only = _build_classic_filtered(_lzw_encode(content), b"/LZWDecode")
+    assert parse_pdf(lzw_only)["pdf_text"] == "chained filters"
+
+
+def test_lzw_early_change_zero():
+    """/EarlyChange 0 delays each width growth by one code: encode
+    with a late-schedule in-test encoder and check both settings
+    disagree past the 9-bit boundary."""
+    from flink_hiveorc_spark.functions.pdf import _lzw_decode
+
+    def late_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        bits = []
+
+        def emit(code):
+            bits.append(format(code, f"0{width}b"))
+
+        emit(256)
+        w = b""
+        for ch in data:
+            c = bytes([ch])
+            if w + c in table:
+                w += c
+                continue
+            emit(table[w])
+            if nxt < 4096:
+                table[w + c] = nxt
+                nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:  # LATE schedule
+                width += 1
+            w = c
+        if w:
+            emit(table[w])
+        emit(257)
+        s = "".join(bits)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    import random
+
+    rng = random.Random(77)
+    data = bytes(rng.choice(b"abcd") for _ in range(4000))
+    enc = late_encode(data)
+    assert _lzw_decode(enc, early_change=0) == data
+    with pytest.raises(ValueError):
+        _lzw_decode(enc, early_change=1)
+
+
+def test_encrypted_pdf_classifies_as_unsupported():
+    good = _pdf(b"BT (secret) Tj ET")
+    enc = good.replace(
+        b"trailer\n<< /Size 6 /Root 1 0 R >>",
+        b"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 9 0 R >>",
+    )
+    assert enc != good
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_pdf(enc)
+    # modern shape: /Encrypt in the xref-stream trailer dict
+    from flink_hiveorc_spark.functions.pdf import _build_pdf15
+
+    modern = _build_pdf15(b"BT (m) Tj ET")
+    enc2 = modern.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_pdf(enc2)
+
+
+def test_content_stream_predictor_gates():
+    content = zlib.compress(b"BT (p) Tj ET", 6)
+    pred = _pdf(
+        content,
+        filter_name=(
+            b"FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        ),
+    )
+    with pytest.raises(NotImplementedError, match="Predictor"):
+        parse_pdf(pred)
