@@ -88,6 +88,7 @@ def _load_all() -> None:
     from flink_hiveorc_spark.functions import (  # noqa: F401
         analytics,
         archive,
+        cfb,
         charset,
         cluster,
         columnar,
