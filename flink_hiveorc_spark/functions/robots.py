@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 
 from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
-from flink_hiveorc_spark.functions.urls import url_host, url_path_query
+
+# NOTE: functions.urls is imported INSIDE the consumers (the
+# html.py pattern): a module-level `from ..urls import name` here
+# deadlocks the registry's _load_all cycle whenever urls is the
+# process's first import (robots loads before urls alphabetically,
+# and urls' own body hasn't defined the name yet).
 
 
 def _c(col) -> Column:
@@ -207,6 +212,11 @@ def frontier_filter(
     the verdict column. URLs whose host has no robots.txt are
     allowed (the fetch-404 convention). `agent` is the crawler's
     product token for most-specific group selection."""
+    from flink_hiveorc_spark.functions.urls import (
+        url_host,
+        url_path_query,
+    )
+
     parsed = robots.select(
         "host", robots_rules("robots_txt", agent=agent).alias("rules")
     )
@@ -266,6 +276,8 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and precedence all have to agree. Scale: robots parse once per
     HOST (host-grain frame), frontier joins on host; here both
     frames derive map-only."""
+    from flink_hiveorc_spark.functions.urls import url_path_query
+
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     h = (F.col("doc_id") % 7).cast("string")

@@ -193,21 +193,30 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ sitemap ingest
 
 _URLSET_SCHEMA = (
-    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, priority: DOUBLE>>"
+    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, "
+    "changefreq: STRING, priority: DOUBLE>>"
 )
 _INDEX_SCHEMA = "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
 
 
 def sitemap_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """(doc_id, <xml_col>) sitemap documents → one row per entry:
-    (doc_id, kind urlset|index, entry_idx, loc_norm, lastmod,
-    priority). Both sitemaps.org document shapes parse ENTIRELY
-    JVM-side with from_xml (array-of-struct rowTags) — zero Python —
-    and every discovered loc runs through url_normalize, so the
-    output is directly joinable against crawl-frontier dedup keys.
-    A document that is neither shape yields kind=NULL rows of
-    nothing (from_xml nulls → empty after the explode) rather than
-    an error — sitemap fetches are noisy and the frontier must keep
+    (doc_id, kind urlset|index, entry_idx, child_kind page|sitemap,
+    loc_norm, lastmod, lastmod_ts, changefreq, priority). Both
+    sitemaps.org document shapes parse ENTIRELY JVM-side with
+    from_xml (array-of-struct rowTags) — zero Python — and every
+    discovered loc runs through url_normalize, so the output is
+    directly joinable against crawl-frontier dedup keys.
+    ``child_kind`` says what the loc POINTS AT ('sitemap' rows come
+    from a <sitemapindex> and feed back into this parser — the
+    frontier drives the recursion and bounds its own depth;
+    'page' rows go to fetch). ``lastmod_ts`` is the W3C-datetime
+    lastmod as a real timestamp (try-parsed: bare dates, Z, and
+    numeric offsets all land in UTC; junk → NULL) and ``changefreq``
+    rides along so a recrawl scheduler can prioritize without
+    re-parsing. A document that is neither shape yields nothing
+    (from_xml nulls → empty after the explode) rather than an
+    error — sitemap fetches are noisy and the frontier must keep
     moving. Scale: pure projections + one generator, zero
     exchanges."""
     x = F.col(xml_col)
@@ -219,6 +228,7 @@ def sitemap_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         lambda u: F.struct(
             u["loc"].alias("loc"),
             u["lastmod"].alias("lastmod"),
+            u["changefreq"].alias("changefreq"),
             u["priority"].alias("priority"),
         ),
     )).otherwise(F.transform(
@@ -226,18 +236,32 @@ def sitemap_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         lambda s: F.struct(
             s["loc"].alias("loc"),
             s["lastmod"].alias("lastmod"),
+            F.lit(None).cast("string").alias("changefreq"),
             F.lit(None).cast("double").alias("priority"),
         ),
     ))
     kind = F.when(is_urlset, F.lit("urlset")).otherwise(F.lit("index"))
+    child_kind = F.when(is_urlset, F.lit("page")).otherwise(
+        F.lit("sitemap")
+    )
     return (
-        df.select("doc_id", kind.alias("kind"), F.posexplode(entries))
+        df.select(
+            "doc_id",
+            kind.alias("kind"),
+            child_kind.alias("child_kind"),
+            F.posexplode(entries),
+        )
         .select(
             "doc_id",
             "kind",
             F.col("pos").cast("int").alias("entry_idx"),
+            "child_kind",
             url_normalize(F.col("col")["loc"]).alias("loc_norm"),
             F.col("col")["lastmod"].alias("lastmod"),
+            F.try_to_timestamp(F.col("col")["lastmod"]).alias(
+                "lastmod_ts"
+            ),
+            F.col("col")["changefreq"].alias("changefreq"),
             F.col("col")["priority"].alias("priority"),
         )
     )
@@ -248,29 +272,36 @@ def sitemap_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS z,
-             doc_id % 9 + 1 AS k
+             doc_id % 9 + 1 AS k, doc_id % 28 + 1 AS dd
       FROM documents
     )
     SELECT doc_id, 'urlset' AS kind, 0 AS entry_idx,
+           'page' AS child_kind,
            'https://example-' || h || '.com/u/' || doc_id || '?a=1&b=2'
              AS loc_norm,
            '2024-01-0' || k AS lastmod,
+           CAST('2024-01-0' || k AS TIMESTAMP) AS lastmod_ts,
+           'daily' AS changefreq,
            CAST('0.' || z AS DOUBLE) AS priority
     FROM base WHERE doc_id % 2 = 0
     UNION ALL
-    SELECT doc_id, 'urlset', 1,
+    SELECT doc_id, 'urlset', 1, 'page',
            'https://example-' || h || '.com/v/' || doc_id,
+           '2024-03-' || CASE WHEN dd < 10 THEN '0' ELSE '' END || dd
+             || 'T10:30:00+02:00',
+           CAST('2024-03-' || CASE WHEN dd < 10 THEN '0' ELSE '' END
+                || dd || 'T10:30:00+02:00' AS TIMESTAMP),
            NULL, NULL
     FROM base WHERE doc_id % 2 = 0
     UNION ALL
-    SELECT doc_id, 'index', 0,
+    SELECT doc_id, 'index', 0, 'sitemap',
            'https://example.com/sitemaps/' || doc_id || '/a.xml',
-           '2024-02-02', NULL
+           '2024-02-02', CAST('2024-02-02' AS TIMESTAMP), NULL, NULL
     FROM base WHERE doc_id % 2 = 1
     UNION ALL
-    SELECT doc_id, 'index', 1,
+    SELECT doc_id, 'index', 1, 'sitemap',
            'https://example.com/sitemaps/' || doc_id || '/b.xml',
-           NULL, NULL
+           'not-a-date', NULL, NULL, NULL
     FROM base WHERE doc_id % 2 = 1
     """,
 )
@@ -278,26 +309,32 @@ def pipeline_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingest under a GROUND-TRUTH oracle, doc_id % 2: even
     docs carry a <urlset> whose first loc is DIRTY (uppercase scheme/
     host, explicit :443, unsorted query params, a fragment — all of
-    which url_normalize must canonicalize away) plus lastmod/priority
-    fields, and a second minimal loc; odd docs carry a <sitemapindex>
-    with two nested sitemap locs. The XML parses JVM-side via
-    from_xml; DuckDB recomputes every expected row by plain string
-    concat — no XML or URL logic oracle-side. Scale: zero Python,
-    zero exchanges, one generator."""
+    which url_normalize must canonicalize away) plus lastmod (bare
+    date), changefreq, and priority, and a second loc whose lastmod
+    is a FULL W3C datetime with a +02:00 offset — the typed
+    lastmod_ts column must land it in UTC, data-dependently (day =
+    doc_id%28+1); odd docs carry a <sitemapindex> with two nested
+    sitemap locs (child_kind='sitemap' — the recursion signal a
+    frontier feeds back into this parser), the second with a junk
+    lastmod that must type as NULL without erroring. DuckDB
+    recomputes every expected row by plain string concat +
+    TRY_CAST. Scale: zero Python, zero exchanges, one generator."""
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     h = (F.col("doc_id") % 7).cast("string")
     z = (F.col("doc_id") % 5).cast("string")
     k = (F.col("doc_id") % 9 + 1).cast("string")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
     urlset = F.concat(
         F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
               "<url><loc>HTTPS://Example-"),
         h, F.lit(".COM:443/u/"), did,
         F.lit("?b=2&amp;a=1#frag</loc><lastmod>2024-01-0"), k,
-        F.lit("</lastmod><priority>0."), z,
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."), z,
         F.lit("</priority></url><url><loc>https://example-"),
         h, F.lit(".com/v/"), did,
-        F.lit("</loc></url></urlset>"),
+        F.lit("</loc><lastmod>2024-03-"), dd,
+        F.lit("T10:30:00+02:00</lastmod></url></urlset>"),
     )
     index = F.concat(
         F.lit("<sitemapindex><sitemap><loc>https://example.com/sitemaps/"),
@@ -305,7 +342,8 @@ def pipeline_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/a.xml</loc><lastmod>2024-02-02</lastmod></sitemap>"
               "<sitemap><loc>https://example.com/sitemaps/"),
         did,
-        F.lit("/b.xml</loc></sitemap></sitemapindex>"),
+        F.lit("/b.xml</loc><lastmod>not-a-date</lastmod></sitemap>"
+              "</sitemapindex>"),
     )
     xml = F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(index)
     return sitemap_entries(d.select("doc_id", xml.alias("xml")))

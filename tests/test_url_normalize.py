@@ -78,8 +78,10 @@ def test_sitemap_entries_shapes_and_noise(spark):
     urlset = (
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
         "<url><loc>HTTPS://A.test:443/x?b=2&amp;a=1#f</loc>"
-        "<lastmod>2024-03-04</lastmod><priority>0.5</priority></url>"
-        "<url><loc>https://a.test/y</loc></url></urlset>"
+        "<lastmod>2024-03-04</lastmod><changefreq>weekly</changefreq>"
+        "<priority>0.5</priority></url>"
+        "<url><loc>https://a.test/y</loc>"
+        "<lastmod>2024-03-04T10:30:00+02:00</lastmod></url></urlset>"
     )
     index = (
         "<sitemapindex><sitemap><loc>https://a.test/s1.xml</loc>"
@@ -96,8 +98,16 @@ def test_sitemap_entries_shapes_and_noise(spark):
     assert got[(1, 0)]["loc_norm"] == "https://a.test/x?a=1&b=2"
     assert got[(1, 0)]["lastmod"] == "2024-03-04"
     assert got[(1, 0)]["priority"] == 0.5
+    assert got[(1, 0)]["changefreq"] == "weekly"
+    assert got[(1, 0)]["child_kind"] == "page"
+    import datetime as dt
+
+    assert got[(1, 0)]["lastmod_ts"] == dt.datetime(2024, 3, 4)
+    # W3C datetime with a +02:00 offset types to UTC
+    assert got[(1, 1)]["lastmod_ts"] == dt.datetime(2024, 3, 4, 8, 30)
     assert got[(1, 1)]["priority"] is None
     assert got[(2, 0)]["kind"] == "index"
+    assert got[(2, 0)]["child_kind"] == "sitemap"
     assert got[(2, 0)]["loc_norm"] == "https://a.test/s1.xml"
     # a non-sitemap doc yields ZERO rows, not an error (noisy fetches)
     assert 3 not in {r["doc_id"] for r in rows}
@@ -132,3 +142,19 @@ def test_feed_entries_rss_atom_and_noise(spark):
     assert got[(2, 0)]["kind"] == "atom"
     assert got[(2, 0)]["link_norm"] == "https://b.test/e?a=2&z=1"
     assert 3 not in {r["doc_id"] for r in rows}
+
+
+def test_urls_first_import_has_no_cycle():
+    """Regression (r15): importing functions.urls as the process's
+    FIRST package import must not deadlock registry._load_all's
+    robots→urls edge (robots loads alphabetically earlier and used
+    to name-import from the still-initializing urls module)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import flink_hiveorc_spark.functions.urls; print('ok')"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
