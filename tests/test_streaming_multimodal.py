@@ -328,3 +328,25 @@ def test_streaming_epub_lane(spark, tmp_path):
     feats = spark.read.parquet(out).collect()
     assert [(r["title"], r["epub_text"]) for r in feats] == [("S", "in stream")]
     assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9
+
+
+def test_streaming_legacy_office_lane(spark, tmp_path):
+    from flink_hiveorc_spark.functions.cfb import build_doc, build_xls
+
+    src, out, dlq, ckpt = (str(tmp_path / d) for d in
+                           ("lsrc", "lfeat", "ldlq", "lckpt"))
+    _write_blobs(spark, src, [
+        (0, build_doc([("in ", True), ("stream", False)])),
+        (1, build_xls(["cell a", "cell b"], split_in=1)),
+        (9, b"\xd0\xcf\x11\xe0 truncated ole2 junk"),
+    ])
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="legacy_office", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert feats[0]["kind"] == "doc" and feats[0]["office_text"] == "in stream"
+    assert feats[1]["kind"] == "xls"
+    assert feats[1]["office_text"] == "cell a\ncell b"
+    assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9
