@@ -25,8 +25,13 @@ shared-string table). This is pure STRUCTURE, no entropy tables:
   (§2.5.293 XLUnicodeRichExtendedString), rich-run and ExtRst
   payloads skipped by size.
 
-PowerPoint's binary format (.ppt) is a different record forest and
-stays gated (NotImplementedError) rather than half-parsed.
+- **.ppt** ([MS-PPT]): the record forest in the 'PowerPoint
+  Document' stream (recVer/recInstance + recType + recLen framing,
+  containers recursed), text collected from TextCharsAtom (UTF-16LE)
+  and TextBytesAtom (low-byte) leaves in stream order, Slide
+  containers counted. Incrementally-saved decks (>1 UserEditAtom)
+  gate honestly — a linear walk would resurface stale text from
+  superseded edits.
 
 The encoder twins (build_cfb/build_doc/build_xls) write the
 container and both formats from the spec's ENCODE side for the
@@ -281,6 +286,81 @@ def doc_text(streams: dict[str, bytes]) -> tuple[str, int]:
     return text, n
 
 
+# ---------------------------------------------------------- MS-PPT
+
+_PPT_TEXTCHARS = 0x0FA0   # UTF-16LE text atom
+_PPT_TEXTBYTES = 0x0FA8   # 8-bit (low-byte UTF-16) text atom
+_PPT_USEREDIT = 0x0FF5
+_PPT_SLIDE = 0x03EE
+
+
+def ppt_text(streams: dict[str, bytes]) -> tuple[str, int]:
+    """Binary .ppt → (text, n_slides) from the 'PowerPoint Document'
+    record forest ([MS-PPT] §2.3: every record is recVer/recInstance
+    (2) + recType (2) + recLen (4), containers recVer=0xF). Text
+    lives in TextCharsAtom (UTF-16LE) / TextBytesAtom (low bytes of
+    UTF-16) leaves, collected in stream order. Incrementally-saved
+    decks (more than one UserEditAtom) gate honestly: a linear walk
+    over a fast-save chain would resurface STALE text from
+    superseded edits — the silent-garbage class the decode contract
+    forbids."""
+    doc = streams.get("PowerPoint Document")
+    if doc is None:
+        raise ValueError("CFB file has no PowerPoint Document stream")
+    texts: list[str] = []
+    n_slides = 0
+    n_edits = 0
+
+    def walk(data: bytes, base: int, end: int, depth: int) -> None:
+        nonlocal n_slides, n_edits
+        if depth > 32:
+            raise ValueError("PPT record nesting deeper than 32")
+        pos = base
+        while pos + 8 <= end:
+            verinst = _u16(data, pos)
+            rectype = _u16(data, pos + 2)
+            reclen = _u32(data, pos + 4)
+            body_start = pos + 8
+            if body_start + reclen > end:
+                raise ValueError(
+                    f"PPT record {rectype:#x} overruns its container"
+                )
+            if rectype == _PPT_USEREDIT:
+                n_edits += 1
+            elif rectype == _PPT_TEXTCHARS:
+                if reclen % 2:
+                    raise ValueError("TextCharsAtom with odd length")
+                texts.append(
+                    data[body_start : body_start + reclen].decode(
+                        "utf-16-le"
+                    )
+                )
+            elif rectype == _PPT_TEXTBYTES:
+                texts.append(
+                    data[body_start : body_start + reclen].decode(
+                        "latin-1"
+                    )
+                )
+            else:
+                if rectype == _PPT_SLIDE:
+                    n_slides += 1
+                if verinst & 0x000F == 0x000F:
+                    # container: recurse into the child records
+                    walk(data, body_start, body_start + reclen, depth + 1)
+            pos = body_start + reclen
+        if pos != end:
+            raise ValueError("PPT container has trailing partial record")
+
+    walk(doc, 0, len(doc), 0)
+    if n_edits > 1:
+        raise NotImplementedError(
+            f"incrementally-saved .ppt ({n_edits} UserEditAtoms — the "
+            "persist directory walk is needed to skip stale edits)"
+        )
+    text = "\n".join(t.replace("\r", "\n") for t in texts)
+    return text, n_slides
+
+
 # ---------------------------------------------------------- MS-XLS
 
 _R_BOF = 0x0809
@@ -445,8 +525,8 @@ _LEGACY_SCHEMA = T.StructType(
 
 
 def parse_legacy_office(payload: bytes) -> dict:
-    """OLE2 blob → {kind doc|xls, n_units (pieces | SST strings),
-    office_text}. PowerPoint binaries gate honestly."""
+    """OLE2 blob → {kind doc|xls|ppt, n_units (pieces | SST strings
+    | slides), office_text}."""
     streams = cfb_streams(payload)
     if "WordDocument" in streams:
         text, n_pieces = doc_text(streams)
@@ -456,13 +536,12 @@ def parse_legacy_office(payload: bytes) -> dict:
         return {"kind": "xls", "n_units": n,
                 "office_text": "\n".join(strings)}
     if "PowerPoint Document" in streams:
-        raise NotImplementedError(
-            "binary .ppt (PowerPoint record forest — not the piece "
-            "table / SST class this module owns)"
-        )
+        text, n_slides = ppt_text(streams)
+        return {"kind": "ppt", "n_units": n_slides,
+                "office_text": text}
     raise ValueError(
-        "OLE2 file has no WordDocument/Workbook stream (not a legacy "
-        "office document)"
+        "OLE2 file has no WordDocument/Workbook/PowerPoint stream "
+        "(not a legacy office document)"
     )
 
 
@@ -676,6 +755,35 @@ def _biff_rec(op: int, data: bytes) -> bytes:
     return struct.pack("<HH", op, len(data)) + data
 
 
+def _ppt_rec(verinst: int, rectype: int, body: bytes) -> bytes:
+    return struct.pack("<HHI", verinst, rectype, len(body)) + body
+
+
+def build_ppt(slides: list[list[str]]) -> bytes:
+    """MS-PPT ENCODER twin: a Document container (0x03E8) of Slide
+    containers (0x03EE) holding one text atom per string —
+    TextBytesAtom when the string fits in low bytes, TextCharsAtom
+    otherwise — plus a single trailing UserEditAtom. Written from
+    the record grammar's encode side; shares nothing with
+    ppt_text."""
+    slide_blobs = b""
+    for slide in slides:
+        atoms = b""
+        for t in slide:
+            if all(ord(c) <= 0xFF for c in t):
+                atoms += _ppt_rec(0x0000, _PPT_TEXTBYTES,
+                                  t.encode("latin-1"))
+            else:
+                atoms += _ppt_rec(0x0000, _PPT_TEXTCHARS,
+                                  t.encode("utf-16-le"))
+        slide_blobs += _ppt_rec(0x000F, _PPT_SLIDE, atoms)
+    doc = (
+        _ppt_rec(0x000F, 0x03E8, slide_blobs)
+        + _ppt_rec(0x0000, _PPT_USEREDIT, b"\x00" * 28)
+    )
+    return build_cfb({"PowerPoint Document": doc})
+
+
 def build_xls(
     strings: list[str], split_in: int | None = None
 ) -> bytes:
@@ -719,13 +827,16 @@ def build_xls(
     "text_legacy_office_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 2 WHEN 0 THEN 'doc' ELSE 'xls' END AS kind,
-           CAST(CASE doc_id % 2 WHEN 0 THEN 2 ELSE 3 END
-                AS BIGINT) AS n_units,
-           CASE doc_id % 2
+           CASE doc_id % 3 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls'
+                ELSE 'ppt' END AS kind,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3
+                ELSE 2 END AS BIGINT) AS n_units,
+           CASE doc_id % 3
                 WHEN 0 THEN 'Doc ' || doc_id || ' legacy ' || source
                             || ' ' || text
-                ELSE 'Cells ' || doc_id || chr(10) || source
+                WHEN 1 THEN 'Cells ' || doc_id || chr(10) || source
+                            || chr(10) || text
+                ELSE 'Slide ' || doc_id || chr(10) || source
                      || chr(10) || text
                 END AS office_text
     FROM documents
@@ -735,17 +846,19 @@ def text_legacy_office_extract(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Legacy binary Office extraction under a GROUND-TRUTH oracle,
-    doc_id % 2: a .doc whose text arrives in TWO pieces — a cp1252
+    doc_id % 3: a .doc whose text arrives in TWO pieces — a cp1252
     fCompressed piece ('Doc N legacy ') and a UTF-16LE piece
     (source + text), so the piece-table walk, both fc encodings, and
-    CP-count slicing all have to agree — and a .xls whose SST holds
+    CP-count slicing all have to agree; a .xls whose SST holds
     three strings with a Continue-record split placed INSIDE the
     second (data-dependent) string's character data, so the BIFF
     record walk, the re-emitted option-flags byte, and width
-    re-selection are all value-pinned. Both ride the full MS-CFB
-    container (mini stream + miniFAT) from the encoder twin; DuckDB
-    recomputes expected text by plain concat. Scale: two map-only
-    Python passes, zero exchanges."""
+    re-selection are all value-pinned; and a .ppt whose two Slide
+    containers carry a TextBytesAtom title + source/text atoms —
+    the record-forest walk and both atom widths pinned. All three
+    ride the full MS-CFB container (mini stream + miniFAT) from the
+    encoder twins; DuckDB recomputes expected text by plain concat.
+    Scale: two map-only Python passes, zero exchanges."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -762,7 +875,8 @@ def text_legacy_office_extract(
             for doc_id, source, text in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
-                if int(doc_id) % 2 == 0:
+                leg = int(doc_id) % 3
+                if leg == 0:
                     payloads.append(
                         build_doc(
                             [
@@ -771,11 +885,18 @@ def text_legacy_office_extract(
                             ]
                         )
                     )
-                else:
+                elif leg == 1:
                     payloads.append(
                         build_xls(
                             [f"Cells {doc_id}", str(source), str(text)],
                             split_in=1,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        build_ppt(
+                            [[f"Slide {doc_id}", str(source)],
+                             [str(text)]]
                         )
                     )
             yield pd.DataFrame(

@@ -74,14 +74,34 @@ def test_doc_gates():
     bad = build_cfb({"WordDocument": b"\x00" * 0x600, "1Table": b""})
     with pytest.raises(ValueError, match="wIdent"):
         parse_legacy_office(bad)
-    # a CFB with neither stream is not a legacy office doc
+    # a CFB with none of the three streams is not a legacy office doc
     with pytest.raises(ValueError, match="no WordDocument/Workbook"):
         parse_legacy_office(build_cfb({"Other": b"zz"}))
-    # binary .ppt gates honestly
-    with pytest.raises(NotImplementedError, match="ppt"):
+
+
+def test_ppt_text_atoms_and_gates():
+    from flink_hiveorc_spark.functions.cfb import build_ppt, ppt_text
+
+    blob = build_ppt([["Title deck", "latiné"], ["中文 atom"]])
+    got = parse_legacy_office(blob)
+    assert got["kind"] == "ppt" and got["n_units"] == 2
+    assert got["office_text"] == "Title deck\nlatiné\n中文 atom"
+    # a truncated record forest is malformed
+    with pytest.raises(ValueError, match="trailing partial"):
         parse_legacy_office(
             build_cfb({"PowerPoint Document": b"\x0f\x00"})
         )
+    # an incrementally-saved deck (2 UserEditAtoms) gates honestly
+    import struct as _s
+
+    doc = cfb_streams(blob)["PowerPoint Document"]
+    doc2 = doc + _s.pack("<HHI", 0, 0x0FF5, 28) + b"\x00" * 28
+    with pytest.raises(NotImplementedError, match="incrementally"):
+        parse_legacy_office(build_cfb({"PowerPoint Document": doc2}))
+    # a record overrunning its container is malformed
+    bad = _s.pack("<HHI", 0x000F, 0x03E8, 100) + b"\x00" * 8
+    with pytest.raises(ValueError, match="overruns"):
+        ppt_text({"PowerPoint Document": bad})
 
 
 def test_xls_sst_variants():
