@@ -58,16 +58,9 @@ def _empty_rules() -> Column:
     return F.array().cast("array<struct<allow: boolean, path: string>>")
 
 
-def robots_rules(col, agent: str | None = None) -> Column:
-    """robots.txt text column → array<struct<allow, path>> of the
-    crawler's effective rules, in file order. A single JVM fold:
-    comments strip, directive names case-fold, consecutive User-agent
-    lines accumulate into a group header, Allow/Disallow lines append
-    to the lane(s) whose token the header matched, and an empty rule
-    value is the spec's no-op. With ``agent`` given, the exact-token
-    group (case-insensitive) wins over ``*`` whenever any group names
-    the token — RFC 9309 §2.2.1 most-specific selection; with
-    ``agent=None`` only the ``*`` group is consulted."""
+def _robots_fold(col, agent: str | None = None) -> Column:
+    """The shared fold (module doc): robots.txt text → final state
+    struct with both lanes' rules + crawl-delays + saw_exact."""
     lines = F.split(_c(col), "\n")
     agent_lit = F.lit((agent or "").lower())
     has_agent = agent is not None
@@ -78,6 +71,8 @@ def robots_rules(col, agent: str | None = None) -> Column:
         F.lit(False).alias("saw_exact"),
         _empty_rules().alias("star_rules"),
         _empty_rules().alias("exact_rules"),
+        F.lit(None).cast("double").alias("star_delay"),
+        F.lit(None).cast("double").alias("exact_delay"),
     )
 
     def step(acc, raw):
@@ -87,6 +82,7 @@ def robots_rules(col, agent: str | None = None) -> Column:
         tok = F.trim(F.substring_index(line, ":", -1))
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")
+        is_delay = low.startswith("crawl-delay:")
         path = F.trim(
             F.substring(line, F.instr(line, ":") + 1, F.length(line))
         )
@@ -116,6 +112,15 @@ def robots_rules(col, agent: str | None = None) -> Column:
             is_rule & acc["exact"],
             F.array_append(acc["exact_rules"], rule),
         ).otherwise(acc["exact_rules"])
+        # Crawl-delay (the de-facto extension): numeric value, last
+        # one in the crawler's group wins; junk values ignored
+        delay_val = path.try_cast("double")
+        star_delay_next = F.when(
+            is_delay & acc["star"] & delay_val.isNotNull(), delay_val
+        ).otherwise(acc["star_delay"])
+        exact_delay_next = F.when(
+            is_delay & acc["exact"] & delay_val.isNotNull(), delay_val
+        ).otherwise(acc["exact_delay"])
         return F.struct(
             star_next.alias("star"),
             exact_next.alias("exact"),
@@ -123,11 +128,38 @@ def robots_rules(col, agent: str | None = None) -> Column:
             (acc["saw_exact"] | exact_next).alias("saw_exact"),
             star_rules_next.alias("star_rules"),
             exact_rules_next.alias("exact_rules"),
+            star_delay_next.alias("star_delay"),
+            exact_delay_next.alias("exact_delay"),
         )
 
-    final = F.aggregate(lines, init, step)
+    return F.aggregate(lines, init, step)
+
+
+def robots_rules(col, agent: str | None = None) -> Column:
+    """robots.txt text column → array<struct<allow, path>> of the
+    crawler's effective rules, in file order. A single JVM fold:
+    comments strip, directive names case-fold, consecutive User-agent
+    lines accumulate into a group header, Allow/Disallow lines append
+    to the lane(s) whose token the header matched, and an empty rule
+    value is the spec's no-op. With ``agent`` given, the exact-token
+    group (case-insensitive) wins over ``*`` whenever any group names
+    the token — RFC 9309 §2.2.1 most-specific selection; with
+    ``agent=None`` only the ``*`` group is consulted."""
+    final = _robots_fold(col, agent)
     return F.when(final["saw_exact"], final["exact_rules"]).otherwise(
         final["star_rules"]
+    )
+
+
+def robots_crawl_delay(col, agent: str | None = None) -> Column:
+    """The crawler's effective Crawl-delay in seconds (the de-facto
+    politeness extension most crawl schedulers honor): the LAST
+    numeric Crawl-delay line in the selected group (same two-lane
+    RFC 9309 group selection as robots_rules), NULL when the group
+    has none or values are junk."""
+    final = _robots_fold(col, agent)
+    return F.when(final["saw_exact"], final["exact_delay"]).otherwise(
+        final["star_delay"]
     )
 
 
@@ -249,7 +281,8 @@ def frontier_filter(
                   ELSE 'https://crawl-' || doc_id % 7
                     || '.test/open/' || doc_id || '?session=abc'
            END AS url,
-           CASE WHEN m IN (0, 3, 5) THEN FALSE ELSE TRUE END AS allowed
+           CASE WHEN m IN (0, 3, 5) THEN FALSE ELSE TRUE END AS allowed,
+           CAST(2.5 AS DOUBLE) AS crawl_delay
     FROM base
     """,
 )
@@ -271,7 +304,9 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, carve-out allow (longest match beats the disallow),
     no-match allow (the decoy leg), deny by ``*.php$``, allow when a
     query breaks the ``$`` anchor (path+query matching), and deny by
-    the query-string wildcard. DuckDB recomputes the expected
+    the query-string wildcard. The crawl_delay column must be the
+    mybot group's 2.5 — skipping the junk 'fast' value and ignoring
+    the ``*`` group's 99 decoy. DuckDB recomputes the expected
     verdicts as CASE literals — group selection, wildcard compile,
     and precedence all have to agree. Scale: robots parse once per
     HOST (host-grain frame), frontier joins on host; here both
@@ -300,10 +335,13 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/pub/\n"
             "Disallow: /*.php$\n"
             "Disallow: /*?session=\n"
+            "Crawl-delay: fast   # junk value must be ignored\n"
+            "Crawl-delay: 2.5\n"
             "\n"
             "User-agent: other\n"
             "User-agent: *\n"
             "Disallow: /\n"
+            "Crawl-delay: 99\n"
         ),
     )
     url = F.when(
@@ -338,4 +376,7 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         url.alias("url"),
         robots_allowed(url_path_query(url), rules).alias("allowed"),
+        robots_crawl_delay(robots_txt, agent="mybot").alias(
+            "crawl_delay"
+        ),
     )

@@ -330,3 +330,25 @@ def test_robots_fold_differential_vs_reference(spark):
         assert got[i][0] == rules, f"case {i}:\n{t!r}"
         want = [ref_allowed(rules, p) for p in ps]
         assert got[i][1] == want, f"case {i} probes {ps}:\n{t!r}"
+
+
+def test_crawl_delay_group_selection(spark):
+    from flink_hiveorc_spark.functions.robots import robots_crawl_delay
+
+    txt = (
+        "User-agent: mybot\nCrawl-delay: junk\nCrawl-delay: 1\n"
+        "Crawl-delay: 2.5\n\n"
+        "User-agent: *\nCrawl-delay: 99\n"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    row = df.select(
+        robots_crawl_delay("t", agent="mybot").alias("mine"),
+        robots_crawl_delay("t", agent="nobot").alias("star"),
+        robots_crawl_delay("t").alias("default"),
+    ).collect()[0]
+    # last numeric value in the selected group wins; junk ignored
+    assert row["mine"] == 2.5
+    assert row["star"] == 99.0 and row["default"] == 99.0
+    # no delay anywhere -> NULL
+    df2 = spark.createDataFrame([("User-agent: *\nDisallow: /x\n",)], "t string")
+    assert df2.select(robots_crawl_delay("t").alias("d")).collect()[0]["d"] is None
