@@ -361,14 +361,30 @@ _ATOM_SCHEMA = (
 )
 
 
+def _published_ts(pub: Column) -> Column:
+    """Feed timestamp string → typed UTC timestamp: RSS pubDate is
+    RFC 822 ('Mon, 05 Jan 2024 00:00:00 GMT' / '+0200' — the
+    redundant day name strips first because Spark's parser bans
+    'EEE' patterns), Atom updated is ISO 8601 (the bare
+    try_to_timestamp leg). Junk → NULL."""
+    stripped = F.regexp_replace(pub, r"^[A-Za-z]{3},\s*", "")
+    return F.coalesce(
+        F.try_to_timestamp(stripped, F.lit("d MMM yyyy HH:mm:ss zzz")),
+        F.try_to_timestamp(stripped, F.lit("d MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(pub),
+    )
+
+
 def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     """(doc_id, <xml_col>) RSS 2.0 / Atom feed documents → one row
     per item/entry: (doc_id, kind rss|atom, entry_idx, feed_title,
-    title, link_norm, published). Both feed dialects parse JVM-side
-    with from_xml (Atom's link lives in an href ATTRIBUTE — the
-    attributePrefix '_' schema form); links run through
-    url_normalize for frontier joins. Non-feed documents yield zero
-    rows. Zero Python, zero exchanges."""
+    title, link_norm, published, published_ts). Both feed dialects
+    parse JVM-side with from_xml (Atom's link lives in an href
+    ATTRIBUTE — the attributePrefix '_' schema form); links run
+    through url_normalize for frontier joins; published_ts types the
+    date for recency weighting (RFC 822 for RSS, ISO 8601 for Atom,
+    both landing in UTC). Non-feed documents yield zero rows. Zero
+    Python, zero exchanges."""
     x = F.col(xml_col)
     rss = F.from_xml(x, _RSS_SCHEMA)["channel"]
     atom = F.from_xml(x, _ATOM_SCHEMA)
@@ -405,6 +421,9 @@ def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
             F.col("col")["title"].alias("title"),
             url_normalize(F.col("col")["link"]).alias("link_norm"),
             F.col("col")["published"].alias("published"),
+            _published_ts(F.col("col")["published"]).alias(
+                "published_ts"
+            ),
         )
     )
 
@@ -420,31 +439,37 @@ def feed_entries(df: DataFrame, xml_col: str = "xml") -> DataFrame:
            'Item A ' || doc_id AS title,
            'https://news-' || doc_id % 7 || '.test/a/' || doc_id
              AS link_norm,
-           'Mon, 0' || k || ' Jan 2024 00:00:00 GMT' AS published
+           'Mon, 0' || k || ' Jan 2024 00:00:00 GMT' AS published,
+           CAST('2024-01-0' || k AS TIMESTAMP) AS published_ts
     FROM base WHERE doc_id % 2 = 0
     UNION ALL
     SELECT doc_id, 'rss', 1, 'Feed ' || source,
            'Item B ' || doc_id,
            'https://news-' || doc_id % 7 || '.test/b/' || doc_id,
-           NULL
+           NULL, CAST(NULL AS TIMESTAMP)
     FROM base WHERE doc_id % 2 = 0
     UNION ALL
     SELECT doc_id, 'atom', 0, 'Log ' || source,
            'Entry ' || doc_id,
            'https://blog-' || doc_id % 7 || '.test/e/' || doc_id
              || '?a=1&b=2',
-           '2024-02-0' || k AS published
+           '2024-02-0' || k || 'T08:00:00+02:00' AS published,
+           CAST('2024-02-0' || k || 'T08:00:00+02:00' AS TIMESTAMP)
+             AS published_ts
     FROM base WHERE doc_id % 2 = 1
     """,
 )
 def pipeline_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed ingest under a GROUND-TRUTH oracle, doc_id % 2:
     even docs carry an RSS 2.0 channel (data-dependent feed title,
-    two items — the second without a pubDate), odd docs an Atom feed
-    whose entry link lives in an href ATTRIBUTE and is DIRTY
-    (uppercase host, :443, unsorted entity-encoded params) so
-    url_normalize must canonicalize it. DuckDB recomputes every row
-    by plain concat — no XML or URL logic oracle-side. Zero Python,
+    two items — the first with an RFC 822 GMT pubDate that
+    published_ts must type data-dependently, the second without a
+    pubDate → NULL ts), odd docs an Atom feed whose entry link lives
+    in an href ATTRIBUTE and is DIRTY (uppercase host, :443,
+    unsorted entity-encoded params) so url_normalize must
+    canonicalize it, and whose ISO updated carries a +02:00 offset
+    that must land in UTC. DuckDB recomputes every row by plain
+    concat + CAST — no XML or URL logic oracle-side. Zero Python,
     zero exchanges."""
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
@@ -468,7 +493,7 @@ def pipeline_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</title><link href="https://Blog-'), h,
         F.lit(".test:443/e/"), did,
         F.lit('?b=2&amp;a=1#top"/><updated>2024-02-0'), k,
-        F.lit("</updated></entry></feed>"),
+        F.lit("T08:00:00+02:00</updated></entry></feed>"),
     )
     xml = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
     return feed_entries(d.select("doc_id", xml.alias("xml")))

@@ -121,6 +121,8 @@ def test_feed_entries_rss_atom_and_noise(spark):
         "<item><title>I1</title><link>https://r.test/1</link>"
         "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
         "<item><title>I2</title><link>https://r.test/2</link></item>"
+        "<item><title>I3</title><link>https://r.test/3</link>"
+        "<pubDate>Fri, 05 Jan 2024 12:00:00 +0200</pubDate></item>"
         "</channel></rss>"
     )
     atom = (
@@ -138,6 +140,14 @@ def test_feed_entries_rss_atom_and_noise(spark):
     assert got[(1, 0)]["link_norm"] == "https://r.test/1"
     assert got[(1, 0)]["published"].startswith("Mon,")
     assert got[(1, 1)]["published"] is None
+    # typed feed timestamps: RFC 822 GMT + numeric-offset → UTC,
+    # missing pubDate → NULL, Atom bare ISO date
+    import datetime as dt
+
+    assert got[(1, 0)]["published_ts"] == dt.datetime(2024, 1, 1)
+    assert got[(1, 1)]["published_ts"] is None
+    assert got[(1, 2)]["published_ts"] == dt.datetime(2024, 1, 5, 10, 0)
+    assert got[(2, 0)]["published_ts"] == dt.datetime(2024, 2, 2)
     # Atom href attribute + dirty-link canonicalization
     assert got[(2, 0)]["kind"] == "atom"
     assert got[(2, 0)]["link_norm"] == "https://b.test/e?a=2&z=1"
