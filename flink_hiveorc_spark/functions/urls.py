@@ -7,10 +7,13 @@ name the same resource.
 
 All column functions, JVM-side: try_parse_url (Spark's builtin URL
 component extractor; the try_ form nulls on invalid input) plus regexp/array expressions — zero Python,
-whole-stage codegen. Limitations, documented: IPv6 bracket authorities
-and percent-encoding equivalence (%41 vs A) are out of scope — the
-normalizer canonicalizes structure, not encoding; userinfo@ survives
-inside the host field as parse_url reports it.
+whole-stage codegen. Percent-encoding normalizes per RFC 3986
+§6.2.2.2 (r15): escapes of UNRESERVED characters decode (%41 → A,
+%7E → ~ — they can never be delimiters, so decoding before the
+component parse is safe), every other escape's hex uppercases
+(%2f → %2F), invalid escapes pass through untouched. Limitations,
+documented: IPv6 bracket authorities are out of scope; userinfo@
+survives inside the host field as parse_url reports it.
 
 Reference repo has no text/URL surface (SURVEY.md §0); need comes from
 the r13 archive/HTML envelope (WARC → HTML → links → URL dedup keys).
@@ -27,6 +30,37 @@ from flink_hiveorc_spark.registry import query
 
 def _c(col) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def percent_normalize(col) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization, pure JVM:
+    split the string before every '%', then per segment either
+    decode the escape (when its octet is an UNRESERVED character —
+    ALPHA / DIGIT / - . _ ~), uppercase its hex (any other valid
+    escape), or pass it through (invalid escape). Idempotent; safe
+    to apply BEFORE component parsing because unreserved characters
+    are never URL delimiters."""
+    segs = F.split(_c(col), r"(?=%)")
+
+    def fix(s: Column) -> Column:
+        valid = s.rlike(r"^%[0-9A-Fa-f]{2}")
+        hexs = F.upper(F.substring(s, 2, 2))
+        code = F.conv(hexs, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 48) & (code <= 57))       # DIGIT
+            | ((code >= 65) & (code <= 90))     # ALPHA upper
+            | ((code >= 97) & (code <= 122))    # ALPHA lower
+            | code.isin(45, 46, 95, 126)        # - . _ ~
+        )
+        rest = F.substring(s, 4, 2147483647)
+        return (
+            F.when(~s.startswith("%"), s)
+            .when(~valid, s)
+            .when(unreserved, F.concat(F.char(code), rest))
+            .otherwise(F.concat(F.lit("%"), hexs, rest))
+        )
+
+    return F.array_join(F.transform(segs, fix), "")
 
 
 def url_scheme(col) -> Column:
@@ -89,39 +123,44 @@ def url_query_normalized(col) -> Column:
 
 
 def url_normalize(col) -> Column:
-    """Canonical URL: lowercased scheme/host, default ports dropped
+    """Canonical URL: percent-encoding normalized (RFC 3986
+    §6.2.2.2), lowercased scheme/host, default ports dropped
     (http:80, https:443 — explicit non-default ports KEPT), fragment
-    dropped, query params sorted. The normalization used as the dedup
-    join key."""
-    scheme = url_scheme(col)
-    port = url_port(col)
+    dropped, query params sorted. The normalization used as the
+    dedup join key."""
+    pn = percent_normalize(_c(col))
+    scheme = url_scheme(pn)
+    port = url_port(pn)
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
-    q = url_query_normalized(col)
+    q = url_query_normalized(pn)
     return F.concat(
         scheme,
         F.lit("://"),
-        url_host(col),
+        url_host(pn),
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        url_path(col),
+        url_path(pn),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
 
 
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """(doc_id, url) → parsed + normalized URL features."""
+    """(doc_id, url) → parsed + normalized URL features (every
+    component reads the percent-normalized string, so path/query
+    stay consistent with url_norm)."""
+    pn = percent_normalize(url_col)
     return df.select(
         "doc_id",
-        url_scheme(url_col).alias("scheme"),
-        url_host(url_col).alias("host"),
-        url_domain(url_col).alias("domain"),
-        url_path(url_col).alias("path"),
-        url_port(url_col).alias("port"),
-        url_query_normalized(url_col).alias("query_norm"),
-        url_normalize(url_col).alias("url_norm"),
+        url_scheme(pn).alias("scheme"),
+        url_host(pn).alias("host"),
+        url_domain(pn).alias("domain"),
+        url_path(pn).alias("path"),
+        url_port(pn).alias("port"),
+        url_query_normalized(pn).alias("query_norm"),
+        url_normalize(pn).alias("url_norm"),
     )
 
 
@@ -142,17 +181,17 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
            CASE m WHEN 0 THEN 'example-' || h || '.com'
                   WHEN 1 THEN 'test.org'
                   ELSE 'site.net' END AS domain,
-           CASE m WHEN 0 THEN '/Doc/' || doc_id
+           CASE m WHEN 0 THEN '/DocA%2F-' || doc_id
                   WHEN 1 THEN '/p/' || doc_id
                   ELSE '/a/' || doc_id END AS path,
            CASE m WHEN 0 THEN '443' WHEN 1 THEN '8080'
                   ELSE '' END AS port,
-           CASE m WHEN 0 THEN 'a=1&b=2&z=' || z
+           CASE m WHEN 0 THEN 'a=1&b=2&u=~' || z || '&z=' || z
                   WHEN 1 THEN ''
                   ELSE 'q=' || lang END AS query_norm,
            CASE m
-             WHEN 0 THEN 'https://www.example-' || h || '.com/Doc/'
-                         || doc_id || '?a=1&b=2&z=' || z
+             WHEN 0 THEN 'https://www.example-' || h || '.com/DocA%2F-'
+                         || doc_id || '?a=1&b=2&u=~' || z || '&z=' || z
              WHEN 1 THEN 'http://host-' || h || '.test.org:8080/p/'
                          || doc_id
              ELSE 'https://' || src || '.site.net/a/' || doc_id
@@ -165,19 +204,23 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL normalization under a GROUND-TRUTH oracle (the HTML-extract
     construction discipline): three raw-URL shapes per doc_id % 3 —
     uppercase scheme+host with the default :443 AND a fragment AND
-    unsorted query params (all must normalize away), an explicit
-    non-default :8080 (must survive), and a source/lang-derived host
-    and query — and DuckDB recomputes every expected component by
-    plain string concat of the raw columns, no URL logic oracle-side.
-    Scale: one projection, zero exchanges, zero Python."""
+    unsorted query params AND RFC 3986 percent-escapes (the
+    unreserved '%41' must DECODE to 'A', '%2d' to '-', '%7e' to '~';
+    the reserved '%2f' must stay encoded with its hex UPPERCASED —
+    all data-dependently placed), an explicit non-default :8080
+    (must survive), and a source/lang-derived host and query — and
+    DuckDB recomputes every expected component by plain string
+    concat of the raw columns, no URL logic oracle-side. Scale: one
+    projection, zero exchanges, zero Python."""
     d = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     h = (F.col("doc_id") % 7).cast("string")
     z = (F.col("doc_id") % 5).cast("string")
     m = F.col("doc_id") % 3
     u0 = F.concat(
-        F.lit("HTTPS://WWW.Example-"), h, F.lit(".COM:443/Doc/"), did,
-        F.lit("?b=2&z="), z, F.lit("&a=1#section-2"),
+        F.lit("HTTPS://WWW.Example-"), h, F.lit(".COM:443/Doc%41%2f%2d"),
+        did,
+        F.lit("?b=2&z="), z, F.lit("&u=%7e"), z, F.lit("&a=1#section-2"),
     )
     u1 = F.concat(
         F.lit("http://Host-"), h, F.lit(".test.ORG:8080/p/"), did

@@ -168,3 +168,37 @@ def test_urls_first_import_has_no_cycle():
         capture_output=True, text=True, timeout=120,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_percent_encoding_normalization(spark):
+    from flink_hiveorc_spark.functions.urls import (
+        percent_normalize,
+        url_normalize,
+    )
+
+    cases = [
+        ("%41%42c", "ABc"),            # unreserved ALPHA decodes
+        ("%31%2e%35", "1.5"),          # DIGIT and '.' decode
+        ("%7e%5f%2d", "~_-"),          # ~ _ - decode
+        ("%2f%3a%3f", "%2F%3A%3F"),    # reserved: hex uppercases only
+        ("a%2Gb%", "a%2Gb%"),          # invalid escapes untouched
+        ("no escapes", "no escapes"),
+        ("", ""),
+        ("%41%41%41", "AAA"),          # idempotence feed
+    ]
+    df = spark.createDataFrame(cases, "v string, want string")
+    rows = df.select(
+        "v", "want", percent_normalize("v").alias("got"),
+        percent_normalize(percent_normalize("v")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["v"]
+        assert r["twice"] == r["got"], r["v"]  # idempotent
+    # equivalence through the full normalizer: the dedup keys match
+    pair = spark.createDataFrame(
+        [("https://X.com/%61%2Fb?k=%7ev",),
+         ("https://x.com/a%2fb?k=~v",)],
+        "u string",
+    )
+    keys = [r["k"] for r in pair.select(url_normalize("u").alias("k")).collect()]
+    assert keys[0] == keys[1] == "https://x.com/a%2Fb?k=~v"
