@@ -26,8 +26,10 @@ Java regex JVM-side (escape metacharacters, ``*`` → ``.*``, trailing
 the fast ``startsWith`` path. Precedence: the rule with the most raw
 octets wins, Allow beats Disallow on ties, no matching rule means
 allowed. Rules match against the PATH PLUS QUERY (that is the string
-``/*?session=``-style rules exist for); percent-encoding equivalence
-is out of scope as in functions/urls.py.
+``/*?session=``-style rules exist for); rule paths are matched as
+written (RFC 9309 leaves percent-encoding equivalence to the
+fetcher — frontier URLs normalized by functions/urls.py already
+carry the canonical encoding).
 
 Reference repo has no crawl surface (SURVEY.md §0); need comes from
 the r13/r14 crawl envelope (WARC → links → sitemap/feeds → frontier).
@@ -379,4 +381,111 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_crawl_delay(robots_txt, agent="mybot").alias(
             "crawl_delay"
         ),
+    )
+
+
+@query(
+    "pipeline_recrawl_schedule",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 7 AS h, doc_id % 28 + 1 AS dd
+      FROM documents
+    ),
+    sched AS (
+      SELECT h,
+             'crawl-' || h || '.test' AS host,
+             'https://crawl-' || h || '.test/u/' || doc_id AS loc_norm,
+             '2024-03-' || CASE WHEN dd < 10 THEN '0' ELSE '' END || dd
+               AS lm
+      FROM base
+    )
+    SELECT host, loc_norm,
+           CAST(row_number() OVER (
+                  PARTITION BY host ORDER BY lm DESC, loc_norm
+                ) AS INT) AS fetch_order,
+           CAST((row_number() OVER (
+                  PARTITION BY host ORDER BY lm DESC, loc_norm
+                ) - 1) * (h + 1) AS DOUBLE) AS wait_s
+    FROM sched
+    """,
+)
+def pipeline_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-politeness SCHEDULER — the composition the r14/r15
+    discovery stack exists for: sitemap ingest (typed lastmod_ts)
+    → robots frontier filtering (RFC 9309 group selection; the
+    ``/v/`` half of every sitemap is disallowed for mybot and a
+    ``*`` decoy group disallows everything) → per-host fetch
+    ordering by recency (lastmod_ts DESC, loc tiebreak) → a wait
+    schedule spaced by the host's Crawl-delay ((order-1) × delay
+    seconds). DuckDB recomputes the surviving rows + the window +
+    the arithmetic from raw concat; the robots verdicts and delays
+    are implicit (only /u/ rows appear, spaced by h+1 s). Scale:
+    the robots frame is HOST-grain (broadcastable at any scale),
+    sitemap parse is map-only, and the only shuffle is the per-host
+    window — the grain a real scheduler needs anyway."""
+    from flink_hiveorc_spark.functions.urls import (
+        sitemap_entries,
+        url_host,
+        url_path_query,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    host = F.concat(F.lit("crawl-"), h, F.lit(".test"))
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><url><loc>https://'),
+        host, F.lit("/u/"), did,
+        F.lit("</loc><lastmod>2024-03-"), dd,
+        F.lit("</lastmod></url><url><loc>https://"),
+        host, F.lit("/v/"), did,
+        F.lit("</loc><lastmod>2024-03-"), dd,
+        F.lit("</lastmod></url></urlset>"),
+    )
+    entries = sitemap_entries(d.select("doc_id", xml.alias("xml")))
+    ent = entries.withColumn("host", url_host(F.col("loc_norm")))
+
+    # host-grain robots dim: 7 hosts, each with a mybot group
+    # (Disallow /v/ + its own Crawl-delay) and a disallow-all * decoy
+    hosts = (
+        d.select((F.col("doc_id") % 7).alias("hn"))
+        .distinct()
+        .select(
+            F.concat(F.lit("crawl-"), F.col("hn").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.concat(
+                F.lit("User-agent: mybot\nDisallow: /v/\nCrawl-delay: "),
+                (F.col("hn") + 1).cast("string"),
+                F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    parsed = F.broadcast(
+        hosts.select(
+            "host",
+            robots_rules("robots_txt", agent="mybot").alias("rules"),
+            robots_crawl_delay("robots_txt", agent="mybot").alias(
+                "delay"
+            ),
+        )
+    )
+    allowed = (
+        ent.join(parsed, "host")
+        .filter(
+            robots_allowed(url_path_query(F.col("loc_norm")),
+                           F.col("rules"))
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("lastmod_ts").desc(), F.col("loc_norm")
+    )
+    return allowed.select(
+        "host",
+        "loc_norm",
+        F.row_number().over(w).cast("int").alias("fetch_order"),
+        ((F.row_number().over(w) - 1).cast("double")
+         * F.col("delay")).alias("wait_s"),
     )
