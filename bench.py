@@ -100,6 +100,10 @@ HEADLINE = [
     # the round's two new throughput classes
     "text_charset_decode",
     "text_office_extract",
+    # round 15 addition: legacy binary Office (MS-CFB container walk
+    # + piece-table/SST/record-forest extraction, two Python passes)
+    # — the round's new throughput class
+    "text_legacy_office_extract",
 ]
 
 

@@ -24,7 +24,19 @@ from flink_hiveorc_spark.functions.office import (
     parse_epub,
     parse_office,
 )
-from flink_hiveorc_spark.functions.pdf import _build_pdf15, parse_pdf
+from flink_hiveorc_spark.functions.cfb import (
+    build_doc,
+    build_ppt,
+    build_xls,
+    parse_legacy_office,
+)
+from flink_hiveorc_spark.functions.pdf import (
+    _build_classic_filtered,
+    _build_pdf15,
+    _lzw_encode,
+    _rle_encode,
+    parse_pdf,
+)
 from flink_hiveorc_spark.functions.probe import probe_media
 
 from test_gif_decode import _PAL8, _gif_anim_bytes, _gif_bytes
@@ -330,6 +342,32 @@ def _valid_payloads():
             parse_pdf,
             "pdf_xref_stream",
             _build_pdf15(b"BT (modern fuzz) Tj ET"),
+        ),
+        # r15 formats: the OLE2/CFB legacy Office trio and the
+        # filtered-chain PDF legs
+        (
+            parse_legacy_office,
+            "cfb_doc",
+            build_doc([("fuzz piece one ", True), ("two", False)]),
+        ),
+        (
+            parse_legacy_office,
+            "cfb_xls",
+            build_xls(["alpha", "beta gamma"], split_in=1),
+        ),
+        (
+            parse_legacy_office,
+            "cfb_ppt",
+            build_ppt([["fuzz slide", "atom"], ["second"]]),
+        ),
+        (
+            parse_pdf,
+            "pdf_filter_chain",
+            _build_classic_filtered(
+                _rle_encode(_lzw_encode(b"BT (chain fuzz) Tj ET"))
+                .hex().upper().encode() + b">",
+                b"[/ASCIIHexDecode /RunLengthDecode /LZWDecode]",
+            ),
         ),
     ]
 

@@ -169,6 +169,15 @@ PROBE = [
     "text_office_extract",
     "text_epub_extract",
     "pipeline_wet_wat_ingest",
+    # round 15: the CFB legacy-office chain (map-only encode→decode),
+    # the wildcard-robots frontier filter + recrawl scheduler (host-
+    # grain broadcast + per-host window), and the 5-leg PDF rotation
+    # now carrying the filter chains; the rewritten inventory chain
+    # stays (its demand side now pre-aggregates to (part,week,qty))
+    "text_legacy_office_extract",
+    "pipeline_robots_filter",
+    "pipeline_recrawl_schedule",
+    "multimodal_pdf_stats",
 ]
 
 
