@@ -495,7 +495,9 @@ _TEXT_RECORD_SCHEMA = T.StructType(
 
 
 def web_archive_text_records(
-    payloads: DataFrame, quarantine: bool = False
+    payloads: DataFrame,
+    quarantine: bool = False,
+    statistical: bool = False,
 ) -> DataFrame:
     """The full crawl text chain in one map-only fan-out: WARC/ARC
     split → (for application/http response blocks, the real Common
@@ -506,7 +508,11 @@ def web_archive_text_records(
     n_replacements, text). ``content_type`` reports the innermost
     label (the HTTP header's when the block is an HTTP response,
     the record header's otherwise); ``http_status`` is NULL for
-    non-HTTP blocks. Zero shuffle; parallelism = file count."""
+    non-HTTP blocks. ``statistical=True`` arms the flagged
+    charset_normalizer fallback for unlabeled non-UTF-8 records
+    (module doc — charset_source='statistical'; NEVER on oracle
+    paths; the schema is unchanged, confidence rides only on
+    decoded_text_stats). Zero shuffle; parallelism = file count."""
     from flink_hiveorc_spark.functions.archive import parse_web_archive
 
     def split(payload: bytes):
@@ -533,7 +539,7 @@ def web_archive_text_records(
                 if is_response:
                     status, hdrs, block = split_http_response(block)
                     ctype = hdrs.get("content-type", "")
-            d = decode_text(block, ctype)
+            d = decode_text(block, ctype, statistical=statistical)
             items.append(
                 {
                     "rec_type": r["rec_type"],

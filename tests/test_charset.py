@@ -452,3 +452,38 @@ def test_statistical_lane_in_spark_decoded_text_stats(spark):
     assert rows[3]["text"] == "café"
     # flag off: schema unchanged (no confidence column)
     assert "confidence" not in decoded_text_stats(df).columns
+
+
+def test_statistical_lane_through_crawl_chain(spark):
+    """An UNLABELED Shift_JIS WARC response (no header charset, no
+    meta): the deterministic chain mojibakes to cp1252; the flagged
+    statistical lane recovers shift_jis through the full WARC→HTTP→
+    decode chain."""
+    pytest.importorskip("charset_normalizer")
+    from flink_hiveorc_spark.functions.charset import (
+        web_archive_text_records,
+    )
+
+    body = _JP.encode("cp932")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://jp.example/x\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    df = spark.createDataFrame([(1, bytearray(rec))],
+                               "doc_id long, payload binary")
+    det = web_archive_text_records(df).collect()[0]
+    assert det["charset"] == "windows-1252"
+    stat = web_archive_text_records(df, statistical=True).collect()[0]
+    assert stat["charset"] == "shift_jis"
+    assert stat["charset_source"] == "statistical"
+    assert stat["text"] == _JP and stat["n_replacements"] == 0
