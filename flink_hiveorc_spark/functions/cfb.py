@@ -368,6 +368,7 @@ _R_EOF = 0x000A
 _R_SST = 0x00FC
 _R_CONTINUE = 0x003C
 _R_FILEPASS = 0x002F
+_R_LABELSST = 0x00FD
 
 
 def _biff_records(wb: bytes):
@@ -512,6 +513,34 @@ def xls_sst(streams: dict[str, bytes]) -> tuple[list[str], int]:
     return strings, cst_unique
 
 
+def xls_text(streams: dict[str, bytes]) -> tuple[str, int]:
+    """MS-XLS → (text in CELL order, n_cells): LabelSst records
+    ([MS-XLS] §2.4.149: rw, col, ixfe, isst) resolve into the shared
+    string table in record order — the DOCUMENT's order, which is
+    not the SST's (real sheets dedup repeated strings into one SST
+    entry many cells reference). A workbook with an SST but no
+    LabelSst cells (strings-only export) falls back to SST order."""
+    strings, n_unique = xls_sst(streams)
+    wb = streams.get("Workbook")
+    cells: list[str] = []
+    if wb is not None:
+        for op, data in _biff_records(wb):
+            if op != _R_LABELSST:
+                continue
+            if len(data) < 10:
+                raise ValueError("LabelSst record shorter than 10 bytes")
+            isst = _u32(data, 6)
+            if isst >= len(strings):
+                raise ValueError(
+                    f"LabelSst references SST entry {isst} of "
+                    f"{len(strings)}"
+                )
+            cells.append(strings[isst])
+    if cells:
+        return "\n".join(cells), len(cells)
+    return "\n".join(strings), n_unique
+
+
 # ------------------------------------------------- Spark operators
 
 _LEGACY_SCHEMA = T.StructType(
@@ -532,9 +561,8 @@ def parse_legacy_office(payload: bytes) -> dict:
         text, n_pieces = doc_text(streams)
         return {"kind": "doc", "n_units": n_pieces, "office_text": text}
     if "Workbook" in streams or "Book" in streams:
-        strings, n = xls_sst(streams)
-        return {"kind": "xls", "n_units": n,
-                "office_text": "\n".join(strings)}
+        text, n = xls_text(streams)
+        return {"kind": "xls", "n_units": n, "office_text": text}
     if "PowerPoint Document" in streams:
         text, n_slides = ppt_text(streams)
         return {"kind": "ppt", "n_units": n_slides,
@@ -785,12 +813,16 @@ def build_ppt(slides: list[list[str]]) -> bytes:
 
 
 def build_xls(
-    strings: list[str], split_in: int | None = None
+    strings: list[str],
+    split_in: int | None = None,
+    cells: list[int] | None = None,
 ) -> bytes:
     """MS-XLS BIFF8 ENCODER twin: BOF + SST (+ optional Continue
     split INSIDE string `split_in`'s character data, re-emitting the
-    option-flags byte, per §2.5.293) + EOF, in a Workbook stream.
-    Width per string: compressed unless it needs high bytes."""
+    option-flags byte, per §2.5.293) + optional LabelSst cell
+    records referencing SST entries in `cells` order + EOF, in a
+    Workbook stream. Width per string: compressed unless it needs
+    high bytes."""
     payload = bytearray()
     payload += struct.pack("<II", len(strings), len(strings))
     split_at: int | None = None
@@ -819,6 +851,10 @@ def build_xls(
     else:
         wb += _biff_rec(_R_SST, bytes(payload[:split_at]))
         wb += _biff_rec(_R_CONTINUE, bytes(payload[split_at:]))
+    for i, isst in enumerate(cells or []):
+        wb += _biff_rec(
+            _R_LABELSST, struct.pack("<HHHI", i, 0, 15, isst)
+        )
     wb += _biff_rec(_R_EOF, b"")
     return build_cfb({"Workbook": bytes(wb)})
 
@@ -829,13 +865,13 @@ def build_xls(
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'doc' WHEN 1 THEN 'xls'
                 ELSE 'ppt' END AS kind,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3
+           CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
                 ELSE 2 END AS BIGINT) AS n_units,
            CASE doc_id % 3
                 WHEN 0 THEN 'Doc ' || doc_id || ' legacy ' || source
                             || ' ' || text
                 WHEN 1 THEN 'Cells ' || doc_id || chr(10) || source
-                            || chr(10) || text
+                            || chr(10) || text || chr(10) || source
                 ELSE 'Slide ' || doc_id || chr(10) || source
                      || chr(10) || text
                 END AS office_text
@@ -851,9 +887,10 @@ def text_legacy_office_extract(
     (source + text), so the piece-table walk, both fc encodings, and
     CP-count slicing all have to agree; a .xls whose SST holds
     three strings with a Continue-record split placed INSIDE the
-    second (data-dependent) string's character data, so the BIFF
-    record walk, the re-emitted option-flags byte, and width
-    re-selection are all value-pinned; and a .ppt whose two Slide
+    second (data-dependent) string's character data AND four
+    LabelSst cells referencing entries [0,1,2,1] — the source string
+    must appear TWICE in cell order, so the SST-index cell mapping
+    is value-pinned too; and a .ppt whose two Slide
     containers carry a TextBytesAtom title + source/text atoms —
     the record-forest walk and both atom widths pinned. All three
     ride the full MS-CFB container (mini stream + miniFAT) from the
@@ -890,6 +927,7 @@ def text_legacy_office_extract(
                         build_xls(
                             [f"Cells {doc_id}", str(source), str(text)],
                             split_in=1,
+                            cells=[0, 1, 2, 1],
                         )
                     )
                 else:

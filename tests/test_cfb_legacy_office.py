@@ -171,3 +171,25 @@ def test_spark_dlq_path(spark):
     assert got[3]["office_text"] == "s1\ns2"
     with pytest.raises(Exception):
         legacy_office_stats(df, quarantine=False).collect()
+
+
+def test_xls_cell_order_mapping():
+    from flink_hiveorc_spark.functions.cfb import xls_text
+
+    # cells reference SST entries out of order and repeatedly: text
+    # must come back in CELL order, not table order
+    blob = build_xls(["zero", "one", "two"], cells=[2, 0, 2, 1])
+    got = parse_legacy_office(blob)
+    assert got["office_text"] == "two\nzero\ntwo\none"
+    assert got["n_units"] == 4
+    # no cells -> SST-order fallback
+    blob2 = build_xls(["a", "b"])
+    assert parse_legacy_office(blob2)["office_text"] == "a\nb"
+    # out-of-range reference is malformed
+    import struct as _s
+
+    wb = cfb_streams(build_xls(["only"]))["Workbook"]
+    eof = wb[-4:]
+    bad = wb[:-4] + _s.pack("<HHHHI", 0x00FD, 10, 0, 0, 9) + eof
+    with pytest.raises(ValueError, match="references SST"):
+        xls_text({"Workbook": bad})
