@@ -241,7 +241,7 @@ def _details_path() -> str:
 # line (printed last) must fit that window WHOLE or the round's perf
 # record is lost (BENCH_r04: parsed:null). Margin for the trailing
 # newline + any stray executor stderr interleaving.
-TAIL_BUDGET = 1900
+TAIL_BUDGET = 1950  # driver window 2000; keep newline margin
 
 
 def compose_summary_line(

@@ -27,11 +27,13 @@ highest-frequency document format an LLM curation pipeline ingests
   JBIG2) mark image XObjects: counted as streams, skipped as
   opaque — never a document failure. Encrypted PDFs (/Encrypt in
   the trailer) classify as unsupported ("encrypted"), not
-  malformed. Anything beyond — CID/Type0 composite fonts, per-glyph
-  encodings, indirect /Length refs on content streams — raises
-  NotImplementedError: decoding those without the font machinery
-  silently yields mojibake, the failure class the decode contract
-  forbids (same policy as the MP3 analysis, SURVEY.md r12).
+  malformed. Indirect ``/Length N 0 R`` on content streams (what
+  most real writers emit) resolves through the referenced integer
+  object wherever it lies in the file. Anything beyond — CID/Type0
+  composite fonts, per-glyph encodings — raises NotImplementedError:
+  decoding those without the font machinery silently yields
+  mojibake, the failure class the decode contract forbids (same
+  policy as the MP3 analysis, SURVEY.md r12).
 
 Reference repo has no document surface (SURVEY.md §0); need comes
 from BASELINE.json's LLM-curation envelope.
@@ -861,17 +863,35 @@ def parse_pdf(payload: bytes) -> dict:
         if do < 0:
             continue  # unbalanced: not a stream object dict
         d = window[do + 2 : dc]
-        if re.search(rb"/Length\s+\d+\s+\d+\s+R(?![A-Za-z0-9])", d):
-            # `/Length 8 0 R` would otherwise misparse as Length=8
-            # and frame the wrong byte span
-            raise NotImplementedError(
-                "stream with an indirect /Length reference (needs full "
-                "object resolution)"
-            )
-        lm = re.search(rb"/Length\s+(\d+)", d)
-        if not lm:
-            raise ValueError("content stream lacks a literal /Length")
-        n = int(lm.group(1))
+        im = re.search(rb"/Length\s+(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])", d)
+        if im:
+            # indirect /Length — what most real writers emit (the
+            # length is unknown until the stream is serialized, so
+            # it lands in a separate integer object, often AFTER the
+            # stream). Resolve it: find `N G obj` anywhere in the
+            # payload (digit-boundary-guarded) whose body is a plain
+            # integer.
+            num, gen = int(im.group(1)), int(im.group(2))
+            n = None
+            for om in re.finditer(
+                rb"(?<![0-9])%d %d obj\b" % (num, gen), payload
+            ):
+                vm = re.match(
+                    rb"\s*(\d+)\s*endobj", payload[om.end() : om.end() + 64]
+                )
+                if vm:
+                    n = int(vm.group(1))
+                    break
+            if n is None:
+                raise ValueError(
+                    f"indirect /Length {num} {gen} R does not resolve "
+                    "to an integer object"
+                )
+        else:
+            lm = re.search(rb"/Length\s+(\d+)", d)
+            if not lm:
+                raise ValueError("content stream lacks a literal /Length")
+            n = int(lm.group(1))
         if n > MAX_PDF_STREAM_BYTES:
             raise ValueError(
                 f"PDF stream declares {n} bytes > {MAX_PDF_STREAM_BYTES} "
@@ -1109,11 +1129,18 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
-def _build_classic_filtered(body: bytes, filter_clause: bytes) -> bytes:
+def _build_classic_filtered(
+    body: bytes,
+    filter_clause: bytes,
+    indirect_length: bool = False,
+) -> bytes:
     """Classic-xref PDF whose object-4 content stream arrives
     PRE-ENCODED by the caller (`body`) with its /Filter clause — the
     filtered-leg twin: offsets/xref/startxref recomputed from the
-    variable bytes, mirroring the JVM classic builder."""
+    variable bytes, mirroring the JVM classic builder. With
+    ``indirect_length`` the stream dict says ``/Length 6 0 R`` and
+    the integer lands in object 6 AFTER the stream — the real-writer
+    shape."""
     head = b"%PDF-1.4\n"
     o1 = b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
     o2 = b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
@@ -1122,8 +1149,11 @@ def _build_classic_filtered(body: bytes, filter_clause: bytes) -> bytes:
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\n"
         b"endobj\n"
     )
+    length_tok = (
+        b"6 0 R" if indirect_length else str(len(body)).encode()
+    )
     o4 = (
-        b"4 0 obj\n<< /Length " + str(len(body)).encode()
+        b"4 0 obj\n<< /Length " + length_tok
         + b" /Filter " + filter_clause + b" >>\nstream\n"
         + body + b"\nendstream\nendobj\n"
     )
@@ -1131,17 +1161,28 @@ def _build_classic_filtered(body: bytes, filter_clause: bytes) -> bytes:
         b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
         b">>\nendobj\n"
     )
+    objs = [o1, o2, o3, o4, o5]
+    if indirect_length:
+        objs.append(
+            b"6 0 obj\n" + str(len(body)).encode() + b"\nendobj\n"
+        )
     offs = []
     acc = len(head)
-    for o in (o1, o2, o3, o4, o5):
+    for o in objs:
         offs.append(acc)
         acc += len(o)
-    xref = b"xref\n0 6\n0000000000 65535 f \n" + b"".join(
-        f"{off:010d}".encode() + b" 00000 n \n" for off in offs
+    n_ent = len(objs) + 1
+    xref = (
+        b"xref\n0 " + str(n_ent).encode()
+        + b"\n0000000000 65535 f \n"
+        + b"".join(
+            f"{off:010d}".encode() + b" 00000 n \n" for off in offs
+        )
     )
     return (
-        head + o1 + o2 + o3 + o4 + o5 + xref
-        + b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+        head + b"".join(objs) + xref
+        + b"trailer\n<< /Size " + str(n_ent).encode()
+        + b" /Root 1 0 R >>\nstartxref\n"
         + str(acc).encode() + b"\n%%EOF\n"
     )
 
@@ -1151,6 +1192,7 @@ def _build_classic_filtered(body: bytes, filter_clause: bytes) -> bytes:
     oracle=f"""
     SELECT doc_id,
            CASE doc_id % 5 WHEN 2 THEN CAST(7 AS BIGINT)
+                WHEN 3 THEN CAST(6 AS BIGINT)
                 ELSE CAST(5 AS BIGINT) END AS n_objects,
            CAST(1 AS BIGINT) AS n_pages,
            CASE doc_id % 5 WHEN 2 THEN CAST(3 AS BIGINT)
@@ -1188,7 +1230,9 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
        to agree for the hash to match (7 objects, 3 streams);
     3: a /Filter [/ASCII85Decode /FlateDecode] chain over the
        data-dependent content (encoded stdlib a85 over zlib — the
-       decode applies first-listed first: §7.4);
+       decode applies first-listed first: §7.4) with an INDIRECT
+       ``/Length 6 0 R`` resolved through the integer object placed
+       after the stream (the real-writer shape; 6 objects);
     4: a /Filter [/ASCIIHexDecode /RunLengthDecode /LZWDecode]
        3-deep chain, each stage produced by its independent encoder
        twin over the variable content — hex framing, RLE records,
@@ -1317,6 +1361,7 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _build_classic_filtered(
                             body + b"~>",
                             b"[/ASCII85Decode /FlateDecode]",
+                            indirect_length=True,
                         )
                     )
                     continue

@@ -312,10 +312,23 @@ def test_xref_stream_zero_width_w_fields():
     assert entries[4] == (1, 9, 0)
 
 
-def test_indirect_length_gates():
-    # `/Length 8 0 R` must gate, not misparse as Length=8
+def test_indirect_length_resolves():
+    from flink_hiveorc_spark.functions.pdf import _build_classic_filtered
+
+    # `/Length 6 0 R` resolves through the integer object the real
+    # writers emit AFTER the stream — and must not misparse as
+    # Length=6
+    content = b"BT (indirect length body) Tj ET"
+    blob = _build_classic_filtered(
+        zlib.compress(content, 6), b"/FlateDecode", indirect_length=True
+    )
+    assert b"/Length 6 0 R" in blob
+    got = parse_pdf(blob)
+    assert got["pdf_text"] == "indirect length body"
+    assert got["n_objects"] == 6  # the length object is in the xref
+    # a dangling reference is malformed, not a silent misparse
     bad = _pdf(b"BT (y) Tj ET", length_token=b"8 0 R")
-    with pytest.raises(NotImplementedError, match="indirect /Length"):
+    with pytest.raises(ValueError, match="does not resolve"):
         parse_pdf(bad)
 
 
