@@ -366,3 +366,128 @@ def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_code_fences"),
     )
+
+
+# ------------------------------------ crawl meta-directives (r15)
+
+
+def html_canonical(col) -> Column:
+    """The rel=canonical link target ('' when absent) — the page's
+    self-declared canonical URL, the strongest crawl-dedup signal
+    after content hashing. Attribute ORDER is free in real markup
+    (rel before or after href), so the tag is located first and the
+    href extracted from the captured tag ('' when the tag lacks
+    one)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tag = F.regexp_extract(
+        c, r"""(?is)(<link\s[^>]*rel\s*=\s*["']?canonical["'\s>][^>]*>)""", 1
+    )
+    # the tag regex above requires a terminator after 'canonical';
+    # re-extract handles rel="canonical" as the LAST attribute too
+    tag2 = F.when(tag != "", tag).otherwise(
+        F.regexp_extract(
+            c, r"""(?is)(<link\s[^>]*rel\s*=\s*["']?canonical["']?\s*/?>)""", 1
+        )
+    )
+    return F.regexp_extract(
+        tag2, r"""(?is)href\s*=\s*["']([^"']*)["']""", 1
+    )
+
+
+def html_meta_robots(col) -> Column:
+    """struct<noindex: boolean, nofollow: boolean> from the
+    <meta name=robots> directive (the page-level opt-out a curation
+    pipeline MUST honor before training on crawled text). Token
+    match is case-insensitive on the comma-separated content list;
+    'none' means both (the spec's shorthand); a missing tag means
+    indexable."""
+    c = F.col(col) if isinstance(col, str) else col
+    tag = F.regexp_extract(
+        c, r"""(?is)(<meta\s[^>]*name\s*=\s*["']?robots["']?[^>]*>)""", 1
+    )
+    content = F.lower(
+        F.regexp_extract(
+            tag, r"""(?is)content\s*=\s*["']([^"']*)["']""", 1
+        )
+    )
+    toks = F.transform(F.split(content, ","), lambda t: F.trim(t))
+    has = lambda word: F.array_contains(toks, word)  # noqa: E731
+    none = has("none")
+    return F.struct(
+        (none | has("noindex")).alias("noindex"),
+        (none | has("nofollow")).alias("nofollow"),
+    )
+
+
+@query(
+    "text_html_meta_directives",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 7 AS h, doc_id % 4 AS m FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN m IN (0, 1)
+                THEN 'https://canon-' || h || '.test/c/' || doc_id
+                ELSE '' END AS canonical,
+           CASE WHEN m IN (1, 2) THEN TRUE ELSE FALSE END AS noindex,
+           CASE WHEN m IN (1, 2) THEN TRUE ELSE FALSE END AS nofollow
+    FROM base
+    """,
+)
+def text_html_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl meta-directives under a GROUND-TRUTH oracle, doc_id % 4:
+    0 = a canonical link with href BEFORE rel (attribute order must
+    not matter) and no robots meta; 1 = rel-first canonical + a
+    'NoIndex, nofollow' meta (case + whitespace variance); 2 = no
+    canonical, content='none' (the both-bits shorthand); 3 = a
+    DECOY <meta name="viewport"> and a non-canonical <link
+    rel="stylesheet" href=...> that must extract NOTHING. The
+    canonical href is data-dependent and normalized; DuckDB
+    recomputes by concat/CASE. Scale: pure projections, map-only."""
+    from flink_hiveorc_spark.functions.urls import url_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    canon = F.concat(
+        F.lit("HTTPS://Canon-"), h, F.lit(".test:443/c/"), did,
+        F.lit("#frag"),
+    )
+    html = F.when(
+        m == 0,
+        F.concat(
+            F.lit('<html><head><link href="'), canon,
+            F.lit('" rel="canonical"><title>t</title></head>'
+                  "<body>x</body></html>"),
+        ),
+    ).when(
+        m == 1,
+        F.concat(
+            F.lit('<html><head><link rel=canonical href="'), canon,
+            F.lit('"><meta name="ROBOTS" content=" NoIndex , nofollow ">'
+                  "</head><body>x</body></html>"),
+        ),
+    ).when(
+        m == 2,
+        F.lit(
+            '<html><head><meta name=robots content="none"></head>'
+            "<body>x</body></html>"
+        ),
+    ).otherwise(
+        F.lit(
+            '<html><head><meta name="viewport" content="width=1">'
+            '<link rel="stylesheet" href="/style.css"></head>'
+            "<body>x</body></html>"
+        )
+    )
+    mr = html_meta_robots(html)
+    raw_canon = html_canonical(html)
+    return d.select(
+        "doc_id",
+        F.when(raw_canon == "", F.lit("")).otherwise(
+            url_normalize(raw_canon)
+        ).alias("canonical"),
+        mr["noindex"].alias("noindex"),
+        mr["nofollow"].alias("nofollow"),
+    )

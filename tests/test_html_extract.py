@@ -158,3 +158,45 @@ def test_markdown_snake_case_survives_italics_rule(spark):
 
 def test_markdown_thematic_break_drops(spark):
     assert _md(spark, "a\n\n---\n\nb") == "a b"
+
+
+def test_html_canonical_and_meta_robots(spark):
+    from flink_hiveorc_spark.functions.html import (
+        html_canonical,
+        html_meta_robots,
+    )
+
+    cases = [
+        # (html, canonical, noindex, nofollow)
+        ('<link rel="canonical" href="https://a/b">', "https://a/b",
+         False, False),
+        ('<link href="https://a/c" rel="canonical">', "https://a/c",
+         False, False),
+        ("<link rel=canonical href='https://a/d'>", "https://a/d",
+         False, False),
+        ('<link rel="stylesheet" href="/s.css">', "", False, False),
+        ('<meta name="robots" content="noindex">', "", True, False),
+        ('<meta name=ROBOTS content=" NOFOLLOW ">', "", False, True),
+        ('<meta name="robots" content="none">', "", True, True),
+        ('<meta name="robots" content="noindexing">', "", False, False),
+        ('<meta name="viewport" content="noindex">', "", False, False),
+        ("plain text no tags", "", False, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_rest) in enumerate(cases)],
+        "i long, html string",
+    )
+    mr = html_meta_robots("html")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            html_canonical("html").alias("c"),
+            mr["noindex"].alias("ni"),
+            mr["nofollow"].alias("nf"),
+        ).collect()
+    }
+    for i, (h, want_c, want_ni, want_nf) in enumerate(cases):
+        assert got[i]["c"] == want_c, h
+        assert got[i]["ni"] is want_ni, h
+        assert got[i]["nf"] is want_nf, h
