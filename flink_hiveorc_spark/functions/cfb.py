@@ -587,14 +587,18 @@ def legacy_office_stats(
 
 # ------------------------------------------------- encoder twins
 
-def build_cfb(streams: dict[str, bytes]) -> bytes:
+def build_cfb(streams: dict[str, bytes], version: int = 3) -> bytes:
     """MS-CFB ENCODER twin: version-3 container (512-byte sectors,
-    64-byte mini sectors), streams under the 4096 cutoff in the mini
-    stream, larger ones in regular chains; single-level directory
-    with a degenerate right-spine tree (spec-valid; readers that
-    walk entries find everything). Written from the spec's encode
-    side; shares nothing with cfb_streams."""
-    ssz, mssz = 512, 64
+    64-byte mini sectors) or version-4 (4096-byte sectors — the
+    header stays 512 bytes, the remainder of its sector zero-pads),
+    streams under the 4096 cutoff in the mini stream, larger ones in
+    regular chains; single-level directory with a degenerate
+    right-spine tree (spec-valid; readers that walk entries find
+    everything). Written from the spec's encode side; shares nothing
+    with cfb_streams."""
+    if version not in (3, 4):
+        raise ValueError(f"CFB version {version}")
+    ssz, mssz = (512, 64) if version == 3 else (4096, 64)
 
     def pad(b: bytes, align: int) -> bytes:
         return b + b"\x00" * (-len(b) % align)
@@ -714,10 +718,12 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
     header = bytearray(512)
     header[:8] = _CFB_SIG
     struct.pack_into("<H", header, 24, 0x003E)   # minor
-    struct.pack_into("<H", header, 26, 3)        # major
+    struct.pack_into("<H", header, 26, version)  # major
     struct.pack_into("<H", header, 28, 0xFFFE)   # byte order
-    struct.pack_into("<H", header, 30, 9)        # sector shift
+    struct.pack_into("<H", header, 30, 9 if version == 3 else 12)
     struct.pack_into("<H", header, 32, 6)        # mini shift
+    if version == 4:
+        struct.pack_into("<I", header, 40, n_dir_sectors)
     struct.pack_into("<I", header, 44, n_fat)
     struct.pack_into("<I", header, 48, first_dir)
     struct.pack_into("<I", header, 56, 4096)
@@ -737,7 +743,7 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
 
     fat_bytes = b"".join(struct.pack("<I", x) for x in fat)
     body = (
-        bytes(header) + fat_bytes + dir_bytes + minifat_bytes
+        pad(bytes(header), ssz) + fat_bytes + dir_bytes + minifat_bytes
         + ministream + b"".join(big_parts)
     )
     assert len(body) == (total_sectors + 1) * ssz

@@ -193,3 +193,19 @@ def test_xls_cell_order_mapping():
     bad = wb[:-4] + _s.pack("<HHHHI", 0x00FD, 10, 0, 0, 9) + eof
     with pytest.raises(ValueError, match="references SST"):
         xls_text({"Workbook": bad})
+
+
+def test_cfb_v4_container():
+    """Version-4 CFB (4096-byte sectors, 512-byte header zero-padded
+    to its sector): same streams round-trip, and a .doc inside a v4
+    container extracts identically."""
+    streams = {"Mini": b"v4 mini data" * 10, "Big": b"B" * 9000}
+    blob = build_cfb(streams, version=4)
+    assert len(blob) % 4096 == 0
+    assert cfb_streams(blob) == streams
+    # full-format ride-through
+    from flink_hiveorc_spark.functions.cfb import build_ppt
+
+    doc = cfb_streams(build_doc([("v4 doc text", True)]))
+    blob2 = build_cfb(doc, version=4)
+    assert parse_legacy_office(blob2)["office_text"] == "v4 doc text"
