@@ -147,6 +147,87 @@ def url_normalize(col) -> Column:
     )
 
 
+def remove_dot_segments(path_col) -> Column:
+    """RFC 3986 §5.2.4 on an ABSOLUTE path ('/a/./b/../c' →
+    '/a/c'), as a JVM fold over the '/'-split segments: '.' drops,
+    '..' pops (never past the root), and a trailing '.'/'..' keeps
+    the directory's trailing slash, exactly as the spec's buffer
+    algorithm does."""
+    p = _c(path_col)
+    segs = F.split(p, "/")
+    n = F.size(segs)
+    indexed = F.transform(
+        segs, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+    )
+    init = F.array().cast("array<string>")
+
+    def step(acc, x):
+        s = x["s"]
+        is_last = x["i"] == n - 1
+        popped = F.when(
+            F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+        ).otherwise(acc)
+        return (
+            F.when(s == ".",
+                   F.when(is_last, F.array_append(acc, F.lit("")))
+                   .otherwise(acc))
+            .when(s == "..",
+                  F.when(is_last, F.array_append(popped, F.lit("")))
+                  .otherwise(popped))
+            .otherwise(F.array_append(acc, s))
+        )
+
+    return F.array_join(F.aggregate(indexed, init, step), "/")
+
+
+def resolve_url(base_col, href_col) -> Column:
+    """RFC 3986 §5 reference resolution — the step between link
+    extraction (href attributes are mostly RELATIVE in real markup)
+    and the frontier: absolute hrefs pass through, '//'-prefixed
+    take the base scheme, '/'-rooted take the base authority,
+    '?'-prefixed replace the query, '#'-prefixed are same-document,
+    and relative paths merge with the base's directory + dot-segment
+    removal. Empty href → the base itself. Pure column expressions;
+    compose with url_normalize for the dedup key."""
+    base = _c(base_col)
+    href = _c(href_col)
+    scheme = url_scheme(base)
+    authority = F.concat(
+        scheme, F.lit("://"),
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+    )
+    base_path = url_path(base)
+    base_nofrag = F.regexp_replace(base, r"#.*$", "")
+    base_noquery = F.regexp_replace(base_nofrag, r"\?.*$", "")
+    # the base's directory (path up to and including the last '/');
+    # an empty/rootless base path resolves from '/'
+    base_dir = F.regexp_extract(base_path, r"^(.*/)", 1)
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    has_scheme = href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    # dot-segment removal must see only the PATH: split the href's
+    # ?query/#fragment tail off first (a '..' inside a query is data,
+    # not a segment)
+    rel_path = F.regexp_extract(href, r"^([^?#]*)", 1)
+    rel_tail = F.regexp_extract(href, r"([?#].*)$", 1)
+    return (
+        F.when(href == "", base)
+        .when(has_scheme, href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"),
+              F.concat(authority, remove_dot_segments(rel_path),
+                       rel_tail))
+        .when(href.startswith("?"), F.concat(base_noquery, href))
+        .when(href.startswith("#"), F.concat(base_nofrag, href))
+        .otherwise(
+            F.concat(
+                authority,
+                remove_dot_segments(F.concat(base_dir, rel_path)),
+                rel_tail,
+            )
+        )
+    )
+
+
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(doc_id, url) → parsed + normalized URL features (every
     component reads the percent-normalized string, so path/query
@@ -540,3 +621,61 @@ def pipeline_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xml = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
     return feed_entries(d.select("doc_id", xml.alias("xml")))
+
+
+@query(
+    "pipeline_link_resolve",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 7 AS h, doc_id % 6 AS m FROM documents
+    )
+    SELECT doc_id,
+           CASE m
+             WHEN 0 THEN 'https://crawl-' || h || '.test/dir/sub/other-'
+                         || doc_id || '.html'
+             WHEN 1 THEN 'https://crawl-' || h || '.test/dir/up-'
+                         || doc_id || '.html'
+             WHEN 2 THEN 'https://crawl-' || h || '.test/rooted/'
+                         || doc_id
+             WHEN 3 THEN 'https://cdn-' || h || '.test/asset/' || doc_id
+             WHEN 4 THEN 'https://abs.test/x/' || doc_id
+             ELSE 'https://crawl-' || h || '.test/dir/sub/page.html?q='
+                  || doc_id
+           END AS resolved
+    FROM base
+    """,
+)
+def pipeline_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-link resolution under a GROUND-TRUTH oracle,
+    doc_id % 6 against the base
+    ``https://crawl-H.test/dir/sub/page.html?old=1``: a sibling
+    relative path, a ``../``-climbing path (the dot-segment fold),
+    a root-relative path, a scheme-relative ``//`` authority, an
+    absolute href passing through untouched, and a ``?``-only query
+    replacement (the old query must drop). DuckDB recomputes every
+    resolved URL by concat/CASE — no URL logic oracle-side. Scale:
+    pure projections, map-only, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 6
+    base = F.concat(
+        F.lit("https://crawl-"), h,
+        F.lit(".test/dir/sub/page.html?old=1"),
+    )
+    href = F.when(
+        m == 0, F.concat(F.lit("other-"), did, F.lit(".html"))
+    ).when(
+        m == 1, F.concat(F.lit("../up-"), did, F.lit(".html"))
+    ).when(
+        m == 2, F.concat(F.lit("/rooted/"), did)
+    ).when(
+        m == 3, F.concat(F.lit("//cdn-"), h, F.lit(".test/asset/"), did)
+    ).when(
+        m == 4, F.concat(F.lit("https://abs.test/x/"), did)
+    ).otherwise(
+        F.concat(F.lit("?q="), did)
+    )
+    return d.select(
+        "doc_id", resolve_url(base, href).alias("resolved")
+    )

@@ -202,3 +202,40 @@ def test_percent_encoding_normalization(spark):
     )
     keys = [r["k"] for r in pair.select(url_normalize("u").alias("k")).collect()]
     assert keys[0] == keys[1] == "https://x.com/a%2Fb?k=~v"
+
+
+def test_resolve_url_rfc3986(spark):
+    from flink_hiveorc_spark.functions.urls import resolve_url
+
+    BASE = "https://h.test/a/b/page.html?old=1#top"
+    cases = [
+        ("g.html", "https://h.test/a/b/g.html"),
+        ("./g", "https://h.test/a/b/g"),
+        ("../g", "https://h.test/a/g"),
+        ("../../g", "https://h.test/g"),
+        ("../../../g", "https://h.test/g"),   # never past the root
+        ("..", "https://h.test/a/"),          # trailing slash kept
+        (".", "https://h.test/a/b/"),
+        ("sub/./x/../y", "https://h.test/a/b/sub/y"),
+        ("/rooted/x", "https://h.test/rooted/x"),
+        ("/r/../y", "https://h.test/y"),
+        ("//cdn.test/img", "https://cdn.test/img"),
+        ("http://abs.test/z", "http://abs.test/z"),
+        ("mailto:a@b.c", "mailto:a@b.c"),
+        ("?q=2", "https://h.test/a/b/page.html?q=2"),
+        ("#frag", "https://h.test/a/b/page.html?old=1#frag"),
+        ("", BASE),
+        ("g?x=../y", "https://h.test/a/b/g?x=../y"),  # query is data
+    ]
+    df = spark.createDataFrame(
+        [(i, BASE, h) for i, (h, _) in enumerate(cases)],
+        "i long, base string, href string",
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select(
+            "i", resolve_url("base", "href").alias("r")
+        ).collect()
+    }
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i])
