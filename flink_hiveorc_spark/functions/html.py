@@ -30,6 +30,8 @@ archive envelope landing in r13 (the WARC block column is HTML).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -394,6 +396,34 @@ def html_canonical(col) -> Column:
     )
 
 
+def html_opengraph(col, prop: str) -> Column:
+    """The content of ``<meta property="og:<prop>" content=...>``
+    ('' when absent) — the social-card metadata block most modern
+    pages carry, a cheap title/description/image signal for curation
+    when the page's own <title> is boilerplate. Attribute order is
+    free (property before or after content)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tag = F.regexp_extract(
+        c,
+        r"""(?is)(<meta\s[^>]*property\s*=\s*["']?og:"""
+        + re.escape(prop)
+        + r"""["'\s][^>]*>)""",
+        1,
+    )
+    tag2 = F.when(tag != "", tag).otherwise(
+        F.regexp_extract(
+            c,
+            r"""(?is)(<meta\s[^>]*property\s*=\s*["']?og:"""
+            + re.escape(prop)
+            + r"""["']?\s*/?>)""",
+            1,
+        )
+    )
+    return F.regexp_extract(
+        tag2, r"""(?is)content\s*=\s*["']([^"']*)["']""", 1
+    )
+
+
 def html_meta_robots(col) -> Column:
     """struct<noindex: boolean, nofollow: boolean> from the
     <meta name=robots> directive (the page-level opt-out a curation
@@ -430,20 +460,26 @@ def html_meta_robots(col) -> Column:
                 THEN 'https://canon-' || h || '.test/c/' || doc_id
                 ELSE '' END AS canonical,
            CASE WHEN m IN (1, 2) THEN TRUE ELSE FALSE END AS noindex,
-           CASE WHEN m IN (1, 2) THEN TRUE ELSE FALSE END AS nofollow
+           CASE WHEN m IN (1, 2) THEN TRUE ELSE FALSE END AS nofollow,
+           CASE WHEN m = 0 THEN 'OG Doc ' || doc_id
+                ELSE '' END AS og_title,
+           CASE WHEN m = 1
+                THEN 'https://img-' || h || '.test/i/' || doc_id || '.jpg'
+                ELSE '' END AS og_image
     FROM base
     """,
 )
 def text_html_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl meta-directives under a GROUND-TRUTH oracle, doc_id % 4:
     0 = a canonical link with href BEFORE rel (attribute order must
-    not matter) and no robots meta; 1 = rel-first canonical + a
-    'NoIndex, nofollow' meta (case + whitespace variance); 2 = no
-    canonical, content='none' (the both-bits shorthand); 3 = a
-    DECOY <meta name="viewport"> and a non-canonical <link
-    rel="stylesheet" href=...> that must extract NOTHING. The
-    canonical href is data-dependent and normalized; DuckDB
-    recomputes by concat/CASE. Scale: pure projections, map-only."""
+    not matter) + a property-first og:title; 1 = rel-first canonical
+    + a 'NoIndex, nofollow' meta (case + whitespace variance) + a
+    CONTENT-first og:image; 2 = no canonical, content='none' (the
+    both-bits shorthand); 3 = a DECOY <meta name="viewport"> and a
+    non-canonical <link rel="stylesheet" href=...> that must extract
+    NOTHING. The canonical href and og:image are data-dependent;
+    DuckDB recomputes by concat/CASE. Scale: pure projections,
+    map-only."""
     from flink_hiveorc_spark.functions.urls import url_normalize
 
     d = load_table(spark, sf_dir, "documents")
@@ -458,7 +494,9 @@ def text_html_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         m == 0,
         F.concat(
             F.lit('<html><head><link href="'), canon,
-            F.lit('" rel="canonical"><title>t</title></head>'
+            F.lit('" rel="canonical"><meta property="og:title" '
+                  'content="OG Doc '), did,
+            F.lit('"><title>t</title></head>'
                   "<body>x</body></html>"),
         ),
     ).when(
@@ -466,7 +504,10 @@ def text_html_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('<html><head><link rel=canonical href="'), canon,
             F.lit('"><meta name="ROBOTS" content=" NoIndex , nofollow ">'
-                  "</head><body>x</body></html>"),
+                  '<meta content="https://img-'), h,
+            F.lit(".test/i/"), did,
+            F.lit('.jpg" property="og:image"></head>'
+                  "<body>x</body></html>"),
         ),
     ).when(
         m == 2,
@@ -490,4 +531,6 @@ def text_html_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("canonical"),
         mr["noindex"].alias("noindex"),
         mr["nofollow"].alias("nofollow"),
+        html_opengraph(html, "title").alias("og_title"),
+        html_opengraph(html, "image").alias("og_image"),
     )

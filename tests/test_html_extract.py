@@ -200,3 +200,32 @@ def test_html_canonical_and_meta_robots(spark):
         assert got[i]["c"] == want_c, h
         assert got[i]["ni"] is want_ni, h
         assert got[i]["nf"] is want_nf, h
+
+
+def test_html_opengraph(spark):
+    from flink_hiveorc_spark.functions.html import html_opengraph
+
+    cases = [
+        ('<meta property="og:title" content="The Title">', "title",
+         "The Title"),
+        ('<meta content="https://i/x.jpg" property="og:image">', "image",
+         "https://i/x.jpg"),
+        ("<meta property=og:title content='Unquoted prop'>", "title",
+         "Unquoted prop"),
+        ('<meta property="og:description" content="d">', "title", ""),
+        ('<meta name="og:title" content="name-not-property">', "title",
+         ""),
+        ("no tags", "image", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, p) for i, (h, p, _) in enumerate(cases)],
+        "i long, html string, prop string",
+    )
+    # per-row prop differs; run per distinct prop value
+    for i, (h, p, want) in enumerate(cases):
+        got = (
+            spark.createDataFrame([(h,)], "html string")
+            .select(html_opengraph("html", p).alias("v"))
+            .collect()[0]["v"]
+        )
+        assert got == want, (h, p)
