@@ -54,6 +54,11 @@ from test_flac_decode import (  # noqa: E402
     _sub_fixed as _flac_sub_fixed,
 )
 from test_jpeg_decode import _safe_random_blocks, encode_jpeg  # noqa: E402
+from flink_hiveorc_spark.functions.cfb import (  # noqa: E402
+    build_doc,
+    build_ppt,
+    build_xls,
+)
 from flink_hiveorc_spark.functions.office import (  # noqa: E402
     build_docx,
     build_epub,
@@ -94,6 +99,7 @@ def _corpus(n_per_format: int):
     images, audio, video, anim, probes = [], [], [], [], []
     blobs, envelopes, archives, mails = [], [], [], []
     crawltexts, offices, epubs, pdfs = [], [], [], []
+    legacy = []
     for i in range(n_per_format):
         img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
         images.append(_png_from_array(img, ALL_FILTERS))
@@ -253,8 +259,18 @@ def _corpus(n_per_format: int):
             b"BT /F1 12 Tf (" + text[:512].replace(b"(", b" ").replace(
                 b")", b" ").replace(b"\\", b" ") + b") Tj ET"
         ))
+        # r15 lane: legacy binary Office through the full CFB walk
+        legacy.append(build_doc(
+            [(f"Probe {i} ", True), (safe[:2048], False)]
+        ))
+        legacy.append(build_xls(
+            ["alpha", safe[2048:3072] or "beta", str(i)], split_in=1,
+            cells=[0, 1, 2, 1],
+        ))
+        legacy.append(build_ppt([[f"Deck {i}", safe[:1024]],
+                                 [safe[1024:2048]]]))
     return (images, audio, video, anim, probes, blobs, envelopes,
-            archives, mails, crawltexts, offices, epubs, pdfs)
+            archives, mails, crawltexts, offices, epubs, pdfs, legacy)
 
 
 def _warc_record_ct(rec_type: str, uri: str, ctype: str, block: bytes) -> bytes:
@@ -291,6 +307,7 @@ def main() -> None:
     )
     from flink_hiveorc_spark.functions.office import epub_stats, office_stats
     from flink_hiveorc_spark.functions.pdf import pdf_stats
+    from flink_hiveorc_spark.functions.cfb import legacy_office_stats
 
     lanes = [
         ("image", corpora[0], image_stats),
@@ -308,6 +325,8 @@ def main() -> None:
         ("office", corpora[10], office_stats),
         ("epub", corpora[11], epub_stats),
         ("pdf", corpora[12], pdf_stats),
+        # r15 lane
+        ("legacy_office", corpora[13], legacy_office_stats),
     ]
     out = {"n_per_format": n_per, "scales": {}}
     for scale in (1, 8):
