@@ -1123,6 +1123,15 @@ def _lzw_encode(data: bytes) -> bytes:
         w = c
     if w:
         emit(table[w])
+        # the DECODER conjectures one more entry after this final
+        # data code and may widen before reading EOD — mirror that
+        # phantom entry or the EOD lands one bit narrow exactly when
+        # the table size hits 2^width - 1 (found by the sf0.1
+        # cross-scale oracle: 4/1000 corpus docs hit the boundary)
+        if nxt < 4096:
+            nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
     emit(257)  # EOD
     s = "".join(bits)
     s += "0" * (-len(s) % 8)

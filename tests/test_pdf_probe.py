@@ -468,6 +468,11 @@ def test_lzw_differential_roundtrip():
             w = c
         if w:
             emit(table[w])
+            # the decoder's phantom entry before EOD (r15 regression)
+            if nxt < 4096:
+                nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
         emit(257)
         s = "".join(bits)
         s += "0" * (-len(s) % 8)
@@ -544,6 +549,10 @@ def test_lzw_early_change_zero():
             w = c
         if w:
             emit(table[w])
+            if nxt < 4096:
+                nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
         emit(257)
         s = "".join(bits)
         s += "0" * (-len(s) % 8)
@@ -587,3 +596,17 @@ def test_content_stream_predictor_gates():
     )
     with pytest.raises(NotImplementedError, match="Predictor"):
         parse_pdf(pred)
+
+
+def test_lzw_eod_width_boundary_regression():
+    """r15 regression (found by the sf0.1 cross-scale oracle): when
+    the FINAL data code lands the decoder's table size exactly on
+    2^width - 1, the decoder widens before reading EOD — the encoder
+    must account for that phantom entry or the EOD is one bit
+    narrow. Sweep input lengths across the 511 boundary with
+    distinct-byte content (every emit is a fresh code)."""
+    from flink_hiveorc_spark.functions.pdf import _lzw_decode, _lzw_encode
+
+    for length in range(240, 280):
+        data = bytes((i * 7) % 251 for i in range(length))
+        assert _lzw_decode(_lzw_encode(data)) == data, length
