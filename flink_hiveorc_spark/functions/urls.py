@@ -155,29 +155,29 @@ def remove_dot_segments(path_col) -> Column:
     algorithm does."""
     p = _c(path_col)
     segs = F.split(p, "/")
-    n = F.size(segs)
-    indexed = F.transform(
-        segs, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
-    )
     init = F.array().cast("array<string>")
 
-    def step(acc, x):
-        s = x["s"]
-        is_last = x["i"] == n - 1
+    # uniform fold (no per-element last-index test — size(split(..))
+    # inside the lambda would re-split per element, the λ-recompute
+    # class PLANS.md pins to zero); the trailing-slash rule for a
+    # final '.'/'..' is a string property of the INPUT, applied after
+    def step(acc, s):
         popped = F.when(
             F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
         ).otherwise(acc)
         return (
-            F.when(s == ".",
-                   F.when(is_last, F.array_append(acc, F.lit("")))
-                   .otherwise(acc))
-            .when(s == "..",
-                  F.when(is_last, F.array_append(popped, F.lit("")))
-                  .otherwise(popped))
+            F.when(s == ".", acc)
+            .when(s == "..", popped)
             .otherwise(F.array_append(acc, s))
         )
 
-    return F.array_join(F.aggregate(indexed, init, step), "/")
+    joined = F.array_join(F.aggregate(segs, init, step), "/")
+    trailing = (
+        p.endswith("/.") | p.endswith("/..") | p.isin(".", "..")
+    )
+    return F.when(trailing, F.concat(joined, F.lit("/"))).otherwise(
+        joined
+    )
 
 
 def resolve_url(base_col, href_col) -> Column:
