@@ -100,6 +100,7 @@ def _load_all() -> None:
         pdf,
         pipeline,
         robots,
+        rtf,
         similarity,
         skew,
         text,

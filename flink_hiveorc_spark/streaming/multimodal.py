@@ -93,10 +93,12 @@ def _register_r13_modalities() -> None:
     _FEATURIZERS.setdefault("epub", epub_stats)
     _FEATURIZERS.setdefault("crawltext", web_archive_text_records)
 
-    # r15: legacy binary Office (MS-CFB .doc/.xls) in-stream
+    # r15: legacy binary Office (MS-CFB .doc/.xls) + RTF in-stream
     from flink_hiveorc_spark.functions.cfb import legacy_office_stats
+    from flink_hiveorc_spark.functions.rtf import rtf_stats
 
     _FEATURIZERS.setdefault("legacy_office", legacy_office_stats)
+    _FEATURIZERS.setdefault("rtf", rtf_stats)
 
 
 def blob_stream(spark: SparkSession, src_dir: str) -> DataFrame:

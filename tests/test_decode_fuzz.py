@@ -30,6 +30,7 @@ from flink_hiveorc_spark.functions.cfb import (
     build_xls,
     parse_legacy_office,
 )
+from flink_hiveorc_spark.functions.rtf import build_rtf, parse_rtf
 from flink_hiveorc_spark.functions.pdf import (
     _build_classic_filtered,
     _build_pdf15,
@@ -359,6 +360,11 @@ def _valid_payloads():
             parse_legacy_office,
             "cfb_ppt",
             build_ppt([["fuzz slide", "atom"], ["second"]]),
+        ),
+        (
+            parse_rtf,
+            "rtf",
+            build_rtf(["fuzz rtf café", "second 中 paragraph"]),
         ),
         (
             parse_pdf,

@@ -350,3 +350,20 @@ def test_streaming_legacy_office_lane(spark, tmp_path):
     assert feats[1]["kind"] == "xls"
     assert feats[1]["office_text"] == "cell a\ncell b"
     assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9
+
+
+def test_streaming_rtf_lane(spark, tmp_path):
+    from flink_hiveorc_spark.functions.rtf import build_rtf
+
+    src, out, dlq, ckpt = (str(tmp_path / d) for d in
+                           ("rsrc", "rfeat", "rdlq", "rckpt"))
+    _write_blobs(spark, src, [(0, build_rtf(["rtf in stream"])),
+                              (9, b"{\\rtf1 broken")])
+    q = sm.start_multimodal_featurize(
+        sm.blob_stream(spark, src), out, dlq, ckpt,
+        modality="rtf", available_now=True,
+    )
+    q.awaitTermination(120)
+    feats = spark.read.parquet(out).collect()
+    assert [r["rtf_text"] for r in feats] == ["rtf in stream"]
+    assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9
