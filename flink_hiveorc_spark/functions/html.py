@@ -534,3 +534,102 @@ def text_html_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_opengraph(html, "title").alias("og_title"),
         html_opengraph(html, "image").alias("og_image"),
     )
+
+
+# --------------------------------------- schema.org JSON-LD (r15)
+
+_JSONLD_SCHEMA = (
+    "`@type` STRING, headline STRING, datePublished STRING, "
+    "author STRUCT<name: STRING>"
+)
+
+
+def html_jsonld_block(col) -> Column:
+    """The first ``<script type="application/ld+json">`` block's raw
+    JSON text ('' when absent) — schema.org structured data, the
+    richest machine-readable article metadata real pages carry."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_extract(
+            c,
+            r"""(?is)<script[^>]*type\s*=\s*["']application/ld\+json["']"""
+            r"""[^>]*>(.*?)</script>""",
+            1,
+        )
+    )
+
+
+def html_jsonld_article(col) -> Column:
+    """struct<@type, headline, datePublished, author.name> parsed
+    JVM-side by from_json from the page's JSON-LD block (nulls when
+    absent/malformed — crawl noise must not error)."""
+    return F.from_json(html_jsonld_block(col), _JSONLD_SCHEMA)
+
+
+@query(
+    "text_html_jsonld",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, doc_id % 9 + 1 AS k, doc_id % 3 AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN m = 2 THEN NULL ELSE 'NewsArticle' END AS ld_type,
+           CASE WHEN m = 2 THEN NULL
+                ELSE 'Doc ' || doc_id || ' headline' END AS headline,
+           CASE WHEN m = 2 THEN NULL ELSE source END AS author,
+           CASE WHEN m = 2 THEN CAST(NULL AS TIMESTAMP)
+                ELSE CAST('2024-04-0' || k || 'T06:30:00Z' AS TIMESTAMP)
+                END AS published_ts
+    FROM base
+    """,
+)
+def text_html_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction under a GROUND-TRUTH oracle,
+    doc_id % 3: legs 0/1 carry an application/ld+json script (leg 1
+    with a DECOY plain-JS <script> before it that must not match),
+    leg 2 has no JSON-LD (all-NULL row — crawl noise must not
+    error). The block parses JVM-side via from_json (@type needs
+    the backtick-quoted field), datePublished types to UTC. DuckDB
+    recomputes by concat/CASE. Scale: pure projections, map-only,
+    zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 9 + 1).cast("string")
+    m = F.col("doc_id") % 3
+    ld = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"NewsArticle",'
+              '"headline":"Doc '),
+        did,
+        F.lit(' headline","datePublished":"2024-04-0'), k,
+        F.lit('T06:30:00Z","author":{"@type":"Person","name":"'),
+        F.col("source"),
+        F.lit('"}}'),
+    )
+    html = F.when(
+        m == 0,
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            ld,
+            F.lit("</script></head><body>x</body></html>"),
+        ),
+    ).when(
+        m == 1,
+        F.concat(
+            F.lit("<html><head><script>var notLd = 1;</script>"
+                  '<script type="application/ld+json">'),
+            ld,
+            F.lit("</script></head><body>x</body></html>"),
+        ),
+    ).otherwise(
+        F.lit("<html><head><script>plain()</script></head>"
+              "<body>x</body></html>")
+    )
+    art = html_jsonld_article(html)
+    return d.select(
+        "doc_id",
+        art["@type"].alias("ld_type"),
+        art["headline"].alias("headline"),
+        art["author"]["name"].alias("author"),
+        F.try_to_timestamp(art["datePublished"]).alias("published_ts"),
+    )

@@ -229,3 +229,39 @@ def test_html_opengraph(spark):
             .collect()[0]["v"]
         )
         assert got == want, (h, p)
+
+
+def test_html_jsonld(spark):
+    from flink_hiveorc_spark.functions.html import (
+        html_jsonld_article,
+        html_jsonld_block,
+    )
+
+    page = (
+        "<html><head><script>var x=1;</script>"
+        '<script type="application/ld+json">'
+        '{"@type":"Article","headline":"H1","datePublished":'
+        '"2024-05-05","author":{"name":"A. Author"}}'
+        "</script></head><body>x</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<html>no ld</html>"),
+         (3, '<script type="application/ld+json">not json{</script>')],
+        "doc_id long, html string",
+    )
+    art = html_jsonld_article("html")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            html_jsonld_block("html").alias("raw"),
+            art["@type"].alias("t"),
+            art["headline"].alias("h"),
+            art["author"]["name"].alias("a"),
+        ).collect()
+    }
+    assert got[1]["t"] == "Article" and got[1]["h"] == "H1"
+    assert got[1]["a"] == "A. Author"
+    assert got[2]["raw"] == "" and got[2]["t"] is None
+    # malformed JSON -> NULLs, never an error (crawl noise)
+    assert got[3]["t"] is None
