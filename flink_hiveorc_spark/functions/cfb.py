@@ -635,16 +635,33 @@ def build_cfb(streams: dict[str, bytes], version: int = 3) -> bytes:
     big_sector_counts = [len(p) // ssz for p in big_parts]
     total_big = sum(big_sector_counts)
 
+    # capacity iteration: FAT sectors must cover every sector incl.
+    # themselves AND any DIFAT sectors (needed once n_fat > 109 —
+    # the header's inline DIFAT runs out; real .doc/.ppt with
+    # embedded media cross this at ~7 MB for v3)
+    per_difat = ssz // 4 - 1
     n_fat = 1
     while True:
-        n_other = n_dir_sectors + n_minifat_sectors + n_mini_sectors + total_big
+        n_difat = (
+            0 if n_fat <= 109
+            else (n_fat - 109 + per_difat - 1) // per_difat
+        )
+        n_other = (
+            n_difat + n_dir_sectors + n_minifat_sectors
+            + n_mini_sectors + total_big
+        )
         if (n_fat + n_other) <= n_fat * (ssz // 4):
             break
         n_fat += 1
+    n_difat = (
+        0 if n_fat <= 109
+        else (n_fat - 109 + per_difat - 1) // per_difat
+    )
 
-    first_dir = n_fat
+    fat_base = n_difat  # DIFAT sectors first, then FAT sectors
+    first_dir = fat_base + n_fat
     first_minifat = first_dir + n_dir_sectors if n_minifat_sectors else _ENDOFCHAIN
-    mini_base = n_fat + n_dir_sectors + n_minifat_sectors
+    mini_base = fat_base + n_fat + n_dir_sectors + n_minifat_sectors
     big_base = mini_base + n_mini_sectors
 
     # assign big-stream starts
@@ -656,8 +673,10 @@ def build_cfb(streams: dict[str, bytes], version: int = 3) -> bytes:
     total_sectors = cursor
 
     fat = [_FREESECT] * (n_fat * (ssz // 4))
+    for k in range(n_difat):
+        fat[k] = _DIFSECT
     for k in range(n_fat):
-        fat[k] = _FATSECT
+        fat[fat_base + k] = _FATSECT
 
     def chain_into(start: int, count: int) -> None:
         for k in range(count - 1):
@@ -732,19 +751,33 @@ def build_cfb(streams: dict[str, bytes], version: int = 3) -> bytes:
         first_minifat if n_minifat_sectors else _ENDOFCHAIN,
     )
     struct.pack_into("<I", header, 64, n_minifat_sectors)
-    struct.pack_into("<I", header, 68, _ENDOFCHAIN)  # no DIFAT sectors
-    struct.pack_into("<I", header, 72, 0)
-    if n_fat > 109:
-        raise ValueError("builder supports at most 109 FAT sectors")
+    struct.pack_into(
+        "<I", header, 68, 0 if n_difat else _ENDOFCHAIN
+    )
+    struct.pack_into("<I", header, 72, n_difat)
     for k in range(109):
         struct.pack_into(
-            "<I", header, 76 + 4 * k, k if k < n_fat else _FREESECT
+            "<I", header, 76 + 4 * k,
+            fat_base + k if k < n_fat else _FREESECT,
+        )
+
+    difat_bytes = b""
+    for d in range(n_difat):
+        ids = [
+            fat_base + 109 + d * per_difat + j
+            for j in range(per_difat)
+            if 109 + d * per_difat + j < n_fat
+        ]
+        ids += [_FREESECT] * (per_difat - len(ids))
+        nxt = d + 1 if d + 1 < n_difat else _ENDOFCHAIN
+        difat_bytes += b"".join(
+            struct.pack("<I", x) for x in ids + [nxt]
         )
 
     fat_bytes = b"".join(struct.pack("<I", x) for x in fat)
     body = (
-        pad(bytes(header), ssz) + fat_bytes + dir_bytes + minifat_bytes
-        + ministream + b"".join(big_parts)
+        pad(bytes(header), ssz) + difat_bytes + fat_bytes + dir_bytes
+        + minifat_bytes + ministream + b"".join(big_parts)
     )
     assert len(body) == (total_sectors + 1) * ssz
     return body

@@ -209,3 +209,22 @@ def test_cfb_v4_container():
     doc = cfb_streams(build_doc([("v4 doc text", True)]))
     blob2 = build_cfb(doc, version=4)
     assert parse_legacy_office(blob2)["office_text"] == "v4 doc text"
+
+
+def test_cfb_difat_sectors():
+    """Files past ~7 MB exhaust the header's 109 inline DIFAT slots
+    and need DIFAT sector chains (real embedded-media .doc/.ppt
+    cross this constantly): round-trip a ~10 MB container and a .doc
+    carrying an 8 MB ObjectPool stream."""
+    import os
+
+    big = os.urandom(1 << 16) * (10 * 1024 * 1024 // (1 << 16))
+    blob = build_cfb({"Huge": big, "Side": b"side data"})
+    got = cfb_streams(blob)
+    assert got["Huge"] == big and got["Side"] == b"side data"
+    doc = cfb_streams(build_doc([("difat doc", True)]))
+    doc["ObjectPool"] = os.urandom(8 * 1024 * 1024)
+    assert (
+        parse_legacy_office(build_cfb(doc))["office_text"]
+        == "difat doc"
+    )
