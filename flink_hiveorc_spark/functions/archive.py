@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 # multimodal.py is imported LAZILY inside functions: registry._load_all
@@ -431,7 +431,9 @@ def _fanout_df(
                         out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return payloads.select("doc_id", "payload").mapInPandas(gen, out_schema)
+    return parallelize_small_scan(
+        payloads.select("doc_id", "payload")
+    ).mapInPandas(gen, out_schema)
 
 
 def web_archive_records(
@@ -932,7 +934,9 @@ def text_shard_lines(
                         out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return payloads.select("doc_id", "payload").mapInPandas(gen, out_schema)
+    return parallelize_small_scan(
+        payloads.select("doc_id", "payload")
+    ).mapInPandas(gen, out_schema)
 
 
 def _error_field():

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 
@@ -122,21 +122,33 @@ def _dist_q(emb, cent):
     )
 
 
+def _lit_d(v: float) -> str:
+    """One double as an exact SQL literal: repr() is the shortest
+    round-tripping decimal and Java's parseDouble is correctly
+    rounded, so the parsed double is bit-identical to the collected
+    one."""
+    return repr(float(v)) + "D"
+
+
 def _cent_literal(cents: list[tuple[int, list[float]]]):
     """Centroids as an array<struct<cid,cent>> LITERAL — the Lloyd
     round's k·dims doubles collected to the driver and re-embedded in
     the plan (the MLlib broadcast-variable pattern, expression form).
-    Exact: collect returns IEEE doubles, lit() re-embeds them
-    bit-identically."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("cent"),
-            )
-            for cid, vec in cents
-        ]
+    Exact: collect returns IEEE doubles, the SQL text re-embeds them
+    bit-identically (_lit_d).
+
+    Built as ONE parsed SQL expression instead of per-element lit()
+    calls: k·dims Column objects cost a py4j round trip each (~0.8 s
+    per 6×64 literal, measured), which dominated the k-means/PQ
+    queries' wall time; the server-side parse of the same tree is
+    ~2 ms. Values and plan semantics are identical (the optimizer
+    constant-folds both forms to the same Literal)."""
+    items = ", ".join(
+        f"named_struct('cid', {int(cid)}L, 'cent', "
+        f"array({', '.join(_lit_d(v) for v in vec)}))"
+        for cid, vec in cents
     )
+    return F.expr(f"array({items})")
 
 
 def _assign_map(vectors: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -432,21 +444,21 @@ _PQ_RECALL_ORACLE = f"""
 def _pq_nested_literal(codebooks: dict[int, list[tuple[int, list[float]]]]):
     """array (indexed by m+1) of array<struct<code, cent>> literals —
     the trained codebooks re-embedded into the plan, like
-    _cent_literal but per-subspace."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(code)).cast("long").alias("code"),
-                        F.array(*[F.lit(float(v)) for v in cent]).alias("cent"),
-                    )
-                    for code, cent in codebooks.get(m, [])
-                ]
-            )
-            for m in range(_PQ_M)
-        ]
+    _cent_literal but per-subspace. One parsed SQL expression for the
+    same reason as _cent_literal: the 4×8×16 doubles cost ~1 s per
+    build as py4j lit() calls, ~2 ms as server-side parse — and this
+    literal is built three times per PQ query."""
+    subs = ", ".join(
+        "array("
+        + ", ".join(
+            f"named_struct('code', {int(code)}L, 'cent', "
+            f"array({', '.join(_lit_d(v) for v in cent)}))"
+            for code, cent in codebooks.get(m, [])
+        )
+        + ")"
+        for m in range(_PQ_M)
     )
+    return F.expr(f"array({subs})")
 
 
 def _pq_subvectors(e: DataFrame) -> DataFrame:
@@ -460,20 +472,58 @@ def _pq_subvectors(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_dist_table(sub: DataFrame, codebooks) -> DataFrame:
-    """(vec_id, m, code, dq): quantized squared distance from each
-    subvector to EVERY code of its subspace — map-only against the
-    literal codebooks (the ADC table builder and, filtered to argmin,
-    the encoder)."""
-    tbl = F.transform(
-        F.element_at(_pq_nested_literal(codebooks), (F.col("m") + 1).cast("int")),
-        lambda c: F.struct(
-            c["code"].alias("code"),
-            _dist_q(F.col("sv"), c["cent"]).alias("dq"),
-        ),
+def _pq_sv_arr():
+    """array (by m) of the _PQ_M subspace slices of ``emb`` — the
+    un-exploded twin of _pq_subvectors for the map-only array forms
+    below."""
+    return F.array(
+        *[F.slice("emb", m * _PQ_SUBDIM + 1, _PQ_SUBDIM) for m in range(_PQ_M)]
     )
-    return sub.select("vec_id", "m", F.explode(tbl).alias("t")).select(
-        "vec_id", "m", F.col("t.code").alias("code"), F.col("t.dq").alias("dq")
+
+
+def _pq_pos_codes(cb_lit):
+    """array (by m) of the argmin codebook POSITION per subspace —
+    the whole PQ code of a vector as ONE map-only array expression
+    (no posexplode, no per-(vec,m) rows). Positions are 1-based
+    indexes into the codebook arrays; codebooks are sorted by code
+    id, so argmin over (dq, pos) picks the same centroid as the
+    row-form argmin over (dq, code) — position is monotone in code.
+    zip_with pairs each subspace slice with its codebook, so the
+    slice is evaluated once per subspace, not once per candidate."""
+    return F.zip_with(
+        _pq_sv_arr(),
+        cb_lit,
+        lambda sv, cb: F.array_min(
+            F.transform(
+                cb,
+                lambda c, i: F.struct(
+                    _dist_q(sv, c["cent"]).alias("dq"),
+                    (i + F.lit(1)).alias("pos"),
+                ),
+            )
+        )["pos"],
+    )
+
+
+def _pq_qtab(cb_lit):
+    """array (by m) of array (by codebook position) of quantized
+    distances from ``emb``'s subspace slices to every code — a
+    query's full ADC lookup table as one map-only expression, in the
+    same positional order _pq_pos_codes emits."""
+    return F.zip_with(
+        _pq_sv_arr(),
+        cb_lit,
+        lambda sv, cb: F.transform(cb, lambda c: _dist_q(sv, c["cent"])),
+    )
+
+
+def _pq_adc_sum(codes, qtab):
+    """Σ_m qtab[m][codes[m]] as one expression — the 4-table-lookup
+    ADC distance (exact bigint sum, order-free)."""
+    return F.aggregate(
+        F.zip_with(codes, qtab, lambda pos, row: F.element_at(row, pos)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -510,16 +560,20 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
        vectors never will);
     4. ADC: each query precomputes a 4×8 table of quantized distances
        to every code, and a corpus vector's approximate distance is
-       the sum of 4 TABLE LOOKUPS (join on (m, code) against the
-       broadcast table), never a 64-d float op — the reason PQ scan
+       the sum of 4 TABLE LOOKUPS (element_at into the broadcast
+       query tables), never a 64-d float op — the reason PQ scan
        throughput beats raw-vector scan by the compression ratio.
 
-    Scale shape: codebook training collects ≤ M·k·subdim quantized
-    means (the bounded-collect class); encoding and table build are
-    map-only against literal codebooks; the only corpus shuffle is
-    the (qid, vec_id) partial-sum groupBy, which AQE coalesces. The
-    approximation error PQ trades for this is measured by the recall
-    twin (sim_pq_recall_report)."""
+    Scale shape (r15 rework): codebook training collects ≤ M·k·subdim
+    quantized means (the bounded-collect class); encoding emits the
+    whole 4-code array per vector in ONE map-only expression
+    (_pq_pos_codes — no posexplode rows), and the ADC attach is a
+    broadcast nested-loop of the NQ query tables against the corpus
+    scan with the distance computed in place (_pq_adc_sum) — the
+    former (m, code) join + (qid, vec_id) partial-sum groupBy
+    shuffled |corpus|·NQ rows; now the ONLY exchange is the per-query
+    top-k window. The approximation error PQ trades for this is
+    measured by the recall twin (sim_pq_recall_report)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
@@ -557,16 +611,13 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m, codes in trained.items()
     }
-    enc = _pq_encode(sub, codebooks).select("vec_id", "m", "code")
-    qd = (
-        _pq_dist_table(sub.filter(F.col("vec_id") < _PQ_NQ), codebooks)
-        .select(F.col("vec_id").alias("qid"), "m", "code", "dq")
+    cb_lit = _pq_nested_literal(codebooks)
+    enc = e.select("vec_id", _pq_pos_codes(cb_lit).alias("codes"))
+    q = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), _pq_qtab(cb_lit).alias("qtab")
     )
-    adc = (
-        enc.join(F.broadcast(qd), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq").alias("approx_dist_q"))
+    adc = enc.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", _pq_adc_sum(F.col("codes"), F.col("qtab")).alias("approx_dist_q")
     )
     w = Window.partitionBy("qid").orderBy("approx_dist_q", "vec_id")
     return (
@@ -694,14 +745,16 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each candidate costs M=4 table lookups instead of a 64-d
     float op (code compression) — here 8 cells probed 2-deep over
     int8-sized codes; at a billion vectors, C and M scale to keep
-    both factors flat. Plan shape: cell assignment is the SAME
-    map-only literal-centroid pass as k-means (_assign_map); the
-    probe list (4×2 rows) and ADC tables (≤128 rows) broadcast; the
-    only corpus-sized work is the candidate semi-join and the
-    (qid, vec_id) partial-sum groupBy. Accuracy: PQ recall is
-    measured by sim_pq_recall_report; IVF cell recall by
-    sim_ivf_recall_report — this operator composes the two stages
-    they measure."""
+    both factors flat. Plan shape (r15 rework): cell assignment AND
+    the 4-code PQ encoding ride ONE map-only corpus pass
+    (_assign_map + _pq_pos_codes on the same select); the probe list
+    (4×2 rows) and per-query ADC tables broadcast, and the ADC
+    distance is computed in place (_pq_adc_sum) — the former
+    cand⋈enc row join + (qid, vec_id) partial-sum groupBy shuffled
+    the candidate set twice; now the ONLY exchange is the per-query
+    top-k window. Accuracy: PQ recall is measured by
+    sim_pq_recall_report; IVF cell recall by sim_ivf_recall_report —
+    this operator composes the two stages they measure."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _emb_double("embedding").alias("emb")
     )
@@ -745,12 +798,19 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m, codes in trained.items()
     }
-    enc = _pq_encode(sub, codebooks).select("vec_id", "m", "code")
-    # Coarse quantizer: map-only cell assignment (k-means' _assign_map).
-    vassign = _assign_map(e, cells).select(
-        "vec_id", F.col("cluster_id").alias("cid")
+    cb_lit = _pq_nested_literal(codebooks)
+    # Coarse cell assignment AND the PQ code array in ONE map-only
+    # corpus pass (k-means' _assign_map keeps emb, so the codes
+    # expression rides the same select).
+    corpus = _assign_map(e, cells).select(
+        "vec_id",
+        F.col("cluster_id").alias("cid"),
+        _pq_pos_codes(cb_lit).alias("codes"),
     )
-    # Query probes: rank all C cells per query, keep the top n_probe.
+    # Query probes: rank all C cells per query, keep the top n_probe —
+    # sort_array over struct(dist_q, cid) is the same (dist_q, cid)
+    # order the former per-query window ranked by, without its
+    # exchange.
     cand_cells = F.transform(
         _cent_literal(cells),
         lambda c: F.struct(
@@ -758,29 +818,28 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["cid"].alias("cid"),
         ),
     )
-    wq = Window.partitionBy("qid").orderBy("dist_q", "cid")
     qprobe = (
         e.filter(F.col("vec_id") < _PQ_NQ)
-        .select(F.col("vec_id").alias("qid"), F.explode(cand_cells).alias("t"))
-        .select("qid", F.col("t.dist_q").alias("dist_q"), F.col("t.cid").alias("cid"))
-        .select("*", F.row_number().over(wq).alias("rn"))
-        .filter(F.col("rn") <= _IVFPQ_NPROBE)
-        .select("qid", "cid")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.slice(F.sort_array(cand_cells), 1, _IVFPQ_NPROBE)
+            ).alias("t"),
+        )
+        .select("qid", F.col("t.cid").alias("cid"))
     )
-    cand = (
-        vassign.join(F.broadcast(qprobe), "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-    )
-    qd = (
-        _pq_dist_table(sub.filter(F.col("vec_id") < _PQ_NQ), codebooks)
-        .select(F.col("vec_id").alias("qid"), "m", "code", "dq")
+    q = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), _pq_qtab(cb_lit).alias("qtab")
     )
     adc = (
-        cand.join(enc, "vec_id")
-        .join(F.broadcast(qd), ["qid", "m", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dq").alias("approx_dist_q"))
+        corpus.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            _pq_adc_sum(F.col("codes"), F.col("qtab")).alias("approx_dist_q"),
+        )
     )
     wr = Window.partitionBy("qid").orderBy("approx_dist_q", "vec_id")
     return (
@@ -893,8 +952,14 @@ def sim_topk_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _emb_double("embedding").alias("emb")
     )
     vq = F.transform(F.col("emb"), lambda x: F.floor(x * _Q_JL).cast("long"))
-    s_lit = F.array(
-        *[F.array(*[F.lit(v).cast("long") for v in row]) for row in _JL_S]
+    # 16×64 sign literals as one parsed expression (the py4j-per-lit
+    # construction cost class — see _cent_literal)
+    s_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in row) + ")" for row in _JL_S
+        )
+        + ")"
     )
     proj = F.transform(
         s_lit,

@@ -1628,7 +1628,9 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape (linear in occurrences; no quadratic candidates).
     Reference has no text surface (SURVEY.md §0); need is
     BASELINE.json's dedup north star."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return exact_substring_spans(docs)
 
 
@@ -1733,5 +1735,7 @@ def dedup_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per document with the surviving text and kept/removed
     token counts. See exact_substring_clean for semantics and scale
     shape."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return exact_substring_clean(docs)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 MAX_MAIL_MESSAGES = 10_000
@@ -229,7 +229,9 @@ def _mail_fanout(
                         out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return payloads.select("doc_id", "payload").mapInPandas(gen, out_schema)
+    return parallelize_small_scan(
+        payloads.select("doc_id", "payload")
+    ).mapInPandas(gen, out_schema)
 
 
 def mail_parts(payloads: DataFrame, quarantine: bool = False) -> DataFrame:

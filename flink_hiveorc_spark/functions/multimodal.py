@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import (
+    load_table,
+    memo_constant_column,
+    parallelize_small_scan,
+)
 from flink_hiveorc_spark.functions.flac import decode_flac
 from flink_hiveorc_spark.functions.jpeg import decode_jpeg
 from flink_hiveorc_spark.functions.probe import probe_media, riff_chunks
@@ -2066,7 +2070,15 @@ def _stats_df(
     out_schema = (
         T.StructType(schema.fields + [_ERROR_FIELD]) if quarantine else schema
     )
-    return payloads.select("doc_id", "payload").mapInPandas(
+    # The decode pass is the compute-heavy stage of every payload
+    # modality; a small input (few files / one row group) otherwise
+    # lands it on fewer tasks than the cluster has cores (the
+    # unsplittable-input case — repartition right after the read). At
+    # real scale the scan already carries >= defaultParallelism
+    # partitions and this is a literal no-op; streaming frames pass
+    # through untouched.
+    narrowed = parallelize_small_scan(payloads.select("doc_id", "payload"))
+    return narrowed.mapInPandas(
         lambda batches: _stats_batches(batches, cols, featurize, quarantine),
         out_schema,
     )
@@ -3230,8 +3242,10 @@ def multimodal_decompress_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB text corpora arrive as compressed blobs (jsonl.gz shards,
     zlib API payloads) — decompression is the step in front of every
     text operator."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
@@ -3403,8 +3417,10 @@ def multimodal_raster_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     Reference has no media surface (SURVEY.md §0); need: legacy web
     archives and game-asset corpora carry these formats, and DXT
     textures are the canonical GPU asset payload."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(16)]
@@ -3590,8 +3606,10 @@ def multimodal_image_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering are all pinned by pure digest arithmetic. A luma-
     weight, boundary, median, or endianness divergence flips the
     hash."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     db = [
         F.unhex(F.substring(F.col("hx"), 2 * i + 1, 2)) for i in range(16)
@@ -3833,8 +3851,10 @@ def multimodal_webp_animation_stats(
     decode_webp_frames) into `image_stats`. A placement, blend-flag,
     offset-doubling, chunk-walk, or compositing divergence flips the
     hash."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     seg = _vp8l_segments()
     rev = F.lit(seg["rev"])
@@ -4238,7 +4258,9 @@ def video_frame_sample(
                         out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return clips.select("doc_id", "payload").mapInPandas(gen, schema)
+    return parallelize_small_scan(clips.select("doc_id", "payload")).mapInPandas(
+        gen, schema
+    )
 
 
 def _gif_frames_checked(raw: bytes):
@@ -4339,7 +4361,9 @@ def gif_frame_sample(
                         out["error"].append(None)
             yield pd.DataFrame(out)
 
-    return gifs.select("doc_id", "payload").mapInPandas(gen, schema)
+    return parallelize_small_scan(gifs.select("doc_id", "payload")).mapInPandas(
+        gen, schema
+    )
 
 
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4393,7 +4417,9 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole binary plumbing end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     mm = with_binary_payload(docs)
-    return mm.select("doc_id", "payload").mapInPandas(_fake_features, FEATURE_SCHEMA)
+    return parallelize_small_scan(mm.select("doc_id", "payload")).mapInPandas(
+        _fake_features, FEATURE_SCHEMA
+    )
 
 
 def _image_container_segments() -> dict[str, bytes]:
@@ -5207,105 +5233,12 @@ def _int_be32(expr):
     return F.unhex(F.lpad(F.hex(expr), 8, "0"))
 
 
-@query(
-    "multimodal_image_decode_stats",
-    oracle="""
-    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
-    b AS (
-      SELECT doc_id, i,
-             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
-      FROM p, UNNEST(range(0, 16)) AS t(i)
-    ),
-    s AS (SELECT doc_id, sum(byte) AS sb FROM b GROUP BY doc_id),
-    n AS (
-      -- bilevel legs: pixels are the HIGH-nibble bits of the first 4
-      -- digest bytes, PBM ink convention (1 = black = 0 gray); z
-      -- counts the ZERO bits, each rendering as 255
-      SELECT doc_id,
-             sum(4 - (((byte >> 7) & 1) + ((byte >> 6) & 1)
-                    + ((byte >> 5) & 1) + ((byte >> 4) & 1))) AS z
-      FROM b WHERE i < 4 GROUP BY doc_id
-    )
-    SELECT s.doc_id,
-           CAST(CASE WHEN s.doc_id % 18 = 16 THEN 32 ELSE 4 END
-                AS BIGINT) AS height,  -- JPEG: 16 flat 8x8 MCUs
-           CAST(CASE WHEN s.doc_id % 18 = 16 THEN 32 ELSE 4 END
-                AS BIGINT) AS width,
-           CAST(CASE s.doc_id % 18
-                  WHEN 1 THEN 3   -- BMP: identity palette expands to RGB
-                  WHEN 4 THEN 3   -- QOI: channels=3 header
-                  WHEN 5 THEN 4   -- farbfeld: always RGBA
-                  WHEN 7 THEN 3   -- GIF: palette expands to RGB
-                  WHEN 13 THEN 3  -- BMP RLE8: palette expands to RGB
-                  ELSE 1          -- gray legs (incl. JPEG 16, ICO-PNG 17)
-                END AS BIGINT) AS channels,
-           CASE s.doc_id % 18
-                WHEN 5 THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- +alpha
-                WHEN 8 THEN CAST(255 * n.z AS DOUBLE) / 16   -- P4 bilevel
-                WHEN 10 THEN CAST(255 * n.z AS DOUBLE) / 16  -- P1 bilevel
-                ELSE CAST(sb AS DOUBLE) / 16
-           END AS mean_byte
-    FROM s JOIN n ON n.doc_id = s.doc_id
-    """,
-)
-def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 with REAL decode under the oracle, across the WHOLE native
-    image-format matrix (r10 — the video query's dual-container trick
-    generalized; r11 adds the baseline-JPEG branch): each document
-    ships its 16 md5 digest bytes as a 4×4 gray raster (the JPEG
-    branch: as 16 flat 8×8 blocks of a 32×32 raster) in ONE of
-    eighteen container branches chosen by doc_id % 18 —
-    0 P5 PGM; 1 8-bit paletted BMP (identity-gray palette,
-    bottom-up); 2 grayscale TGA 2.0 (footer-routed); 3 uncompressed
-    little-endian TIFF; 4 QOI (OP_RGB literals, r=g=b); 5 farbfeld
-    (16-bit BE samples as byte·257, opaque alpha); 6 PNG
-    (stored-deflate zlib stream with the adler32 computed as a LINEAR
-    function of the digest bytes — no mod wrap: A ≤ 4081, weighted
-    sum ≤ 40820 < 65521 — and the IDAT CRC via F.crc32); 7 GIF
-    (clear-code-per-literal LZW whose 38-byte stream is a fixed
-    bit-shuffle of the pixels, identity-gray 256-entry palette);
-    8 P4 packed-bilevel PBM (the first 4 digest bytes' HIGH nibbles
-    as MSB-first ink bits, row padding in the low nibbles); 9 P2
-    ASCII PGM (digest bytes as decimal tokens via conv()); 10 P1
-    ASCII PBM with digits PACKED without whitespace (the spec quirk
-    path), same bits as branch 8; 11 the SAME TIFF as branch 3 in
-    BIG-ENDIAN (MM) byte order; and the COMPRESSED decode paths via
-    literal-run constructions that still carry the digest verbatim —
-    12 TGA type-11 RLE (one 16-pixel raw packet), 13 BMP RLE8
-    (per-row absolute-mode escapes + EOL/EOB), 14 TIFF PackBits (one
-    literal run), 15 TIFF LZW (the clear-code trick in MSB-first
-    framing with the EarlyChange schedule pinned at width 9,
-    `_tiff_lzw_cleared_stream_parts`); and 16 baseline JPEG (r11):
-    DC-only 32×32 grayscale SOF0 whose 16 MCUs decode to flat 8×8
-    tiles of exactly the digest bytes — DRI=1 resets the predictor so
-    each 2-byte entropy block is a per-byte table lookup
-    (`_jpeg_dc_segments`), exercising the REAL Huffman + dequant +
-    IDCT path end-to-end; and 17 ICO-wrapped PNG (r11): the SAME PNG
-    stream inside an ICONDIR whose entry size/offset fields must
-    parse exactly for the PNG router to see the blob — the favicon
-    container under the oracle. Every payload is JVM-side
-    concat/arithmetic — no UDF builds bytes — and all eighteen run
-    through the genuine `image_stats` → `decode_image` dispatch. The
-    oracle recomputes the statistics once from the hex digest:
-    identical gray pixels everywhere, so only channels (palette/RGBA
-    expansion), the farbfeld alpha term, the bilevel ink formula, and
-    the JPEG 32×32 geometry branch on doc_id % 18 (the JPEG mean is
-    the SAME sum/16: 16 flat 64-pixel tiles). A pixel, geometry,
-    palette, filter, checksum, bit-order, RLE-framing,
-    ASCII-tokenizer, or IDCT divergence in ANY branch flips the hash.
-    Exactness: integer pixel sums (≤ 16·255, resp. 3·sum+4080
-    ≤ 16320, resp. 255·z ≤ 4080; the JPEG tiles are integer-exact
-    after np.rint, float error < 1e-13 of a unit), one final
-    power-of-two division in both engines."""
-    # materialize the digest ONCE as a column: the construction trees
-    # below reference hx hundreds of times, and a non-cheap alias with
-    # multiple references survives CollapseProject, so md5 runs once
-    # per row instead of once per subexpression (measured ~1.4x on the
-    # 12-branch image query)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
-    )
+@memo_constant_column
+def _image_payload_expr():
+    """The 18-branch image-container payload over (doc_id, hx) as one
+    CONSTANT expression tree, built once per process — ~1.4 s of py4j
+    Column construction per build otherwise lands inside every timed
+    invocation (see memo_constant_column)."""
     hx = F.col("hx")
     seg = _image_container_segments()
     # per-byte views of the digest: binary (db) and integer (dv)
@@ -5449,7 +5382,111 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 16, jpg)
         .otherwise(ico_png)
     )
-    payloads = docs.select("doc_id", payload.alias("payload"))
+    return payload
+
+
+@query(
+    "multimodal_image_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    s AS (SELECT doc_id, sum(byte) AS sb FROM b GROUP BY doc_id),
+    n AS (
+      -- bilevel legs: pixels are the HIGH-nibble bits of the first 4
+      -- digest bytes, PBM ink convention (1 = black = 0 gray); z
+      -- counts the ZERO bits, each rendering as 255
+      SELECT doc_id,
+             sum(4 - (((byte >> 7) & 1) + ((byte >> 6) & 1)
+                    + ((byte >> 5) & 1) + ((byte >> 4) & 1))) AS z
+      FROM b WHERE i < 4 GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(CASE WHEN s.doc_id % 18 = 16 THEN 32 ELSE 4 END
+                AS BIGINT) AS height,  -- JPEG: 16 flat 8x8 MCUs
+           CAST(CASE WHEN s.doc_id % 18 = 16 THEN 32 ELSE 4 END
+                AS BIGINT) AS width,
+           CAST(CASE s.doc_id % 18
+                  WHEN 1 THEN 3   -- BMP: identity palette expands to RGB
+                  WHEN 4 THEN 3   -- QOI: channels=3 header
+                  WHEN 5 THEN 4   -- farbfeld: always RGBA
+                  WHEN 7 THEN 3   -- GIF: palette expands to RGB
+                  WHEN 13 THEN 3  -- BMP RLE8: palette expands to RGB
+                  ELSE 1          -- gray legs (incl. JPEG 16, ICO-PNG 17)
+                END AS BIGINT) AS channels,
+           CASE s.doc_id % 18
+                WHEN 5 THEN CAST(3 * sb + 16 * 255 AS DOUBLE) / 64  -- +alpha
+                WHEN 8 THEN CAST(255 * n.z AS DOUBLE) / 16   -- P4 bilevel
+                WHEN 10 THEN CAST(255 * n.z AS DOUBLE) / 16  -- P1 bilevel
+                ELSE CAST(sb AS DOUBLE) / 16
+           END AS mean_byte
+    FROM s JOIN n ON n.doc_id = s.doc_id
+    """,
+)
+def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with REAL decode under the oracle, across the WHOLE native
+    image-format matrix (r10 — the video query's dual-container trick
+    generalized; r11 adds the baseline-JPEG branch): each document
+    ships its 16 md5 digest bytes as a 4×4 gray raster (the JPEG
+    branch: as 16 flat 8×8 blocks of a 32×32 raster) in ONE of
+    eighteen container branches chosen by doc_id % 18 —
+    0 P5 PGM; 1 8-bit paletted BMP (identity-gray palette,
+    bottom-up); 2 grayscale TGA 2.0 (footer-routed); 3 uncompressed
+    little-endian TIFF; 4 QOI (OP_RGB literals, r=g=b); 5 farbfeld
+    (16-bit BE samples as byte·257, opaque alpha); 6 PNG
+    (stored-deflate zlib stream with the adler32 computed as a LINEAR
+    function of the digest bytes — no mod wrap: A ≤ 4081, weighted
+    sum ≤ 40820 < 65521 — and the IDAT CRC via F.crc32); 7 GIF
+    (clear-code-per-literal LZW whose 38-byte stream is a fixed
+    bit-shuffle of the pixels, identity-gray 256-entry palette);
+    8 P4 packed-bilevel PBM (the first 4 digest bytes' HIGH nibbles
+    as MSB-first ink bits, row padding in the low nibbles); 9 P2
+    ASCII PGM (digest bytes as decimal tokens via conv()); 10 P1
+    ASCII PBM with digits PACKED without whitespace (the spec quirk
+    path), same bits as branch 8; 11 the SAME TIFF as branch 3 in
+    BIG-ENDIAN (MM) byte order; and the COMPRESSED decode paths via
+    literal-run constructions that still carry the digest verbatim —
+    12 TGA type-11 RLE (one 16-pixel raw packet), 13 BMP RLE8
+    (per-row absolute-mode escapes + EOL/EOB), 14 TIFF PackBits (one
+    literal run), 15 TIFF LZW (the clear-code trick in MSB-first
+    framing with the EarlyChange schedule pinned at width 9,
+    `_tiff_lzw_cleared_stream_parts`); and 16 baseline JPEG (r11):
+    DC-only 32×32 grayscale SOF0 whose 16 MCUs decode to flat 8×8
+    tiles of exactly the digest bytes — DRI=1 resets the predictor so
+    each 2-byte entropy block is a per-byte table lookup
+    (`_jpeg_dc_segments`), exercising the REAL Huffman + dequant +
+    IDCT path end-to-end; and 17 ICO-wrapped PNG (r11): the SAME PNG
+    stream inside an ICONDIR whose entry size/offset fields must
+    parse exactly for the PNG router to see the blob — the favicon
+    container under the oracle. Every payload is JVM-side
+    concat/arithmetic — no UDF builds bytes — and all eighteen run
+    through the genuine `image_stats` → `decode_image` dispatch. The
+    oracle recomputes the statistics once from the hex digest:
+    identical gray pixels everywhere, so only channels (palette/RGBA
+    expansion), the farbfeld alpha term, the bilevel ink formula, and
+    the JPEG 32×32 geometry branch on doc_id % 18 (the JPEG mean is
+    the SAME sum/16: 16 flat 64-pixel tiles). A pixel, geometry,
+    palette, filter, checksum, bit-order, RLE-framing,
+    ASCII-tokenizer, or IDCT divergence in ANY branch flips the hash.
+    Exactness: integer pixel sums (≤ 16·255, resp. 3·sum+4080
+    ≤ 16320, resp. 255·z ≤ 4080; the JPEG tiles are integer-exact
+    after np.rint, float error < 1e-13 of a unit), one final
+    power-of-two division in both engines."""
+    # materialize the digest ONCE as a column: the construction trees
+    # below reference hx hundreds of times, and a non-cheap alias with
+    # multiple references survives CollapseProject, so md5 runs once
+    # per row instead of once per subexpression (measured ~1.4x on the
+    # 12-branch image query)
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
+    )
+    payloads = docs.select("doc_id", _image_payload_expr().alias("payload"))
     return image_stats(payloads)
 
 
@@ -5514,8 +5551,10 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no media surface (SURVEY.md §0); need is BASELINE.json's
     "multimodal columns" north star — JPEG is the #1 image format in
     real corpora, and most large web JPEGs are progressive."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     dv = [
         F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("long")
@@ -5901,6 +5940,58 @@ def _vp8l_segments() -> dict:
     }
 
 
+@memo_constant_column
+def _webp_payload_expr():
+    """The 8-leg VP8L payload over (doc_id, hx) as one CONSTANT
+    expression tree, built once per process (~0.9 s of py4j Column
+    construction per build — see memo_constant_column)."""
+    dv = [
+        F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    seg = _vp8l_segments()
+    rev = F.lit(seg["rev"])
+
+    def lk(i):
+        return rev.substr(dv[i] + 1, F.lit(1))
+
+    legs = []
+    # leg 0/1/6: header + all 16 digest bytes bit-reversed
+    for leg in (0, 1, 6):
+        legs.append((leg, F.concat(F.lit(seg["full"][leg]),
+                                   *[lk(i) for i in range(16)])))
+    # leg 2: digest at (0,0) and the 3×3 interior, zero on the edges
+    z = bytes(1)
+    order2 = [lk(0), F.lit(z * 4), lk(1), lk(2), lk(3), F.lit(z),
+              lk(4), lk(5), lk(6), F.lit(z), lk(7), lk(8), lk(9)]
+    legs.append((2, F.concat(F.lit(seg["full"][2]), *order2)))
+    # leg 3: 2-byte literal+cache units for the first 8 digest bytes
+    legs.append((3, F.concat(
+        F.lit(seg["full"][3]),
+        *[F.lit(seg["t3"]).substr(dv[i] * 2 + 1, F.lit(2))
+          for i in range(8)],
+    )))
+    # leg 4: packed palette indices = nibble-swapped digest bytes
+    legs.append((4, F.concat(
+        F.lit(seg["full"][4]),
+        *[F.lit(seg["t4"]).substr(dv[i] + 1, F.lit(1)) for i in range(8)],
+    )))
+    # leg 5: 4 digest literals + the constant backref tail
+    legs.append((5, F.concat(
+        F.lit(seg["full"][5]), *[lk(i) for i in range(4)],
+        F.lit(seg["tails"][5]),
+    )))
+    # leg 7: interleaved green/alpha digest bytes (2-byte pixels)
+    legs.append((7, F.concat(F.lit(seg["full"][7]),
+                             *[lk(i) for i in range(16)])))
+    m = F.col("doc_id") % 8
+    expr_by_leg = dict(legs)
+    payload = expr_by_leg[7]
+    for leg in range(6, -1, -1):
+        payload = F.when(m == leg, expr_by_leg[leg]).otherwise(payload)
+    return payload
+
+
 @query(
     "multimodal_webp_decode_stats",
     oracle="""
@@ -5947,54 +6038,12 @@ def multimodal_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the #2 still-image format in scraped web corpora after JPEG,
     and its lossless mode is fully entropy-domain (no DCT), so it
     belongs in the native envelope."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
-    dv = [
-        F.conv(F.substring(F.col("hx"), 2 * i + 1, 2), 16, 10).cast("long")
-        for i in range(16)
-    ]
-    seg = _vp8l_segments()
-    rev = F.lit(seg["rev"])
-
-    def lk(i):
-        return rev.substr(dv[i] + 1, F.lit(1))
-
-    legs = []
-    # leg 0/1/6: header + all 16 digest bytes bit-reversed
-    for leg in (0, 1, 6):
-        legs.append((leg, F.concat(F.lit(seg["full"][leg]),
-                                   *[lk(i) for i in range(16)])))
-    # leg 2: digest at (0,0) and the 3×3 interior, zero on the edges
-    z = bytes(1)
-    order2 = [lk(0), F.lit(z * 4), lk(1), lk(2), lk(3), F.lit(z),
-              lk(4), lk(5), lk(6), F.lit(z), lk(7), lk(8), lk(9)]
-    legs.append((2, F.concat(F.lit(seg["full"][2]), *order2)))
-    # leg 3: 2-byte literal+cache units for the first 8 digest bytes
-    legs.append((3, F.concat(
-        F.lit(seg["full"][3]),
-        *[F.lit(seg["t3"]).substr(dv[i] * 2 + 1, F.lit(2))
-          for i in range(8)],
-    )))
-    # leg 4: packed palette indices = nibble-swapped digest bytes
-    legs.append((4, F.concat(
-        F.lit(seg["full"][4]),
-        *[F.lit(seg["t4"]).substr(dv[i] + 1, F.lit(1)) for i in range(8)],
-    )))
-    # leg 5: 4 digest literals + the constant backref tail
-    legs.append((5, F.concat(
-        F.lit(seg["full"][5]), *[lk(i) for i in range(4)],
-        F.lit(seg["tails"][5]),
-    )))
-    # leg 7: interleaved green/alpha digest bytes (2-byte pixels)
-    legs.append((7, F.concat(F.lit(seg["full"][7]),
-                             *[lk(i) for i in range(16)])))
-    m = F.col("doc_id") % 8
-    expr_by_leg = dict(legs)
-    payload = expr_by_leg[7]
-    for leg in range(6, -1, -1):
-        payload = F.when(m == leg, expr_by_leg[leg]).otherwise(payload)
-    payloads = docs.select("doc_id", payload.alias("payload"))
+    payloads = docs.select("doc_id", _webp_payload_expr().alias("payload"))
     return image_stats(payloads)
 
 
@@ -6124,8 +6173,10 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # multiple references survives CollapseProject, so md5 runs once
     # per row instead of once per subexpression (measured ~1.4x on the
     # 12-branch image query)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     unsigned = F.unhex(hx)
@@ -6264,8 +6315,10 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelation-parity, bit-packing, or CRC divergence flips the
     hash. All stats from exact integer sums; sqrt is IEEE-correctly
     rounded in both engines."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     dv = [
@@ -6427,8 +6480,10 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (H.264/VP9/Opus/MP3 payloads) is a first-class 100 TB pipeline
     need — BASELINE.json "multimodal columns"; the reference has no
     media surface (SURVEY.md §0)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(8)]
@@ -6642,8 +6697,10 @@ def multimodal_pcm_wide_decode_stats(spark: SparkSession, sf_dir: str) -> DataFr
     # multiple references survives CollapseProject, so md5 runs once
     # per row instead of once per subexpression (measured ~1.4x on the
     # 12-branch image query)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     le16 = F.unhex(hx)
@@ -6788,8 +6845,10 @@ def multimodal_adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # multiple references survives CollapseProject, so md5 runs once
     # per row instead of once per subexpression (measured ~1.4x on the
     # 12-branch image query)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     ima_parts = [F.lit(ima_hdr)]
@@ -6935,8 +6994,10 @@ def multimodal_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # multiple references survives CollapseProject, so md5 runs once
     # per row instead of once per subexpression (measured ~1.4x on the
     # 12-branch image query)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     i420_pre, i420_fh = _avi_clip_segments()
@@ -7011,8 +7072,10 @@ def multimodal_video_frames_decode(spark: SparkSession, sf_dir: str) -> DataFram
     mapInPandas stages, zero exchanges. Exact: Σ ≤ 8·255, /8
     power-of-two."""
     # materialize the digest once (see the image rotation's note)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     i420_pre, i420_fh = _avi_clip_segments()
@@ -7101,8 +7164,10 @@ def multimodal_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFram
     # multiple references survives CollapseProject, so md5 runs once
     # per row instead of once per subexpression (measured ~1.4x on the
     # 12-branch image query)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     dv = [
@@ -7196,8 +7261,10 @@ def multimodal_apng_animation_stats(spark: SparkSession, sf_dir: str) -> DataFra
     import struct
     import zlib
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("hx")
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
     )
     hx = F.col("hx")
     dv = [
@@ -7414,7 +7481,9 @@ def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched) is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     mm = with_binary_payload(docs)
-    return mm.select("doc_id", "payload").mapInPandas(_frame_manifest, _MANIFEST_SCHEMA)
+    return parallelize_small_scan(mm.select("doc_id", "payload")).mapInPandas(
+        _frame_manifest, _MANIFEST_SCHEMA
+    )
 
 
 def _normalize_series(texts: pd.Series) -> pd.Series:

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 
@@ -406,7 +406,7 @@ def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return epub_stats(d.mapInPandas(encode, src_schema))
+    return epub_stats(parallelize_small_scan(d).mapInPandas(encode, src_schema))
 
 
 # ------------------------------------------------------ the oracle
@@ -663,4 +663,4 @@ def text_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return office_stats(d.mapInPandas(encode, src_schema))
+    return office_stats(parallelize_small_scan(d).mapInPandas(encode, src_schema))

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 MAX_PDF_STREAM_BYTES = 1 << 26  # shared budget (== MAX_DECOMPRESSED_BYTES)
@@ -1388,7 +1388,9 @@ def multimodal_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    blobs = d.select(
-        "doc_id", payload_classic.alias("payload"), "source", "text"
-    ).mapInPandas(build_modern, src_schema)
+    blobs = (
+        parallelize_small_scan(d.select("doc_id", "source", "text"))
+        .select("doc_id", payload_classic.alias("payload"), "source", "text")
+        .mapInPandas(build_modern, src_schema)
+    )
     return pdf_stats(blobs)

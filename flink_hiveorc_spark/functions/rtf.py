@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 _SKIP_DESTINATIONS = {
@@ -289,5 +289,5 @@ def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    blobs = d.mapInPandas(encode, src_schema)
+    blobs = parallelize_small_scan(d).mapInPandas(encode, src_schema)
     return rtf_stats(blobs)

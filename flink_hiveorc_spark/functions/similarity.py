@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from pyspark.storagelevel import StorageLevel
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -817,9 +817,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (rnk, vec_id, rel_dot, mmr_score) — rank-1 reports its
     relevance as mmr_score (nothing picked yet), all in int8-dot
-    units."""
-    from flink_hiveorc_spark.session import reliable_checkpoint
+    units.
 
+    r15 rework: the pool step (the corpus-sized part) is unchanged —
+    one distributed query-dot + TakeOrdered top-20. The greedy rounds
+    then operate on that ≤20-row pool ONLY, so they now run in the
+    driver on the collected pool (one bounded collect — the same
+    bounded-control-plane class as the per-round 1-row argmax
+    collects they replace) instead of as 5 Spark jobs over a
+    checkpointed 20-row frame: integer arithmetic and (mmr desc,
+    vec_id) tiebreaks are engine-independent, so the trajectory is
+    byte-identical, and ~1.3 s of per-round job overhead disappears
+    at ANY corpus scale (the rounds were never corpus-sized)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -837,41 +846,54 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    pool = reliable_checkpoint(  # tiny (pool rows); rounds reread it, not the corpus
+    pool = (
         q8.filter(F.col("vec_id") != _MMR_QUERY_VEC)
         .crossJoin(F.broadcast(qv))
         .select("vec_id", idot(F.col("q"), F.col("qq")).alias("rel"), "q")
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
+        .collect()  # bounded: <= _MMR_POOL rows, in (rel desc, vec_id) order
     )
+
+    def _dot(a, b):  # exact int dot, NULL-propagating like the SQL form
+        acc = 0
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                return None
+            acc += x * y
+        return acc
+
     picked: list[tuple[int, int, int, int]] = []  # (rnk, vec_id, rel, mmr)
+    picked_q: list[list] = []
     for r in range(1, _MMR_K + 1):
         if not picked:
-            best = pool.orderBy(F.col("rel").desc(), "vec_id").limit(1).collect()
-            if not best:
+            if not pool:
                 break
-            row = best[0]
+            row = pool[0]  # pool is already in (rel desc, vec_id) order
             picked.append((1, row["vec_id"], row["rel"], row["rel"]))
+            picked_q.append(list(row["q"]))
             continue
-        sel_ids = [p[1] for p in picked]
-        sel = pool.filter(F.col("vec_id").isin(sel_ids)).select(
-            F.col("q").alias("sq")
-        )
-        best = (
-            pool.filter(~F.col("vec_id").isin(sel_ids))
-            .crossJoin(F.broadcast(sel))
-            .select("vec_id", "rel", idot(F.col("q"), F.col("sq")).alias("sim"))
-            .groupBy("vec_id", "rel")
-            .agg(F.max("sim").alias("maxsim"))
-            .select("vec_id", "rel", (F.col("rel") - F.col("maxsim")).alias("mmr"))
-            .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .collect()  # bounded: exactly one argmax row per round
-        )
-        if not best:
+        sel_ids = {p[1] for p in picked}
+        best = None  # (mmr_is_null, -mmr, vec_id) argmin == SQL's order
+        for row in pool:
+            if row["vec_id"] in sel_ids:
+                continue
+            sims = [_dot(list(row["q"]), sq) for sq in picked_q]
+            nn = [sv for sv in sims if sv is not None]
+            maxsim = max(nn) if nn else None  # F.max skips NULLs
+            mmr = (
+                row["rel"] - maxsim
+                if row["rel"] is not None and maxsim is not None
+                else None
+            )
+            key = (mmr is None, -(mmr or 0), row["vec_id"])
+            if best is None or key < best[0]:
+                best = (key, row, mmr)
+        if best is None:
             break
-        row = best[0]
-        picked.append((r, row["vec_id"], row["rel"], row["mmr"]))
+        _, row, mmr = best
+        picked.append((r, row["vec_id"], row["rel"], mmr))
+        picked_q.append(list(row["q"]))
     return spark.createDataFrame(
         picked, "rnk int, vec_id bigint, rel_dot bigint, mmr_score bigint"
     ).orderBy("rnk")

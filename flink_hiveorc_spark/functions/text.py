@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -180,9 +180,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split() inside the lambda re-splits the text per gram position
     # (O(words²) per doc — same trap _shingle_docs documents; 6.6s →
     # 0.5s at sf0.1 for this two-line change).
-    wd = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
-    )
+    wd = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
     words = F.col("w")
     n = F.size(words)
     grams = F.when(
@@ -253,9 +253,9 @@ def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     # text_repetition_signals: in-lambda split() re-splits per gram
     # position; 15.9s → ~0.6s at sf0.1 here — 5 element_at calls per
     # position quintuple the blowup).
-    wd = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
-    )
+    wd = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
     words = F.col("w")
     n = F.size(words)
     grams = F.when(
@@ -558,7 +558,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigram arrays are materialized before the positional transform
     (the λ-recompute guard's bug class; PLANS.md pins 0 recomputes).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
     wd = d.select("doc_id", F.split("text", r"\s+").alias("ws"))
     ws = F.col("ws")
     grams = F.when(

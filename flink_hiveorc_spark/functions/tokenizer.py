@@ -182,7 +182,7 @@ def _learn_bpe(
     reports the merges) and text_bpe_apply (which reports the
     resulting tokenization)."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    words = base = (
         d.select(F.explode(F.regexp_extract_all("text", F.lit("([a-z]+)"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
@@ -192,22 +192,34 @@ def _learn_bpe(
             F.concat_ws(" ", F.regexp_extract_all("word", F.lit("(.)"))).alias("sym"),
         )
     )
+    # The merge rounds re-read the WORD-FREQUENCY table, not the
+    # corpus — but without a persist each round's pair-count job
+    # replays the corpus regex + aggregate through the lineage.
+    # Cache it for the duration of the learning loop only: the
+    # unpersist in the finally block runs before this function
+    # returns, so every bench/oracle invocation still computes from
+    # the parquet inputs (nothing survives across runs) and the
+    # RETURNED frame executes against plain lineage.
+    base.persist()
     merges = []
-    for r in range(1, rounds + 1):
-        best = (
-            _pair_counts(words)
-            .orderBy(F.col("freq").desc(), "pair")
-            .limit(1)
-            .collect()  # bounded: exactly one row (TakeOrdered)
-        )
-        if not best:  # degenerate corpus: no multi-char words remain
-            break
-        pair, freq = best[0]["pair"], int(best[0]["freq"])
-        merges.append((r, pair, freq))
-        p1, p2 = pair.split(" ", 1)
-        words = words.select(
-            "word", "n", F.split("sym", " ").alias("ws")
-        ).select("word", "n", _merge_fold(p1, p2).alias("sym"))
+    try:
+        for r in range(1, rounds + 1):
+            best = (
+                _pair_counts(words)
+                .orderBy(F.col("freq").desc(), "pair")
+                .limit(1)
+                .collect()  # bounded: exactly one row (TakeOrdered)
+            )
+            if not best:  # degenerate corpus: no multi-char words remain
+                break
+            pair, freq = best[0]["pair"], int(best[0]["freq"])
+            merges.append((r, pair, freq))
+            p1, p2 = pair.split(" ", 1)
+            words = words.select(
+                "word", "n", F.split("sym", " ").alias("ws")
+            ).select("word", "n", _merge_fold(p1, p2).alias("sym"))
+    finally:
+        base.unpersist()
     return merges, words
 
 

@@ -906,7 +906,11 @@ def bloom_prefilter(df: DataFrame, key_col: str, bitmap: list[int]) -> DataFrame
         "*",
         F.pmod(F.xxhash64(key_col), F.lit(BLOOM_BITS)).alias("_bh1"),
         F.pmod(F.xxhash64(key_col, F.lit(1)), F.lit(BLOOM_BITS)).alias("_bh2"),
-        F.array(*[F.lit(w) for w in bitmap]).alias("_bloom"),
+        # 256 bitmap words as one parsed expression — per-element
+        # lit() costs a py4j round trip each (~0.25 s for the array)
+        F.expr(
+            "array(" + ", ".join(f"{int(w)}L" for w in bitmap) + ")"
+        ).alias("_bloom"),
     )
     tests = [
         f"(element_at(_bloom, CAST(pmod(_bh1 + {i} * _bh2, {BLOOM_BITS}) DIV 64 AS INT) + 1)"
