@@ -5234,11 +5234,22 @@ def _int_be32(expr):
 
 
 @memo_constant_column
-def _image_payload_expr():
-    """The 18-branch image-container payload over (doc_id, hx) as one
-    CONSTANT expression tree, built once per process — ~1.4 s of py4j
+def _image_payload_chunks():
+    """The 18-branch image-container payload over (doc_id, hx) as
+    THREE 6-branch partial CASE trees (chunk i covers doc_id%18 in
+    [6i, 6i+5], NULL elsewhere; coalesce of the three == the original
+    single CASE — doc_id is never NULL, so the m==17 arm equals the
+    former otherwise()). Built once per process — ~1.4 s of py4j
     Column construction per build otherwise lands inside every timed
-    invocation (see memo_constant_column)."""
+    invocation (see memo_constant_column).
+
+    Why chunks: the single 18-branch tree exceeds what janino can
+    compile — and a FAILING whole-stage-codegen compile is not
+    cached, so every execution re-paid ~0.6 s re-failing it before
+    falling back (measured; the interpreted eval of the same tree is
+    ~0.25 s). The call site additionally pins its projection off the
+    whole-stage path (see multimodal_image_decode_stats); the chunk
+    split keeps each expression-codegen method JIT-sized."""
     hx = F.col("hx")
     seg = _image_container_segments()
     # per-byte views of the digest: binary (db) and integer (dv)
@@ -5362,27 +5373,18 @@ def _image_payload_expr():
     )
     ico_png = F.concat(F.lit(ico_hdr), png)
     m = F.col("doc_id") % 18
-    payload = (
-        F.when(m == 0, pgm)
-        .when(m == 1, bmp)
-        .when(m == 2, tga)
-        .when(m == 3, tiff)
-        .when(m == 4, qoi)
-        .when(m == 5, ff)
-        .when(m == 6, png)
-        .when(m == 7, gif)
-        .when(m == 8, p4)
-        .when(m == 9, p2)
-        .when(m == 10, p1)
-        .when(m == 11, tiff_be)
-        .when(m == 12, tga_rle)
-        .when(m == 13, bmp_rle)
-        .when(m == 14, tiff_pb)
-        .when(m == 15, tiff_lzw)
-        .when(m == 16, jpg)
-        .otherwise(ico_png)
-    )
-    return payload
+    branches = [
+        pgm, bmp, tga, tiff, qoi, ff,
+        png, gif, p4, p2, p1, tiff_be,
+        tga_rle, bmp_rle, tiff_pb, tiff_lzw, jpg, ico_png,
+    ]
+    chunks = []
+    for lo in (0, 6, 12):
+        c = F.when(m == lo, branches[lo])
+        for i in range(lo + 1, lo + 6):
+            c = c.when(m == i, branches[i])
+        chunks.append(c)
+    return tuple(chunks)
 
 
 @query(
@@ -5486,7 +5488,26 @@ def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_id", F.md5("text").alias("hx")
         )
     )
-    payloads = docs.select("doc_id", _image_payload_expr().alias("payload"))
+    # The 18-branch tree is too large for whole-stage codegen: janino
+    # REJECTS the fused stage, and a failing WSCG compile is not
+    # cached, so every execution re-paid ~0.6 s re-failing it; even
+    # the compiled chunked form ran slower than interpreted eval (the
+    # generated methods exceed the JIT's size threshold). The
+    # `reflect` no-op tail is the stock CodegenFallback expression:
+    # it pins this one projection to the non-WSCG path (expression
+    # codegen still applies and caches), measured 1.0 -> 0.5 s for
+    # the payload stage, value-identical (concat with X'' is the
+    # binary identity; doc_id & 0 == 0 always).
+    no_wscg_tail = F.unhex(
+        F.substring(
+            F.expr("reflect('java.lang.Long', 'toString', doc_id & 0)"), 1, 0
+        )
+    )
+    c0, c1, c2 = _image_payload_chunks()
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(c0, c1, c2), no_wscg_tail).alias("payload"),
+    )
     return image_stats(payloads)
 
 
@@ -6047,82 +6068,12 @@ def multimodal_webp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(payloads)
 
 
-@query(
-    "multimodal_audio_decode_stats",
-    oracle="""
-    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
-    b AS (
-      SELECT doc_id,
-             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
-      FROM p, UNNEST(range(0, 16)) AS t(i)
-    ),
-    g AS (  -- complemented/toggled G.711 code views of the byte
-      SELECT doc_id, byte,
-             xor(byte, 255) AS u,   -- mu-law complements the code
-             xor(byte, 85) AS a     -- A-law toggles alternate bits
-      FROM b
-    ),
-    lin AS (
-      SELECT doc_id,
-             CASE doc_id % 8
-               WHEN 4 THEN  -- ITU G.711 mu-law expansion
-                 (CASE WHEN (u & 128) > 0 THEN -1 ELSE 1 END)
-                 * ((((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132)
-               WHEN 5 THEN  -- ITU G.711 A-law expansion (sign inverted
-                            -- vs mu-law: bit 0x80 set means POSITIVE)
-                 (CASE WHEN (a & 128) > 0 THEN 1 ELSE -1 END)
-                 * (CASE WHEN ((a >> 4) & 7) = 0
-                         THEN (a & 15) * 16 + 8
-                         ELSE ((a & 15) * 16 + 264) << (((a >> 4) & 7) - 1)
-                    END)
-               ELSE byte - 128  -- 8-bit PCM + FLAC legs (6/7)
-             END AS x
-      FROM g
-    )
-    SELECT doc_id,
-           CAST(8000 AS BIGINT) AS sample_rate,
-           CAST(16 AS BIGINT) AS n_frames,
-           CAST(1 AS BIGINT) AS n_channels,
-           CAST(16 AS DOUBLE) / 8000 AS duration_s,
-           sqrt(CAST(sum(x * x) AS DOUBLE) / 16) AS rms
-    FROM lin
-    GROUP BY doc_id
-    """,
-)
-def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio twin of multimodal_image_decode_stats, rotated (r10;
-    FLAC legs r11) across the native container AND companding matrix
-    via doc_id % 8:
-    - 0 — WAV, unsigned 8-bit PCM (raw digest bytes; the featurizer's
-      −128 centering applies per spec);
-    - 1 — AIFF, big-endian SIGNED 8-bit (the 80-bit-extended-float
-      COMM rate parsed natively);
-    - 2 — Sun AU, encoding 2 (signed 8-bit);
-    - 3 — Apple CAF, big-endian signed 8-bit LPCM;
-    - 4 — WAV format 7, G.711 μ-law (digest bytes as companded codes
-      through the vectorized ITU expansion table);
-    - 5 — WAV format 6, G.711 A-law (inverted sign convention);
-    - 6 — FLAC, VERBATIM subframe (the same signed samples through
-      the native Rice/LPC decoder's container walk, frame-header
-      CRC-8 and frame CRC-16 — the CRC-16 ships as a GF(2)-LINEAR
-      form of the digest bytes: 16 table lookups XORed onto the
-      zero-message CRC, the adler32 trick's CRC cousin);
-    - 7 — FLAC, Rice-coded FIXED-order-0 subframe: with param 8 every
-      zigzagged residual is a fixed 9-bit unit ('1' quotient + 8
-      remainder bits), so the residual stream is a fixed MSB-first
-      bit-shuffle of u = 2v / −2v−1 starting at bit 19 — the Rice
-      DECODER (unary + remainder + zigzag) sits under the oracle.
-    Legs 1-3 carry digest⊕0x80 — built JVM-side by translating each
-    byte's HIGH hex nibble (0-7 ↔ 8-f) before unhex, no UDF — so all
-    four PCM chunk walks decode to the identical int8 samples; legs
-    4-5 put the G.711 decode TABLES under the oracle, which
-    re-derives the piecewise segment/mantissa expansion in SQL bit
-    arithmetic. RMS from exact integer sums of squares (≤ 16·128²
-    resp. ≤ 16·32256²), /16 power-of-two, IEEE-correctly-rounded
-    sqrt in both engines — bit-equal. A sign-convention, endianness,
-    header, f80-rate, companding-table, Rice, or CRC divergence in
-    any leg flips the hash."""
+@memo_constant_column
+def _audio_payload_expr():
+    """The payload-construction tree over (doc_id, hx) as one
+    CONSTANT expression, built once per process (~0.5-2 s of py4j
+    Column construction per build otherwise lands inside every
+    timed invocation — see memo_constant_column)."""
     import struct
 
     def wav8_hdr(audio_format: int) -> bytes:
@@ -6173,11 +6124,6 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # multiple references survives CollapseProject, so md5 runs once
     # per row instead of once per subexpression (measured ~1.4x on the
     # 12-branch image query)
-    docs = parallelize_small_scan(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.md5("text").alias("hx")
-        )
-    )
     hx = F.col("hx")
     unsigned = F.unhex(hx)
     # digest ⊕ 0x80 per byte: flip the high nibble's top bit via
@@ -6255,8 +6201,161 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .when(m == 6, flac_vb)
         .otherwise(flac_rice)
     )
-    payloads = docs.select("doc_id", payload.alias("payload"))
+    return payload
+
+
+@query(
+    "multimodal_audio_decode_stats",
+    oracle="""
+    WITH p AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+      FROM p, UNNEST(range(0, 16)) AS t(i)
+    ),
+    g AS (  -- complemented/toggled G.711 code views of the byte
+      SELECT doc_id, byte,
+             xor(byte, 255) AS u,   -- mu-law complements the code
+             xor(byte, 85) AS a     -- A-law toggles alternate bits
+      FROM b
+    ),
+    lin AS (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 4 THEN  -- ITU G.711 mu-law expansion
+                 (CASE WHEN (u & 128) > 0 THEN -1 ELSE 1 END)
+                 * ((((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132)
+               WHEN 5 THEN  -- ITU G.711 A-law expansion (sign inverted
+                            -- vs mu-law: bit 0x80 set means POSITIVE)
+                 (CASE WHEN (a & 128) > 0 THEN 1 ELSE -1 END)
+                 * (CASE WHEN ((a >> 4) & 7) = 0
+                         THEN (a & 15) * 16 + 8
+                         ELSE ((a & 15) * 16 + 264) << (((a >> 4) & 7) - 1)
+                    END)
+               ELSE byte - 128  -- 8-bit PCM + FLAC legs (6/7)
+             END AS x
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS n_frames,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS DOUBLE) / 8000 AS duration_s,
+           sqrt(CAST(sum(x * x) AS DOUBLE) / 16) AS rms
+    FROM lin
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_image_decode_stats, rotated (r10;
+    FLAC legs r11) across the native container AND companding matrix
+    via doc_id % 8:
+    - 0 — WAV, unsigned 8-bit PCM (raw digest bytes; the featurizer's
+      −128 centering applies per spec);
+    - 1 — AIFF, big-endian SIGNED 8-bit (the 80-bit-extended-float
+      COMM rate parsed natively);
+    - 2 — Sun AU, encoding 2 (signed 8-bit);
+    - 3 — Apple CAF, big-endian signed 8-bit LPCM;
+    - 4 — WAV format 7, G.711 μ-law (digest bytes as companded codes
+      through the vectorized ITU expansion table);
+    - 5 — WAV format 6, G.711 A-law (inverted sign convention);
+    - 6 — FLAC, VERBATIM subframe (the same signed samples through
+      the native Rice/LPC decoder's container walk, frame-header
+      CRC-8 and frame CRC-16 — the CRC-16 ships as a GF(2)-LINEAR
+      form of the digest bytes: 16 table lookups XORed onto the
+      zero-message CRC, the adler32 trick's CRC cousin);
+    - 7 — FLAC, Rice-coded FIXED-order-0 subframe: with param 8 every
+      zigzagged residual is a fixed 9-bit unit ('1' quotient + 8
+      remainder bits), so the residual stream is a fixed MSB-first
+      bit-shuffle of u = 2v / −2v−1 starting at bit 19 — the Rice
+      DECODER (unary + remainder + zigzag) sits under the oracle.
+    Legs 1-3 carry digest⊕0x80 — built JVM-side by translating each
+    byte's HIGH hex nibble (0-7 ↔ 8-f) before unhex, no UDF — so all
+    four PCM chunk walks decode to the identical int8 samples; legs
+    4-5 put the G.711 decode TABLES under the oracle, which
+    re-derives the piecewise segment/mantissa expansion in SQL bit
+    arithmetic. RMS from exact integer sums of squares (≤ 16·128²
+    resp. ≤ 16·32256²), /16 power-of-two, IEEE-correctly-rounded
+    sqrt in both engines — bit-equal. A sign-convention, endianness,
+    header, f80-rate, companding-table, Rice, or CRC divergence in
+    any leg flips the hash."""
+    docs = parallelize_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("hx")
+        )
+    )
+    payloads = docs.select("doc_id", _audio_payload_expr().alias("payload"))
     return audio_stats(payloads)
+
+
+@memo_constant_column
+def _flac_payload_expr():
+    """The payload-construction tree over (doc_id, hx) as one
+    CONSTANT expression, built once per process (~0.5-2 s of py4j
+    Column construction per build otherwise lands inside every
+    timed invocation — see memo_constant_column)."""
+    hx = F.col("hx")
+    dv = [
+        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        for i in range(16)
+    ]
+    legs = _flac_matrix_segments()
+    vals: dict = {}
+    for i in range(16):
+        vals[f"x{i}"] = dv[i].bitwiseXOR(F.lit(128))
+    for i in range(8):
+        # mid = floor((L+R)/2) as 8-bit two's complement; side = L−R
+        # as 9-bit two's complement (shiftright on long is arithmetic)
+        vals[f"mid{i}"] = F.shiftright(
+            dv[i] + dv[i + 8] - 256, 1
+        ).bitwiseAND(F.lit(255))
+        vals[f"side{i}"] = (dv[i] - dv[i + 8]).bitwiseAND(F.lit(511))
+    for i in range(1, 16):
+        d = dv[i] - dv[i - 1]
+        vals[f"u{i}"] = F.when(d >= 0, d * 2).otherwise(d * -2 - 1)
+
+    def leg_payload(name: str):
+        leg = legs[name]
+        layout = dict(leg["layout"])
+        const = leg["const"]
+        parts = [F.lit(leg["prefix"])]
+        wire = {}
+        run = 0
+        for bidx in range(leg["nbytes"]):
+            frags = layout.get(bidx)
+            if frags is None:
+                continue
+            if run < bidx:
+                parts.append(F.lit(const[run:bidx]))
+            expr = F.lit(int(const[bidx]))
+            for key, hi, lo, blo in frags:
+                width = hi - lo + 1
+                expr = expr + (
+                    F.shiftright(vals[key], lo)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    * (1 << blo)
+                )  # disjoint bit windows: addition == OR
+            wire[bidx] = expr
+            parts.append(_int_byte(expr))
+            run = bidx + 1
+        if run < leg["nbytes"]:
+            parts.append(F.lit(const[run : leg["nbytes"]]))
+        crc = F.lit(leg["base"]).cast("long")
+        for bidx, expr in wire.items():
+            lut = F.lit(leg["tables"][bidx]).substr(expr * 2 + 1, F.lit(2))
+            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+        parts.append(F.unhex(F.lpad(F.hex(crc), 4, "0")))
+        return F.concat(*parts)
+
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, leg_payload("vb2"))
+        .when(m == 1, leg_payload("ms"))
+        .when(m == 2, leg_payload("f1"))
+        .otherwise(leg_payload("const"))
+    )
+    return payload
 
 
 @query(
@@ -6320,68 +6419,95 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.md5("text").alias("hx")
         )
     )
+    payloads = docs.select("doc_id", _flac_payload_expr().alias("payload"))
+    return audio_stats(payloads)
+
+
+@memo_constant_column
+def _media_probe_payload_expr():
+    """The payload-construction tree over (doc_id, hx) as one
+    CONSTANT expression, built once per process (~0.5-2 s of py4j
+    Column construction per build otherwise lands inside every
+    timed invocation — see memo_constant_column)."""
     hx = F.col("hx")
+    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(8)]
     dv = [
         F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-        for i in range(16)
+        for i in range(6)
     ]
-    legs = _flac_matrix_segments()
-    vals: dict = {}
-    for i in range(16):
-        vals[f"x{i}"] = dv[i].bitwiseXOR(F.lit(128))
-    for i in range(8):
-        # mid = floor((L+R)/2) as 8-bit two's complement; side = L−R
-        # as 9-bit two's complement (shiftright on long is arithmetic)
-        vals[f"mid{i}"] = F.shiftright(
-            dv[i] + dv[i + 8] - 256, 1
-        ).bitwiseAND(F.lit(255))
-        vals[f"side{i}"] = (dv[i] - dv[i + 8]).bitwiseAND(F.lit(511))
-    for i in range(1, 16):
-        d = dv[i] - dv[i - 1]
-        vals[f"u{i}"] = F.when(d >= 0, d * 2).otherwise(d * -2 - 1)
+    seg = _media_probe_segments()
 
-    def leg_payload(name: str):
-        leg = legs[name]
-        layout = dict(leg["layout"])
-        const = leg["const"]
-        parts = [F.lit(leg["prefix"])]
-        wire = {}
-        run = 0
-        for bidx in range(leg["nbytes"]):
-            frags = layout.get(bidx)
-            if frags is None:
-                continue
-            if run < bidx:
-                parts.append(F.lit(const[run:bidx]))
-            expr = F.lit(int(const[bidx]))
-            for key, hi, lo, blo in frags:
-                width = hi - lo + 1
-                expr = expr + (
-                    F.shiftright(vals[key], lo)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    * (1 << blo)
-                )  # disjoint bit windows: addition == OR
-            wire[bidx] = expr
-            parts.append(_int_byte(expr))
-            run = bidx + 1
-        if run < leg["nbytes"]:
-            parts.append(F.lit(const[run : leg["nbytes"]]))
-        crc = F.lit(leg["base"]).cast("long")
-        for bidx, expr in wire.items():
-            lut = F.lit(leg["tables"][bidx]).substr(expr * 2 + 1, F.lit(2))
-            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
-        parts.append(F.unhex(F.lpad(F.hex(crc), 4, "0")))
+    def assemble(name: str):
+        chunks, tail = seg[name]
+        parts = []
+        for chunk, di in chunks:
+            if chunk:
+                parts.append(F.lit(chunk))
+            parts.append(db[di])
+        parts.append(F.lit(tail))
         return F.concat(*parts)
 
-    m = F.col("doc_id") % 4
-    payload = (
-        F.when(m == 0, leg_payload("vb2"))
-        .when(m == 1, leg_payload("ms"))
-        .when(m == 2, leg_payload("f1"))
-        .otherwise(leg_payload("const"))
+    og = seg["ogg"]
+
+    def ogg_eos_payload(page0: bytes, granule):
+        """BOS page + the shared EOS template with a digest-derived
+        granule and its GF(2)-table CRC (identical template for the
+        Opus and FLAC legs — the CRC correction is layout-linear)."""
+        gbytes = [
+            _int_byte(F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)))
+            for k in range(4)
+        ]
+        crc = F.lit(og["base"]).cast("long")
+        for k, pos in enumerate((6, 7, 8, 9)):
+            lut = F.lit(og["tables"][pos]).substr(
+                F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)) * 4 + 1,
+                F.lit(4),
+            )
+            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
+        crc_le = F.concat(
+            *(
+                _int_byte(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255)))
+                for k in range(4)
+            )
+        )
+        return F.concat(
+            F.lit(page0 + og["p1_pre"]),
+            *gbytes,
+            F.lit(og["p1_mid"]),
+            crc_le,
+            F.lit(og["p1_post"]),
+        )
+
+    x24 = dv[0] * 65536 + dv[1] * 256 + dv[2]
+    ogg_payload = ogg_eos_payload(og["page0"], F.lit(312) + x24)
+    oggflac_payload = ogg_eos_payload(seg["oggflac_page0"], x24)
+    ad = seg["adts"]
+    adts_payload = F.concat(
+        F.lit(ad["hdr6"]),
+        _int_byte(dv[4].bitwiseAND(F.lit(3)) + 252),
+        F.lit(ad["body"] + ad["hdr6"]),
+        _int_byte(dv[5].bitwiseAND(F.lit(3)) + 252),
+        F.lit(ad["body"]),
     )
-    payloads = docs.select("doc_id", payload.alias("payload"))
-    return audio_stats(payloads)
+    m3 = seg["mp3"]
+    pad = dv[3].bitwiseAND(F.lit(0x7F))
+    mp3_payload = F.concat(
+        F.lit(m3["id3_pre"]),
+        _int_byte(pad),
+        F.lit(m3["zeros"]).substr(F.lit(1), pad),
+        F.lit(m3["frames"]),
+    )
+    m = F.col("doc_id") % 7
+    payload = (
+        F.when(m == 0, assemble("mp4"))
+        .when(m == 1, assemble("webm"))
+        .when(m == 2, ogg_payload)
+        .when(m == 3, mp3_payload)
+        .when(m == 4, adts_payload)
+        .when(m == 5, oggflac_payload)
+        .otherwise(assemble("avi"))
+    )
+    return payload
 
 
 @query(
@@ -6485,85 +6611,7 @@ def multimodal_media_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.md5("text").alias("hx")
         )
     )
-    hx = F.col("hx")
-    db = [F.unhex(F.substring(hx, 2 * i + 1, 2)) for i in range(8)]
-    dv = [
-        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-        for i in range(6)
-    ]
-    seg = _media_probe_segments()
-
-    def assemble(name: str):
-        chunks, tail = seg[name]
-        parts = []
-        for chunk, di in chunks:
-            if chunk:
-                parts.append(F.lit(chunk))
-            parts.append(db[di])
-        parts.append(F.lit(tail))
-        return F.concat(*parts)
-
-    og = seg["ogg"]
-
-    def ogg_eos_payload(page0: bytes, granule):
-        """BOS page + the shared EOS template with a digest-derived
-        granule and its GF(2)-table CRC (identical template for the
-        Opus and FLAC legs — the CRC correction is layout-linear)."""
-        gbytes = [
-            _int_byte(F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)))
-            for k in range(4)
-        ]
-        crc = F.lit(og["base"]).cast("long")
-        for k, pos in enumerate((6, 7, 8, 9)):
-            lut = F.lit(og["tables"][pos]).substr(
-                F.shiftright(granule, 8 * k).bitwiseAND(F.lit(255)) * 4 + 1,
-                F.lit(4),
-            )
-            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
-        crc_le = F.concat(
-            *(
-                _int_byte(F.shiftright(crc, 8 * k).bitwiseAND(F.lit(255)))
-                for k in range(4)
-            )
-        )
-        return F.concat(
-            F.lit(page0 + og["p1_pre"]),
-            *gbytes,
-            F.lit(og["p1_mid"]),
-            crc_le,
-            F.lit(og["p1_post"]),
-        )
-
-    x24 = dv[0] * 65536 + dv[1] * 256 + dv[2]
-    ogg_payload = ogg_eos_payload(og["page0"], F.lit(312) + x24)
-    oggflac_payload = ogg_eos_payload(seg["oggflac_page0"], x24)
-    ad = seg["adts"]
-    adts_payload = F.concat(
-        F.lit(ad["hdr6"]),
-        _int_byte(dv[4].bitwiseAND(F.lit(3)) + 252),
-        F.lit(ad["body"] + ad["hdr6"]),
-        _int_byte(dv[5].bitwiseAND(F.lit(3)) + 252),
-        F.lit(ad["body"]),
-    )
-    m3 = seg["mp3"]
-    pad = dv[3].bitwiseAND(F.lit(0x7F))
-    mp3_payload = F.concat(
-        F.lit(m3["id3_pre"]),
-        _int_byte(pad),
-        F.lit(m3["zeros"]).substr(F.lit(1), pad),
-        F.lit(m3["frames"]),
-    )
-    m = F.col("doc_id") % 7
-    payload = (
-        F.when(m == 0, assemble("mp4"))
-        .when(m == 1, assemble("webm"))
-        .when(m == 2, ogg_payload)
-        .when(m == 3, mp3_payload)
-        .when(m == 4, adts_payload)
-        .when(m == 5, oggflac_payload)
-        .otherwise(assemble("avi"))
-    )
-    payloads = docs.select("doc_id", payload.alias("payload"))
+    payloads = docs.select("doc_id", _media_probe_payload_expr().alias("payload"))
     return media_probe(payloads)
 
 

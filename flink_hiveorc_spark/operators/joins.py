@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 _DEC = "decimal(25,6)"
@@ -57,7 +57,10 @@ def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     no fact side broadcasts) the pre-agg wins 3.2s -> 2.3s and the gap
     widens with scale. Scale-correct formulation chosen.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    # Fan the single-row-group lineitem scan out before the per-order
+    # partial aggregate (guide §2.5; measured 2.05 -> 1.56 s at
+    # sf0.1; no-op at real scale).
+    l = parallelize_small_scan(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = load_table(spark, sf_dir, "customer")
     per_order = l.groupBy("l_orderkey").agg(
