@@ -191,7 +191,15 @@ def _recompute_centroids(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     collect, not a data collect). Clusters that lost every member
     simply drop out, matching the oracle CTEs' semantics. Collecting
     here CUTS the lineage between Lloyd rounds: each round's job is
-    scan → map → tiny agg, never a replay of prior rounds."""
+    scan → map → tiny agg, never a replay of prior rounds.
+
+    Shape re-measured this round (guide §1 before §2): rewriting the
+    posexplode → groupBy(cluster, dim) as one groupBy(cluster) with
+    `dims` sum columns (k rows shuffled instead of k·dims) was SLOWER
+    (deep build 1.49 → 2.10 s — each round pays codegen for a fresh
+    64-aggregate plan), and the shuffle it removed was already tiny:
+    map-side partial aggregation reduces the exploded rows to k·dims
+    per task before the exchange. Kept as-is deliberately."""
     rows = (
         assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cluster_id", (F.col("pos") + 1).alias("dim"))

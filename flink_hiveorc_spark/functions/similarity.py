@@ -383,7 +383,19 @@ def search_ivf_index(
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "qv", F.col("cid2").alias("cid"))
     )
-    probe_cells = [r.cid for r in probes.select("cid").distinct().collect()]
+    # ONE probe-assignment job instead of two: the former
+    # `probes.select("cid").distinct().collect()` ran the probes
+    # subplan for the cell list and then the final join re-executed it
+    # as its broadcast side. The full probes table is ≤
+    # n_queries·n_probe rows (the probe-cell-ids class of bounded
+    # control-plane collect, like the cell list it replaces) — collect
+    # it once and re-ship it as a local relation: values are the
+    # collected IEEE doubles verbatim, no re-execution, and the
+    # partition-pruned candidate read below is unchanged.
+    probe_rows = probes.collect()
+    probe_cells = sorted({r.cid for r in probe_rows})
+    if probe_rows:
+        probes = spark.createDataFrame(probe_rows, schema=probes.schema)
     cand = idx.filter(F.col("cid").isin(probe_cells))  # partition-pruned scan
     wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

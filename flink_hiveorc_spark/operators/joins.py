@@ -367,9 +367,16 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast so only the customer⋈orders⋈lineitem chain shuffles;
     the region filter prunes the broadcast before it ships."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    # Fan the streamed side of the broadcast-join chain out to the core
+    # count (guide §2.5): at bench scale the planner broadcasts every
+    # other input and streams this single-row-group orders scan, so the
+    # whole 6-way probe ran on one core. Filter first: pushdown stays
+    # at the scan. No-op at real scale.
+    o = parallelize_small_scan(
+        load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
     )
     l = load_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
@@ -1048,7 +1055,6 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = iv.select(
         "user_id",
-        "grp",
         "d0",
         "d1",
         F.explode(
@@ -1057,6 +1063,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # Join strategy deliberately left to the planner (guide §3,
+    # measured): pinning sort-merge here (hint("merge")) to force
+    # exchange reuse of the duplicated upstream was SLOWER (2.2 →
+    # 2.7 s fresh at sf0.1) — AQE's runtime stage cache already reuses
+    # the canonically-identical banded subplan under the broadcast
+    # shape, so the hint only added two sorts and a shuffle join. At
+    # real scale the size-based planner stops broadcasting on its own.
     pairs = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))

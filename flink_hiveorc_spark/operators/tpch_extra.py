@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_hiveorc_spark.catalog import load_table
+from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
 from flink_hiveorc_spark.registry import query
 
 _DEC = "decimal(25,6)"
@@ -162,6 +162,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") <= _ts("1997-12-31"))
     )
+    # Fan-out of the lineitem scan measured a LOSS here (exec 0.37 →
+    # 0.93 s: the added full-fact exchange outweighs the single-task
+    # probe, unlike q5 where the probe chain is wider per row) —
+    # deliberately left as the planner's single-task scan.
     l = load_table(spark, sf_dir, "lineitem")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     zero = F.lit(0).cast(_DEC)
