@@ -1112,6 +1112,18 @@ def prefix_filter_jaccard_pairs(d: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Fan the candidate list out before exact verification: the
+    # distinct's AQE-coalesced output (few tasks at bench scale)
+    # serializes the array_intersect pass over every candidate pair;
+    # the exchanged payload is (doc_a, doc_b) int pairs — the
+    # guide §8 lightweight-proxy rule (the shingle SETS attach via
+    # the broadcast joins below, after the fan-out). Measured at
+    # sf0.1: 5.5-5.8 → 3.7-4.1 s; a probe-side fan-out of the
+    # candidate self-join itself was additionally tried and was
+    # neutral-to-worse (no hot shingles: max df 25), left out.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     sets_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sets_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
