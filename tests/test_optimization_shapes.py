@@ -1,0 +1,74 @@
+"""Plan-shape pins for the round-15 optimization work.
+
+These fail on the specific regressions the optimization round fixed,
+even when answers stay correct (the oracle can't see plan shape):
+
+- pipeline_robots_filter used to carry NINE copies of the robots
+  fold (Catalyst inlines the shared ``F.aggregate`` subtree into
+  every consumer CASE branch when the fold is composed inline); the
+  fix materializes it once through a projection boundary.
+- The heavy per-row stages of several queries ran on the
+  single-row-group scan's one task; the fix is a round-robin fan-out
+  whose presence (and the guide §2.5 scale-adaptive floor) these
+  tests pin.
+- pipeline_jsonl_gz_ingest's 42-position CRC payload tree is built
+  once per process (memo_constant_column) — ~250 py4j calls per
+  build otherwise, paid by every invocation.
+"""
+
+from __future__ import annotations
+
+from flink_hiveorc_spark.registry import QUERIES
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_robots_filter_folds_once(spark, sf_dir):
+    """Exactly ONE robots fold in the executed plan — the 9×
+    duplication class (inline composition of robots_rules +
+    robots_crawl_delay) must not come back."""
+    plan = _executed_plan(QUERIES["pipeline_robots_filter"](spark, sf_dir))
+    assert plan.count("aggregate(") == 1, plan
+
+
+def test_fanout_present_on_heavy_single_task_stages(spark, sf_dir):
+    """The round-robin fan-out exchanges pinned in place for the
+    queries whose per-row work used to run on one task. At real
+    scale parallelize_small_scan is a no-op, but these queries use
+    an unconditional repartition (interval overlap's probe side) or
+    a helper call on a narrow scan — on the single-file test corpus
+    both must materialize as ROUNDROBIN exchanges."""
+    for name in (
+        "join_interval_overlap",
+        "agg_poisson_bootstrap_ci",
+        "pipeline_jsonl_gz_ingest",
+        "dedup_prefix_filter_jaccard",
+    ):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert "ROUNDROBIN" in plan.upper(), (name, plan)
+
+
+def test_jsonl_payload_tree_is_memoized(spark):
+    """_jsonl_gz_payload returns the SAME JVM expression tree across
+    calls within one process (plan-text memoization, never results)."""
+    from flink_hiveorc_spark.functions.archive import _jsonl_gz_payload
+
+    a = _jsonl_gz_payload()
+    b = _jsonl_gz_payload()
+    assert a._jc.equals(b._jc)
+
+
+def test_fanout_floor_tracks_default_parallelism(spark, sf_dir):
+    """The fan-out width is sparkContext.defaultParallelism (the
+    session's core count), not a hard-coded constant — the driver's
+    lower-core bench runs must adapt (round rule: nothing tuned to
+    local[32])."""
+    from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
+
+    d = parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+    assert (
+        d.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
