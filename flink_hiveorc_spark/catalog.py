@@ -27,7 +27,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_CONST_COLUMNS: dict[tuple, Column] = {}
+_CONST_COLUMNS: dict[tuple, tuple[object, Column]] = {}
 
 
 def memo_constant_column(fn):
@@ -48,17 +48,23 @@ def memo_constant_column(fn):
 
     Keyed on the py4j gateway identity: if the JVM ever restarts
     (fresh gateway object), stale JVM expression handles are dropped
-    and the tree is rebuilt."""
+    and the tree is rebuilt. The gateway itself is stored alongside
+    the entry and compared with ``is`` (ADVICE r15: an ``id()`` key
+    without a retained reference could alias a dead gateway whose id
+    the allocator reused, returning a Column bound to a dead JVM);
+    an entry whose gateway is no longer current is evicted."""
 
     @functools.wraps(fn)
     def wrapper() -> Column:
         from pyspark import SparkContext
 
-        key = (fn.__module__, fn.__qualname__, id(SparkContext._gateway))
-        col = _CONST_COLUMNS.get(key)
-        if col is None:
-            col = fn()
-            _CONST_COLUMNS[key] = col
+        gw = SparkContext._gateway
+        key = (fn.__module__, fn.__qualname__)
+        entry = _CONST_COLUMNS.get(key)
+        if entry is not None and entry[0] is gw:
+            return entry[1]
+        col = fn()
+        _CONST_COLUMNS[key] = (gw, col)
         return col
 
     return wrapper

@@ -1511,7 +1511,30 @@ def _dup_gram_intervals(docs: DataFrame, min_tokens: int) -> DataFrame:
     corpus-duplicated L-gram (the shared front half of the two Lee et
     al. operators): tokenize, slide the L-gram window, keep grams with
     >= 2 occurrences corpus-wide. `pos` is unique per doc, so the
-    intervals need no dedup."""
+    intervals need no dedup.
+
+    r16 restructure (guide §2.3/§2.4, measured): the former shape —
+    groupBy(gram).count() >= 2 into a dup set, then join the gram
+    frame back on the string — tokenized and gram-exploded the corpus
+    TWICE (each consumer re-ran the split+transform+posexplode
+    lineage), shuffled the ~unique distinct-gram long tail once for
+    the aggregate (map-side partials collapse nothing on mostly-unique
+    grams), and, past the broadcast threshold, shuffled every gram
+    OCCURRENCE a second time for the join probe (at 16x the dup set is
+    corpus-sized and the serial broadcast build dominated wall time).
+    A count(*) window over (partition by gram) computes the same
+    corpus-wide occurrence count with ONE gram build and ONE shuffle
+    of the occurrences, no dup table, no join, no broadcast: 16x A/B
+    base 8.28 s -> 5.13 s (exchange-reuse arm) -> 3.32 s (this form);
+    1x 1.62 -> 1.01 s; a bloom/hash semi-join prefilter arm measured
+    WORSE at both scales (1.56/9.24 s — at small scale dup already
+    broadcasts, and on a duplicate-heavy corpus the filter drops
+    nothing). Same rows by construction: the window count is the
+    total occurrence count of the gram corpus-wide, exactly the old
+    HAVING count >= 2 (oracle value-pass re-verified at sf0.01 and
+    sf0.1 for both consumers)."""
+    from pyspark.sql import Window
+
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     grams = (
         toks.where(F.size("w") >= min_tokens)
@@ -1526,16 +1549,15 @@ def _dup_gram_intervals(docs: DataFrame, min_tokens: int) -> DataFrame:
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
     )
-    dup = (
-        grams.groupBy("gram")
-        .count()
-        .where(F.col("count") >= 2)
-        .select("gram")
-    )
-    return grams.join(dup, "gram").select(
-        "doc_id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + min_tokens - 1).alias("e"),
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("_n", n_occ)
+        .where(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + min_tokens - 1).alias("e"),
+        )
     )
 
 
@@ -1664,6 +1686,14 @@ def exact_substring_clean(
         "doc_id",
         F.posexplode("w").alias("p0", "tok"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    # n_total per doc is size(w) — computed narrowly from the split
+    # array instead of re-exploding every token and counting (the old
+    # totals side re-ran the tokenize+posexplode lineage a second
+    # time: r16, guide §2.4 "don't compute things you throw away";
+    # posexplode of split() yields exactly size(w) rows — split never
+    # returns NULL elements — so the counts are identical, including
+    # the empty-text row ([""] -> 1)
+    totals = toks.select("doc_id", F.size("w").cast("long").alias("n_total"))
     # coverage = the merged maximal spans exploded back to positions:
     # spans are disjoint, so each covered position appears exactly once
     # and the k*L-row explode + distinct of the pre-r13 formulation
@@ -1685,11 +1715,7 @@ def exact_substring_clean(
             ).alias("cleaned_text"),
             F.count("pos").alias("n_tokens_kept"),
         )
-        .join(
-            pos_tok.groupBy("doc_id").agg(F.count("pos").alias("n_total")),
-            "doc_id",
-            "right",
-        )
+        .join(totals, "doc_id", "right")
         .select(
             "doc_id",
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),

@@ -1071,6 +1071,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analogue of an unsplittable input). The exchanged payload is the
     # interval-band table (≈ run count, ≪ events), so the extra
     # exchange is noise at any scale; measured at sf0.1: 2.6 → 1.4 s.
+    # (ADVICE r15 suggested the parallelize_small_scan-style
+    # >= defaultParallelism guard here; not applicable: `banded` is a
+    # WIDE frame — window + groupBy upstream — and probing .rdd
+    # partition counts on a wide frame under AQE executes the upstream
+    # stages, the exact hidden-job hazard that helper's wide-node
+    # pass-through exists to avoid. The unconditional exchange carries
+    # ≈ run-count rows of four ints; at any scale its bytes are noise
+    # next to the Σband² residual work it spreads.)
     a = banded.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = banded.alias("b")
     # Join strategy deliberately left to the planner (guide §3,

@@ -28,8 +28,23 @@ def _executed_plan(df) -> str:
 def test_robots_filter_folds_once(spark, sf_dir):
     """Exactly ONE robots fold in the executed plan — the 9×
     duplication class (inline composition of robots_rules +
-    robots_crawl_delay) must not come back."""
-    plan = _executed_plan(QUERIES["pipeline_robots_filter"](spark, sf_dir))
+    robots_crawl_delay) must not come back.
+
+    Rendered with maxToStringFields raised (ADVICE r15): the default
+    (25) elides long expression lists from the plan string, which
+    could silently hide duplicated fold copies and mask a regression
+    back to the 9×-fold plan."""
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", None)
+    spark.conf.set("spark.sql.debug.maxToStringFields", 100000)
+    try:
+        plan = _executed_plan(
+            QUERIES["pipeline_robots_filter"](spark, sf_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.debug.maxToStringFields")
+        else:
+            spark.conf.set("spark.sql.debug.maxToStringFields", prev)
     assert plan.count("aggregate(") == 1, plan
 
 
@@ -72,3 +87,40 @@ def test_fanout_floor_tracks_default_parallelism(spark, sf_dir):
         d.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_exact_substring_builds_grams_once(spark, sf_dir):
+    """r16: the dup-gram front half is a count(*) window over ONE
+    bucket of gram occurrences — the old groupBy+join-back shape
+    re-ran the tokenize+posexplode lineage per consumer (two Generate
+    nodes) and broadcast a corpus-sized dup set at 16x. Pin: exactly
+    one Generate (the posexplode) in spans' executed plan, and no
+    join nodes at all."""
+    plan = _executed_plan(
+        QUERIES["dedup_exact_substring_spans"](spark, sf_dir)
+    )
+    assert plan.count("Generate ") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_exact_substring_clean_totals_are_narrow(spark, sf_dir):
+    """r16: n_total per doc comes from size(split(...)) — narrow, no
+    second posexplode of every token just to count it."""
+    plan = _executed_plan(
+        QUERIES["dedup_exact_substring_clean"](spark, sf_dir)
+    )
+    # gram build, token posexplode for the anti-join side, span
+    # position re-explode: exactly three generates — the fourth
+    # (the old totals-side token re-explode) must not come back
+    assert plan.count("Generate ") == 3, plan
+
+
+def test_boilerplate_ngrams_builds_grams_once(spark, sf_dir):
+    """r16: pass-1's bucket distinct-doc count runs as dense_rank/max
+    windows over the same exchange pass 2 consumes — one gram build
+    (one Generate), no broadcast bucket list, no join."""
+    plan = _executed_plan(
+        QUERIES["text_boilerplate_ngrams"](spark, sf_dir)
+    )
+    assert plan.count("Generate ") == 1, plan
+    assert "Join" not in plan, plan
