@@ -934,51 +934,33 @@ def text_legacy_office_extract(
     the record-forest walk and both atom widths pinned. All three
     ride the full MS-CFB container (mini stream + miniFAT) from the
     encoder twins; DuckDB recomputes expected text by plain concat.
-    Scale: two map-only Python passes, zero exchanges."""
+    Scale: ONE fused map-only Python pass (encode → parse composed
+    per row, r16; see _encoded_stats_df), zero exchanges."""
+    from flink_hiveorc_spark.functions.multimodal import _encoded_stats_df
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    src_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
 
-    def encode(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id, source, text in zip(
-                pdf["doc_id"], pdf["source"], pdf["text"]
-            ):
-                leg = int(doc_id) % 3
-                if leg == 0:
-                    payloads.append(
-                        build_doc(
-                            [
-                                (f"Doc {doc_id} legacy ", True),
-                                (f"{source} {text}", False),
-                            ]
-                        )
-                    )
-                elif leg == 1:
-                    payloads.append(
-                        build_xls(
-                            [f"Cells {doc_id}", str(source), str(text)],
-                            split_in=1,
-                            cells=[0, 1, 2, 1],
-                        )
-                    )
-                else:
-                    payloads.append(
-                        build_ppt(
-                            [[f"Slide {doc_id}", str(source)],
-                             [str(text)]]
-                        )
-                    )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
+    def payload_of(doc_id, source, text) -> bytes:
+        leg = int(doc_id) % 3
+        if leg == 0:
+            return build_doc(
+                [
+                    (f"Doc {doc_id} legacy ", True),
+                    (f"{source} {text}", False),
+                ]
             )
+        if leg == 1:
+            return build_xls(
+                [f"Cells {doc_id}", str(source), str(text)],
+                split_in=1,
+                cells=[0, 1, 2, 1],
+            )
+        return build_ppt(
+            [[f"Slide {doc_id}", str(source)], [str(text)]]
+        )
 
-    blobs = parallelize_small_scan(d).mapInPandas(encode, src_schema)
-    return legacy_office_stats(blobs)
+    return _encoded_stats_df(
+        d, payload_of, _LEGACY_SCHEMA, parse_legacy_office
+    )

@@ -367,46 +367,32 @@ def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the zip instead of the spine emits the chapters backwards and
     the value hash dies. Chapter text comes from the raw columns
     with markup (<p>, <em>) that the XML itertext must strip exactly;
-    DuckDB recomputes the expected text by plain concat. Scale: two
-    map-only Python passes, zero exchanges."""
-    import pandas as pd
+    DuckDB recomputes the expected text by plain concat. Scale: ONE
+    fused map-only Python pass (encode → parse composed per row,
+    r16; see _encoded_stats_df), zero exchanges."""
+    from flink_hiveorc_spark.functions.multimodal import _encoded_stats_df
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    src_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
 
-    def encode(batches):
-        for pdf in batches:
-            payloads = [
-                build_epub(
-                    f"Book {doc_id}",
-                    [
-                        (
-                            "ch1.xhtml",
-                            "<p>Chapter <em>one</em> "
-                            f"{_xml_escape(source)}</p>",
-                        ),
-                        (
-                            "ch2.xhtml",
-                            f"<p>Chapter two {_xml_escape(text)}</p>",
-                        ),
-                    ],
-                )
-                for doc_id, source, text in zip(
-                    pdf["doc_id"], pdf["source"], pdf["text"]
-                )
-            ]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
+    def payload_of(doc_id, source, text) -> bytes:
+        return build_epub(
+            f"Book {doc_id}",
+            [
+                (
+                    "ch1.xhtml",
+                    "<p>Chapter <em>one</em> "
+                    f"{_xml_escape(source)}</p>",
+                ),
+                (
+                    "ch2.xhtml",
+                    f"<p>Chapter two {_xml_escape(text)}</p>",
+                ),
+            ],
+        )
 
-    return epub_stats(parallelize_small_scan(d).mapInPandas(encode, src_schema))
+    return _encoded_stats_df(d, payload_of, _EPUB_SCHEMA, parse_epub)
 
 
 # ------------------------------------------------------ the oracle
@@ -598,69 +584,47 @@ def text_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     real deflated zips (stdlib zipfile, CRCs verified on read by
     expand_zip) and DuckDB recomputes the expected text by plain
     concat of the raw columns — no zip, XML, or office logic
-    oracle-side. Scale: two map-only Python passes (encoder +
-    extractor), zero exchanges."""
-    import pandas as pd
+    oracle-side. Scale: ONE fused map-only Python pass (encode →
+    parse composed per row, r16 — the former encoder + extractor
+    chain shipped every payload JVM→Python twice; measured 0.71–0.91
+    → 0.56–0.62 s at sf0.1, rows-identical; see _encoded_stats_df),
+    zero exchanges."""
+    from flink_hiveorc_spark.functions.multimodal import _encoded_stats_df
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    src_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
 
-    def encode(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id, source, text in zip(
-                pdf["doc_id"], pdf["source"], pdf["text"]
-            ):
-                m = int(doc_id) % 4
-                if m == 0:
-                    payloads.append(
-                        build_docx(
-                            [[f"Title {doc_id}"], [f"{source} ", str(text)]]
-                        )
-                    )
-                elif m == 1:
-                    payloads.append(
-                        build_xlsx(
-                            ["Name", str(source)],
-                            [
-                                [("s", "0"), ("s", "1")],
-                                [("n", str(doc_id)),
-                                 ("inlineStr", str(text))],
-                            ],
-                        )
-                    )
-                elif m == 2:
-                    payloads.append(
-                        build_pptx(
-                            [[f"Deck {doc_id}", str(source)],
-                             [f"Slide two {text}"]]
-                        )
-                    )
-                else:
-                    payloads.append(
-                        build_odt(
-                            [
-                                f"Doc {doc_id}",
-                                # markup intentional (pins itertext
-                                # flattening); corpus text escaped
-                                RawXml(
-                                    "<text:span>"
-                                    f"{_xml_escape(str(source))}"
-                                    "</text:span> "
-                                    f"{_xml_escape(str(text))}"
-                                ),
-                            ]
-                        )
-                    )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
+    def payload_of(doc_id, source, text) -> bytes:
+        m = int(doc_id) % 4
+        if m == 0:
+            return build_docx(
+                [[f"Title {doc_id}"], [f"{source} ", str(text)]]
             )
+        if m == 1:
+            return build_xlsx(
+                ["Name", str(source)],
+                [
+                    [("s", "0"), ("s", "1")],
+                    [("n", str(doc_id)), ("inlineStr", str(text))],
+                ],
+            )
+        if m == 2:
+            return build_pptx(
+                [[f"Deck {doc_id}", str(source)], [f"Slide two {text}"]]
+            )
+        return build_odt(
+            [
+                f"Doc {doc_id}",
+                # markup intentional (pins itertext flattening);
+                # corpus text escaped
+                RawXml(
+                    "<text:span>"
+                    f"{_xml_escape(str(source))}"
+                    "</text:span> "
+                    f"{_xml_escape(str(text))}"
+                ),
+            ]
+        )
 
-    return office_stats(parallelize_small_scan(d).mapInPandas(encode, src_schema))
+    return _encoded_stats_df(d, payload_of, _OFFICE_SCHEMA, parse_office)

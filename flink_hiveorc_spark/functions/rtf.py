@@ -262,32 +262,18 @@ def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SKIPPED), and whose second paragraph is source + text; the font
     table and an ignorable {\\*\\generator} destination must leak
     nothing. DuckDB recomputes the expected text by plain concat
-    with the decoded literals. Scale: two map-only Python passes,
-    zero exchanges."""
+    with the decoded literals. Scale: ONE fused map-only Python
+    pass (encode → parse composed per row, r16; see
+    _encoded_stats_df), zero exchanges."""
+    from flink_hiveorc_spark.functions.multimodal import _encoded_stats_df
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    src_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
 
-    def encode(batches):
-        for pdf in batches:
-            payloads = [
-                build_rtf(
-                    [f"Doc {doc_id} caf\u00e9 \u4e2d",
-                     f"{source} {text}"]
-                )
-                for doc_id, source, text in zip(
-                    pdf["doc_id"], pdf["source"], pdf["text"]
-                )
-            ]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
+    def payload_of(doc_id, source, text) -> bytes:
+        return build_rtf(
+            [f"Doc {doc_id} caf\u00e9 \u4e2d", f"{source} {text}"]
+        )
 
-    blobs = parallelize_small_scan(d).mapInPandas(encode, src_schema)
-    return rtf_stats(blobs)
+    return _encoded_stats_df(d, payload_of, _RTF_SCHEMA, parse_rtf)

@@ -124,3 +124,18 @@ def test_boilerplate_ngrams_builds_grams_once(spark, sf_dir):
     )
     assert plan.count("Generate ") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_fixture_encoder_queries_fuse_python_passes(spark, sf_dir):
+    """r16: the fixture-encoder extraction queries (office/CFB/EPUB/
+    RTF) run encode → parse as ONE fused mapInPandas — the former
+    two-stage chain shipped every payload JVM→Python twice (guide
+    §4). Pin: exactly one MapInPandas node per executed plan."""
+    for name in (
+        "text_office_extract",
+        "text_legacy_office_extract",
+        "text_epub_extract",
+        "text_rtf_extract",
+    ):
+        plan = _executed_plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("MapInPandas") == 1, (name, plan)
