@@ -33,6 +33,8 @@ partition count should target ~128 MB of blobs per task.
 
 from __future__ import annotations
 
+import functools
+
 import hashlib
 import re
 import struct
@@ -4938,6 +4940,7 @@ def _flac_segments() -> dict:
     }
 
 
+@functools.lru_cache(maxsize=1)
 def _flac_matrix_segments() -> dict:
     """Per-leg constants for `multimodal_flac_decode_stats` (r11): a
     SYMBOLIC MSB-first bitstream builder — items are ('c', nbits,
@@ -6346,73 +6349,48 @@ def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return audio_stats(payloads)
 
 
-@memo_constant_column
-def _flac_payload_expr():
-    """The payload-construction tree over (doc_id, hx) as one
-    CONSTANT expression, built once per process (~0.5-2 s of py4j
-    Column construction per build otherwise lands inside every
-    timed invocation — see memo_constant_column)."""
-    hx = F.col("hx")
-    dv = [
-        F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-        for i in range(16)
-    ]
-    legs = _flac_matrix_segments()
+def _flac_payload_py(legs: dict, doc_id: int, hx: str) -> bytes:
+    """Per-row Python twin of the former `_flac_payload_expr` JVM
+    tree over `_flac_matrix_segments`'s symbolic layouts — the SAME
+    per-byte fragment windows and the SAME GF(2) wire-byte CRC table
+    lookups, transcribed field for field (and pinned by the test
+    suite's independent `_python_flac_matrix_payloads` twin, which
+    decodes every leg exactly through decode_audio's CRC check).
+
+    Why Python (r16): the unrolled four-leg expression tree pushed
+    the fused whole-stage past janino's 64 KB method limit ("Code
+    grows beyond 64 KB"), silently degrading the ENTIRE encode stage
+    to interpreted execution and costing a ~12 s failed compile
+    attempt once per process (found by the r16 sweep). The decode
+    half was ALWAYS a Python pass (audio featurize), so building the
+    payload inside that same pass removes the giant expression, the
+    interpreted fallback, AND one full JVM→Python payload round trip
+    (the office-family fusion class, see _encoded_stats_df):
+    measured 1.84–2.08 s warm → 0.57–0.62 s, rows-identical."""
+    dv = bytes.fromhex(hx)
     vals: dict = {}
     for i in range(16):
-        vals[f"x{i}"] = dv[i].bitwiseXOR(F.lit(128))
+        vals[f"x{i}"] = dv[i] ^ 0x80
     for i in range(8):
         # mid = floor((L+R)/2) as 8-bit two's complement; side = L−R
-        # as 9-bit two's complement (shiftright on long is arithmetic)
-        vals[f"mid{i}"] = F.shiftright(
-            dv[i] + dv[i + 8] - 256, 1
-        ).bitwiseAND(F.lit(255))
-        vals[f"side{i}"] = (dv[i] - dv[i + 8]).bitwiseAND(F.lit(511))
+        # as 9-bit two's complement (Python >> is arithmetic)
+        vals[f"mid{i}"] = ((dv[i] + dv[i + 8] - 256) >> 1) & 0xFF
+        vals[f"side{i}"] = (dv[i] - dv[i + 8]) & 0x1FF
     for i in range(1, 16):
         d = dv[i] - dv[i - 1]
-        vals[f"u{i}"] = F.when(d >= 0, d * 2).otherwise(d * -2 - 1)
-
-    def leg_payload(name: str):
-        leg = legs[name]
-        layout = dict(leg["layout"])
-        const = leg["const"]
-        parts = [F.lit(leg["prefix"])]
-        wire = {}
-        run = 0
-        for bidx in range(leg["nbytes"]):
-            frags = layout.get(bidx)
-            if frags is None:
-                continue
-            if run < bidx:
-                parts.append(F.lit(const[run:bidx]))
-            expr = F.lit(int(const[bidx]))
-            for key, hi, lo, blo in frags:
-                width = hi - lo + 1
-                expr = expr + (
-                    F.shiftright(vals[key], lo)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    * (1 << blo)
-                )  # disjoint bit windows: addition == OR
-            wire[bidx] = expr
-            parts.append(_int_byte(expr))
-            run = bidx + 1
-        if run < leg["nbytes"]:
-            parts.append(F.lit(const[run : leg["nbytes"]]))
-        crc = F.lit(leg["base"]).cast("long")
-        for bidx, expr in wire.items():
-            lut = F.lit(leg["tables"][bidx]).substr(expr * 2 + 1, F.lit(2))
-            crc = crc.bitwiseXOR(F.conv(F.hex(lut), 16, 10).cast("long"))
-        parts.append(F.unhex(F.lpad(F.hex(crc), 4, "0")))
-        return F.concat(*parts)
-
-    m = F.col("doc_id") % 4
-    payload = (
-        F.when(m == 0, leg_payload("vb2"))
-        .when(m == 1, leg_payload("ms"))
-        .when(m == 2, leg_payload("f1"))
-        .otherwise(leg_payload("const"))
-    )
-    return payload
+        vals[f"u{i}"] = 2 * d if d >= 0 else -2 * d - 1
+    leg = legs[("vb2", "ms", "f1", "const")[int(doc_id) % 4]]
+    region = bytearray(leg["const"])
+    crc = leg["base"]
+    for bidx, frags in leg["layout"]:
+        b = region[bidx]
+        for key, hi, lo, blo in frags:
+            width = hi - lo + 1
+            b += ((vals[key] >> lo) & ((1 << width) - 1)) << blo
+        region[bidx] = b  # disjoint bit windows: addition == OR
+        tbl = leg["tables"][bidx]
+        crc ^= (tbl[2 * b] << 8) | tbl[2 * b + 1]
+    return leg["prefix"] + bytes(region) + struct.pack(">H", crc)
 
 
 @query(
@@ -6462,22 +6440,36 @@ def multimodal_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       chain reconstructs the digest exactly;
     3 CONSTANT subframe: one sample value repeated 16× (rms = |v|,
       exact: sqrt of a perfect square).
-    Payloads are JVM-side concat over `_flac_matrix_segments`'s
+    Payloads are assembled per row from `_flac_matrix_segments`'s
     symbolic bitstream layouts (per-byte fragment windows of the
-    computed field values); each leg's frame CRC-16 ships as the
-    GF(2)-linear wire-byte form — base ⊕ XOR of per-position table
-    lookups indexed by the COMPUTED byte — so the decoder's own CRC
-    verification gates every construction. A predictor, zigzag,
-    decorrelation-parity, bit-packing, or CRC divergence flips the
-    hash. All stats from exact integer sums; sqrt is IEEE-correctly
-    rounded in both engines."""
+    computed field values) with the frame CRC-16 as the GF(2)-linear
+    wire-byte form — base ⊕ XOR of per-position table lookups indexed
+    by the COMPUTED byte — so the decoder's own CRC verification
+    gates every construction. A predictor, zigzag, decorrelation-
+    parity, bit-packing, or CRC divergence flips the hash. Build and
+    decode run as ONE fused Python pass (r16; see _flac_payload_py —
+    the former JVM expression tree overflowed janino's 64 KB method
+    limit and ran interpreted). All stats from exact integer sums;
+    sqrt is IEEE-correctly rounded in both engines."""
     docs = parallelize_small_scan(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.md5("text").alias("hx")
         )
     )
-    payloads = docs.select("doc_id", _flac_payload_expr().alias("payload"))
-    return audio_stats(payloads)
+    legs = _flac_matrix_segments()
+    cols = tuple(f.name for f in _AUDIO_STATS_SCHEMA.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, hx in zip(pdf["doc_id"], pdf["hx"]):
+                feats = _audio_features(_flac_payload_py(legs, doc_id, hx))
+                out["doc_id"].append(doc_id)
+                for k in cols[1:]:
+                    out[k].append(feats[k])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, _AUDIO_STATS_SCHEMA)
 
 
 @memo_constant_column

@@ -139,3 +139,26 @@ def test_fixture_encoder_queries_fuse_python_passes(spark, sf_dir):
     ):
         plan = _executed_plan(QUERIES[name](spark, sf_dir))
         assert plan.count("MapInPandas") == 1, (name, plan)
+
+
+def test_codegen_overflow_queries_stay_compact(spark, sf_dir):
+    """r16: multimodal_flac_decode_stats and pipeline_jsonl_gz_ingest
+    used to carry expression trees so large the whole-stage Java
+    exceeded janino's 64 KB method limit and the stage silently ran
+    INTERPRETED (plus a multi-second failed compile attempt per
+    process). The flac payload now builds inside the fused Python
+    decode pass; jsonl's 42-step CRC XOR chain is a data-driven
+    aggregate fold. Pin: the formatted plans stay orders of magnitude
+    below the old 100 KB+ trees (flac was 102 KB, jsonl 370 KB), the
+    flac plan is a single fused Python pass, and the jsonl plan
+    carries the fold."""
+    flac = _executed_plan(
+        QUERIES["multimodal_flac_decode_stats"](spark, sf_dir)
+    )
+    assert flac.count("MapInPandas") == 1, flac
+    assert len(flac) < 20000, len(flac)
+    jsonl = _executed_plan(
+        QUERIES["pipeline_jsonl_gz_ingest"](spark, sf_dir)
+    )
+    assert "aggregate(" in jsonl, jsonl
+    assert len(jsonl) < 40000, len(jsonl)
