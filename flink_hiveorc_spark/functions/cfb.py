@@ -49,12 +49,10 @@ from __future__ import annotations
 
 import struct
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
+from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
 
 _FREESECT = 0xFFFFFFFF

@@ -34,15 +34,13 @@ constantly — the r13 verdict's What's-missing #3).
 
 from __future__ import annotations
 
-import re
 from xml.etree import ElementTree
 from xml.sax.saxutils import escape as _xml_escape
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_hiveorc_spark.catalog import load_table, parallelize_small_scan
+from flink_hiveorc_spark.catalog import load_table
 from flink_hiveorc_spark.registry import query
 
 
