@@ -1681,49 +1681,51 @@ def exact_substring_clean(
     against the coverage set and a per-doc ordered re-aggregation
     (sort_array over (pos, token) structs — bounded by doc length,
     deterministic)."""
+    # r16 restructure (guide §2.3/§2.4, measured): the former shape
+    # posexploded EVERY token (corpus-token-sized rows), anti-joined
+    # them against the span positions on (doc_id, pos) — a token-level
+    # shuffle — and re-assembled each document with a
+    # sort_array(collect_list(struct)) aggregate (a second token-level
+    # shuffle plus a per-doc sort). The spans per document are FEW and
+    # bounded, so they are collected to one array row per doc instead,
+    # left-joined to the words table at DOC grain, and the surviving
+    # tokens are selected in place with array higher-order functions
+    # (filter positions not covered by any span, map to tokens) —
+    # token rows never shuffle at all. 1x/16x A/B (min of 2): old
+    # 1.97/5.04 s → 4.07/4.16 s at 16x and 1.24–1.91 s at 1x,
+    # exceptAll = 0 both directions. Equivalences: sequence order
+    # preserves the old (pos, tok) sort; a doc with no spans takes the
+    # sp-IS-NULL branch (cleaned = the space-normalized original,
+    # exactly the old right-join pass-through, including the
+    # empty-text [""] → "" row); a fully-covered doc yields the empty
+    # array → '' / 0 kept, the old coalesce defaults.
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
-    pos_tok = toks.select(
-        "doc_id",
-        F.posexplode("w").alias("p0", "tok"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    # n_total per doc is size(w) — computed narrowly from the split
-    # array instead of re-exploding every token and counting (the old
-    # totals side re-ran the tokenize+posexplode lineage a second
-    # time: r16, guide §2.4 "don't compute things you throw away";
-    # posexplode of split() yields exactly size(w) rows — split never
-    # returns NULL elements — so the counts are identical, including
-    # the empty-text row ([""] -> 1)
-    totals = toks.select("doc_id", F.size("w").cast("long").alias("n_total"))
-    # coverage = the merged maximal spans exploded back to positions:
-    # spans are disjoint, so each covered position appears exactly once
-    # and the k*L-row explode + distinct of the pre-r13 formulation
-    # (r12 verdict's worst stress entry) disappears
-    cov = _merge_intervals(_dup_gram_intervals(docs, min_tokens)).select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
-    )
-    kept = pos_tok.join(cov, ["doc_id", "pos"], "left_anti")
-    return (
-        kept.groupBy("doc_id")
+    spans = (
+        _merge_intervals(_dup_gram_intervals(docs, min_tokens))
+        .groupBy("doc_id")
         .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(pos, tok)))"
-                       ", x -> x.tok)"),
-                " ",
-            ).alias("cleaned_text"),
-            F.count("pos").alias("n_tokens_kept"),
+            F.collect_list(F.struct("span_start", "span_end")).alias("sp")
         )
-        .join(totals, "doc_id", "right")
-        .select(
-            "doc_id",
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
-            (F.col("n_total") - F.coalesce("n_tokens_kept", F.lit(0))).alias(
-                "n_tokens_removed"
+    )
+    j = toks.join(spans, "doc_id", "left")
+    w, sp = F.col("w"), F.col("sp")
+    kept = F.when(sp.isNull(), w).otherwise(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.size(w)),
+                lambda p: ~F.exists(
+                    sp,
+                    lambda s: (p >= s["span_start"]) & (p <= s["span_end"]),
+                ),
             ),
+            lambda p: F.element_at(w, p),
         )
+    )
+    return j.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size(w) - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
 
 

@@ -103,16 +103,15 @@ def test_exact_substring_builds_grams_once(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_exact_substring_clean_totals_are_narrow(spark, sf_dir):
-    """r16: n_total per doc comes from size(split(...)) — narrow, no
-    second posexplode of every token just to count it."""
+def test_exact_substring_clean_never_explodes_tokens(spark, sf_dir):
+    """r16: the cleaned-corpus side reconstructs documents with array
+    higher-order functions against the per-doc collected span list —
+    token rows are never exploded, anti-joined, or re-aggregated. Pin:
+    exactly ONE Generate (the gram posexplode) in the executed plan."""
     plan = _executed_plan(
         QUERIES["dedup_exact_substring_clean"](spark, sf_dir)
     )
-    # gram build, token posexplode for the anti-join side, span
-    # position re-explode: exactly three generates — the fourth
-    # (the old totals-side token re-explode) must not come back
-    assert plan.count("Generate ") == 3, plan
+    assert plan.count("Generate ") == 1, plan
 
 
 def test_boilerplate_ngrams_builds_grams_once(spark, sf_dir):
