@@ -48,7 +48,7 @@ def _ingest(spark, src, out, ckpt):
         ckpt,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
 
 def _rows(df):

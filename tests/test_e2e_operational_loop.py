@@ -63,7 +63,7 @@ def _run_ingest(spark, src, landing, ckpt):
         ckpt,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
 
 def _run_rollup(spark, landing, rollup, ckpt):
@@ -80,7 +80,7 @@ def _run_rollup(spark, landing, rollup, ckpt):
     q = start_incremental_rollup(
         stream, rollup, ckpt, available_now=True, seq_col="ref"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
 
 def _rollup_twin(spark, landing):
@@ -200,7 +200,7 @@ def test_dlq_quarantine_fix_requeue_exactly_once(spark, tmp_path):
         q = start_city_ingest_with_dlq(
             file_raw_stream(spark, str(src)), out, dlq, ckpt, available_now=True
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     run()
     assert sorted(r.ref for r in spark.read.orc(out).collect()) == list(range(40))

@@ -126,7 +126,7 @@ def test_vacuum_streaming_sink_removes_only_orphans(spark, tmp_path):
             inner = _json.dumps({"after": {"ref": i, "city_id": i, "city_name": "c", "c_time": 1755000000000 + i * 3_600_000}})
             f.write(_json.dumps({"value": inner}) + "\n")
     q = start_city_ingest(file_raw_stream(spark, str(src)), out, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     n = read_committed(spark, out).count()
     assert n == 50
 

@@ -97,7 +97,7 @@ def test_streaming_source_exactly_once_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
         return spark.read.parquet(out).count()
 
     counts = [run_once() for _ in range(5)]

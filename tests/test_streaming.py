@@ -38,12 +38,12 @@ def test_streaming_ingest_exactly_once_across_restart(spark, tmp_path):
     _write_events(src, 0, 100)
 
     q = start_city_ingest(file_raw_stream(spark, str(src)), out, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     assert read_committed(spark, out).count() == 100
 
     _write_events(src, 100, 150)  # new data while "down"
     q2 = start_city_ingest(file_raw_stream(spark, str(src)), out, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     back = read_committed(spark, out)
     assert back.count() == 150  # old files not re-ingested, new ones exactly once
@@ -103,7 +103,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     assert spark.table("dedup_sink").count() == 3
 
 
@@ -123,7 +123,7 @@ def test_running_totals_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     got = {r.user_id: (r.n_events, r.total_value) for r in spark.table("state_sink").collect()}
     assert got == {1: (2, 15.0), 2: (1, 7.0)}
 
@@ -144,7 +144,7 @@ def test_managed_ingest_registers_partitions(spark, tmp_path):
             file_raw_stream(spark, str(src)), out, ckpt,
             table="city_managed", available_now=True,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
         assert spark.table("city_managed").count() == 60
 
         _write_events(src, 60, 90)
@@ -152,7 +152,7 @@ def test_managed_ingest_registers_partitions(spark, tmp_path):
             file_raw_stream(spark, str(src)), out, ckpt,
             table="city_managed", available_now=True,
         )
-        q2.awaitTermination(120)
+        assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
         # foreachBatch runs in a cloned session: its MSCK registers
         # partitions globally (catalog-level), but THIS session's
         # file-listing cache for already-known partitions is stale —
@@ -195,7 +195,7 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     got = [(r.user_id, r.signup_id, r.purchase_id) for r in spark.table("ssj_sink").collect()]
     assert got == [(7, 1, 10)]
 
@@ -278,7 +278,7 @@ def test_tumbling_counts_runs_on_real_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     rows = spark.table("tumbling_sink").collect()
     assert rows and rows[0].n == 20 and rows[0].n_users >= 4  # HLL approx of 5
 
@@ -367,7 +367,7 @@ def test_streaming_upsert_latest_state_across_restart(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
     assert state == {1: "new_one", 2: "two", 3: "three"}
 
@@ -379,7 +379,7 @@ def test_streaming_upsert_latest_state_across_restart(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
     state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
     assert state == {1: "new_one", 2: "two_v2", 3: "three"}
     # Out-of-order late event (older seq) must NOT regress the state.
@@ -389,7 +389,7 @@ def test_streaming_upsert_latest_state_across_restart(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True,
     )
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(600)  # self-terminating (availableNow); False = still running
     state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
     assert state[2] == "two_v2"
 
@@ -432,7 +432,7 @@ def test_streaming_upsert_replay_after_publish_before_commit(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
     assert state == {1: "one_v2", 2: "two"}
 
@@ -450,7 +450,7 @@ def test_streaming_upsert_replay_after_publish_before_commit(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
     assert q2.exception() is None
     state = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
     assert state == {1: "one_v2", 2: "two"}
@@ -484,7 +484,7 @@ def test_managed_ingest_output_is_compactable(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     n_files_before = len(_glob.glob(f"{out}/c_date=*/*.orc"))
     rows_before = sorted(
         r.ref for r in spark.read.orc(out).collect()
@@ -529,7 +529,7 @@ def test_upsert_snapshot_time_travel(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1), out, ckpt,
         available_now=True, keep_versions=2,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     versions = list_snapshot_versions(out)
     assert len(versions) == 2
     cur = {r.ref: r.city_name for r in read_city_snapshot(spark, out).collect()}
@@ -558,7 +558,7 @@ def test_stream_static_join_broadcasts_and_enriches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     back = spark.read.parquet(out)
     assert back.count() == 40
@@ -602,14 +602,14 @@ def test_streaming_rollup_matches_batch_recompute_across_restart(spark, tmp_path
         file_raw_stream(spark, str(src), max_files_per_trigger=1),
         out, ckpt, available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     _write_events(src, 110, 150)  # arrives while "down"
     q2 = start_city_rollup(
         file_raw_stream(spark, str(src), max_files_per_trigger=1),
         out, ckpt, available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     got = {
         (r.c_date, r.city_id): (r.n_events, r.max_seq)
@@ -651,7 +651,7 @@ def test_streaming_ingest_with_dlq_quarantines_bad_lines(spark, tmp_path):
     q = start_city_ingest_with_dlq(
         file_raw_stream(spark, str(src)), out, dlq, ckpt, available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     good = spark.read.orc(out)
     assert good.count() == 30
@@ -690,7 +690,7 @@ def test_ingest_progress_report_rates_and_observed_metrics(spark, tmp_path):
         file_raw_stream(spark, str(src), max_files_per_trigger=1),
         out, ckpt, available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     report = ingest_progress_report(q)
 
     rows = [r for r in report if (r["num_input_rows"] or 0) > 0]
@@ -719,7 +719,7 @@ def test_ingest_observe_metrics_optional(spark, tmp_path):
         file_raw_stream(spark, str(src)), out, ckpt,
         available_now=True, observe_metrics=False,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     report = [r for r in ingest_progress_report(q) if (r["num_input_rows"] or 0) > 0]
     assert report and report[0]["num_input_rows"] == 25
     assert report[0]["rows_decoded"] is None

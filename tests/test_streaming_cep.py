@@ -62,7 +62,7 @@ def _run_stream(spark, tmp_path, n_chunks=4):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     return spark.sql(f"SELECT * FROM {qname}").collect()
 
 
@@ -125,7 +125,7 @@ def test_streaming_ewma_equals_batch_window(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     got = {
         (r["event_id"], r["ewma_units"])
         for r in spark.sql("SELECT * FROM ewma_out").collect()

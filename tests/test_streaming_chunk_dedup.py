@@ -60,7 +60,7 @@ def _run_stream(spark, tmp_path, docs, name, files=4):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     return spark.table(name)
 
 

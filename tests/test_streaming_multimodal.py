@@ -24,7 +24,7 @@ def _run(spark, src, out, dlq, ckpt):
     q = sm.start_multimodal_featurize(
         sm.blob_stream(spark, src), out, dlq, ckpt, available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
 
 def test_streaming_featurize_quarantine_and_restart(spark, tmp_path):
@@ -141,7 +141,7 @@ def test_streaming_media_probe_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="probe", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert feats[0]["container"] == "mp4" and feats[0]["width"] == 320
     assert feats[1]["container"] == "matroska" and feats[1]["height"] == 360
@@ -186,7 +186,7 @@ def test_streaming_decompress_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="decompress", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert feats[0]["codec"] == "gzip" and feats[0]["out_len"] == 10
     assert feats[1]["codec"] == "zlib" and feats[1]["sum_byte"] == sum(b"beta")
@@ -222,7 +222,7 @@ def test_streaming_warc_and_archive_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="warc", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = sorted(
         (r["doc_id"], r["record_idx"], r["rec_type"], r["sum_byte"])
         for r in spark.read.parquet(out).collect()
@@ -248,7 +248,7 @@ def test_streaming_warc_and_archive_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src2), out2, dlq2, ckpt2,
         modality="archive", available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
     members = spark.read.parquet(out2).collect()
     assert [(r["fmt"], r["name"], r["size"]) for r in members] == [
         ("zip", "inner.parquet", len(pqb.getvalue()))
@@ -260,7 +260,7 @@ def test_streaming_warc_and_archive_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src3), out3, dlq3, ckpt3,
         modality="columnar", available_now=True,
     )
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(600)  # self-terminating (availableNow); False = still running
     probe = spark.read.parquet(out3).collect()
     assert [(r["fmt"], r["n_rows"], r["sum_first_int"]) for r in probe] == [
         ("parquet", 2, 9)
@@ -282,7 +282,7 @@ def test_streaming_office_and_crawltext_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="office", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = spark.read.parquet(out).collect()
     assert [(r["kind"], r["office_text"]) for r in feats] == [
         ("docx", "stream doc")
@@ -308,7 +308,7 @@ def test_streaming_office_and_crawltext_with_quarantine(spark, tmp_path):
         sm.blob_stream(spark, src2), out2, dlq2, ckpt2,
         modality="crawltext", available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)  # self-terminating (availableNow); False = still running
     rows = spark.read.parquet(out2).collect()
     assert [(r["charset"], r["text"]) for r in rows] == [("shift_jis", jp)]
 
@@ -324,7 +324,7 @@ def test_streaming_epub_lane(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="epub", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = spark.read.parquet(out).collect()
     assert [(r["title"], r["epub_text"]) for r in feats] == [("S", "in stream")]
     assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9
@@ -344,7 +344,7 @@ def test_streaming_legacy_office_lane(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="legacy_office", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert feats[0]["kind"] == "doc" and feats[0]["office_text"] == "in stream"
     assert feats[1]["kind"] == "xls"
@@ -363,7 +363,7 @@ def test_streaming_rtf_lane(spark, tmp_path):
         sm.blob_stream(spark, src), out, dlq, ckpt,
         modality="rtf", available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
     feats = spark.read.parquet(out).collect()
     assert [r["rtf_text"] for r in feats] == ["rtf in stream"]
     assert spark.read.parquet(dlq).collect()[0]["doc_id"] == 9

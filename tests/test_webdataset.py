@@ -265,7 +265,7 @@ def test_webdataset_streaming_ingest_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)  # self-terminating (availableNow); False = still running
 
     run_once()
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
